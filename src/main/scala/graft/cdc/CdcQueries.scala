@@ -1,0 +1,106 @@
+package graft.cdc
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC surface wired to the driver's `events` fixture, so the
+  * materializer semantics are oracle-checked at every round.
+  *
+  * Event mapping (deterministic reinterpretation of the fixture as a
+  * change log over keys = user_id): `signup` ⇒ I, `click|view|purchase`
+  * ⇒ U, `error` ⇒ D; payload = (event_type, value); ordering =
+  * (ts, event_id).
+  */
+object CdcQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events fixture → ChangeEvent-shaped log. */
+  def changeLog(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events.select(
+      when(col("event_type") === "signup", lit("I"))
+        .when(col("event_type") === "error", lit("D"))
+        .otherwise(lit("U"))
+        .as("op"),
+      col("user_id").as("id"),
+      col("event_type").as("content"),
+      col("value"),
+      col("ts"),
+      col("event_id").as("seq")
+    )
+
+  private val materializeState: Q = (s, dir) =>
+    Materializer
+      .materialize(changeLog(s, dir))
+      .orderBy("id")
+
+  private val stateCount: Q = (s, dir) =>
+    Materializer
+      .materialize(changeLog(s, dir))
+      .agg(count(lit(1)).as("n_live_keys"))
+
+  /** P1 point lookup against materialized state (0-or-1 contract). */
+  private val statePointLookup: Q = (s, dir) =>
+    Materializer
+      .materialize(changeLog(s, dir))
+      .filter(col("id") === 7L)
+
+  /** Replay of the reference's import.sql seed through MessageStore
+    * (ignores sfDir — the fixture is the reference's own seed data). */
+  private val seedReplay: Q = (s, _) => {
+    val store = MessageStore.fromSeed(s)
+    store.state.orderBy("id").toDF()
+  }
+
+  /** CRUD sequence through the typed API: save, update, update-absent
+    * (no-op), delete, delete-absent (idempotent) — final state. */
+  private val crudReplay: Q = (s, _) => {
+    val store = MessageStore
+      .fromSeed(s)
+      .save(graft.Schemas.Message(6L, "new row"))
+      .update(2L, "updated content")
+      .update(99L, "ghost")
+      .delete(4L)
+      .delete(99L)
+    store.state.orderBy("id").toDF()
+  }
+
+  val queries: Map[String, Q] = Map(
+    "cdc01_materialize" -> materializeState,
+    "cdc02_state_count" -> stateCount,
+    "cdc03_point_lookup" -> statePointLookup,
+    "cdc04_seed_replay" -> seedReplay,
+    "cdc05_crud_replay" -> crudReplay
+  )
+
+  private val latestSql =
+    """SELECT user_id AS id, event_type AS content, value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "cdc01_materialize" -> (latestSql + "\nORDER BY id"),
+    "cdc02_state_count" ->
+      s"SELECT COUNT(*) AS n_live_keys FROM ($latestSql)",
+    "cdc03_point_lookup" ->
+      s"SELECT * FROM ($latestSql) WHERE id = 7",
+    "cdc04_seed_replay" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'Hello from Quarkus Cloud Run!'),
+        |  (CAST(2 AS BIGINT), 'Testing JVM vs Native performance'),
+        |  (CAST(3 AS BIGINT), 'Direct connection to Cloud SQL'),
+        |  (CAST(4 AS BIGINT), 'Using PgBouncer for connection pooling'),
+        |  (CAST(5 AS BIGINT), 'Jib makes container builds easy!')
+        |) AS t(id, content) ORDER BY id""".stripMargin,
+    "cdc05_crud_replay" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'Hello from Quarkus Cloud Run!'),
+        |  (CAST(2 AS BIGINT), 'updated content'),
+        |  (CAST(3 AS BIGINT), 'Direct connection to Cloud SQL'),
+        |  (CAST(5 AS BIGINT), 'Jib makes container builds easy!'),
+        |  (CAST(6 AS BIGINT), 'new row')
+        |) AS t(id, content) ORDER BY id""".stripMargin
+  )
+}
