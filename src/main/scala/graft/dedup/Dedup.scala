@@ -1,0 +1,157 @@
+package graft.dedup
+
+import graft.functions.{PortableHash, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for the training-data pipeline surface:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard
+  * verification.
+  *
+  * Scale design:
+  *   - Heavy per-row derivations (token list, shingle set, shingle
+  *     hashes, signatures) are materialized as explicit projection
+  *     stages, NOT inlined expression trees: higher-order functions
+  *     are interpreted (no codegen), so an inlined subtree would be
+  *     re-evaluated once per lambda element. Staged columns are
+  *     evaluated once per row.
+  *   - One md5 per shingle; the k MinHash permutations come from a
+  *     universal-hash family h_s(x) = (a_s·x + b_s) mod p over that
+  *     single base hash — the standard trick, and ~k× cheaper than
+  *     k independent string hashes.
+  *   - Candidate generation shuffles once on the band signature;
+  *     only candidates (≪ n²) reach the Jaccard verify join.
+  */
+object Dedup {
+
+  /** Mersenne-ish prime > 2^32 for the permutation family. */
+  val P: Long = 4294967311L
+
+  /** Deterministic (a_s, b_s) per permutation, derived from the
+    * portable hash so the DuckDB oracle regenerates them exactly.
+    * a_s < 2^30 keeps h·a_s + b_s within int64 (h < 2^32).
+    */
+  def permCoeffs(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { s =>
+      (
+        2L * (PortableHash.h32Local(s"a:$s") % 500000000L) + 1L,
+        PortableHash.h32Local(s"b:$s")
+      )
+    }
+
+  /** Stage 1: normalized text + token list. */
+  def withTokens(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__norm", TextFunctions.normalized(col(textCol)))
+      .withColumn("__toks", split(col("__norm"), " "))
+
+  /** Stage 2: distinct 3-word shingles ("__sh"); <3-token docs fall
+    * back to the whole normalized text. Requires stage 1.
+    */
+  def withShingles(df: DataFrame): DataFrame =
+    df.withColumn(
+      "__sh",
+      when(size(col("__toks")) < 3, array(col("__norm"))).otherwise(
+        array_distinct(
+          transform(
+            sequence(lit(0), size(col("__toks")) - 3),
+            i =>
+              concat_ws(
+                " ",
+                element_at(col("__toks"), i + 1),
+                element_at(col("__toks"), i + 2),
+                element_at(col("__toks"), i + 3)
+              )
+          )
+        )
+      )
+    )
+
+  /** Stage 3: one portable 32-bit hash per shingle ("__shh"). */
+  def withShingleHashes(df: DataFrame): DataFrame =
+    df.withColumn("__shh", transform(col("__sh"), sh => PortableHash.h32(sh)))
+
+  /** Stage 4: k-permutation MinHash signature ("__sig") via the
+    * universal-hash family over the base hashes. Requires stage 3.
+    */
+  def withMinHashSignature(df: DataFrame, k: Int): DataFrame = {
+    val coeffs = permCoeffs(k)
+    df.withColumn(
+      "__sig",
+      array(coeffs.map { case (a, b) =>
+        array_min(
+          transform(col("__shh"), h => pmod(h * lit(a) + lit(b), lit(P)))
+        )
+      }: _*)
+    )
+  }
+
+  /** Full shingle pipeline from raw text. */
+  def prepared(df: DataFrame, textCol: String): DataFrame =
+    withShingleHashes(withShingles(withTokens(df, textCol)))
+
+  /** LSH band signatures column from "__sig". */
+  def bandSignature(sig: Column, band: Int, rowsPerBand: Int): Column =
+    PortableHash.h32(
+      concat_ws(",", slice(sig, band * rowsPerBand + 1, rowsPerBand))
+    )
+
+  /** Candidate near-duplicate pairs via MinHash LSH: distinct
+    * (id_a, id_b), id_a < id_b, sharing at least one of `bands` bands.
+    * One shuffle on (band, band_sig).
+    */
+  def lshCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 32,
+      bands: Int = 8
+  ): DataFrame = {
+    val rows = k / bands
+    val sig = withMinHashSignature(prepared(df, textCol), k)
+      .select(col(idCol), col("__sig"))
+    val exploded = sig.select(
+      col(idCol),
+      posexplode(
+        array((0 until bands).map(b => bandSignature(col("__sig"), b, rows)): _*)
+      ).as(Seq("band", "band_sig"))
+    )
+    val a = exploded.select(col("band"), col("band_sig"), col(idCol).as("id_a"))
+    val b = exploded.select(col("band"), col("band_sig"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact word-shingle Jaccard between two shingle-array columns. */
+  def jaccard(aSh: Column, bSh: Column): Column =
+    size(array_intersect(aSh, bSh)).cast("double") /
+      size(array_union(aSh, bSh))
+
+  /** Stage: 32-bit SimHash ("__simhash") from per-token hashes; bit j
+    * is set iff the (+1/-1) vote-sum over token-hash bit j is ≥ 0.
+    * Requires stage 1 (tokens); materializes token hashes first.
+    */
+  def withSimHash(df: DataFrame): DataFrame = {
+    val withTokH =
+      df.withColumn("__tokh", transform(col("__toks"), t => PortableHash.h32(t)))
+    withTokH.withColumn(
+      "__simhash",
+      (0 until 32)
+        .map { j =>
+          val vote = aggregate(
+            col("__tokh"),
+            lit(0L),
+            (s, h) =>
+              s + when(shiftright(h, j).bitwiseAND(1L) === 1L, lit(1L))
+                .otherwise(lit(-1L))
+          )
+          when(vote >= 0, lit(1L << j)).otherwise(lit(0L))
+        }
+        .reduce(_ + _)
+    )
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

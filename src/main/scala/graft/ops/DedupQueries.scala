@@ -1,0 +1,216 @@
+package graft.ops
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.{PortableHash, TextFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication queries over `documents`, fully oracle-checked —
+  * including MinHash+LSH and SimHash, whose DuckDB mirrors regenerate
+  * the same signatures from the same portable-hash formulas.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 32
+  private val BANDS = 8
+  private val ROWS = K / BANDS
+
+  /** The documents fixture arrives as one parquet file (one task);
+    * per-row signature work needs the cores, so spread it. At real
+    * scale the source has thousands of splits and this is a no-op
+    * decision — here it models "parallelize the map side".
+    */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism)
+
+  // ---------------- Spark side ----------------
+
+  private val exactStats: Q = (s, dir) =>
+    docs(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(TextFunctions.fingerprintMd5(col("text")))
+          .as("n_uniq_norm")
+      )
+      .orderBy("source")
+
+  private val exactPairs: Q = (s, dir) => {
+    val d = docs(s, dir)
+      .select(
+        col("doc_id"),
+        TextFunctions.fingerprintMd5(col("text")).as("fp")
+      )
+    val a = d.select(col("fp"), col("doc_id").as("id_a"))
+    val b = d.select(col("fp"), col("doc_id").as("id_b"))
+    a.join(b, "fp")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** n-gram Jaccard over an id-windowed candidate set. */
+  private val jaccardNearby: Q = (s, dir) => {
+    val d = Dedup
+      .withShingles(Dedup.withTokens(docs(s, dir), "text"))
+      .select(col("doc_id"), col("__sh"))
+    val a = d.select(col("doc_id").as("id_a"), col("__sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("__sh").as("sh_b"))
+    a.join(
+      b,
+      col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 10
+    ).select(
+      col("id_a"),
+      col("id_b"),
+      Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac")
+    ).filter(col("jac") >= 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash+LSH candidates, Jaccard-verified (no threshold — the
+    * candidate set itself is the assertion under test). */
+  private val minhashLsh: Q = (s, dir) => {
+    val base = docs(s, dir)
+    val pairs = Dedup.lshCandidatePairs(base, "doc_id", "text", K, BANDS)
+    val sh = Dedup
+      .withShingles(Dedup.withTokens(base, "text"))
+      .select(col("doc_id"), col("__sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac")
+      )
+      .orderBy("id_a", "id_b")
+  }
+
+  private val simhashPairs: Q = (s, dir) => {
+    val d = Dedup
+      .withSimHash(Dedup.withTokens(docs(s, dir), "text"))
+      .select(col("doc_id"), col("__simhash"))
+    val a = d.select(col("doc_id").as("id_a"), col("__simhash").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("__simhash").as("sh_b"))
+    a.join(
+      b,
+      col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 10
+    ).select(
+      col("id_a"),
+      col("id_b"),
+      Dedup.hamming(col("sh_a"), col("sh_b")).as("hamming")
+    ).filter(col("hamming") <= 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup01_exact_stats" -> exactStats,
+    "dedup02_exact_pairs" -> exactPairs,
+    "dedup03_jaccard_nearby" -> jaccardNearby,
+    "dedup04_minhash_lsh" -> minhashLsh,
+    "dedup05_simhash" -> simhashPairs
+  )
+
+  // ---------------- DuckDB mirrors ----------------
+
+  private val normSql = TextQueriesSqlFragments.normSql
+  private val toksSql = s"string_split($normSql, ' ')"
+
+  /** Shingle list mirror of [[Dedup.withShingles]] (toks bound in a CTE). */
+  private val shinglesSql =
+    """CASE WHEN len(toks) < 3 THEN [norm]
+      | ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+      |   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+      | END""".stripMargin
+
+  private def h32(e: String) = PortableHash.sqlH32(e)
+
+  /** MinHash signature mirror: universal-hash family over the per-
+    * shingle base hash, coefficients regenerated from the same
+    * formulas (a_s = 2·H("a:s")+1, b_s = H("b:s")).
+    */
+  private val sigSql = {
+    val aS = h32("concat('a:', CAST(s AS VARCHAR))")
+    val bS = h32("concat('b:', CAST(s AS VARCHAR))")
+    s"""list_transform(range(0, $K),
+       |  s -> list_min(list_transform(shh,
+       |         h -> (h * (2 * ($aS % 500000000) + 1) + $bS) % ${Dedup.P})))""".stripMargin
+  }
+
+  private val bandsSql =
+    s"""list_transform(range(0, $BANDS),
+       |  b -> ${h32(s"array_to_string(list_slice(sig, b*$ROWS + 1, b*$ROWS + $ROWS), ',')")})""".stripMargin
+
+  private val jacSql =
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))"
+
+  /** SimHash mirror: 32 vote terms over the per-token hash list. */
+  private val simhashSql: String =
+    (0 until 32)
+      .map { j =>
+        s"""(CASE WHEN list_aggregate(list_transform(tokh,
+           |  h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END), 'sum') >= 0
+           |  THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)""".stripMargin
+      }
+      .mkString("(", " + ", ")")
+
+  private val prepCte =
+    s"""prep AS (SELECT doc_id, $normSql AS norm, $toksSql AS toks
+       |         FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM prep),
+       |shh AS (SELECT doc_id, sh,
+       |          list_transform(sh, x -> ${h32("x")}) AS shh FROM sh)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup01_exact_stats" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT md5($normSql)) AS n_uniq_norm
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "dedup02_exact_pairs" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup03_jaccard_nearby" ->
+      s"""WITH $prepCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jacSql AS jac
+         |FROM sh a JOIN sh b
+         |  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
+         |WHERE $jacSql >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup04_minhash_lsh" ->
+      s"""WITH $prepCte,
+         |sig AS (SELECT doc_id, sh, $sigSql AS sig FROM shh),
+         |band AS (SELECT doc_id, r.b AS band, bands[r.b + 1] AS band_sig
+         |         FROM (SELECT doc_id, $bandsSql AS bands FROM sig) s
+         |         CROSS JOIN range(0, $BANDS) r(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM band a JOIN band b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id)
+         |SELECT p.id_a, p.id_b, $jacSql AS jac
+         |FROM pairs p
+         |JOIN sh a ON a.doc_id = p.id_a
+         |JOIN sh b ON b.doc_id = p.id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup05_simhash" ->
+      s"""WITH $prepCte,
+         |tokh AS (SELECT doc_id,
+         |           list_transform(toks, t -> ${h32("t")}) AS tokh FROM prep),
+         |t AS (SELECT doc_id, $simhashSql AS sh FROM tokh)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.sh, b.sh)) AS hamming
+         |FROM t a JOIN t b
+         |  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 8
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}
+
+/** Shared SQL fragments (single source of truth for mirrors). */
+private[ops] object TextQueriesSqlFragments {
+  val normSql = """lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"""
+}

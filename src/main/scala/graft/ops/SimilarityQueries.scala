@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.PortableHash
+import graft.sim.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over `embeddings`: brute-force cosine
+  * top-k baseline, LSH-bucketed ANN, and embedding near-duplicate
+  * pairs — all with exact DuckDB mirrors (double-cast sequential dot
+  * products; hyperplanes derived from the portable hash).
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val QUERY_IDS = Seq(0L, 1L, 2L)
+  private val TOPK = 5
+  private val PLANES = 8
+  private val DIMS = 64
+
+  private def queriesDf(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings.filter(col("vec_id").isin(QUERY_IDS: _*))
+
+  private val bruteTopK: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    Similarity
+      .bruteForceTopK(emb, queriesDf(s, dir), "vec_id", "embedding", TOPK)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
+  private val lshTopK: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    Similarity
+      .lshTopK(emb, queriesDf(s, dir), "vec_id", "embedding", TOPK, PLANES, DIMS)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-dup: id-windowed candidate pairs above a cosine
+    * threshold (the exact-verify stage of an embedding dedup pass). */
+  private val nearDup: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(
+      b,
+      col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 20
+    ).select(
+      col("id_a"),
+      col("id_b"),
+      Similarity.cosine(col("va"), col("vb")).as("cos_sim")
+    ).filter(col("cos_sim") >= 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Per-label centroid-free "IVF-lite" stats: bucket the corpus by
+    * LSH bucket and report occupancy — the partition-pruning side of
+    * an IVF/LSH index (which buckets to probe). */
+  private val lshBucketStats: Q = (s, dir) =>
+    Tables(s, dir).embeddings
+      .groupBy(Similarity.lshBucket(col("embedding"), PLANES, DIMS).as("bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("bucket")
+
+  val queries: Map[String, Q] = Map(
+    "sim01_topk_bruteforce" -> bruteTopK,
+    "sim02_topk_lsh" -> lshTopK,
+    "sim03_near_dup" -> nearDup,
+    "sim04_lsh_buckets" -> lshBucketStats
+  )
+
+  // ---------------- DuckDB mirrors ----------------
+
+  /** Sequential double dot product a·b (mirror of Similarity.dot). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_aggregate(list_transform(range(1, len($a) + 1),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Mirror of Similarity.lshBucket (same hash-derived hyperplanes). */
+  private def bucketSql(v: String): String =
+    (0 until PLANES)
+      .map { p =>
+        val w = s"(CAST(${PortableHash.sqlH32(s"concat('${p}_', CAST(i AS VARCHAR))")} % 1000 AS DOUBLE) / 1000.0 - 0.5)"
+        s"""(CASE WHEN list_aggregate(list_transform(range(0, len($v)),
+           |  i -> CAST($v[i+1] AS DOUBLE) * $w), 'sum') >= 0.0
+           |  THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)""".stripMargin
+      }
+      .mkString("(", " + ", ")")
+
+  private val qIdsSql = QUERY_IDS.mkString("(", ", ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "sim01_topk_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id IN $qIdsSql),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${cosSql("q.qv", "e.embedding")} AS cos_sim
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+         |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin,
+    "sim02_topk_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |             ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+         |      FROM e WHERE vec_id IN $qIdsSql),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${cosSql("q.qv", "e.embedding")} AS cos_sim
+         |  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+         |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin,
+    "sim03_near_dup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 20
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "sim04_lsh_buckets" ->
+      s"""SELECT ${bucketSql("embedding")} AS bucket, COUNT(*) AS n_vectors
+         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
+  )
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over `documents`, each with a DuckDB oracle
+  * mirroring the expression tree exactly (same tokenization, same
+  * double-arithmetic order).
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // -- DuckDB mirror fragments (lockstep with graft.functions.TextFunctions) --
+  private val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
+  private val normSql = """lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"""
+  private def stopSql(words: Seq[String]) =
+    s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+  private val punctSql =
+    """len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))"""
+  private val cjkSql =
+    "len(text) - len(regexp_replace(text, '[一-鿿]', '', 'g'))"
+
+  private val tokenStats: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        uniqueTokenCount(col("text")).as("n_uniq"),
+        tokenCharCount(col("text")).as("n_tok_chars"),
+        avgTokenLen(col("text")).as("avg_tok_len"),
+        typeTokenRatio(col("text")).as("ttr")
+      )
+      .orderBy("doc_id")
+
+  private val quality: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        punctCount(col("text")).as("n_punct"),
+        stopwordCount(col("text"), stopwords("en")).as("n_stop"),
+        qualityScore(col("text")).as("quality")
+      )
+      .orderBy("doc_id")
+
+  private val langid: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .groupBy(col("lang"), langId(col("text")).as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  private val fingerprint: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        fingerprintMd5(col("text")).as("fp_md5"),
+        fingerprintRolling(col("text")).as("fp_roll")
+      )
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "text01_token_stats" -> tokenStats,
+    "text02_quality" -> quality,
+    "text03_langid" -> langid,
+    "text04_fingerprint" -> fingerprint
+  )
+
+  private val langCaseSql: String = {
+    val en = stopSql(stopwords("en"))
+    val fr = stopSql(stopwords("fr"))
+    val de = stopSql(stopwords("de"))
+    val es = stopSql(stopwords("es"))
+    s"""CASE WHEN $cjkSql > 0 THEN 'zh'
+       | WHEN $en >= $fr AND $en >= $de AND $en >= $es AND $en > 0 THEN 'en'
+       | WHEN $fr >= $de AND $fr >= $es AND $fr > 0 THEN 'fr'
+       | WHEN $de >= $es AND $de > 0 THEN 'de'
+       | WHEN $es > 0 THEN 'es'
+       | ELSE 'unknown' END""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "text01_token_stats" ->
+      s"""SELECT doc_id,
+         |  len($toksSql) AS n_tokens,
+         |  len(list_distinct($toksSql)) AS n_uniq,
+         |  COALESCE(list_aggregate(list_transform($toksSql, t -> len(t)), 'sum'), 0) AS n_tok_chars,
+         |  CAST(COALESCE(list_aggregate(list_transform($toksSql, t -> len(t)), 'sum'), 0) AS DOUBLE)
+         |    / len($toksSql) AS avg_tok_len,
+         |  CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql) AS ttr
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text02_quality" ->
+      s"""SELECT doc_id,
+         |  len($toksSql) AS n_tokens,
+         |  $punctSql AS n_punct,
+         |  ${stopSql(stopwords("en"))} AS n_stop,
+         |  0.4 * least(1.0, CAST(len($toksSql) AS DOUBLE) / 50.0)
+         |  + 0.3 * least(1.0, (CAST(${stopSql(stopwords("en"))} AS DOUBLE)
+         |      / len($toksSql)) * 5.0)
+         |  + 0.3 * (CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql))
+         |    AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text03_langid" ->
+      s"""SELECT lang, $langCaseSql AS pred_lang, COUNT(*) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "text04_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5($normSql) AS fp_md5,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split($normSql, ''),
+         |                     ch -> CAST(unicode(ch) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
