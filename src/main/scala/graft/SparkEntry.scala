@@ -18,10 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.BenchAggs.queries ++ cdc.CdcQueries.queries ++
       ops.TextQueries.queries ++ ops.DedupQueries.queries ++
-      ops.SimilarityQueries.queries
+      ops.SimilarityQueries.queries ++ ops.StreamQueries.queries ++
+      ops.MiscQueries.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.BenchAggs.oracle ++ cdc.CdcQueries.oracle ++
       ops.TextQueries.oracle ++ ops.DedupQueries.oracle ++
-      ops.SimilarityQueries.oracle
+      ops.SimilarityQueries.oracle ++ ops.StreamQueries.oracle ++
+      ops.MiscQueries.oracle
 }

@@ -31,8 +31,10 @@ final case class Tables(spark: SparkSession, dir: String) {
     val raw = t("events")
     raw.schema("ts").dataType match {
       case LongType =>
-        // nanosAsLong read path: ns since epoch → µs TimestampType
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // nanosAsLong read path: ns since epoch → µs TimestampType.
+        // Integer `div`, NOT `/`: double division loses µs precision
+        // at epoch-ns magnitudes (53-bit mantissa < 2^60 ns values).
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: TimestampType => raw
       case other =>
         throw new IllegalStateException(s"unexpected events.ts type: $other")

@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media is carried as opaque `binary`
+  * payloads with typed metadata, flowing through normal columnar
+  * Spark (parquet binary columns, predicate pushdown on metadata,
+  * payload pruned unless selected).
+  *
+  * The decode/feature-extract boundary is [[decodeFeatures]], a typed
+  * mapPartitions — exactly where a real implementation would invoke an
+  * image/audio codec per partition (batched, library handle reused
+  * across rows). The codec itself is STUBBED here (deterministic fake
+  * derived from the bytes): this container has no media libraries.
+  * The Spark-side contract — schema, partition batching, payload
+  * lifecycle — is real and tested.
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      media_id: Long,
+      payload: Array[Byte],
+      format: String,
+      width: Int,
+      height: Int
+  )
+
+  final case class MediaFeatures(
+      media_id: Long,
+      n_bytes: Int,
+      checksum: Long,
+      n_frames: Int,
+      feature: Array[Float]
+  )
+
+  /** Wrap a text corpus as a fake media table (payload = utf-8 bytes):
+    * the stand-in for `spark.read.format("binaryFile")` / a lakehouse
+    * table with a binary column.
+    */
+  def asMediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      element_at(
+        array(lit("jpeg"), lit("png"), lit("webp")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+      ).as("format"),
+      (lit(64) + pmod(col("doc_id") * 7, lit(448))).cast("int").as("width"),
+      (lit(64) + pmod(col("doc_id") * 13, lit(448))).cast("int").as("height")
+    )
+
+  /** The decode boundary: per-partition batch "decode" producing fixed
+    * feature vectors. STUB: checksum/frame-count/features are
+    * deterministic functions of the payload bytes, standing in for a
+    * real codec + model forward pass.
+    */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real impl: open codec/model handle once per partition here
+      rows.map { r =>
+        val sum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+        val feat = Array.tabulate(8)(i =>
+          ((sum + i * 31) % 997).toFloat / 997.0f
+        )
+        MediaFeatures(
+          r.media_id,
+          r.payload.length,
+          sum,
+          r.payload.length / 256 + 1,
+          feat
+        )
+      }
+    }
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.Tables
+import graft.info.EngineInfo
+import graft.metrics.MetricsDoc
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Diagnostics, metrics-document, and multimodal-plumbing queries. */
+object MiscQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val allTables = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "documents", "embeddings"
+  )
+
+  /** `/db-info` recordCounts analogue over every fixture table. */
+  private val tableCounts: Q = (s, dir) =>
+    EngineInfo.tableCounts(s, dir, allTables)
+
+  /** The reference's metrics document derived from event aggregates:
+    * sum(value) plays startup-ms, count plays used-bytes — the
+    * formatters and nested-JSON shape are what is under test.
+    */
+  private val metricsDoc: Q = (s, dir) => {
+    val per = Tables(s, dir).events
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("ms"),
+        count(lit(1)).as("n")
+      )
+    per
+      .select(
+        col("event_type"),
+        MetricsDoc.msToSeconds(col("ms")).as("startup_s"),
+        MetricsDoc.bytesToMb(col("n") * 1024L * 512L).as("mem_mb"),
+        MetricsDoc.usagePercent(col("n"), lit(20000L)).as("usage_pct"),
+        MetricsDoc.imageType(col("event_type") === "signup").as("image_type"),
+        MetricsDoc.metricsJson(
+          col("ms"),
+          col("n") * 1024L * 512L,
+          lit(1073741824L),
+          col("event_type") === "signup"
+        ).as("doc")
+      )
+      .orderBy("event_type")
+  }
+
+  /** Multimodal metadata surface: binary payload + typed metadata
+    * (the decode stub itself is unit-tested; this checks the
+    * schema/derivation plumbing).
+    */
+  private val mediaMeta: Q = (s, dir) =>
+    Multimodal
+      .asMediaTable(Tables(s, dir).documents)
+      .select(
+        col("media_id"),
+        col("format"),
+        col("width"),
+        col("height"),
+        octet_length(col("payload")).as("n_bytes"),
+        (octet_length(col("payload")).cast("long") / lit(256L) + 1L)
+          .cast("long")
+          .as("n_chunks")
+      )
+      .orderBy("media_id")
+
+  val queries: Map[String, Q] = Map(
+    "info01_table_counts" -> tableCounts,
+    "metrics01_doc" -> metricsDoc,
+    "mm01_media_meta" -> mediaMeta
+  )
+
+  val oracle: Map[String, String] = Map(
+    "info01_table_counts" ->
+      allTables
+        .map(t => s"SELECT '$t' AS table_name, COUNT(*) AS n_rows FROM $t")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name"),
+    "metrics01_doc" ->
+      s"""WITH per AS (
+         |  SELECT event_type,
+         |    ${Qx.sqlDsum("value")} AS ms, COUNT(*) AS n
+         |  FROM events GROUP BY event_type)
+         |SELECT event_type,
+         |  printf('%.3f', ms / 1000.0) AS startup_s,
+         |  printf('%.2f', CAST(n * 1024 * 512 AS DOUBLE) / (1024.0 * 1024.0)) AS mem_mb,
+         |  printf('%.1f', CAST(n AS DOUBLE) * 100.0 / 20000.0) || '%' AS usage_pct,
+         |  CASE WHEN event_type = 'signup' THEN 'Native (GraalVM)' ELSE 'JVM' END
+         |    AS image_type,
+         |  concat('{"startupTimeSeconds":"', printf('%.3f', ms / 1000.0),
+         |    '","memory":{"usedMB":"',
+         |    printf('%.2f', CAST(n * 1024 * 512 AS DOUBLE) / (1024.0 * 1024.0)),
+         |    '","maxMB":"', printf('%.2f', 1073741824 / (1024.0 * 1024.0)),
+         |    '","usagePercent":"',
+         |    printf('%.1f', CAST(n * 1024 * 512 AS DOUBLE) * 100.0 / 1073741824.0),
+         |    '%"},"jvm":{"imageType":"',
+         |    CASE WHEN event_type = 'signup' THEN 'Native (GraalVM)' ELSE 'JVM' END,
+         |    '"}}') AS doc
+         |FROM per ORDER BY event_type""".stripMargin,
+    "mm01_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  ['jpeg','png','webp'][CAST(doc_id % 3 AS INT) + 1] AS format,
+        |  CAST(64 + (doc_id * 7) % 448 AS INT) AS width,
+        |  CAST(64 + (doc_id * 13) % 448 AS INT) AS height,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  octet_length(encode(text)) // 256 + 1 AS n_chunks
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}
