@@ -1,27 +1,69 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): one JSON line with per-query
+  * wall-clock seconds on SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology follows the reference's scripts (SURVEY.md §6): a
+  * warm-up pass absorbs session/codegen/file-listing cold cost
+  * (reference test_warm_performance.sh skips request 1), then each
+  * query is timed executing its FULL plan into a no-op sink — count()
+  * would let the optimizer drop sorts/projections and under-report.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString
+    )
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry
+          .queries(name)(spark, sfDir)
+          .write
+          .format("noop")
+          .mode("overwrite")
+          .save()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // warm-up: session, parquet footers
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val t = Tables(spark, sfDir)
+    Seq(t.lineitem, t.orders, t.customer, t.events, t.documents, t.embeddings)
+      .foreach(_.count())
+
+    // Reference methodology (BASELINE.md): warm = mean excluding
+    // request 1 (test_warm_performance.sh). Run 1 pays Janino/JIT
+    // compilation of the generated code — reported separately as
+    // queries_cold; the headline value is the warm total.
+    val cold = names.map(n => n -> runOnce(n))
+    val warm = names.map(n => n -> runOnce(n))
+    def js(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = warm.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(warm)},"queries_cold":${js(cold)},"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

@@ -95,6 +95,37 @@ object Dedup {
       concat_ws(",", slice(sig, band * rowsPerBand + 1, rowsPerBand))
     )
 
+  /** MinHash signature via explode + hash aggregation: per-shingle
+    * hashes explode to rows, the k permutation mins are codegen'd
+    * `min` aggregates (whole-stage Tungsten), reassembled into the
+    * "__sig" array. Same values as [[withMinHashSignature]], but the
+    * hot loop runs generated code instead of interpreted lambdas
+    * (~5× at sf0.1). One extra shuffle on the id — map-side combine
+    * keeps it small (k longs per id).
+    */
+  def minHashSignatureAgg(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    val coeffs = permCoeffs(k)
+    // explode_outer, deliberately: plain explode triggers
+    // InferFiltersFromGenerate, which injects a size()>0 filter holding
+    // two copies of the whole upstream shingle+md5 expression chain —
+    // and pushes it below the repartition. Shingle arrays are never
+    // empty (whole-text fallback), so outer semantics are identical.
+    val exploded = df.select(col(idCol), explode_outer(col("__shh")).as("__h"))
+    exploded
+      .groupBy(col(idCol))
+      .agg(
+        min(pmod(col("__h") * lit(coeffs.head._1) + lit(coeffs.head._2), lit(P)))
+          .as("__m0"),
+        coeffs.zipWithIndex.tail.map { case ((a, b), i) =>
+          min(pmod(col("__h") * lit(a) + lit(b), lit(P))).as(s"__m$i")
+        }: _*
+      )
+      .select(
+        col(idCol),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("__sig")
+      )
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH: distinct
     * (id_a, id_b), id_a < id_b, sharing at least one of `bands` bands.
     * One shuffle on (band, band_sig).
@@ -107,8 +138,7 @@ object Dedup {
       bands: Int = 8
   ): DataFrame = {
     val rows = k / bands
-    val sig = withMinHashSignature(prepared(df, textCol), k)
-      .select(col(idCol), col("__sig"))
+    val sig = minHashSignatureAgg(prepared(df, textCol), idCol, k)
     val exploded = sig.select(
       col(idCol),
       posexplode(
@@ -131,6 +161,7 @@ object Dedup {
   /** Stage: 32-bit SimHash ("__simhash") from per-token hashes; bit j
     * is set iff the (+1/-1) vote-sum over token-hash bit j is ≥ 0.
     * Requires stage 1 (tokens); materializes token hashes first.
+    * (Interpreted HOF form — see [[simHashAgg]] for the codegen path.)
     */
   def withSimHash(df: DataFrame): DataFrame = {
     val withTokH =
@@ -149,6 +180,39 @@ object Dedup {
           when(vote >= 0, lit(1L << j)).otherwise(lit(0L))
         }
         .reduce(_ + _)
+    )
+  }
+
+  /** SimHash via explode + codegen'd sum aggregates: same values as
+    * [[withSimHash]], Tungsten execution. Requires stage 1 (tokens);
+    * returns (idCol, "__simhash"). Token multiplicity is preserved
+    * (explode), matching the per-token vote semantics.
+    */
+  def simHashAgg(df: DataFrame, idCol: String): DataFrame = {
+    val exploded = df
+      // explode_outer: see minHashSignatureAgg (InferFiltersFromGenerate)
+      .select(col(idCol), explode_outer(col("__toks")).as("__t"))
+      .withColumn("__h", PortableHash.h32(col("__t")))
+    val votes = exploded
+      .groupBy(col(idCol))
+      .agg(
+        sum(
+          when(shiftright(col("__h"), 0).bitwiseAND(1L) === 1L, lit(1L))
+            .otherwise(lit(-1L))
+        ).as("__v0"),
+        (1 until 32).map { j =>
+          sum(
+            when(shiftright(col("__h"), j).bitwiseAND(1L) === 1L, lit(1L))
+              .otherwise(lit(-1L))
+          ).as(s"__v$j")
+        }: _*
+      )
+    votes.select(
+      col(idCol),
+      (0 until 32)
+        .map(j => when(col(s"__v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+        .as("__simhash")
     )
   }
 

@@ -59,14 +59,14 @@ object DedupQueries {
       .select(col("doc_id"), col("__sh"))
     val a = d.select(col("doc_id").as("id_a"), col("__sh").as("sh_a"))
     val b = d.select(col("doc_id").as("id_b"), col("__sh").as("sh_b"))
-    a.join(
-      b,
-      col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 10
-    ).select(
-      col("id_a"),
-      col("id_b"),
-      Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac")
-    ).filter(col("jac") >= 0.5)
+    PairJoins
+      .bucketedWindowJoin(a, b, "id_a", "id_b", 10)
+      .select(
+        col("id_a"),
+        col("id_b"),
+        Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac")
+      )
+      .filter(col("jac") >= 0.5)
       .orderBy("id_a", "id_b")
   }
 
@@ -91,14 +91,12 @@ object DedupQueries {
 
   private val simhashPairs: Q = (s, dir) => {
     val d = Dedup
-      .withSimHash(Dedup.withTokens(docs(s, dir), "text"))
-      .select(col("doc_id"), col("__simhash"))
+      .simHashAgg(Dedup.withTokens(docs(s, dir), "text"), "doc_id")
     val a = d.select(col("doc_id").as("id_a"), col("__simhash").as("sh_a"))
     val b = d.select(col("doc_id").as("id_b"), col("__simhash").as("sh_b"))
-    a.join(
-      b,
-      col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 10
-    ).select(
+    PairJoins
+      .bucketedWindowJoin(a, b, "id_a", "id_b", 10)
+      .select(
       col("id_a"),
       col("id_b"),
       Dedup.hamming(col("sh_a"), col("sh_b")).as("hamming")

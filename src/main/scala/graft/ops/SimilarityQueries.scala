@@ -40,19 +40,33 @@ object SimilarityQueries {
   }
 
   /** Embedding near-dup: id-windowed candidate pairs above a cosine
-    * threshold (the exact-verify stage of an embedding dedup pass). */
+    * threshold (the exact-verify stage of an embedding dedup pass).
+    * Bucketed equi-join + per-row precomputed norms: the cosine is
+    * evaluated per candidate pair, never inside an O(n²) join
+    * condition.
+    */
   private val nearDup: Q = (s, dir) => {
     val e = Tables(s, dir).embeddings
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.join(
-      b,
-      col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 20
-    ).select(
-      col("id_a"),
-      col("id_b"),
-      Similarity.cosine(col("va"), col("vb")).as("cos_sim")
-    ).filter(col("cos_sim") >= 0.3)
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val a = e.select(
+      col("vec_id").as("id_a"),
+      col("embedding").as("va"),
+      col("nrm").as("na")
+    )
+    val b = e.select(
+      col("vec_id").as("id_b"),
+      col("embedding").as("vb"),
+      col("nrm").as("nb")
+    )
+    PairJoins
+      .bucketedWindowJoin(a, b, "id_a", "id_b", 20)
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("cos_sim")
+      )
+      .filter(col("cos_sim") >= 0.3)
       .orderBy("id_a", "id_b")
   }
 
