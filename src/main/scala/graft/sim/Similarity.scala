@@ -55,7 +55,9 @@ object Similarity {
       .select(
         col("query_id"),
         col(idCol).as("neighbor_id"),
-        cosine(col("query_vec"), col(vecCol)).as("cos_sim")
+        graft.plans
+          .CosineSimilarity(corpus.sparkSession, col("query_vec"), col(vecCol))
+          .as("cos_sim")
       )
     val w = Window
       .partitionBy(col("query_id"))
@@ -117,7 +119,9 @@ object Similarity {
       .select(
         col("query_id"),
         col(idCol).as("neighbor_id"),
-        cosine(col("query_vec"), col(vecCol)).as("cos_sim")
+        graft.plans
+          .CosineSimilarity(corpus.sparkSession, col("query_vec"), col(vecCol))
+          .as("cos_sim")
       )
     val w = Window
       .partitionBy(col("query_id"))
