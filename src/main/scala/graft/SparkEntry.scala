@@ -16,13 +16,15 @@ object SparkEntry {
     ops.Relational.queries("q07_revenue_by_nation")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.BenchAggs.queries ++ cdc.CdcQueries.queries ++
+    ops.Relational.queries ++ ops.Relational2.queries ++
+      ops.BenchAggs.queries ++ cdc.CdcQueries.queries ++
       ops.TextQueries.queries ++ ops.DedupQueries.queries ++
       ops.SimilarityQueries.queries ++ ops.StreamQueries.queries ++
       ops.MiscQueries.queries
 
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle ++ ops.BenchAggs.oracle ++ cdc.CdcQueries.oracle ++
+    ops.Relational.oracle ++ ops.Relational2.oracle ++
+      ops.BenchAggs.oracle ++ cdc.CdcQueries.oracle ++
       ops.TextQueries.oracle ++ ops.DedupQueries.oracle ++
       ops.SimilarityQueries.oracle ++ ops.StreamQueries.oracle ++
       ops.MiscQueries.oracle
