@@ -122,7 +122,24 @@ object Relational2 {
       .orderBy("event_id")
   }
 
+  /** Two-phase salted aggregation over the 5-key (maximally skewed)
+    * event_type — bit-identical to the direct group-by thanks to
+    * decimal-exact sums; the oracle is the direct form.
+    */
+  private val saltedAgg: Q = (s, dir) =>
+    Salting
+      .saltedSumCount(
+        Tables(s, dir).events,
+        "event_type",
+        col("event_id"),
+        16,
+        Seq(col("value") -> "sum_value"),
+        "n"
+      )
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
+    "q27_salted_agg" -> saltedAgg,
     "q21_user_duration" -> userDuration,
     "q22_regex_validate" -> regexValidate,
     "q23_approx_distinct" -> approxDistinct,
@@ -132,6 +149,9 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q27_salted_agg" ->
+      s"""SELECT event_type, ${sqlDsum("value")} AS sum_value, COUNT(*) AS n
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q21_user_duration" ->
       """SELECT event_id, user_id,
         |  epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id)
