@@ -50,6 +50,20 @@ object Multimodal {
       (lit(64) + pmod(col("doc_id") * 13, lit(448))).cast("int").as("height")
     )
 
+  /** Byte offsets of fixed-size frames within a binary payload:
+    * [0, chunk, 2·chunk, …) up to the payload length — the slicing
+    * plan of a frame-sampling pass (codec-free; pairs with
+    * `posexplode` for one-row-per-frame shape).
+    */
+  def frameOffsets(payload: org.apache.spark.sql.Column, chunk: Int): org.apache.spark.sql.Column =
+    transform(
+      sequence(
+        lit(0),
+        ((octet_length(payload) + chunk - 1).cast("int") / chunk).cast("int") - 1
+      ),
+      i => i * chunk
+    )
+
   /** The decode boundary: per-partition batch "decode" producing fixed
     * feature vectors. STUB: checksum/frame-count/features are
     * deterministic functions of the payload bytes, standing in for a
