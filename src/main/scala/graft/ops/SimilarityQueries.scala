@@ -79,7 +79,41 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("bucket")
 
+  /** Same top-k as sim01 but via the bounded-heap typed Aggregator
+    * (map-side partial top-k, O(k) state per partition) instead of a
+    * window sort — checked against the identical oracle.
+    */
+  private val topkViaAggregator: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables(s, dir).embeddings
+    val q = queriesDf(s, dir)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        graft.plans
+          .CosineSimilarity(s, col("qv"), col("embedding"))
+          .as("cos_sim")
+      )
+      .as[(Long, Long, Double)]
+    scored
+      .map { case (qid, nid, c) => (qid, graft.sim.TopKAggregator.Scored(nid, c)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.sim.TopKAggregator.topK(TOPK).toColumn.name("topk"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (sc, i) =>
+          (qid, sc.id, i + 1, sc.score)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "rank", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim05_topk_aggregator" -> topkViaAggregator,
     "sim01_topk_bruteforce" -> bruteTopK,
     "sim02_topk_lsh" -> lshTopK,
     "sim03_near_dup" -> nearDup,
@@ -109,7 +143,23 @@ object SimilarityQueries {
 
   private val qIdsSql = QUERY_IDS.mkString("(", ", ", ")")
 
+  /** sim05 shares sim01's oracle: the aggregator must reproduce the
+    * window-ranked result exactly. */
+  private val bruteOracle =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE vec_id IN $qIdsSql),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         ${cosSql("q.qv", "e.embedding")} AS cos_sim
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |           FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+       |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sim05_topk_aggregator" -> bruteOracle,
     "sim01_topk_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id IN $qIdsSql),
