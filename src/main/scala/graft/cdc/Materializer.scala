@@ -42,21 +42,29 @@ object Materializer {
       keyCol: String = "id",
       opCol: String = "op",
       tsCol: String = "ts",
-      seqCol: String = "seq"
+      seqCol: String = "seq",
+      keepVersion: Boolean = false
   ): DataFrame = {
     val w = Window
       .partitionBy(col(keyCol))
       .orderBy(col(tsCol).desc, col(seqCol).desc)
-    events
+    val winners = events
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(opCol) =!= "D")
-      .drop("__rn", opCol, tsCol, seqCol)
+    if (keepVersion) winners.drop("__rn", opCol)
+    else winners.drop("__rn", opCol, tsCol, seqCol)
   }
 
-  /** Merge a delta change log into an existing state table: existing
-    * rows are treated as I-events that sort before every delta event.
-    * This is the `foreachBatch` incremental form — state size governs
-    * cost, not total history length.
+  /** Merge a delta change log into an existing state table — the
+    * `foreachBatch` incremental form; state size governs cost, not
+    * total history length.
+    *
+    * If the state carries version columns (`tsCol`/`seqCol`, as
+    * produced by `keepVersion = true`), the merge is a true
+    * latest-wins against them: a late event older than a key's
+    * current winner LOSES across micro-batches. A plain snapshot
+    * without versions is treated as older-than-everything (the only
+    * possible reading of an unversioned baseline).
     */
   def merge(
       state: DataFrame,
@@ -66,15 +74,33 @@ object Materializer {
       tsCol: String = "ts",
       seqCol: String = "seq"
   ): DataFrame = {
-    val payload = state.columns.filterNot(_ == keyCol)
-    val asEvents = state
-      .withColumn(opCol, lit("I"))
-      .withColumn(tsCol, lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00")))
-      .withColumn(seqCol, lit(Long.MinValue))
-      .select(col(keyCol) +: payload.map(col) :+ col(opCol) :+ col(tsCol) :+ col(seqCol): _*)
+    val versioned =
+      state.columns.contains(tsCol) && state.columns.contains(seqCol)
+    val payload =
+      state.columns.filterNot(c => c == keyCol || c == tsCol || c == seqCol)
+    val asEvents = {
+      val base = state.withColumn(opCol, lit("I"))
+      if (versioned) base
+      else
+        base
+          .withColumn(
+            tsCol,
+            lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
+          )
+          .withColumn(seqCol, lit(Long.MinValue))
+    }.select(
+      col(keyCol) +: payload.map(col) :+ col(opCol) :+ col(tsCol) :+ col(seqCol): _*
+    )
     val aligned = delta.select(
       col(keyCol) +: payload.map(col) :+ col(opCol) :+ col(tsCol) :+ col(seqCol): _*
     )
-    materialize(asEvents.unionByName(aligned), keyCol, opCol, tsCol, seqCol)
+    materialize(
+      asEvents.unionByName(aligned),
+      keyCol,
+      opCol,
+      tsCol,
+      seqCol,
+      keepVersion = true
+    )
   }
 }

@@ -35,9 +35,13 @@ final case class MessageStore(state: Dataset[Message]) {
   def firstResult(): Option[Message] =
     state.orderBy("id").limit(1).collect().headOption
 
-  /** INSERT: key must be new; DB-assigned keys via [[MessageStore.nextId]]. */
+  /** INSERT (upsert form): the new row deterministically replaces any
+    * existing row with the same key — never the partition-order
+    * roulette of dropDuplicates. Fresh keys via [[MessageStore.nextId]]. */
   def save(m: Message): MessageStore =
-    MessageStore(state.unionByName(Seq(m).toDS()).dropDuplicates("id"))
+    MessageStore(
+      state.filter(col("id") =!= m.id).unionByName(Seq(m).toDS())
+    )
 
   /** UPDATE by key — absent key is a no-op (reference
     * MessageController.java:34-40). */

@@ -32,9 +32,12 @@ object StateLayout {
       .format("parquet")
       .saveAsTable(table)
 
-  /** Compaction: rewrite the table to `targetFilesPerBucket` files per
-    * bucket (micro-batch upserts accrete small files; compaction
-    * restores scan efficiency without changing bucketing).
+  /** Compaction: rewrite the table (micro-batch upserts accrete small
+    * files; compaction restores scan efficiency without changing
+    * bucketing). The swap renames the live table ASIDE first, so a
+    * crash mid-swap leaves a recoverable `<table>__old` rather than no
+    * table at all; the backup is dropped only after the new table is
+    * serving under the live name.
     */
   def compact(
       spark: SparkSession,
@@ -43,14 +46,17 @@ object StateLayout {
       buckets: Int
   ): Unit = {
     val tmp = table + "__compact"
+    val old = table + "__old"
     spark.table(table).write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
       .format("parquet")
       .saveAsTable(tmp)
-    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
   }
 
   /** Bucket-pruned point lookup (one bucket's files scanned). */

@@ -55,14 +55,14 @@ object Multimodal {
     * plan of a frame-sampling pass (codec-free; pairs with
     * `posexplode` for one-row-per-frame shape).
     */
-  def frameOffsets(payload: org.apache.spark.sql.Column, chunk: Int): org.apache.spark.sql.Column =
-    transform(
-      sequence(
-        lit(0),
-        ((octet_length(payload) + chunk - 1).cast("int") / chunk).cast("int") - 1
-      ),
-      i => i * chunk
-    )
+  def frameOffsets(payload: org.apache.spark.sql.Column, chunk: Int): org.apache.spark.sql.Column = {
+    val nFrames =
+      ((octet_length(payload) + chunk - 1).cast("int") / chunk).cast("int")
+    // empty payload ⇒ empty array — sequence(0, -1) would otherwise
+    // count DOWN (default step -1) and yield [0, -1]
+    when(nFrames > 0, transform(sequence(lit(0), nFrames - 1), i => i * chunk))
+      .otherwise(array().cast("array<int>"))
+  }
 
   /** The decode boundary: per-partition batch "decode" producing fixed
     * feature vectors. STUB: checksum/frame-count/features are
@@ -82,7 +82,7 @@ object Multimodal {
           r.media_id,
           r.payload.length,
           sum,
-          r.payload.length / 256 + 1,
+          (r.payload.length + 255) / 256, // ceil — consistent with frameOffsets
           feat
         )
       }

@@ -63,7 +63,8 @@ object MiscQueries {
         col("width"),
         col("height"),
         octet_length(col("payload")).as("n_bytes"),
-        (octet_length(col("payload")).cast("long") / lit(256L) + 1L)
+        // ceil(len/256), consistent with frameOffsets/decodeFeatures
+        ((octet_length(col("payload")).cast("long") + 255L) / lit(256L))
           .cast("long")
           .as("n_chunks")
       )
@@ -107,7 +108,7 @@ object MiscQueries {
         |  CAST(64 + (doc_id * 7) % 448 AS INT) AS width,
         |  CAST(64 + (doc_id * 13) % 448 AS INT) AS height,
         |  octet_length(encode(text)) AS n_bytes,
-        |  octet_length(encode(text)) // 256 + 1 AS n_chunks
+        |  (octet_length(encode(text)) + 255) // 256 AS n_chunks
         |FROM documents ORDER BY media_id""".stripMargin
   )
 }

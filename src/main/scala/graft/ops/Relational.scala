@@ -212,16 +212,20 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** argmin/argmax (A4): cheapest + priciest order, window-deterministic. */
+  /** argmin/argmax (A4): cheapest + priciest order with deterministic
+    * tiebreak. orderBy().limit(1) compiles to distributed TakeOrdered
+    * (per-partition top-1, tiny final merge) — a global row_number
+    * window would drag the whole table through one partition.
+    */
   private val argMinMax: Q = (s, dir) => {
     val o = Tables(s, dir).orders
-    val wMax = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    val wMin = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    val top = o.withColumn("rn", row_number().over(wMax))
-      .filter(col("rn") === 1)
+    val top = o
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(1)
       .select(lit("max").as("which"), col("o_orderkey"), col("o_totalprice"))
-    val bot = o.withColumn("rn", row_number().over(wMin))
-      .filter(col("rn") === 1)
+    val bot = o
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      .limit(1)
       .select(lit("min").as("which"), col("o_orderkey"), col("o_totalprice"))
     top.unionAll(bot).orderBy("which")
   }

@@ -13,9 +13,10 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  // -- DuckDB mirror fragments (lockstep with graft.functions.TextFunctions) --
+  // -- DuckDB mirror fragments (lockstep with graft.functions.TextFunctions;
+  //    normalization is the single shared constant) --
   private val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
-  private val normSql = """lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"""
+  private val normSql = TextQueriesSqlFragments.normSql
   private def stopSql(words: Seq[String]) =
     s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
   private val punctSql =

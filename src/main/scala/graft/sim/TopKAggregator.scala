@@ -3,8 +3,6 @@ package graft.sim
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-import scala.collection.mutable
-
 /** Bounded-heap top-k aggregator (SURVEY.md §7.3's planned custom
   * aggregate): keeps the k best (score desc, id asc) scored neighbors
   * per group in O(k) memory with map-side partial aggregation.
@@ -22,11 +20,6 @@ object TopKAggregator {
 
   final case class Scored(id: Long, score: Double)
 
-  /** PriorityQueue dequeues its MAX; max by (-score, id) = lowest
-    * score, then highest id — i.e. the element to evict. */
-  private def worstFirst: Ordering[Scored] =
-    Ordering.by[Scored, (Double, Long)](s => (-s.score, s.id))
-
   final case class Buf(var items: List[Scored])
 
   def topK(k: Int): Aggregator[Scored, Buf, Seq[Scored]] =
@@ -34,22 +27,26 @@ object TopKAggregator {
 
       override def zero: Buf = Buf(Nil)
 
-      private def shrink(q: mutable.PriorityQueue[Scored]): Unit =
-        while (q.size > k) q.dequeue()
+      private def worse(a: Scored, b: Scored): Boolean =
+        a.score < b.score || (a.score == b.score && a.id > b.id)
 
-      override def reduce(b: Buf, a: Scored): Buf = {
-        val q = mutable.PriorityQueue(b.items: _*)(worstFirst)
-        q.enqueue(a)
-        shrink(q)
-        Buf(q.toList)
-      }
+      /** Buffer invariant: items sorted worst-first. Insert is one
+        * O(k) pass with an O(1) reject when the buffer is full and the
+        * candidate is no better than the current worst — the common
+        * case, so per-row cost is a single comparison.
+        */
+      override def reduce(b: Buf, a: Scored): Buf =
+        b.items match {
+          case worst :: _ if b.items.size >= k && !worse(worst, a) => b
+          case _ =>
+            val kept =
+              if (b.items.size >= k) b.items.tail else b.items
+            val (below, above) = kept.span(s => worse(s, a))
+            Buf(below ::: (a :: above))
+        }
 
-      override def merge(b1: Buf, b2: Buf): Buf = {
-        val q = mutable.PriorityQueue(b1.items: _*)(worstFirst)
-        b2.items.foreach(q.enqueue(_))
-        shrink(q)
-        Buf(q.toList)
-      }
+      override def merge(b1: Buf, b2: Buf): Buf =
+        b2.items.foldLeft(b1)((acc, s) => reduce(acc, s))
 
       override def finish(b: Buf): Seq[Scored] =
         b.items.sortBy(s => (-s.score, s.id))

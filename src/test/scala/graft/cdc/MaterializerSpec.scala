@@ -95,10 +95,23 @@ class MaterializerSpec extends SparkSpec {
     ).toDS().toDF()
     val merged = Materializer
       .merge(state, delta.withColumnRenamed("content", "content"))
+      .select("id", "content")
       .as[Message]
       .collect()
       .map(m => m.id -> m.content)
       .toMap
     assert(merged === Map(2L -> "b2", 3L -> "c"))
+  }
+
+  test("chained merges are versioned: late deltas lose across batches") {
+    val state0 = Seq(Message(1L, "v0")).toDS().toDF()
+    val batch1 = Seq(ChangeEvent("U", 1L, Some("v1"), ts(200), 5)).toDS().toDF()
+    val state1 = Materializer.merge(state0, batch1)
+    assert(state1.columns.contains("ts") && state1.columns.contains("seq"))
+    // batch 2 carries only a LATE event (older than v1's ts) — must lose
+    val batch2 = Seq(ChangeEvent("U", 1L, Some("late"), ts(100), 3)).toDS().toDF()
+    val state2 = Materializer.merge(state1, batch2)
+    val row = state2.select("id", "content").as[Message].collect().toSeq
+    assert(row === Seq(Message(1L, "v1")))
   }
 }

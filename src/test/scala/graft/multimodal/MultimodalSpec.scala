@@ -26,7 +26,7 @@ class MultimodalSpec extends SparkSpec {
     val f0 = feats.find(_.media_id == 0L).get
     assert(f0.n_bytes > 0)
     assert(f0.feature.length === 8)
-    assert(f0.n_frames === f0.n_bytes / 256 + 1)
+    assert(f0.n_frames === (f0.n_bytes + 255) / 256)
     // deterministic: second run identical
     val again = Multimodal.decodeFeatures(media).collect()
       .find(_.media_id == 0L).get

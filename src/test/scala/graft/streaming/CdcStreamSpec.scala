@@ -33,7 +33,8 @@ class CdcStreamSpec extends SparkSpec {
       .toMap
     assert(s1 === Map(1L -> "seed2", 2L -> "two"))
 
-    // second micro-batch: delete + late event that must lose
+    // second micro-batch: delete + late event that must LOSE (the
+    // state is versioned, so cross-batch latest-wins holds)
     input.addData(
       ChangeEvent("D", 2L, None, ts(200), 3),
       ChangeEvent("U", 1L, Some("stale"), ts(50), 0)
@@ -45,10 +46,7 @@ class CdcStreamSpec extends SparkSpec {
       .collect()
       .map(m => m.id -> m.content)
       .toMap
-    // NOTE: merge() treats existing state as older than any delta, so
-    // the late "stale" event wins within its batch — latest-wins is
-    // per (ts,seq) only within the log, per batch-order across batches.
-    assert(s2.keySet === Set(1L))
+    assert(s2 === Map(1L -> "seed2"))
   }
 
   test("mapGroupsWithState latest-wins with tombstone") {
