@@ -112,7 +112,58 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-lite ANN: coarse lists = the `label` column; each list's
+    * representative is its min-id member (deterministic medoid stand-
+    * in — a k-means centroid cannot be made bit-reproducible across
+    * engines). Probe = 2 nearest representatives to the query, exact
+    * cosine rank within the probed lists only. The physical shape of
+    * IVF: prune lists first, scan a fraction of the corpus.
+    */
+  private val ivfTopK: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    val reps = emb
+      .groupBy(col("label"))
+      .agg(min(col("vec_id")).as("rep_id"))
+      .join(
+        emb.select(col("vec_id").as("rep_id"), col("embedding").as("rep_vec")),
+        "rep_id"
+      )
+    val q = queriesDf(s, dir)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    import org.apache.spark.sql.expressions.Window
+    val wProbe = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rep_sim").desc, col("label").asc)
+    val probed = q
+      .crossJoin(broadcast(reps))
+      .select(
+        col("query_id"),
+        col("qv"),
+        col("label"),
+        graft.plans.CosineSimilarity(s, col("qv"), col("rep_vec")).as("rep_sim")
+      )
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= 2)
+      .select("query_id", "qv", "label")
+    val wRank = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    probed
+      .join(emb, Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        graft.plans.CosineSimilarity(s, col("qv"), col("embedding")).as("cos_sim")
+      )
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TOPK)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim06_ivf_topk" -> ivfTopK,
     "sim05_topk_aggregator" -> topkViaAggregator,
     "sim01_topk_bruteforce" -> bruteTopK,
     "sim02_topk_lsh" -> lshTopK,
@@ -158,7 +209,33 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
        |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
 
+  private val ivfOracle =
+    s"""WITH reps AS (
+       |  SELECT l.label, e.embedding AS rep_vec
+       |  FROM (SELECT label, min(vec_id) AS rep_id FROM embeddings GROUP BY label) l
+       |  JOIN embeddings e ON e.vec_id = l.rep_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |      FROM embeddings WHERE vec_id IN $qIdsSql),
+       |probed AS (
+       |  SELECT query_id, qv, label FROM (
+       |    SELECT q.query_id, q.qv, r.label,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosSql("q.qv", "r.rep_vec")} DESC, r.label ASC) AS pr
+       |    FROM q CROSS JOIN reps r)
+       |  WHERE pr <= 2),
+       |scored AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |         ${cosSql("p.qv", "e.embedding")} AS cos_sim
+       |  FROM probed p JOIN embeddings e ON e.label = p.label
+       |  WHERE e.vec_id <> p.query_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |           FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+       |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sim06_ivf_topk" -> ivfOracle,
     "sim05_topk_aggregator" -> bruteOracle,
     "sim01_topk_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
