@@ -138,7 +138,14 @@ object Dedup {
       bands: Int = 8
   ): DataFrame = {
     val rows = k / bands
-    val sig = minHashSignatureAgg(prepared(df, textCol), idCol, k)
+    // fused codegen expression replaces the 4-stage interpreted
+    // pipeline for the signature path (same values — see
+    // plans.ShingleHashes)
+    val withHashes = df.withColumn(
+      "__shh",
+      graft.plans.ShingleHashes(df.sparkSession, col(textCol))
+    )
+    val sig = minHashSignatureAgg(withHashes, idCol, k)
     val exploded = sig.select(
       col(idCol),
       posexplode(

@@ -70,17 +70,22 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
-  /** MinHash+LSH candidates, Jaccard-verified (no threshold — the
-    * candidate set itself is the assertion under test). */
+  /** MinHash+LSH candidates, Jaccard-verified on the hashed shingle
+    * sets (no threshold — the candidate set itself is the assertion
+    * under test). Hash-set Jaccard equals string-set Jaccard absent
+    * md5-prefix collisions, and the oracle mirrors the hashed form, so
+    * even a collision would affect both engines identically.
+    */
   private val minhashLsh: Q = (s, dir) => {
     val base = docs(s, dir)
     val pairs = Dedup.lshCandidatePairs(base, "doc_id", "text", K, BANDS)
-    val sh = Dedup
-      .withShingles(Dedup.withTokens(base, "text"))
-      .select(col("doc_id"), col("__sh"))
+    val sh = base.select(
+      col("doc_id"),
+      graft.plans.ShingleHashes(s, col("text")).as("__shh")
+    )
     pairs
-      .join(sh.select(col("doc_id").as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .join(sh.select(col("doc_id").as("id_a"), col("__shh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("__shh").as("sh_b")), "id_b")
       .select(
         col("id_a"),
         col("id_b"),
@@ -189,10 +194,12 @@ object DedupQueries {
          |          FROM band a JOIN band b
          |            ON a.band = b.band AND a.band_sig = b.band_sig
          |           AND a.doc_id < b.doc_id)
-         |SELECT p.id_a, p.id_b, $jacSql AS jac
+         |SELECT p.id_a, p.id_b,
+         |  CAST(len(list_intersect(a.shh, b.shh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.shh, b.shh))) AS jac
          |FROM pairs p
-         |JOIN sh a ON a.doc_id = p.id_a
-         |JOIN sh b ON b.doc_id = p.id_b
+         |JOIN shh a ON a.doc_id = p.id_a
+         |JOIN shh b ON b.doc_id = p.id_b
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup05_simhash" ->
       s"""WITH $prepCte,
