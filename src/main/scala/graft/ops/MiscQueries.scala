@@ -25,6 +25,12 @@ object MiscQueries {
   /** The reference's metrics document derived from event aggregates:
     * sum(value) plays startup-ms, count plays used-bytes — the
     * formatters and nested-JSON shape are what is under test.
+    *
+    * Formatted values are quantized to their rendered precision with
+    * integer division FIRST (`ms div 1` → whole ms, percent → integer
+    * tenths): `%.3f`/`%.1f` of a raw division can land on binary
+    * rounding ties where Java (HALF_UP) and C-family (half-even)
+    * formatters disagree (observed at sf0.1).
     */
   private val metricsDoc: Q = (s, dir) => {
     val per = Tables(s, dir).events
@@ -33,19 +39,34 @@ object MiscQueries {
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("ms"),
         count(lit(1)).as("n")
       )
+    val startupS =
+      format_string("%.3f", floor(col("ms")).cast(DoubleType) / 1000.0)
+    val usagePctTenths = expr("(n * 1000) div 20000")
+    val jsonPctTenths = expr("(n * 1024 * 512 * 1000) div 1073741824")
+    val jsonDoc = concat(
+      lit("""{"startupTimeSeconds":""""),
+      startupS,
+      lit("""","memory":{"usedMB":""""),
+      MetricsDoc.bytesToMb(col("n") * 1024L * 512L),
+      lit("""","maxMB":""""),
+      MetricsDoc.bytesToMb(lit(1073741824L)),
+      lit("""","usagePercent":""""),
+      format_string("%.1f", jsonPctTenths.cast(DoubleType) / 10.0),
+      lit("""%"},"jvm":{"imageType":""""),
+      MetricsDoc.imageType(col("event_type") === "signup"),
+      lit(""""}}""")
+    )
     per
       .select(
         col("event_type"),
-        MetricsDoc.msToSeconds(col("ms")).as("startup_s"),
+        startupS.as("startup_s"),
         MetricsDoc.bytesToMb(col("n") * 1024L * 512L).as("mem_mb"),
-        MetricsDoc.usagePercent(col("n"), lit(20000L)).as("usage_pct"),
+        concat(
+          format_string("%.1f", usagePctTenths.cast(DoubleType) / 10.0),
+          lit("%")
+        ).as("usage_pct"),
         MetricsDoc.imageType(col("event_type") === "signup").as("image_type"),
-        MetricsDoc.metricsJson(
-          col("ms"),
-          col("n") * 1024L * 512L,
-          lit(1073741824L),
-          col("event_type") === "signup"
-        ).as("doc")
+        jsonDoc.as("doc")
       )
       .orderBy("event_type")
   }
@@ -87,17 +108,18 @@ object MiscQueries {
          |    ${Qx.sqlDsum("value")} AS ms, COUNT(*) AS n
          |  FROM events GROUP BY event_type)
          |SELECT event_type,
-         |  printf('%.3f', ms / 1000.0) AS startup_s,
+         |  printf('%.3f', CAST(floor(ms) AS DOUBLE) / 1000.0) AS startup_s,
          |  printf('%.2f', CAST(n * 1024 * 512 AS DOUBLE) / (1024.0 * 1024.0)) AS mem_mb,
-         |  printf('%.1f', CAST(n AS DOUBLE) * 100.0 / 20000.0) || '%' AS usage_pct,
+         |  printf('%.1f', CAST((n * 1000) // 20000 AS DOUBLE) / 10.0) || '%' AS usage_pct,
          |  CASE WHEN event_type = 'signup' THEN 'Native (GraalVM)' ELSE 'JVM' END
          |    AS image_type,
-         |  concat('{"startupTimeSeconds":"', printf('%.3f', ms / 1000.0),
+         |  concat('{"startupTimeSeconds":"',
+         |    printf('%.3f', CAST(floor(ms) AS DOUBLE) / 1000.0),
          |    '","memory":{"usedMB":"',
          |    printf('%.2f', CAST(n * 1024 * 512 AS DOUBLE) / (1024.0 * 1024.0)),
          |    '","maxMB":"', printf('%.2f', 1073741824 / (1024.0 * 1024.0)),
          |    '","usagePercent":"',
-         |    printf('%.1f', CAST(n * 1024 * 512 AS DOUBLE) * 100.0 / 1073741824.0),
+         |    printf('%.1f', CAST((n * 1024 * 512 * 1000) // 1073741824 AS DOUBLE) / 10.0),
          |    '%"},"jvm":{"imageType":"',
          |    CASE WHEN event_type = 'signup' THEN 'Native (GraalVM)' ELSE 'JVM' END,
          |    '"}}') AS doc

@@ -80,18 +80,29 @@ object Relational4 {
         sum(dp * dp).cast(DoubleType).as("syy"),
         sum(dq * dp).cast(DoubleType).as("sxy")
       )
+    // round(·,10): the decimal→double casts of the big squared sums
+    // double-round differently across engines once the unscaled value
+    // exceeds 2^53 (int128→double→/10^s vs one correctly-rounded
+    // BigDecimal conversion), leaving ±1 ulp in the derived stats —
+    // 10-decimal rounding absorbs it identically on both sides
     agged
       .select(
         col("l_returnflag"),
         col("n"),
-        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
-          .as("var_qty"),
-        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
-          .as("stddev_qty"),
-        ((col("sxy") - col("sx") * col("sy") / col("n")) /
-          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
-            sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
-          .as("corr_qty_price")
+        round(
+          (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1),
+          10
+        ).as("var_qty"),
+        round(
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)),
+          10
+        ).as("stddev_qty"),
+        round(
+          (col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+              sqrt(col("syy") - col("sy") * col("sy") / col("n"))),
+          10
+        ).as("corr_qty_price")
       )
       .orderBy("l_returnflag")
   }
@@ -132,10 +143,10 @@ object Relational4 {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
-        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
-        |  (sxy - sx * sy / n) /
-        |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))
+        |  round((sxx - sx * sx / n) / (n - 1), 10) AS var_qty,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 10) AS stddev_qty,
+        |  round((sxy - sx * sy / n) /
+        |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 10)
         |    AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin
   )
