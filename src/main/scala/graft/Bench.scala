@@ -54,15 +54,32 @@ object Bench {
 
     // Reference methodology (BASELINE.md): warm = mean excluding
     // request 1 (test_warm_performance.sh). Run 1 pays Janino/JIT
-    // compilation of the generated code — reported separately as
-    // queries_cold; the headline value is the warm total.
+    // compilation of the generated code; the headline value is the
+    // warm total. The printed line stays COMPACT (3-decimal values,
+    // warm map only) — the driver captures a bounded output tail, and
+    // a long line falls outside it and parses as null. Full-precision
+    // cold+warm detail goes to bench_detail.json instead.
     val cold = names.map(n => n -> runOnce(n))
     val warm = names.map(n => n -> runOnce(n))
+    def fmt(v: Double) =
+      if (v < 0) "-1" else f"$v%.3f"
     def js(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    val failures = warm.count(_._2 < 0)
     val total = warm.map(_._2).filter(_ >= 0).sum
+    def jsFull(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    try {
+      val detail =
+        s"""{"warm":${jsFull(warm)},"cold":${jsFull(cold)},"sf":"$sfDir"}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail.json"),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      )
+    } catch { case _: Throwable => () }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(warm)},"queries_cold":${js(cold)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"queries":${js(warm)},"sf":"$sfDir"}"""
     )
     spark.stop()
   }

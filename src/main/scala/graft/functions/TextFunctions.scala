@@ -22,13 +22,17 @@ object TextFunctions {
   def uniqueTokenCount(text: Column): Column =
     size(array_distinct(tokens(text)))
 
-  /** Total characters across tokens (exact integer aggregate). */
+  /** Total characters across tokens (exact integer aggregate). BIGINT
+    * on both engines: DuckDB's list_aggregate 'sum' yields HUGEINT,
+    * which pandas renders as float64 — both sides pin to long so the
+    * gate hashes `13`, not `13.0` (see oracle text01).
+    */
   def tokenCharCount(text: Column): Column =
     aggregate(
       transform(tokens(text), t => length(t)),
       lit(0),
       (acc, x) => acc + x
-    )
+    ).cast("long")
 
   /** Mean token length as double (exact int sum / count). */
   def avgTokenLen(text: Column): Column =

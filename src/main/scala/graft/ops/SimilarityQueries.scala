@@ -63,7 +63,10 @@ object SimilarityQueries {
       .select(
         col("id_a"),
         col("id_b"),
-        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        when(col("na") === 0.0 || col("nb") === 0.0, lit(0.0))
+          .otherwise(
+            Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+          )
           .as("cos_sim")
       )
       .filter(col("cos_sim") >= 0.3)
@@ -162,7 +165,23 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-label vector stats over array columns — element_at / size
+    * with only order-independent aggregates (min/max/count), so the
+    * float→double widenings are bit-exact on both engines.
+    */
+  private val vectorStats: Q = (s, dir) =>
+    Tables(s, dir).embeddings
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vec"),
+        min(size(col("embedding"))).as("dims"),
+        min(element_at(col("embedding"), 1).cast("double")).as("first_min"),
+        max(element_at(col("embedding"), 1).cast("double")).as("first_max")
+      )
+      .orderBy("label")
+
   val queries: Map[String, Q] = Map(
+    "sim07_vector_stats" -> vectorStats,
     "sim06_ivf_topk" -> ivfTopK,
     "sim05_topk_aggregator" -> topkViaAggregator,
     "sim01_topk_bruteforce" -> bruteTopK,
@@ -178,8 +197,14 @@ object SimilarityQueries {
     s"""list_aggregate(list_transform(range(1, len($a) + 1),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
 
+  /** Zero-norm inputs pinned to 0.0, mirroring Similarity.cosine /
+    * the CosineSimilarity expression — NaN would order differently in
+    * DuckDB (NaN sorts greatest, NaN >= x is true) than in Spark. */
   private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    s"""(CASE WHEN (${dotSql(a, a)}) = 0.0 OR (${dotSql(b, b)}) = 0.0
+       |  THEN 0.0
+       |  ELSE (${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))
+       |  END)""".stripMargin
 
   /** Mirror of Similarity.lshBucket (same hash-derived hyperplanes). */
   private def bucketSql(v: String): String =
@@ -235,6 +260,12 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim07_vector_stats" ->
+      """SELECT label, COUNT(*) AS n_vec,
+        |  MIN(len(embedding)) AS dims,
+        |  MIN(CAST(embedding[1] AS DOUBLE)) AS first_min,
+        |  MAX(CAST(embedding[1] AS DOUBLE)) AS first_max
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "sim06_ivf_topk" -> ivfOracle,
     "sim05_topk_aggregator" -> bruteOracle,
     "sim01_topk_bruteforce" ->

@@ -58,15 +58,30 @@ object TextQueries {
       .select(
         col("doc_id"),
         fingerprintMd5(col("text")).as("fp_md5"),
-        fingerprintRolling(col("text")).as("fp_roll")
+        // fused codegen form of fingerprintRolling (value-identical;
+        // see graft.plans.RollingFingerprint)
+        graft.plans.RollingFingerprint(s, col("text")).as("fp_roll")
       )
       .orderBy("doc_id")
+
+  /** Corpus token frequency via explode (the Generate operator): the
+    * canonical build-a-vocabulary pass. Map-side expansion, hash
+    * aggregate on the token, top-50 with a lexical tiebreak.
+    */
+  private val topTokens: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(50)
 
   val queries: Map[String, Q] = Map(
     "text01_token_stats" -> tokenStats,
     "text02_quality" -> quality,
     "text03_langid" -> langid,
-    "text04_fingerprint" -> fingerprint
+    "text04_fingerprint" -> fingerprint,
+    "text05_top_tokens" -> topTokens
   )
 
   private val langCaseSql: String = {
@@ -87,7 +102,7 @@ object TextQueries {
       s"""SELECT doc_id,
          |  len($toksSql) AS n_tokens,
          |  len(list_distinct($toksSql)) AS n_uniq,
-         |  COALESCE(list_aggregate(list_transform($toksSql, t -> len(t)), 'sum'), 0) AS n_tok_chars,
+         |  CAST(COALESCE(list_aggregate(list_transform($toksSql, t -> len(t)), 'sum'), 0) AS BIGINT) AS n_tok_chars,
          |  CAST(COALESCE(list_aggregate(list_transform($toksSql, t -> len(t)), 'sum'), 0) AS DOUBLE)
          |    / len($toksSql) AS avg_tok_len,
          |  CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql) AS ttr
@@ -106,6 +121,10 @@ object TextQueries {
     "text03_langid" ->
       s"""SELECT lang, $langCaseSql AS pred_lang, COUNT(*) AS n
          |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "text05_top_tokens" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents)
+         |SELECT token, COUNT(*) AS n FROM toks
+         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
     "text04_fingerprint" ->
       s"""SELECT doc_id,
          |  md5($normSql) AS fp_md5,

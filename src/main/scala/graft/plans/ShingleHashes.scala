@@ -77,7 +77,10 @@ object ShingleHashes {
     var to = text.length
     while (from < to && text.charAt(from) == ' ') from += 1
     while (to > from && text.charAt(to - 1) == ' ') to -= 1
-    text.substring(from, to).replaceAll("\\s+", " ").toLowerCase
+    text
+      .substring(from, to)
+      .replaceAll("\\s+", " ")
+      .toLowerCase(java.util.Locale.ROOT)
   }
 
   /** Distinct 3-word shingle hashes; <3 tokens ⇒ hash of the whole

@@ -31,7 +31,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine with the zero-norm case pinned to 0.0 (never NaN): NaN
+    * comparison/ordering semantics differ between Spark filters,
+    * window sorts, and the DuckDB oracle, so the surface defines the
+    * degenerate case away instead of leaning on fixture data.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dot(a, b) / (na * nb))
+  }
 
   /** Brute-force top-k: for each query row, the k nearest corpus rows
     * by cosine (query rows themselves excluded by id).

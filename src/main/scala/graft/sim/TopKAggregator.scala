@@ -20,29 +20,29 @@ object TopKAggregator {
 
   final case class Scored(id: Long, score: Double)
 
-  final case class Buf(var items: List[Scored])
+  final case class Buf(var items: List[Scored], var n: Int)
 
   def topK(k: Int): Aggregator[Scored, Buf, Seq[Scored]] =
     new Aggregator[Scored, Buf, Seq[Scored]] {
 
-      override def zero: Buf = Buf(Nil)
+      override def zero: Buf = Buf(Nil, 0)
 
       private def worse(a: Scored, b: Scored): Boolean =
         a.score < b.score || (a.score == b.score && a.id > b.id)
 
-      /** Buffer invariant: items sorted worst-first. Insert is one
-        * O(k) pass with an O(1) reject when the buffer is full and the
-        * candidate is no better than the current worst — the common
-        * case, so per-row cost is a single comparison.
+      /** Buffer invariant: items sorted worst-first, n == items.length.
+        * The explicit size field makes the full-buffer reject a single
+        * comparison (List.size is an O(k) traversal) — the common case
+        * on the map side, so per-row cost really is O(1) there.
         */
       override def reduce(b: Buf, a: Scored): Buf =
         b.items match {
-          case worst :: _ if b.items.size >= k && !worse(worst, a) => b
+          case worst :: _ if b.n >= k && !worse(worst, a) => b
           case _ =>
-            val kept =
-              if (b.items.size >= k) b.items.tail else b.items
+            val full = b.n >= k
+            val kept = if (full) b.items.tail else b.items
             val (below, above) = kept.span(s => worse(s, a))
-            Buf(below ::: (a :: above))
+            Buf(below ::: (a :: above), if (full) b.n else b.n + 1)
         }
 
       override def merge(b1: Buf, b2: Buf): Buf =

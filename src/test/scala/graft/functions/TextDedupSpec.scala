@@ -30,7 +30,7 @@ class TextDedupSpec extends SparkSpec {
       .head()
     assert(row.getInt(0) === 6)
     assert(row.getInt(1) === 5) // "the" twice
-    assert(row.getInt(2) === 17) // thecatsatonthemat
+    assert(row.getLong(2) === 17L) // thecatsatonthemat
     assert(row.getString(3) === "the cat sat on the mat")
   }
 

@@ -74,10 +74,17 @@ def compare(name, spark_df, oracle_df):
                 exact = False
                 approx = False
                 diffs = [i for i, (x, y) in enumerate(zip(av2, bv2)) if x != y]
-                i = diffs[0]
-                detail.append(
-                    f"col {c}: {len(diffs)} diffs e.g. row{i}: {av2[i]!r} vs {bv2[i]!r}"
-                )
+                if diffs:
+                    i = diffs[0]
+                    detail.append(
+                        f"col {c}: {len(diffs)} diffs e.g. row{i}: {av2[i]!r} vs {bv2[i]!r}"
+                    )
+                else:
+                    # dtype-only / NaN-inside-object mismatch: equals()
+                    # failed but no elementwise diff surfaced
+                    detail.append(
+                        f"col {c}: series mismatch (dtype {av.dtype} vs {bv.dtype})"
+                    )
     if exact:
         return None
     tag = "APPROX-ONLY" if approx else "VALUE MISMATCH"
