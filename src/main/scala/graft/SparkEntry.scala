@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Relational2.queries ++
       ops.Relational3.queries ++ ops.Relational4.queries ++
-      ops.Relational5.queries ++
+      ops.Relational5.queries ++ ops.Relational6.queries ++
       ops.BenchAggs.queries ++ cdc.CdcQueries.queries ++
       ops.TextQueries.queries ++ ops.DedupQueries.queries ++
       ops.SimilarityQueries.queries ++ ops.StreamQueries.queries ++
@@ -27,7 +27,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Relational2.oracle ++
       ops.Relational3.oracle ++ ops.Relational4.oracle ++
-      ops.Relational5.oracle ++
+      ops.Relational5.oracle ++ ops.Relational6.oracle ++
       ops.BenchAggs.oracle ++ cdc.CdcQueries.oracle ++
       ops.TextQueries.oracle ++ ops.DedupQueries.oracle ++
       ops.SimilarityQueries.oracle ++ ops.StreamQueries.oracle ++

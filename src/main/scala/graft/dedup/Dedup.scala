@@ -137,19 +137,18 @@ object Dedup {
       k: Int = 32,
       bands: Int = 8
   ): DataFrame = {
-    val rows = k / bands
-    // fused codegen expression replaces the 4-stage interpreted
-    // pipeline for the signature path (same values — see
-    // plans.ShingleHashes)
-    val withHashes = df.withColumn(
-      "__shh",
-      graft.plans.ShingleHashes(df.sparkSession, col(textCol))
-    )
-    val sig = minHashSignatureAgg(withHashes, idCol, k)
-    val exploded = sig.select(
+    // Fully fused per-row sketch (plans.MinHashBands): text → band
+    // signatures in one generated pass, so candidate generation's ONLY
+    // shuffle is the band-signature join below. The staged explode →
+    // groupBy signature forms remain above for the parity specs.
+    // posexplode_outer, deliberately: plain posexplode triggers
+    // InferFiltersFromGenerate, whose injected size()>0 filter holds a
+    // second copy of the sketch expression — outer semantics are
+    // identical here (the bands array is never empty).
+    val exploded = df.select(
       col(idCol),
-      posexplode(
-        array((0 until bands).map(b => bandSignature(col("__sig"), b, rows)): _*)
+      posexplode_outer(
+        graft.plans.MinHashBands(df.sparkSession, col(textCol), k, bands)
       ).as(Seq("band", "band_sig"))
     )
     val a = exploded.select(col("band"), col("band_sig"), col(idCol).as("id_a"))

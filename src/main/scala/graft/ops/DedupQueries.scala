@@ -95,8 +95,13 @@ object DedupQueries {
   }
 
   private val simhashPairs: Q = (s, dir) => {
-    val d = Dedup
-      .simHashAgg(Dedup.withTokens(docs(s, dir), "text"), "doc_id")
+    // fused per-row sketch (no explode/groupBy shuffle) — value parity
+    // with Dedup.simHashAgg checked in TextSketchesSpec
+    val d = docs(s, dir)
+      .select(
+        col("doc_id"),
+        graft.plans.SimHash32(s, col("text")).as("__simhash")
+      )
     val a = d.select(col("doc_id").as("id_a"), col("__simhash").as("sh_a"))
     val b = d.select(col("doc_id").as("id_b"), col("__simhash").as("sh_b"))
     PairJoins

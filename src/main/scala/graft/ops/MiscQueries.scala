@@ -91,10 +91,33 @@ object MiscQueries {
       )
       .orderBy("media_id")
 
+  /** The mapPartitions decode boundary itself under the oracle gate:
+    * per-media byte stats from the stubbed codec (integer outputs
+    * only — the float feature vector is unit-tested, not hashed, as
+    * float formatting is engine-specific). The DuckDB mirror folds
+    * over hex pairs of the utf-8 payload to reproduce the byte sum.
+    */
+  private val decodeStats: Q = (s, dir) => {
+    import s.implicits._
+    val media = Multimodal
+      .asMediaTable(Tables(s, dir).documents)
+      .as[Multimodal.MediaRow]
+    Multimodal
+      .decodeFeatures(media)
+      .select(
+        col("media_id"),
+        col("n_bytes"),
+        col("checksum"),
+        col("n_frames")
+      )
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "info01_table_counts" -> tableCounts,
     "metrics01_doc" -> metricsDoc,
-    "mm01_media_meta" -> mediaMeta
+    "mm01_media_meta" -> mediaMeta,
+    "mm03_decode_stats" -> decodeStats
   )
 
   val oracle: Map[String, String] = Map(
@@ -131,6 +154,18 @@ object MiscQueries {
         |  CAST(64 + (doc_id * 13) % 448 AS INT) AS height,
         |  octet_length(encode(text)) AS n_bytes,
         |  (octet_length(encode(text)) + 255) // 256 AS n_chunks
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm03_decode_stats" ->
+      """WITH h AS (SELECT doc_id AS media_id,
+        |             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |             hex(encode(text)) AS hx
+        |           FROM documents)
+        |SELECT media_id, n_bytes,
+        |  CAST(COALESCE(list_aggregate(
+        |    list_transform(range(0, n_bytes),
+        |      i -> CAST(('0x' || substring(hx, i*2 + 1, 2)) AS BIGINT)),
+        |    'sum'), 0) AS BIGINT) AS checksum,
+        |  CAST((n_bytes + 255) // 256 AS INT) AS n_frames
+        |FROM h ORDER BY media_id""".stripMargin
   )
 }

@@ -1,0 +1,179 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Qx._
+
+/** Sixth batch: the rank-function family, multiset (ALL) set
+  * operations, unpivot/melt, regexp_extract_all, and date arithmetic.
+  */
+object Relational6 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** rank / dense_rank / percent_rank / cume_dist in one per-nation
+    * window — the doubles are exact ratios of the same integers on
+    * both engines, so they hash identically.
+    */
+  private val rankFamily: Q = (s, dir) => {
+    val w = Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables(s, dir).customer
+      .select(
+        col("c_nationkey"),
+        col("c_custkey"),
+        col("c_acctbal"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist")
+      )
+      .orderBy("c_nationkey", "rnk", "c_custkey")
+  }
+
+  /** Multiset EXCEPT ALL: order custkeys minus one occurrence per
+    * existing customer — i.e. each customer's (order_count − 1)
+    * surplus. Folded to counts for a compact deterministic result.
+    */
+  private val exceptAll: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders
+      .select(col("o_custkey").as("custkey"))
+      .exceptAll(t.customer.select(col("c_custkey").as("custkey")))
+      .groupBy(col("custkey"))
+      .agg(count(lit(1)).as("n_surplus"))
+      .orderBy("custkey")
+  }
+
+  /** Multiset INTERSECT ALL of high-value and recent order keys —
+    * each key keeps min(multiplicity) occurrences. */
+  private val intersectAll: Q = (s, dir) => {
+    val li = Tables(s, dir).lineitem
+    li.filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"))
+      .intersectAll(
+        li.filter(col("l_discount") >= 0.05).select(col("l_orderkey"))
+      )
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_orderkey")
+  }
+
+  /** Unpivot (wide → long): per-returnflag measure matrix melted to
+    * (flag, measure, value) rows. The oracle mirrors with UNION ALL —
+    * the portable definition of unpivot.
+    */
+  private val unpivotMeasures: Q = (s, dir) => {
+    val wide = Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_discount")).as("sum_disc")
+      )
+    wide
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure",
+        "value"
+      )
+      .orderBy("l_returnflag", "measure")
+  }
+
+  /** regexp_extract_all over document text (all ≥6-letter words),
+    * joined to a string so the array compares portably. */
+  private val regexAll: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        array_join(
+          regexp_extract_all(col("text"), lit("[A-Za-z]{6,}"), lit(0)),
+          ","
+        ).as("long_words"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]{6,}"), lit(0)))
+          .as("n_long")
+      )
+      .orderBy("doc_id")
+
+  /** Date arithmetic: +90 days, day-difference from an anchor, month
+    * truncation — DATE-typed on both engines. */
+  private val dateArith: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        date_add(col("o_orderdate").cast("date"), 90).as("deadline"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .as("days_since_anchor"),
+        date_trunc("month", col("o_orderdate")).as("order_month")
+      )
+      .orderBy("o_orderkey")
+
+  val queries: Map[String, Q] = Map(
+    "q41_rank_family" -> rankFamily,
+    "q42_except_all" -> exceptAll,
+    "q43_intersect_all" -> intersectAll,
+    "q44_unpivot" -> unpivotMeasures,
+    "q45_regexp_extract_all" -> regexAll,
+    "q46_date_arith" -> dateArith
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q41_rank_family" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  CAST(RANK() OVER w AS INT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        |  PERCENT_RANK() OVER w AS prnk,
+        |  CUME_DIST() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin,
+    "q42_except_all" ->
+      """WITH d AS (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT c_custkey AS custkey FROM customer)
+        |SELECT custkey, COUNT(*) AS n_surplus
+        |FROM d GROUP BY custkey ORDER BY custkey""".stripMargin,
+    "q43_intersect_all" ->
+      """WITH d AS (
+        |  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45
+        |  INTERSECT ALL
+        |  SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.05)
+        |SELECT l_orderkey, COUNT(*) AS n
+        |FROM d GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q44_unpivot" ->
+      s"""WITH w AS (
+         |  SELECT l_returnflag,
+         |    ${sqlDsum("l_quantity")} AS sum_qty,
+         |    ${sqlDsum("l_extendedprice")} AS sum_price,
+         |    ${sqlDsum("l_discount")} AS sum_disc
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, measure, value FROM (
+         |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+         |  UNION ALL
+         |  SELECT l_returnflag, 'sum_price', sum_price FROM w
+         |  UNION ALL
+         |  SELECT l_returnflag, 'sum_disc', sum_disc FROM w)
+         |ORDER BY l_returnflag, measure""".stripMargin,
+    "q45_regexp_extract_all" ->
+      """SELECT doc_id,
+        |  COALESCE(array_to_string(regexp_extract_all(text, '[A-Za-z]{6,}'), ','), '')
+        |    AS long_words,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]{6,}')) AS INT) AS n_long
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q46_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(o_orderdate AS DATE) + 90 AS deadline,
+        |  CAST(date_diff('day', DATE '1995-01-01',
+        |    CAST(o_orderdate AS DATE)) AS INT) AS days_since_anchor,
+        |  date_trunc('month', o_orderdate) AS order_month
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -72,6 +72,8 @@ object ShingleHashes {
 
   /** Mirrors TextFunctions.normalized: trim SPACES (Spark `trim`
     * removes 0x20 only), collapse \s+ to one space, lowercase. */
+  private[plans] def normalizePublic(text: String): String = normalize(text)
+
   private def normalize(text: String): String = {
     var from = 0
     var to = text.length
