@@ -180,7 +180,77 @@ object SimilarityQueries {
       )
       .orderBy("label")
 
+  /** All-pairs embedding near-dup, LSH-bucketed: candidates are pairs
+    * sharing a hyperplane bucket, scored with the fused cosine — the
+    * corpus-scale shape (shuffle on bucket id, per-bucket quadratic)
+    * versus sim03's id-window heuristic. Misses cross-bucket dups;
+    * that is the documented recall trade of single-table LSH.
+    */
+  private val lshNearDup: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+      .withColumn("bucket", Similarity.lshBucket(col("embedding"), PLANES, DIMS))
+    val a = e.select(
+      col("bucket"),
+      col("vec_id").as("id_a"),
+      col("embedding").as("va")
+    )
+    val b = e.select(
+      col("bucket"),
+      col("vec_id").as("id_b"),
+      col("embedding").as("vb")
+    )
+    a.join(b, Seq("bucket"))
+      .filter(col("id_b") > col("id_a"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        graft.plans.CosineSimilarity(s, col("va"), col("vb")).as("cos_sim")
+      )
+      .filter(col("cos_sim") >= 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Int8 scalar quantization round-trip: per-vector symmetric scale
+    * (127/absmax), floor(x·scale + 0.5) quantizer (identical half-up
+    * semantics on both engines, unlike round()), and the sequential
+    * L1 reconstruction error. The compression half of the embedding
+    * story: 4×-smaller vectors with a measured error budget.
+    */
+  private val quantize: Q = (s, dir) => {
+    val v = col("embedding")
+    val absmax = aggregate(
+      v,
+      lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))
+    )
+    val scale = lit(127.0) / col("absmax")
+    val qArr = transform(
+      v,
+      x => floor(x.cast("double") * scale + lit(0.5)).cast("int")
+    )
+    val err = aggregate(
+      zip_with(
+        v,
+        col("q"),
+        (x, q) => abs(x.cast("double") - q.cast("double") / scale)
+      ),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+    Tables(s, dir).embeddings
+      .withColumn("absmax", absmax)
+      .withColumn("q", when(col("absmax") > 0, qArr))
+      .select(
+        col("vec_id"),
+        col("absmax"),
+        when(col("absmax") > 0, err).otherwise(lit(0.0)).as("l1_err")
+      )
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim09_quantize" -> quantize,
+    "sim08_lsh_neardup" -> lshNearDup,
     "sim07_vector_stats" -> vectorStats,
     "sim06_ivf_topk" -> ivfTopK,
     "sim05_topk_aggregator" -> topkViaAggregator,
@@ -260,6 +330,29 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim09_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max') AS absmax
+        |  FROM embeddings)
+        |SELECT vec_id, absmax,
+        |  CASE WHEN absmax > 0 THEN
+        |    list_aggregate(list_transform(range(1, len(embedding) + 1),
+        |      i -> abs(CAST(embedding[i] AS DOUBLE)
+        |        - CAST(CAST(floor(CAST(embedding[i] AS DOUBLE)
+        |                          * (127.0 / absmax) + 0.5) AS INT) AS DOUBLE)
+        |          / (127.0 / absmax))), 'sum')
+        |  ELSE 0.0 END AS l1_err
+        |FROM m ORDER BY vec_id""".stripMargin,
+    "sim08_lsh_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |             ${bucketSql("embedding")} AS bucket FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id > a.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
     "sim07_vector_stats" ->
       """SELECT label, COUNT(*) AS n_vec,
         |  MIN(len(embedding)) AS dims,

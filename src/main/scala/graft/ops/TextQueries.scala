@@ -76,12 +76,31 @@ object TextQueries {
       .orderBy(col("n").desc, col("token").asc)
       .limit(50)
 
+  /** BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    * (letter runs | single digits | single punctuation) against the
+    * whitespace count — the standard cheap estimate of model-token
+    * cost per document.
+    */
+  private val bpeRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  private val bpeCount: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(bpeRegex), lit(0)))
+          .as("n_bpe"),
+        tokenCount(col("text")).as("n_ws"),
+        (size(regexp_extract_all(col("text"), lit(bpeRegex), lit(0)))
+          .cast("double") / tokenCount(col("text"))).as("bpe_per_ws")
+      )
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "text01_token_stats" -> tokenStats,
     "text02_quality" -> quality,
     "text03_langid" -> langid,
     "text04_fingerprint" -> fingerprint,
-    "text05_top_tokens" -> topTokens
+    "text05_top_tokens" -> topTokens,
+    "text06_bpe_count" -> bpeCount
   )
 
   private val langCaseSql: String = {
@@ -121,6 +140,14 @@ object TextQueries {
     "text03_langid" ->
       s"""SELECT lang, $langCaseSql AS pred_lang, COUNT(*) AS n
          |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "text06_bpe_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT)
+         |    AS n_bpe,
+         |  len($toksSql) AS n_ws,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / len($toksSql) AS bpe_per_ws
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "text05_top_tokens" ->
       s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents)
          |SELECT token, COUNT(*) AS n FROM toks
