@@ -113,7 +113,32 @@ object Relational6 {
       )
       .orderBy("o_orderkey")
 
+  /** The same point-in-time semantics as q26, but through the native
+    * [[graft.plans.AsOfJoin]] operator (logical node → strategy →
+    * sorted-merge exec) instead of the union+window composition —
+    * checked against the identical oracle.
+    */
+  private val asofCustom: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    graft.plans.AsOfJoin
+      .joinAsOf(purchases, signups, Seq("user_id"), Seq("s_user"), "ts", "s_ts")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        unix_micros(col("s_ts")).as("last_signup_us")
+      )
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q47_asof_custom" -> asofCustom,
     "q41_rank_family" -> rankFamily,
     "q42_except_all" -> exceptAll,
     "q43_intersect_all" -> intersectAll,
@@ -123,6 +148,17 @@ object Relational6 {
   )
 
   val oracle: Map[String, String] = Map(
+    // same point-in-time truth as q26, per-user last signup ≤ purchase
+    "q47_asof_custom" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS purchase_us,
+        |  max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+        |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_signup_us
+        |FROM events
+        |WHERE event_type IN ('purchase', 'signup')
+        |QUALIFY event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     "q41_rank_family" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |  CAST(RANK() OVER w AS INT) AS rnk,

@@ -1,0 +1,228 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias,
+  Ascending,
+  Attribute,
+  Expression,
+  GenericInternalRow,
+  JoinedRow,
+  RowOrdering,
+  SortOrder,
+  UnsafeProjection
+}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native backward as-of join: for each left row (key k, time t), the
+  * right row with the same key and the greatest right-time ≤ t (nulls
+  * if none) — the point-in-time lookup of CDC/state reconstruction
+  * ("which signup was in effect at this purchase?").
+  *
+  * Spark lacks the operator (SURVEY.md §2.3); it IS expressible by
+  * composition (union + last-value-carry-forward window — q26), but
+  * the composed form materializes both streams through one widened
+  * window sort and carries every left row through the state column.
+  * This operator is the physical shape a native engine would pick:
+  *
+  *   - requiredChildDistribution co-partitions both sides on the key
+  *     (one hash shuffle each, same as any equi-join);
+  *   - requiredChildOrdering sorts each partition by (key, time) —
+  *     Spark's regular SortExec, spill-safe;
+  *   - execution is a single streaming merge pass per partition:
+  *     O(|L| + |R|) with ONE buffered right row, no per-key state, no
+  *     window frame materialization. At 100 TB: same shuffle cost as
+  *     the composed form, but the per-partition pass holds O(1) rows
+  *     in memory instead of a window buffer, and the right side can
+  *     be orders of magnitude smaller than the unioned stream.
+  *
+  * Registered via `spark.experimental.extraStrategies` (the public
+  * extension point for planner strategies); the logical node flows
+  * through analyzer/optimizer untouched (opaque binary node) and the
+  * strategy lowers it to [[AsOfJoinExec]].
+  *
+  * Contract: key and time expressions are non-null (enforce upstream);
+  * ties on (key, time) resolve to the last right row in sort order.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression
+) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan,
+      newRight: LogicalPlan
+  ): LogicalPlan = copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression
+) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending))
+  )
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    // nullable output attrs: the projection must NULL-check the right
+    // side (binding to the raw right attributes would read field 0 of
+    // the all-null pad row as a value)
+    val outAttrs = output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val rWidth = rOut.size
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val joined = new JoinedRow
+      val rNulls = new GenericInternalRow(rWidth)
+      // downstream operators require UnsafeRow
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _
+        private var rHeadKey: InternalRow = _
+        private var rHeadTime: InternalRow = _
+        private var cand: InternalRow = _
+        private var candKey: InternalRow = _
+        advanceRight()
+
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            val r = rIter.next()
+            // projections reuse their buffers; the buffered row and
+            // its key outlive this call → copy
+            rHeadKey = rKeyProj(r).copy()
+            rHeadTime = rTimeProj(r).copy()
+            rHead = r.copy()
+          } else {
+            rHead = null
+          }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lTime = lTimeProj(l)
+          var cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lKey)
+          while (
+            rHead != null &&
+            (cmp < 0 || (cmp == 0 && timeOrd.compare(rHeadTime, lTime) <= 0))
+          ) {
+            if (cmp == 0) { cand = rHead; candKey = rHeadKey }
+            advanceRight()
+            cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lKey)
+          }
+          if (cand != null && keyOrd.compare(candKey, lKey) == 0)
+            resultProj(joined(l, cand))
+          else
+            resultProj(joined(l, rNulls))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan,
+      newRight: SparkPlan
+  ): SparkPlan = copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+
+  import org.apache.spark.sql.classic
+
+  private def classicDf(df: DataFrame): classic.Dataset[Row] =
+    df.asInstanceOf[classic.Dataset[Row]]
+
+  /** Backward as-of join of `left` and `right` on equal keys with the
+    * greatest `rightTimeCol` ≤ `leftTimeCol`. Right columns should be
+    * pre-renamed by the caller to avoid name collisions; expression
+    * ids are re-aliased internally so self-join lineage is safe.
+    */
+  def joinAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftOn: Seq[String],
+      rightOn: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String
+  ): DataFrame = {
+    val spark = classicDf(left).sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+    val lPlan = classicDf(left).queryExecution.analyzed
+    // fresh expression ids on the right side: left and right often
+    // share lineage (two filters of one table) and duplicate attribute
+    // ids would make the binary node ambiguous
+    val rAnalyzed = classicDf(right).queryExecution.analyzed
+    val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rAnalyzed)
+    val rOut = rAliases.map(_.toAttribute)
+
+    def pick(out: Seq[Attribute], name: String): Attribute =
+      out
+        .find(_.name == name)
+        .getOrElse(
+          throw new IllegalArgumentException(
+            s"column $name not in [${out.map(_.name).mkString(", ")}]"
+          )
+        )
+
+    val node = AsOfJoinPlan(
+      lPlan,
+      rPlan,
+      leftOn.map(pick(lPlan.output, _)),
+      rightOn.map(pick(rOut, _)),
+      pick(lPlan.output, leftTimeCol),
+      pick(rOut, rightTimeCol)
+    )
+    org.apache.spark.sql.graftshim.GraftSqlShims.ofRows(spark, node)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join matches the naive per-key reference (randomized)") {
+    val genLeft = Gen.listOfN(
+      120,
+      for {
+        k <- Gen.choose(0L, 8L)
+        t <- Gen.choose(0L, 40L)
+      } yield (k, t)
+    )
+    // distinct (key, time) on the right so the payload of a tie is
+    // unambiguous in the reference
+    val genRight = Gen
+      .listOfN(
+        80,
+        for {
+          k <- Gen.choose(0L, 10L)
+          t <- Gen.choose(0L, 40L)
+        } yield (k, t)
+      )
+      .map(_.distinct)
+
+    val prop = Prop.forAll(genLeft, genRight) { (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = rs
+        .map { case (k, t) => (k, t, s"p$k-$t") }
+        .toDF("rk", "rt", "payload")
+      val got = AsOfJoin
+        .joinAsOf(left, right, Seq("k"), Seq("rk"), "t", "rt")
+        .select(col("lid"), col("rt"), col("payload"))
+        .collect()
+        .map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+        )
+        .toMap
+      val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+        val m = rs.filter { case (rk, rt) => rk == k && rt <= t }
+        (i.toLong, if (m.isEmpty) None else Some(m.map(_._2).max))
+      }.toMap
+      got == expected
+    }
+    val res =
+      SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("empty right side yields all-null right columns") {
+    val left = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
+    val right = Seq.empty[(Long, Long)].toDF("rk", "rt")
+    val rows = AsOfJoin
+      .joinAsOf(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .collect()
+    assert(rows.length === 2)
+    assert(rows.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
+
+  test("shared lineage (two filters of one table) resolves cleanly") {
+    val base = Seq(
+      (1L, 5L, "a"),
+      (1L, 7L, "b"),
+      (2L, 3L, "a"),
+      (2L, 9L, "b")
+    ).toDF("k", "t", "tag")
+    val l = base.filter(col("tag") === "b").select(col("k"), col("t"))
+    val r = base
+      .filter(col("tag") === "a")
+      .select(col("k").as("rk"), col("t").as("rt"))
+    val got = AsOfJoin
+      .joinAsOf(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("k"), col("rt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got === Set((1L, 5L), (2L, 3L)))
+  }
+}
