@@ -137,7 +137,66 @@ object Relational6 {
       .orderBy("event_id")
   }
 
+  /** Calendar-spine gap fill: a generated day sequence cross-joined
+    * with the event-type dimension, left-joined to daily counts with
+    * zero fill — the canonical time-series densification. The spine is
+    * generated, not scanned: O(days × types) rows from literals.
+    */
+  private val dateSpine: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+      .select(
+        col("event_type"),
+        col("ts").cast("date").as("day"),
+        col("value")
+      )
+    val bounds = ev.agg(
+      min(col("day")).as("d0"),
+      max(col("day")).as("d1")
+    )
+    val days = bounds
+      .select(
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day")
+      )
+    val types = ev.select(col("event_type")).distinct()
+    val daily = ev
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+    days
+      .crossJoin(broadcast(types))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(
+        col("day"),
+        col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value")
+      )
+      .orderBy("day", "event_type")
+  }
+
+  /** first_value / last_value with explicit frames over each
+    * customer's order history (full-partition frame for last_value —
+    * the default growing frame is the classic silent wrong answer).
+    */
+  private val firstLast: Q = (s, dir) => {
+    val base = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full =
+      base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir).orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        first_value(col("o_totalprice")).over(full).as("first_price"),
+        last_value(col("o_totalprice")).over(full).as("last_price"),
+        count(lit(1)).over(full).as("n_orders")
+      )
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q48_date_spine" -> dateSpine,
+    "q49_first_last" -> firstLast,
     "q47_asof_custom" -> asofCustom,
     "q41_rank_family" -> rankFamily,
     "q42_except_all" -> exceptAll,
@@ -148,6 +207,33 @@ object Relational6 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q48_date_spine" ->
+      s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day, value
+         |            FROM events),
+         |spine AS (
+         |  SELECT unnest(generate_series(
+         |    (SELECT min(day) FROM ev), (SELECT max(day) FROM ev),
+         |    INTERVAL 1 DAY)) AS day),
+         |daily AS (SELECT event_type, day, COUNT(*) AS cnt,
+         |            ${sqlDsum("value")} AS sum_value
+         |          FROM ev GROUP BY 1, 2)
+         |SELECT CAST(s.day AS DATE) AS day, t.event_type AS event_type,
+         |  COALESCE(d.cnt, 0) AS n,
+         |  COALESCE(d.sum_value, 0.0) AS sum_value
+         |FROM spine s
+         |CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+         |LEFT JOIN daily d
+         |  ON d.event_type = t.event_type AND d.day = CAST(s.day AS DATE)
+         |ORDER BY 1, 2""".stripMargin,
+    "q49_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  COUNT(*) OVER w AS n_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     // same point-in-time truth as q26, per-user last signup ≤ purchase
     "q47_asof_custom" ->
       """SELECT event_id, user_id, epoch_us(ts) AS purchase_us,

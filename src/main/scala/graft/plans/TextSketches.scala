@@ -80,6 +80,24 @@ object TextSketches {
     out
   }
 
+  /** Per-thread token→hash memo: token distributions are Zipfian, so
+    * most md5 calls in the SimHash hot loop are repeats. Bounded by
+    * clear-on-overflow (crude, correct — memoization only). */
+  private val tokenHashCache =
+    new ThreadLocal[java.util.HashMap[String, java.lang.Long]] {
+      override def initialValue() = new java.util.HashMap[String, java.lang.Long]()
+    }
+
+  private def h32Cached(s: String): Long = {
+    val cache = tokenHashCache.get()
+    val hit = cache.get(s)
+    if (hit != null) return hit.longValue()
+    if (cache.size() >= (1 << 16)) cache.clear()
+    val v = graft.functions.PortableHash.h32Local(s)
+    cache.put(s, v)
+    v
+  }
+
   /** 32-bit SimHash over whitespace tokens of the normalized text
     * (token multiplicity preserved, same as the staged vote form). */
   def simHash32(text: String): Long = {
@@ -88,7 +106,7 @@ object TextSketches {
     val votes = new Array[Int](32)
     var i = 0
     while (i < toks.length) {
-      val h = graft.functions.PortableHash.h32Local(toks(i))
+      val h = h32Cached(toks(i))
       var j = 0
       while (j < 32) {
         if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
