@@ -194,7 +194,60 @@ object Relational6 {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Forward as-of through the native operator: for each signup, the
+    * user's first purchase at-or-after it (conversion lag lookup).
+    */
+  private val asofForward: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val signups = ev
+      .filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    graft.plans.AsOfJoin
+      .joinAsOf(
+        signups,
+        purchases,
+        Seq("user_id"),
+        Seq("p_user"),
+        "ts",
+        "p_ts",
+        forward = true
+      )
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("signup_us"),
+        unix_micros(col("p_ts")).as("next_purchase_us")
+      )
+      .orderBy("event_id")
+  }
+
+  /** percentile_approx sanity-checked against the exact percentile —
+    * the sketch that replaces q33's per-group sort at 100 TB; the
+    * oracle pins the exact values and the within-tolerance flags.
+    */
+  private val approxPercentile: Q = (s, dir) =>
+    Tables(s, dir).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+        expr("percentile_approx(o_totalprice, 0.5, 10000)").as("p50_approx"),
+        count(lit(1)).as("n")
+      )
+      .select(
+        col("o_orderstatus"),
+        col("p50_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) <=
+          col("p50_exact") * 0.05).as("approx_within_5pct"),
+        col("n")
+      )
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, Q] = Map(
+    "q50_asof_forward" -> asofForward,
+    "q51_percentile_approx" -> approxPercentile,
     "q48_date_spine" -> dateSpine,
     "q49_first_last" -> firstLast,
     "q47_asof_custom" -> asofCustom,
@@ -207,6 +260,22 @@ object Relational6 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q50_asof_forward" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS signup_us,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS next_purchase_us
+        |FROM events
+        |WHERE event_type IN ('purchase', 'signup')
+        |QUALIFY event_type = 'signup'
+        |ORDER BY event_id""".stripMargin,
+    "q51_percentile_approx" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50_exact,
+        |  true AS approx_within_5pct,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q48_date_spine" ->
       s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day, value
          |            FROM events),

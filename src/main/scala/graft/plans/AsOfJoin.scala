@@ -46,7 +46,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * strategy lowers it to [[AsOfJoinExec]].
   *
   * Contract: key and time expressions are non-null (enforce upstream);
-  * ties on (key, time) resolve to the last right row in sort order.
+  * backward ties on (key, time) resolve to the last right row in sort
+  * order. `forward = true` flips the direction: the earliest right
+  * time ≥ t (the "next event after" lookup), same merge pass with the
+  * candidate buffer replaced by the current right head.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -54,7 +57,8 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression
+    rightTime: Expression,
+    forward: Boolean = false
 ) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -66,8 +70,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -78,7 +82,8 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression
+    rightTime: Expression,
+    forward: Boolean = false
 ) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -110,6 +115,7 @@ case class AsOfJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val rWidth = rOut.size
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -149,18 +155,34 @@ case class AsOfJoinExec(
           val lKey = lKeyProj(l)
           val lTime = lTimeProj(l)
           var cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lKey)
-          while (
-            rHead != null &&
-            (cmp < 0 || (cmp == 0 && timeOrd.compare(rHeadTime, lTime) <= 0))
-          ) {
-            if (cmp == 0) { cand = rHead; candKey = rHeadKey }
-            advanceRight()
-            cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lKey)
+          if (fwd) {
+            // drop right rows strictly before (lKey, lTime); the head
+            // is then the earliest right row with time >= lTime
+            while (
+              rHead != null &&
+              (cmp < 0 || (cmp == 0 && timeOrd.compare(rHeadTime, lTime) < 0))
+            ) {
+              advanceRight()
+              cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lKey)
+            }
+            if (rHead != null && cmp == 0)
+              resultProj(joined(l, rHead))
+            else
+              resultProj(joined(l, rNulls))
+          } else {
+            while (
+              rHead != null &&
+              (cmp < 0 || (cmp == 0 && timeOrd.compare(rHeadTime, lTime) <= 0))
+            ) {
+              if (cmp == 0) { cand = rHead; candKey = rHeadKey }
+              advanceRight()
+              cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lKey)
+            }
+            if (cand != null && keyOrd.compare(candKey, lKey) == 0)
+              resultProj(joined(l, cand))
+            else
+              resultProj(joined(l, rNulls))
           }
-          if (cand != null && keyOrd.compare(candKey, lKey) == 0)
-            resultProj(joined(l, cand))
-          else
-            resultProj(joined(l, rNulls))
         }
       }
     }
@@ -190,7 +212,8 @@ object AsOfJoin {
       leftOn: Seq[String],
       rightOn: Seq[String],
       leftTimeCol: String,
-      rightTimeCol: String
+      rightTimeCol: String,
+      forward: Boolean = false
   ): DataFrame = {
     val spark = classicDf(left).sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -221,7 +244,8 @@ object AsOfJoin {
       leftOn.map(pick(lPlan.output, _)),
       rightOn.map(pick(rOut, _)),
       pick(lPlan.output, leftTimeCol),
-      pick(rOut, rightTimeCol)
+      pick(rOut, rightTimeCol),
+      forward
     )
     org.apache.spark.sql.graftshim.GraftSqlShims.ofRows(spark, node)
   }

@@ -53,6 +53,47 @@ class AsOfJoinSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("forward as-of matches the naive per-key reference (randomized)") {
+    val genLeft = Gen.listOfN(
+      100,
+      for {
+        k <- Gen.choose(0L, 8L)
+        t <- Gen.choose(0L, 40L)
+      } yield (k, t)
+    )
+    val genRight = Gen
+      .listOfN(
+        70,
+        for {
+          k <- Gen.choose(0L, 10L)
+          t <- Gen.choose(0L, 40L)
+        } yield (k, t)
+      )
+      .map(_.distinct)
+    val prop = Prop.forAll(genLeft, genRight) { (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = rs.toDF("rk", "rt")
+      val got = AsOfJoin
+        .joinAsOf(left, right, Seq("k"), Seq("rk"), "t", "rt", forward = true)
+        .select(col("lid"), col("rt"))
+        .collect()
+        .map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+        )
+        .toMap
+      val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+        val m = rs.filter { case (rk, rt) => rk == k && rt >= t }
+        (i.toLong, if (m.isEmpty) None else Some(m.map(_._2).min))
+      }.toMap
+      got == expected
+    }
+    val res =
+      SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("empty right side yields all-null right columns") {
     val left = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
     val right = Seq.empty[(Long, Long)].toDF("rk", "rt")
