@@ -59,19 +59,23 @@ object Bench {
     // warm map only) — the driver captures a bounded output tail, and
     // a long line falls outside it and parses as null. Full-precision
     // cold+warm detail goes to bench_detail.json instead.
-    // two warm passes, per-query mean: single-pass numbers carry
-    // ±multi-second shared-JVM noise (C2 compile storms, GC) that a
-    // second sample halves — and it matches the reference's "mean of
-    // N excluding request 1" definition rather than "request 2".
+    // Three warm passes, report the mean of passes 2–3 (skip-first
+    // over the WARM passes too): round-2 bench_detail showed warm
+    // pass 1 still pays multi-second C2/JIT storms for late-compiled
+    // queries (q34 60 s vs 1.3 s steady), so averaging pass 1 in
+    // misreported steady state by up to 20×. Passes 2–3 are
+    // steady-state; their mean halves residual shared-JVM noise.
     val cold = names.map(n => n -> runOnce(n))
     val warm1 = names.map(n => n -> runOnce(n)).toMap
     val warm2 = names.map(n => n -> runOnce(n)).toMap
+    val warm3 = names.map(n => n -> runOnce(n)).toMap
     val warm = names.map { n =>
-      val (a, b) = (warm1(n), warm2(n))
+      val (a, b) = (warm2(n), warm3(n))
       n -> (if (a < 0 || b < 0) -1.0 else (a + b) / 2.0)
     }
     def fmt(v: Double) =
-      if (v < 0) "-1" else f"$v%.3f"
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def js(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -81,7 +85,7 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     try {
       val detail =
-        s"""{"warm":${jsFull(warm)},"warm1":${jsFull(names.map(n => n -> warm1(n)))},"warm2":${jsFull(names.map(n => n -> warm2(n)))},"cold":${jsFull(cold)},"sf":"$sfDir"}"""
+        s"""{"warm":${jsFull(warm)},"warm1":${jsFull(names.map(n => n -> warm1(n)))},"warm2":${jsFull(names.map(n => n -> warm2(n)))},"warm3":${jsFull(names.map(n => n -> warm3(n)))},"cold":${jsFull(cold)},"sf":"$sfDir"}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8)

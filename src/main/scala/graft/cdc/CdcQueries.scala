@@ -66,12 +66,36 @@ object CdcQueries {
     store.state.orderBy("id").toDF()
   }
 
+  /** Batch key assignment (SURVEY §7.4.1): replay the fixture's
+    * signup events as keyless INSERTs against the seeded state —
+    * each gets the dense id a DB sequence would have issued
+    * (max(existing) + rank under (ts, event_id)).
+    */
+  private val keyAssign: Q = (s, dir) => {
+    val store = MessageStore.fromSeed(s)
+    val inserts = Tables(s, dir).events
+      .filter(col("event_type") === "signup")
+      .select(
+        concat(lit("signup:"), col("user_id")).as("content"),
+        col("ts"),
+        col("event_id").as("seq")
+      )
+    val assigned =
+      Materializer.assignIds(inserts, store.state.toDF(), "id", "ts", "seq")
+    store.state
+      .toDF()
+      .select("id", "content")
+      .unionByName(assigned.select("id", "content"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
     "cdc01_materialize" -> materializeState,
     "cdc02_state_count" -> stateCount,
     "cdc03_point_lookup" -> statePointLookup,
     "cdc04_seed_replay" -> seedReplay,
-    "cdc05_crud_replay" -> crudReplay
+    "cdc05_crud_replay" -> crudReplay,
+    "cdc06_key_assign" -> keyAssign
   )
 
   private val latestSql =
@@ -101,6 +125,20 @@ object CdcQueries {
         |  (CAST(3 AS BIGINT), 'Direct connection to Cloud SQL'),
         |  (CAST(5 AS BIGINT), 'Jib makes container builds easy!'),
         |  (CAST(6 AS BIGINT), 'new row')
-        |) AS t(id, content) ORDER BY id""".stripMargin
+        |) AS t(id, content) ORDER BY id""".stripMargin,
+    "cdc06_key_assign" ->
+      """SELECT id, content FROM (
+        |  SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), 'Hello from Quarkus Cloud Run!'),
+        |    (CAST(2 AS BIGINT), 'Testing JVM vs Native performance'),
+        |    (CAST(3 AS BIGINT), 'Direct connection to Cloud SQL'),
+        |    (CAST(4 AS BIGINT), 'Using PgBouncer for connection pooling'),
+        |    (CAST(5 AS BIGINT), 'Jib makes container builds easy!')
+        |  ) AS t(id, content)
+        |  UNION ALL
+        |  SELECT CAST(5 AS BIGINT) + ROW_NUMBER() OVER (ORDER BY ts, event_id) AS id,
+        |         concat('signup:', CAST(user_id AS VARCHAR)) AS content
+        |  FROM events WHERE event_type = 'signup'
+        |) ORDER BY id""".stripMargin
   )
 }

@@ -1,8 +1,9 @@
 package graft.cdc
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Latest-wins materialization of a keyed insert/update/delete change
   * stream into its current-state table — the core semantic of the
@@ -102,5 +103,43 @@ object Materializer {
       seqCol,
       keepVersion = true
     )
+  }
+
+  /** Distributed DB-sequence key assignment for batch ingest
+    * (SURVEY.md §7.4.1; reference semantic: identity-column keys,
+    * Message.java:11-13 / import.sql:20-21): each keyless insert in
+    * `delta` gets the dense id max(existing) + its 1-based rank under
+    * (tsCol, seqCol) — exactly what a single-writer DB sequence would
+    * have issued replaying the batch in order.
+    *
+    * Scale shape: a dense global sequence needs a total order, but NOT
+    * a single reducer — `sort` is a parallel range shuffle, and
+    * `zipWithIndex` composes per-partition counts into global offsets
+    * with one extra (count-only) job; every partition then stamps its
+    * rows independently. The base is one scalar aggregate over state
+    * per micro-batch — contrast [[MessageStore.nextId]]'s
+    * deliberately-serial per-insert form. (ts, seq) must be unique per
+    * row (seq is a source offset), so the rank is deterministic.
+    */
+  def assignIds(
+      delta: DataFrame,
+      state: DataFrame,
+      keyCol: String = "id",
+      tsCol: String = "ts",
+      seqCol: String = "seq"
+  ): DataFrame = {
+    val spark = delta.sparkSession
+    val base = state
+      .agg(coalesce(max(col(keyCol).cast("long")), lit(0L)))
+      .head()
+      .getLong(0)
+    val sorted = delta.sort(col(tsCol).asc, col(seqCol).asc)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(keyCol, LongType, nullable = false)
+    )
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (base + i + 1L))
+    }
+    spark.createDataFrame(indexed, schema)
   }
 }

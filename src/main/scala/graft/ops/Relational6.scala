@@ -245,7 +245,49 @@ object Relational6 {
       )
       .orderBy("o_orderstatus")
 
+  /** As-of with tolerance + inner semantics (the pandas/Polars
+    * `merge_asof(tolerance=..., direction='backward')` shape): each
+    * purchase matched to the user's last signup no more than 30 min
+    * before it; purchases with no signup in-window are DROPPED
+    * (inner), not null-padded. Long µs time columns exercise the
+    * operator's integral-tolerance path.
+    */
+  private val asofTolerance: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("p_us"),
+        col("value")
+      )
+    val signups = ev
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), unix_micros(col("ts")).as("s_us"))
+    graft.plans.AsOfJoin
+      .joinAsOf(
+        purchases,
+        signups,
+        Seq("user_id"),
+        Seq("s_user"),
+        "p_us",
+        "s_us",
+        tolerance = Some(1800L * 1000000L),
+        inner = true
+      )
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("p_us").as("purchase_us"),
+        col("s_us").as("signup_us"),
+        col("value")
+      )
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q52_asof_tolerance" -> asofTolerance,
     "q50_asof_forward" -> asofForward,
     "q51_percentile_approx" -> approxPercentile,
     "q48_date_spine" -> dateSpine,
@@ -260,6 +302,17 @@ object Relational6 {
   )
 
   val oracle: Map[String, String] = Map(
+    // inner as-of within tolerance: max signup in [p-30min, p] per
+    // purchase; no-candidate purchases drop out of the inner join
+    "q52_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+        |  max(epoch_us(s.ts)) AS signup_us, p.value
+        |FROM events p JOIN events s ON s.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        |  AND epoch_us(s.ts) <= epoch_us(p.ts)
+        |  AND epoch_us(p.ts) - epoch_us(s.ts) <= 1800 * 1000000
+        |GROUP BY p.event_id, p.user_id, epoch_us(p.ts), p.value
+        |ORDER BY 1""".stripMargin,
     "q50_asof_forward" ->
       """SELECT event_id, user_id, epoch_us(ts) AS signup_us,
         |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)

@@ -19,6 +19,10 @@ object SimilarityQueries {
   private val TOPK = 5
   private val PLANES = 8
   private val DIMS = 64
+  // sim08 band structure: LSH_TABLES independent tables of BAND_PLANES
+  // sign bits each (global plane index = tbl * BAND_PLANES + plane).
+  private val LSH_TABLES = 4
+  private val BAND_PLANES = 16
 
   private def queriesDf(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings.filter(col("vec_id").isin(QUERY_IDS: _*))
@@ -180,27 +184,49 @@ object SimilarityQueries {
       )
       .orderBy("label")
 
-  /** All-pairs embedding near-dup, LSH-bucketed: candidates are pairs
-    * sharing a hyperplane bucket, scored with the fused cosine — the
-    * corpus-scale shape (shuffle on bucket id, per-bucket quadratic)
-    * versus sim03's id-window heuristic. Misses cross-bucket dups;
-    * that is the documented recall trade of single-table LSH.
+  /** All-pairs embedding near-dup, band-structured LSH: LSH_TABLES
+    * independent hyperplane tables of BAND_PLANES sign bits each;
+    * candidates are pairs sharing any (table, bucket), deduplicated on
+    * (id_a, id_b) BEFORE the cosine verify so each surviving pair is
+    * scored once.
+    *
+    * Bucket-population math (why bands, not one flat table): with P
+    * sign bits a table has 2^P buckets, expected population n/2^P, so
+    * per-table candidate mass ≈ n²/2^P and total ≈ T·n²/2^P. The old
+    * single 8-plane table was n²/256 — quadratic death at corpus
+    * scale. At T=4, P=16 the mass is n²/16384 and, critically, P can
+    * grow with log₂(n) to hold the per-bucket population (and thus
+    * per-bucket quadratic work) CONSTANT while the T-table union keeps
+    * recall — the same rows/bands dial `Dedup.lshCandidatePairs` uses.
+    * Hot buckets (degenerate embeddings) are the residual risk; cap or
+    * salt them at ingest.
+    *
+    * Shape: one map-side fused-codegen pass emits all T bucket ids
+    * (`HyperplaneBands`), posexplode_outer (outer: keeps
+    * `InferFiltersFromGenerate` from duplicating the sketch into a
+    * pushed filter), shuffle on (table, bucket) for the id-only
+    * candidate join, distinct, then two hash joins re-attach vectors
+    * for the verify — vectors never ride through the candidate
+    * explosion.
     */
   private val lshNearDup: Q = (s, dir) => {
-    val e = Tables(s, dir).embeddings
-      .withColumn("bucket", Similarity.lshBucket(col("embedding"), PLANES, DIMS))
-    val a = e.select(
-      col("bucket"),
-      col("vec_id").as("id_a"),
-      col("embedding").as("va")
-    )
-    val b = e.select(
-      col("bucket"),
-      col("vec_id").as("id_b"),
-      col("embedding").as("vb")
-    )
-    a.join(b, Seq("bucket"))
+    val emb = Tables(s, dir).embeddings
+    val ex = emb
+      .withColumn(
+        "bands",
+        graft.plans.HyperplaneBands(s, col("embedding"), LSH_TABLES, BAND_PLANES, DIMS)
+      )
+      .select(col("vec_id"), posexplode_outer(col("bands")).as(Seq("tbl", "bucket")))
+    val a = ex.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+    val b = ex.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
+    val pairs = a
+      .join(b, Seq("tbl", "bucket"))
       .filter(col("id_b") > col("id_a"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
       .select(
         col("id_a"),
         col("id_b"),
@@ -276,6 +302,21 @@ object SimilarityQueries {
        |  ELSE (${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))
        |  END)""".stripMargin
 
+  /** Mirror of HyperplaneBands for table `tbl`: BAND_PLANES sign bits
+    * over global plane indices tbl·BAND_PLANES + p, weights re-derived
+    * in SQL from the same portable hash (independent derivation — a
+    * drift in `Similarity.planeWeight` would break the gate). */
+  private def bandBucketSql(v: String, tbl: Int): String =
+    (0 until BAND_PLANES)
+      .map { p =>
+        val g = tbl * BAND_PLANES + p
+        val w = s"(CAST(${PortableHash.sqlH32(s"concat('${g}_', CAST(i AS VARCHAR))")} % 1000 AS DOUBLE) / 1000.0 - 0.5)"
+        s"""(CASE WHEN list_aggregate(list_transform(range(0, len($v)),
+           |  i -> CAST($v[i+1] AS DOUBLE) * $w), 'sum') >= 0.0
+           |  THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)""".stripMargin
+      }
+      .mkString("(", " + ", ")")
+
   /** Mirror of Similarity.lshBucket (same hash-derived hyperplanes). */
   private def bucketSql(v: String): String =
     (0 until PLANES)
@@ -333,8 +374,8 @@ object SimilarityQueries {
     "sim09_quantize" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,
-        |    list_aggregate(list_transform(embedding,
-        |      x -> abs(CAST(x AS DOUBLE))), 'max') AS absmax
+        |    COALESCE(list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max'), 0.0) AS absmax
         |  FROM embeddings)
         |SELECT vec_id, absmax,
         |  CASE WHEN absmax > 0 THEN
@@ -346,12 +387,22 @@ object SimilarityQueries {
         |  ELSE 0.0 END AS l1_err
         |FROM m ORDER BY vec_id""".stripMargin,
     "sim08_lsh_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |             ${bucketSql("embedding")} AS bucket FROM embeddings)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  ${cosSql("a.embedding", "b.embedding")} AS cos_sim
-         |FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id > a.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+      s"""WITH e AS (SELECT vec_id,
+         |  ${(0 until LSH_TABLES).map(t => s"${bandBucketSql("embedding", t)} AS b$t").mkString(",\n  ")}
+         |  FROM embeddings),
+         |cand AS (
+         |  ${(0 until LSH_TABLES)
+          .map(t =>
+            s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b ON a.b$t = b.b$t AND b.vec_id > a.vec_id"
+          )
+          .mkString("\n  UNION\n  ")}
+         |)
+         |SELECT c.id_a, c.id_b,
+         |  ${cosSql("ea.embedding", "eb.embedding")} AS cos_sim
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.id_a
+         |JOIN embeddings eb ON eb.vec_id = c.id_b
+         |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
     "sim07_vector_stats" ->
       """SELECT label, COUNT(*) AS n_vec,

@@ -18,13 +18,19 @@ object StreamQueries {
 
   final case class SessEv(user_id: Long, event_id: Long, ts_us: Long, value: Double)
 
-  /** The imperative per-key form of stream03's session_window — the
-    * KeyValueGroupedDataset surface (`flatMapGroups`) that a custom
-    * stateful pass (streaming `flatMapGroupsWithState`) builds on.
+  /** The imperative per-key form of stream03's session_window, as a
+    * BOUNDED-MEMORY sort-based pass: hash-shuffle on user_id, sort
+    * each partition by (user_id, ts_us, event_id) with Spark's
+    * spill-safe SortExec, then one streaming fold per partition
+    * holding O(1) state (current user + open-session accumulators) —
+    * the same merge discipline as AsOfJoinExec. A groupByKey/
+    * flatMapGroups form would buffer each user's full history
+    * (`it.toArray`): a hot key (bot user, 10⁸ events) OOMs the task,
+    * while this pass never materializes a group.
     * Session split at gap ≥ 30 min, end = last event + gap; sums
     * replicate Qx.dsum exactly (per-value HALF_UP decimal(18,2)
-    * quantization, exact decimal addition — order-independent, so the
-    * unsorted fold equals the SQL aggregate bit-for-bit).
+    * quantization, exact decimal addition — order-independent, so any
+    * fold order equals the SQL aggregate bit-for-bit).
     */
   private val sessionsTyped: Q = (s, dir) => {
     import s.implicits._
@@ -37,33 +43,53 @@ object StreamQueries {
         col("value")
       )
       .as[SessEv]
-    ev.groupByKey(_.user_id)
-      .flatMapGroups { (uid: Long, it: Iterator[SessEv]) =>
-        def dec(v: Double) =
-          java.math.BigDecimal
-            .valueOf(v)
-            .setScale(2, java.math.RoundingMode.HALF_UP)
-        val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
-        val out =
-          scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
-        var start = 0L
-        var prev = 0L
-        var n = 0L
-        var sum = java.math.BigDecimal.ZERO
-        evs.foreach { e =>
-          if (n > 0 && e.ts_us - prev >= gapUs) {
-            out += ((start, prev + gapUs, uid, n, sum.doubleValue()))
-            n = 0
-            sum = java.math.BigDecimal.ZERO
-          }
-          if (n == 0) start = e.ts_us
-          n += 1
-          sum = sum.add(dec(e.value))
-          prev = e.ts_us
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+    ev.mapPartitions { it =>
+      def dec(v: Double) =
+        java.math.BigDecimal
+          .valueOf(v)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+      new Iterator[(Long, Long, Long, Long, Double)] {
+        private var pending: (Long, Long, Long, Long, Double) = _
+        private var uid = 0L
+        private var start = 0L
+        private var prev = 0L
+        private var n = 0L
+        private var sum = java.math.BigDecimal.ZERO
+
+        private def closeSession(): Unit = {
+          pending = (start, prev + gapUs, uid, n, sum.doubleValue())
+          n = 0
+          sum = java.math.BigDecimal.ZERO
         }
-        if (n > 0) out += ((start, prev + gapUs, uid, n, sum.doubleValue()))
-        out.iterator
+
+        private def advance(): Unit = {
+          while (pending == null && it.hasNext) {
+            val e = it.next()
+            if (n > 0 && (e.user_id != uid || e.ts_us - prev >= gapUs))
+              closeSession()
+            if (n == 0) { uid = e.user_id; start = e.ts_us }
+            n += 1
+            sum = sum.add(dec(e.value))
+            prev = e.ts_us
+          }
+          if (pending == null && !it.hasNext && n > 0) closeSession()
+        }
+
+        override def hasNext: Boolean = {
+          if (pending == null) advance()
+          pending != null
+        }
+
+        override def next(): (Long, Long, Long, Long, Double) = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = pending
+          pending = null
+          r
+        }
       }
+    }
       .toDF("start_us", "end_us", "uid", "n_events", "sum_value")
       .select(
         timestamp_micros(col("start_us")).as("session_start"),
@@ -90,11 +116,50 @@ object StreamQueries {
       .sessionsByUser(Tables(s, dir).events)
       .orderBy("user_id", "session_start")
 
+  /** Batch execution of the stream-stream interval join
+    * (StreamJoins.purchaseAttribution): every purchase paired with
+    * each signup of the same user within the preceding hour. The
+    * streaming path (watermarks + state eviction) is exercised in
+    * StreamJoinSpec with MemoryStream; this oracle pins the join's
+    * event-time semantics. `ts` is µs-truncated on the Spark side
+    * (Tables.events), so the oracle compares in epoch_us.
+    */
+  private val intervalJoin: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val pu = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_event"),
+        col("value")
+      )
+    val su = ev
+      .filter(col("event_type") === "signup")
+      .select(
+        col("user_id").as("s_user"),
+        col("ts").as("signup_ts"),
+        col("event_id").as("signup_event")
+      )
+    graft.streaming.StreamJoins
+      .purchaseAttribution(pu, su)
+      .select(
+        col("user_id"),
+        col("signup_ts"),
+        col("signup_event"),
+        col("purchase_ts"),
+        col("purchase_event"),
+        col("value")
+      )
+      .orderBy("user_id", "signup_event", "purchase_event")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream01_tumbling" -> tumbling,
     "stream02_sliding" -> sliding,
     "stream03_sessions" -> sessions,
-    "stream04_sessions_typed" -> sessionsTyped
+    "stream04_sessions_typed" -> sessionsTyped,
+    "stream05_interval_join" -> intervalJoin
   )
 
   /** µs-precision epoch arithmetic mirrors of Spark's window():
@@ -150,6 +215,15 @@ object StreamQueries {
          |    AS session_end,
          |  user_id, COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
          |FROM sessions GROUP BY user_id, sid
-         |ORDER BY user_id, session_start""".stripMargin
+         |ORDER BY user_id, session_start""".stripMargin,
+    "stream05_interval_join" ->
+      s"""SELECT p.user_id, s.ts AS signup_ts, s.event_id AS signup_event,
+         |  p.ts AS purchase_ts, p.event_id AS purchase_event, p.value
+         |FROM events p JOIN events s
+         |  ON s.user_id = p.user_id
+         | AND p.event_type = 'purchase' AND s.event_type = 'signup'
+         | AND epoch_us(p.ts) >= epoch_us(s.ts)
+         | AND epoch_us(p.ts) <= epoch_us(s.ts) + CAST(3600 AS BIGINT) * 1000000
+         |ORDER BY p.user_id, s.event_id, p.event_id""".stripMargin
   )
 }

@@ -45,11 +45,30 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * through analyzer/optimizer untouched (opaque binary node) and the
   * strategy lowers it to [[AsOfJoinExec]].
   *
-  * Contract: key and time expressions are non-null (enforce upstream);
-  * backward ties on (key, time) resolve to the last right row in sort
-  * order. `forward = true` flips the direction: the earliest right
-  * time ≥ t (the "next event after" lookup), same merge pass with the
+  * Contract: key and time columns are non-null — `joinAsOf` wraps
+  * nullable picked columns in `AssertNotNull`, so a null key/time
+  * FAILS the task loudly instead of silently sorting first and
+  * matching as ≤ t. Tie contract: a right row with time EXACTLY equal
+  * to t matches in both directions (≤ / ≥ are inclusive); among
+  * multiple right rows sharing one (key, time) the matched row is
+  * whichever sorts last (backward) / first (forward) in the
+  * partition's (key, time) sort — which is UNSPECIFIED between equal
+  * sort keys. Callers needing a deterministic pick must pre-reduce
+  * the right side to one row per (key, time) (e.g. latest-wins
+  * `Materializer.materialize`); the oracle queries' window frames cut
+  * at (ts, event_id) and their fixtures carry no duplicate (key, ts),
+  * so both formulations agree there (documented, AsOfJoinSpec ties
+  * case).
+  *
+  * `forward = true` flips the direction: the earliest right time ≥ t
+  * (the "next event after" lookup), same merge pass with the
   * candidate buffer replaced by the current right head.
+  *
+  * `tolerance` (Some(maxGap), in the time column's native integral
+  * units — µs for TimestampType) bounds the match: backward requires
+  * t − rt ≤ maxGap, forward rt − t ≤ maxGap — pandas/Polars'
+  * `tolerance`/`within` shape. `inner = true` drops unmatched left
+  * rows instead of null-padding them.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -58,7 +77,9 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    forward: Boolean = false
+    forward: Boolean = false,
+    tolerance: Option[Long] = None,
+    inner: Boolean = false
 ) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -70,8 +91,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, tol, inner) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol, inner) :: Nil
     case _ => Nil
   }
 }
@@ -83,7 +104,9 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    forward: Boolean = false
+    forward: Boolean = false,
+    tolerance: Option[Long] = None,
+    inner: Boolean = false
 ) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -116,6 +139,10 @@ case class AsOfJoinExec(
     val timeType = leftTime.dataType
     val rWidth = rOut.size
     val fwd = forward
+    val innr = inner
+    // -1 = unbounded; tolerance requires a long-backed time type
+    // (Long / Timestamp-µs), validated in joinAsOf
+    val tolLimit = tolerance.getOrElse(-1L)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -134,6 +161,8 @@ case class AsOfJoinExec(
         private var rHeadTime: InternalRow = _
         private var cand: InternalRow = _
         private var candKey: InternalRow = _
+        private var candTime: InternalRow = _
+        private var pending: InternalRow = _
         advanceRight()
 
         private def advanceRight(): Unit =
@@ -148,41 +177,60 @@ case class AsOfJoinExec(
             rHead = null
           }
 
-        override def hasNext: Boolean = lIter.hasNext
+        /** Next output row, or null when the left side is exhausted —
+          * inner mode consumes left rows until one matches. */
+        private def computeNext(): InternalRow = {
+          while (lIter.hasNext) {
+            val l = lIter.next()
+            val lKey = lKeyProj(l)
+            val lTime = lTimeProj(l)
+            var cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lKey)
+            var matched: InternalRow = null
+            if (fwd) {
+              // drop right rows strictly before (lKey, lTime); the head
+              // is then the earliest right row with time >= lTime
+              while (
+                rHead != null &&
+                (cmp < 0 || (cmp == 0 && timeOrd.compare(rHeadTime, lTime) < 0))
+              ) {
+                advanceRight()
+                cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lKey)
+              }
+              if (
+                rHead != null && cmp == 0 &&
+                (tolLimit < 0 || rHeadTime.getLong(0) - lTime.getLong(0) <= tolLimit)
+              ) matched = rHead
+            } else {
+              while (
+                rHead != null &&
+                (cmp < 0 || (cmp == 0 && timeOrd.compare(rHeadTime, lTime) <= 0))
+              ) {
+                if (cmp == 0) { cand = rHead; candKey = rHeadKey; candTime = rHeadTime }
+                advanceRight()
+                cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lKey)
+              }
+              if (
+                cand != null && keyOrd.compare(candKey, lKey) == 0 &&
+                (tolLimit < 0 || lTime.getLong(0) - candTime.getLong(0) <= tolLimit)
+              ) matched = cand
+            }
+            if (matched != null) return resultProj(joined(l, matched))
+            if (!innr) return resultProj(joined(l, rNulls))
+            // inner && unmatched: fall through to the next left row
+          }
+          null
+        }
+
+        override def hasNext: Boolean = {
+          if (pending == null) pending = computeNext()
+          pending != null
+        }
 
         override def next(): InternalRow = {
-          val l = lIter.next()
-          val lKey = lKeyProj(l)
-          val lTime = lTimeProj(l)
-          var cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lKey)
-          if (fwd) {
-            // drop right rows strictly before (lKey, lTime); the head
-            // is then the earliest right row with time >= lTime
-            while (
-              rHead != null &&
-              (cmp < 0 || (cmp == 0 && timeOrd.compare(rHeadTime, lTime) < 0))
-            ) {
-              advanceRight()
-              cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lKey)
-            }
-            if (rHead != null && cmp == 0)
-              resultProj(joined(l, rHead))
-            else
-              resultProj(joined(l, rNulls))
-          } else {
-            while (
-              rHead != null &&
-              (cmp < 0 || (cmp == 0 && timeOrd.compare(rHeadTime, lTime) <= 0))
-            ) {
-              if (cmp == 0) { cand = rHead; candKey = rHeadKey }
-              advanceRight()
-              cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lKey)
-            }
-            if (cand != null && keyOrd.compare(candKey, lKey) == 0)
-              resultProj(joined(l, cand))
-            else
-              resultProj(joined(l, rNulls))
-          }
+          if (!hasNext) throw new NoSuchElementException
+          val r = pending
+          pending = null
+          r
         }
       }
     }
@@ -205,6 +253,14 @@ object AsOfJoin {
     * greatest `rightTimeCol` ≤ `leftTimeCol`. Right columns should be
     * pre-renamed by the caller to avoid name collisions; expression
     * ids are re-aliased internally so self-join lineage is safe.
+    *
+    * Nullable picked key/time columns are wrapped in `AssertNotNull`:
+    * a null violates the operator's sort/merge contract (it would sort
+    * first and silently match as ≤ t), so it fails the task instead.
+    *
+    * `tolerance`: max allowed |t − rt| in the time column's native
+    * integral units (µs for timestamps); requires a long-backed time
+    * type. `inner`: drop unmatched left rows.
     */
   def joinAsOf(
       left: DataFrame,
@@ -213,19 +269,39 @@ object AsOfJoin {
       rightOn: Seq[String],
       leftTimeCol: String,
       rightTimeCol: String,
-      forward: Boolean = false
+      forward: Boolean = false,
+      tolerance: Option[Long] = None,
+      inner: Boolean = false
   ): DataFrame = {
     val spark = classicDf(left).sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
 
-    val lPlan = classicDf(left).queryExecution.analyzed
+    import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
+
+    val lAnalyzed = classicDf(left).queryExecution.analyzed
+    val lGuarded = (leftOn :+ leftTimeCol).toSet
+    val lExprs = lAnalyzed.output.map { a =>
+      if (lGuarded.contains(a.name) && a.nullable)
+        Alias(AssertNotNull(a, Seq(s"as-of join key/time column ${a.name}")), a.name)()
+      else a
+    }
+    val lPlan =
+      if (lExprs.exists(_.isInstanceOf[Alias])) Project(lExprs, lAnalyzed)
+      else lAnalyzed
     // fresh expression ids on the right side: left and right often
     // share lineage (two filters of one table) and duplicate attribute
     // ids would make the binary node ambiguous
     val rAnalyzed = classicDf(right).queryExecution.analyzed
-    val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rGuarded = (rightOn :+ rightTimeCol).toSet
+    val rAliases = rAnalyzed.output.map { a =>
+      val base: Expression =
+        if (rGuarded.contains(a.name) && a.nullable)
+          AssertNotNull(a, Seq(s"as-of join key/time column ${a.name}"))
+        else a
+      Alias(base, a.name)()
+    }
     val rPlan = Project(rAliases, rAnalyzed)
     val rOut = rAliases.map(_.toAttribute)
 
@@ -238,14 +314,32 @@ object AsOfJoin {
           )
         )
 
+    val lTime = pick(lPlan.output, leftTimeCol)
+    val rTime = pick(rOut, rightTimeCol)
+    if (tolerance.isDefined) {
+      import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+      val ok = Set[org.apache.spark.sql.types.DataType](
+        LongType,
+        TimestampType,
+        TimestampNTZType
+      )
+      require(
+        ok.contains(lTime.dataType) && ok.contains(rTime.dataType),
+        s"tolerance requires a long-backed time column (long/timestamp), got " +
+          s"${lTime.dataType.simpleString}/${rTime.dataType.simpleString}"
+      )
+    }
+
     val node = AsOfJoinPlan(
       lPlan,
       rPlan,
       leftOn.map(pick(lPlan.output, _)),
       rightOn.map(pick(rOut, _)),
-      pick(lPlan.output, leftTimeCol),
-      pick(rOut, rightTimeCol),
-      forward
+      lTime,
+      rTime,
+      forward,
+      tolerance,
+      inner
     )
     org.apache.spark.sql.graftshim.GraftSqlShims.ofRows(spark, node)
   }

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream joins (Structured Streaming's unified model: the
+  * same plan runs in batch, where `withWatermark` is a no-op — which
+  * is how the batch oracle query `stream05` checks the join's
+  * event-time semantics).
+  *
+  * The canonical CDC enrichment: attribute each purchase to the
+  * signup it followed within an event-time bound. In streaming
+  * execution both sides are watermarked and the time bound is part of
+  * the JOIN CONDITION (not a post-filter) — that is what lets the
+  * state store evict: a buffered signup row is dropped once the
+  * purchase-side watermark passes signup_ts + bound + delay, so state
+  * is O(in-flight window), not O(history). The equality key keeps it
+  * a hash-partitioned join (both sides shuffle on user key once);
+  * never a time-only condition, which would broadcast-nested-loop.
+  */
+object StreamJoins {
+
+  /** Inner interval join: purchases(user_id, purchase_ts,
+    * purchase_event, value) ⋈ signups(s_user, signup_ts,
+    * signup_event) on user key with
+    * signup_ts ≤ purchase_ts ≤ signup_ts + `boundSeconds`.
+    *
+    * Watermarks: signups held `boundSeconds + slack` (a signup must
+    * stay joinable until the purchase watermark clears its bound);
+    * purchases held `slack`.
+    */
+  def purchaseAttribution(
+      purchases: DataFrame,
+      signups: DataFrame,
+      boundSeconds: Long = 3600L,
+      slackSeconds: Long = 600L
+  ): DataFrame = {
+    val p = purchases.withWatermark("purchase_ts", s"$slackSeconds seconds")
+    val s = signups.withWatermark(
+      "signup_ts",
+      s"${boundSeconds + slackSeconds} seconds"
+    )
+    p.join(
+      s,
+      col("s_user") === col("user_id") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $boundSeconds SECONDS")
+    )
+  }
+}

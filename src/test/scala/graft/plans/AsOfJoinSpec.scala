@@ -94,6 +94,96 @@ class AsOfJoinSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("tolerance + inner match the naive per-key reference (randomized)") {
+    val genLeft = Gen.listOfN(
+      100,
+      for {
+        k <- Gen.choose(0L, 8L)
+        t <- Gen.choose(0L, 40L)
+      } yield (k, t)
+    )
+    val genRight = Gen
+      .listOfN(
+        70,
+        for {
+          k <- Gen.choose(0L, 10L)
+          t <- Gen.choose(0L, 40L)
+        } yield (k, t)
+      )
+      .map(_.distinct)
+    val genTol = Gen.choose(0L, 12L)
+    val prop = Prop.forAll(genLeft, genRight, genTol, Gen.oneOf(true, false)) {
+      (ls, rs, tol, fwd) =>
+        val left = ls.zipWithIndex
+          .map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("lid", "k", "t")
+        val right = rs.toDF("rk", "rt")
+        val got = AsOfJoin
+          .joinAsOf(
+            left,
+            right,
+            Seq("k"),
+            Seq("rk"),
+            "t",
+            "rt",
+            forward = fwd,
+            tolerance = Some(tol),
+            inner = true
+          )
+          .select(col("lid"), col("rt"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .toMap
+        val expected = ls.zipWithIndex.flatMap { case ((k, t), i) =>
+          val m =
+            if (fwd) rs.filter { case (rk, rt) => rk == k && rt >= t && rt - t <= tol }
+            else rs.filter { case (rk, rt) => rk == k && rt <= t && t - rt <= tol }
+          if (m.isEmpty) None
+          else Some((i.toLong, if (fwd) m.map(_._2).min else m.map(_._2).max))
+        }.toMap
+        got == expected
+    }
+    val res =
+      SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("tie contract: equal right (key, time) rows match on time; payload unspecified among ties") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    // two right rows at exactly t = 10: both are ≤ t (inclusive); which
+    // payload wins is sort-order-unspecified — the contract pins only
+    // the matched TIME
+    val right = Seq((1L, 10L, "x"), (1L, 10L, "y"), (1L, 4L, "old"))
+      .toDF("rk", "rt", "payload")
+    val r = AsOfJoin
+      .joinAsOf(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("rt"), col("payload"))
+      .collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 10L)
+    assert(Set("x", "y").contains(r(0).getString(1)))
+    // forward direction: same tie, inclusive ≥
+    val f = AsOfJoin
+      .joinAsOf(left, right, Seq("k"), Seq("rk"), "t", "rt", forward = true)
+      .select(col("rt"), col("payload"))
+      .collect()
+    assert(f.length === 1 && f(0).getLong(0) === 10L)
+    assert(Set("x", "y").contains(f(0).getString(1)))
+  }
+
+  test("null key/time violates the contract loudly, not silently") {
+    val left = Seq((Some(1L), Some(10L)), (None, Some(20L)))
+      .toDF("k", "t")
+    val right = Seq((1L, 5L)).toDF("rk", "rt")
+    val e = intercept[Exception] {
+      AsOfJoin.joinAsOf(left, right, Seq("k"), Seq("rk"), "t", "rt").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.toLowerCase.contains("null")))
+  }
+
   test("empty right side yields all-null right columns") {
     val left = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
     val right = Seq.empty[(Long, Long)].toDF("rk", "rt")

@@ -73,6 +73,46 @@ class CdcStreamSpec extends SparkSpec {
     assert(rows.contains((2L, None, false)))
   }
 
+  test("assignIds in foreachBatch issues a dense sequence across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long)]
+    // driver-held state snapshot (the test's stand-in for the sink
+    // table); each batch assigns keys against it, then appends
+    @volatile var state: Seq[(Long, String)] =
+      Seq(1L -> "a", 2L -> "b", 5L -> "e")
+    val q = input
+      .toDF()
+      .toDF("content", "ts", "seq")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val stateDf = state.toDF("id", "content")
+        val assigned = graft.cdc.Materializer
+          .assignIds(batch, stateDf, "id", "ts", "seq")
+          .select(col("id"), col("content"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        state = state ++ assigned
+      }
+      .start()
+    // batch 1: two keyless inserts, out of ts order — ids follow
+    // (ts, seq) rank on top of max(existing)=5
+    input.addData(("second", ts(200), 7L), ("first", ts(100), 3L))
+    q.processAllAvailable()
+    assert(
+      state.toSet === Set(
+        1L -> "a", 2L -> "b", 5L -> "e", 6L -> "first", 7L -> "second"
+      )
+    )
+    // batch 2 continues the sequence from the new max
+    input.addData(("third", ts(300), 9L))
+    q.processAllAvailable()
+    q.stop()
+    assert(state.toMap.get(8L) === Some("third"))
+    assert(state.map(_._1).sorted === Seq(1L, 2L, 5L, 6L, 7L, 8L))
+  }
+
   test("windowed streaming agg equals batch result (unified model)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
