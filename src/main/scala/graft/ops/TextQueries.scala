@@ -67,6 +67,15 @@ object TextQueries {
   /** Corpus token frequency via explode (the Generate operator): the
     * canonical build-a-vocabulary pass. Map-side expansion, hash
     * aggregate on the token, top-50 with a lexical tiebreak.
+    *
+    * Scale note: `orderBy().limit(k)` here is NOT a global sort —
+    * Catalyst plans it as TakeOrderedAndProject (per-partition top-k
+    * heaps, merged on the driver over n_partitions·k rows), so the
+    * top-50 costs one hash-agg shuffle plus an O(k) merge at any
+    * corpus size (asserted in TextQueriesPlanSpec). The aggregate's
+    * key space (the vocabulary) grows sublinearly with the corpus;
+    * if even that shuffle must shrink, compose a count-min sketch
+    * before the exact pass — not needed at this key cardinality.
     */
   private val topTokens: Q = (s, dir) =>
     Tables(s, dir).documents
