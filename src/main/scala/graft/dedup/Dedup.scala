@@ -151,12 +151,9 @@ object Dedup {
         graft.plans.MinHashBands(df.sparkSession, col(textCol), k, bands)
       ).as(Seq("band", "band_sig"))
     )
-    val a = exploded.select(col("band"), col("band_sig"), col(idCol).as("id_a"))
-    val b = exploded.select(col("band"), col("band_sig"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "band_sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    // single-pass bucket grouping: the fused sketch is computed once
+    // and shuffled once (vs twice each for a bucket self-join)
+    graft.ops.PairJoins.bucketedPairs(exploded, Seq("band", "band_sig"), idCol)
   }
 
   /** Exact word-shingle Jaccard between two shingle-array columns. */

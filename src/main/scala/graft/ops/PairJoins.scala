@@ -40,4 +40,35 @@ object PairJoins {
       .filter(col(idB) > col(idA) && col(idB) <= col(idA) + w)
       .drop("__cell")
   }
+
+  /** Within-bucket candidate pairs in ONE pass: group bucket rows,
+    * collect member ids, emit ordered pairs by double-explode —
+    * identical pair set to the equi-self-join on the bucket key, at
+    * half the cost: the bucket column (usually an expensive sketch) is
+    * computed ONCE and the grouped table shuffles ONCE, where the
+    * self-join evaluates the sketch and shuffles it on both sides.
+    *
+    * Memory: one bucket's id list lives in the aggregation buffer
+    * (8 B × population) — bounded by the bucket structure itself
+    * (2^planes / band count keeps expected population ~n/2^P); cap or
+    * salt degenerate hot buckets upstream, the same discipline the
+    * join form needs for its quadratic output.
+    *
+    * Input: one row per (bucket membership); `bucketCols` may be
+    * multiple columns (e.g. band index + band signature). Output:
+    * distinct (id_a, id_b) with id_a < id_b.
+    */
+  def bucketedPairs(
+      buckets: DataFrame,
+      bucketCols: Seq[String],
+      idCol: String
+  ): DataFrame =
+    buckets
+      .groupBy(bucketCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(col("__ids"), explode(col("__ids")).as("id_a"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_b") > col("id_a"))
+      .distinct()
 }

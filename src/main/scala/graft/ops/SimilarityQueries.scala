@@ -204,10 +204,11 @@ object SimilarityQueries {
     * Shape: one map-side fused-codegen pass emits all T bucket ids
     * (`HyperplaneBands`), posexplode_outer (outer: keeps
     * `InferFiltersFromGenerate` from duplicating the sketch into a
-    * pushed filter), shuffle on (table, bucket) for the id-only
-    * candidate join, distinct, then two hash joins re-attach vectors
-    * for the verify — vectors never ride through the candidate
-    * explosion.
+    * pushed filter), ONE shuffle grouping (table, bucket) membership
+    * into id lists (`PairJoins.bucketedPairs` — sketch computed once,
+    * not once per join side), distinct pairs, then two hash joins
+    * re-attach vectors for the verify — vectors never ride through
+    * the candidate explosion.
     */
   private val lshNearDup: Q = (s, dir) => {
     val emb = Tables(s, dir).embeddings
@@ -217,13 +218,7 @@ object SimilarityQueries {
         graft.plans.HyperplaneBands(s, col("embedding"), LSH_TABLES, BAND_PLANES, DIMS)
       )
       .select(col("vec_id"), posexplode_outer(col("bands")).as(Seq("tbl", "bucket")))
-    val a = ex.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
-    val b = ex.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
-    val pairs = a
-      .join(b, Seq("tbl", "bucket"))
-      .filter(col("id_b") > col("id_a"))
-      .select("id_a", "id_b")
-      .distinct()
+    val pairs = PairJoins.bucketedPairs(ex, Seq("tbl", "bucket"), "vec_id")
     pairs
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
@@ -274,7 +269,31 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Per-label embedding centroids (the k-means/IVF training
+    * primitive): posexplode to (label, dim, x), then an
+    * order-INDEPENDENT exact mean per cell — each float is quantized
+    * to integer micro-units with the engine-portable half-up
+    * `floor(x·10⁶ + 0.5)` (plain double sums would be partition-order
+    * dependent; decimal casts round differently across engines), and
+    * the BIGINT sum is exact. One shuffle on (label, dim) — dense,
+    * skew-free keys; the same shape at any corpus size.
+    */
+  private val centroids: Q = (s, dir) => {
+    val ex = Tables(s, dir).embeddings
+      // posexplode_outer: keeps InferFiltersFromGenerate from
+      // duplicating the generator into a pushed size()>0 filter
+      .select(col("label"), posexplode_outer(col("embedding")).as(Seq("dim", "x")))
+    ex.groupBy(col("label"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(floor(col("x").cast("double") * 1e6 + lit(0.5))).cast("double")
+          / (count(lit(1)) * 1e6)).as("centroid")
+      )
+      .orderBy("label", "dim")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim10_centroids" -> centroids,
     "sim09_quantize" -> quantize,
     "sim08_lsh_neardup" -> lshNearDup,
     "sim07_vector_stats" -> vectorStats,
@@ -371,6 +390,13 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim10_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+        |    AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000) AS centroid
+        |FROM embeddings, range(1, 1000) t(i)
+        |WHERE i <= len(embedding)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "sim09_quantize" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,

@@ -154,7 +154,42 @@ object StreamQueries {
       .orderBy("user_id", "signup_event", "purchase_event")
   }
 
+  /** Batch execution of StreamAsOf.enrich over the fixture (signups
+    * = dimension, purchases = facts): in batch, one "micro-batch" is
+    * the whole history, so the fold computes the exact backward
+    * as-of — oracle-checked against the q47-style window form with
+    * IGNORE NULLS last_value carrying the signup's payload.
+    */
+  private val asofEnrich: Q = (s, dir) => {
+    import s.implicits._
+    val tagged = Tables(s, dir).events
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").as("seq"),
+        when(col("event_type") === "signup", lit("dim"))
+          .otherwise(lit("fact"))
+          .as("kind"),
+        col("value")
+      )
+      .as[graft.streaming.StreamAsOf.Tagged]
+    graft.streaming.StreamAsOf
+      .enrich(tagged)
+      .toDF()
+      .select(
+        col("user_id"),
+        col("ts_us").as("purchase_us"),
+        col("seq").as("purchase_event"),
+        col("value"),
+        col("dim_ts_us").as("signup_us"),
+        col("dim_value").as("signup_value")
+      )
+      .orderBy("purchase_event")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream06_asof_enrich" -> asofEnrich,
     "stream01_tumbling" -> tumbling,
     "stream02_sliding" -> sliding,
     "stream03_sessions" -> sessions,
@@ -224,6 +259,22 @@ object StreamQueries {
          | AND p.event_type = 'purchase' AND s.event_type = 'signup'
          | AND epoch_us(p.ts) >= epoch_us(s.ts)
          | AND epoch_us(p.ts) <= epoch_us(s.ts) + CAST(3600 AS BIGINT) * 1000000
-         |ORDER BY p.user_id, s.event_id, p.event_id""".stripMargin
+         |ORDER BY p.user_id, s.event_id, p.event_id""".stripMargin,
+    "stream06_asof_enrich" ->
+      """SELECT user_id, purchase_us, purchase_event, value,
+        |  signup_us, signup_value
+        |FROM (
+        |  SELECT user_id, epoch_us(ts) AS purchase_us,
+        |    event_id AS purchase_event, value, event_type,
+        |    max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+        |      OVER w AS signup_us,
+        |    last_value(CASE WHEN event_type = 'signup' THEN value END
+        |      IGNORE NULLS) OVER w AS signup_value
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'signup')
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE event_type = 'purchase'
+        |ORDER BY purchase_event""".stripMargin
   )
 }

@@ -103,13 +103,38 @@ object TextQueries {
       )
       .orderBy("doc_id")
 
+  /** PII/boilerplate scrub — the redaction pass every training-data
+    * pipeline runs before tokenization: URLs then emails replaced
+    * with sentinel tags (URL first, so an email-looking userinfo in a
+    * URL is consumed as part of the URL), plus per-doc match counts
+    * for the redaction report. Regexes stay in the RE2 ∩ java.util
+    * .regex common subset so both engines match identically; map-side
+    * only, no shuffle.
+    */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe = "https?://[^\\s]+"
+  private val piiScrub: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("text"), lit(urlRe), lit(0))).as("n_url"),
+        regexp_replace(
+          regexp_replace(col("text"), urlRe, "<URL>"),
+          emailRe,
+          "<EMAIL>"
+        ).as("scrubbed")
+      )
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "text01_token_stats" -> tokenStats,
     "text02_quality" -> quality,
     "text03_langid" -> langid,
     "text04_fingerprint" -> fingerprint,
     "text05_top_tokens" -> topTokens,
-    "text06_bpe_count" -> bpeCount
+    "text06_bpe_count" -> bpeCount,
+    "text07_pii_scrub" -> piiScrub
   )
 
   private val langCaseSql: String = {
@@ -169,6 +194,14 @@ object TextQueries {
          |      list_transform(string_split($normSql, ''),
          |                     ch -> CAST(unicode(ch) AS BIGINT))),
          |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // DuckDB regexp_replace is first-match-only without the 'g' flag
+    "text07_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$emailRe')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$urlRe')) AS INT) AS n_url,
+         |  regexp_replace(regexp_replace(text, '$urlRe', '<URL>', 'g'),
+         |                 '$emailRe', '<EMAIL>', 'g') AS scrubbed
          |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

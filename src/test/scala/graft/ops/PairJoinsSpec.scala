@@ -30,4 +30,34 @@ class PairJoinsSpec extends SparkSpec {
     )
     assert(res.passed, res.status.toString)
   }
+
+  test("property: bucketedPairs == bucket equi-self-join pair set") {
+    val genRows = Gen.listOfN(
+      80,
+      for {
+        id <- Gen.choose(0L, 40L)
+        bx <- Gen.choose(0L, 6L)
+        by <- Gen.choose(0L, 2L)
+      } yield (id, bx, by)
+    )
+    val prop = Prop.forAll(genRows) { rows =>
+      val df = rows.distinct.toDF("id", "bx", "by")
+      val got = PairJoins
+        .bucketedPairs(df, Seq("bx", "by"), "id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val naive = (for {
+        (i1, x1, y1) <- rows.distinct
+        (i2, x2, y2) <- rows.distinct
+        if x1 == x2 && y1 == y2 && i2 > i1
+      } yield (i1, i2)).toSet
+      got == naive
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8),
+      prop
+    )
+    assert(res.passed, res.status.toString)
+  }
 }
