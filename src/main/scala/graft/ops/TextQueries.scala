@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.functions.PortableHash
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -127,6 +128,81 @@ object TextQueries {
       )
       .orderBy("doc_id")
 
+  /** Per-document top-3 keywords by tf·idf. The idf is the RAW ratio
+    * n_docs/df (no logarithm — log() is a transcendental whose last
+    * ulp differs across libm implementations, which would break
+    * bit-parity; +,−,×,÷ are IEEE-exact on both engines and the
+    * ranking is order-isomorphic to the log form for fixed tf).
+    *
+    * Shape at scale: tf = one shuffle on (doc_id, token); df = one
+    * shuffle on token (map-side combined); n_docs broadcast; final
+    * per-doc rank partitions on doc_id. All keys dense; the df join
+    * is the classic frequency-table broadcast candidate once the
+    * vocabulary fits (AQE decides).
+    */
+  private val tfidf: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir).documents
+    // explode_outer: InferFiltersFromGenerate would duplicate the
+    // tokenizer into a pushed size()>0 filter (token arrays are never
+    // empty — split of "" yields [""] — so outer is identical)
+    val toks = docs.select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("token"), col("rank"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Count-min heavy-hitters check: build the distributed CMS over
+    * all token occurrences (one typed-Aggregator pass, map-side
+    * partial sketches merged), then compare its estimates against the
+    * exact counts of the top-10 tokens. The sketch is a deterministic
+    * function of the portable hash, so the WHOLE pipeline — table and
+    * estimates — is oracle-reconstructed in SQL. `cms_est ≥ exact_n`
+    * by construction; `overcount` is the collision error the ε/δ
+    * bound caps at scale.
+    */
+  private val cmsHeavy: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sim.CountMinAggregator.{DEPTH, WIDTH, seed, sketch}
+    val toks = Tables(s, dir).documents
+      .select(explode_outer(tokens(col("text"))).as("token"))
+      .as[String]
+    val cms = toks.select(sketch.toColumn.name("cms"))
+    val exact = toks
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token").asc)
+      .limit(10)
+    val est = least(
+      (0 until DEPTH).map(i =>
+        element_at(
+          col("cms"),
+          pmod(graft.functions.PortableHash.h32(col("token"), seed(i)), lit(WIDTH.toLong))
+            .cast("int") + lit(i * WIDTH) + lit(1)
+        )
+      ): _*
+    )
+    exact
+      .crossJoin(broadcast(cms))
+      .select(
+        col("token"),
+        col("exact_n"),
+        est.as("cms_est"),
+        (est - col("exact_n")).as("overcount")
+      )
+      .orderBy(col("exact_n").desc, col("token").asc)
+  }
+
   val queries: Map[String, Q] = Map(
     "text01_token_stats" -> tokenStats,
     "text02_quality" -> quality,
@@ -134,7 +210,9 @@ object TextQueries {
     "text04_fingerprint" -> fingerprint,
     "text05_top_tokens" -> topTokens,
     "text06_bpe_count" -> bpeCount,
-    "text07_pii_scrub" -> piiScrub
+    "text07_pii_scrub" -> piiScrub,
+    "text08_tfidf" -> tfidf,
+    "text09_cms_heavy" -> cmsHeavy
   )
 
   private val langCaseSql: String = {
@@ -202,6 +280,51 @@ object TextQueries {
          |  CAST(len(regexp_extract_all(text, '$urlRe')) AS INT) AS n_url,
          |  regexp_replace(regexp_replace(text, '$urlRe', '<URL>', 'g'),
          |                 '$emailRe', '<EMAIL>', 'g') AS scrubbed
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text08_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+         |  GROUP BY doc_id, token),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+         |  FROM tf JOIN df USING (token) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, token ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, token, CAST(rank AS INT) AS rank, score
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text09_cms_heavy" -> {
+      import graft.sim.CountMinAggregator.{DEPTH, WIDTH, seed}
+      def slotSql(tokenExpr: String, i: Int): String =
+        s"${PortableHash.sqlH32(tokenExpr, seed(i))} % $WIDTH"
+      val cmsRows = (0 until DEPTH)
+        .map(i =>
+          s"SELECT $i AS i, ${slotSql("token", i)} AS slot, COUNT(*) AS c FROM toks GROUP BY 2"
+        )
+        .mkString("\n  UNION ALL\n  ")
+      val estRows = (0 until DEPTH)
+        .map(i =>
+          s"SELECT e.token, e.exact_n, c.c FROM exact e JOIN cms c ON c.i = $i AND c.slot = ${slotSql("e.token", i)}"
+        )
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
+         |cms AS (
+         |  $cmsRows),
+         |exact AS (
+         |  SELECT token, COUNT(*) AS exact_n FROM toks
+         |  GROUP BY token ORDER BY exact_n DESC, token ASC LIMIT 10),
+         |est AS (
+         |  $estRows)
+         |SELECT token, CAST(exact_n AS BIGINT) AS exact_n,
+         |  CAST(MIN(c) AS BIGINT) AS cms_est,
+         |  CAST(MIN(c) - exact_n AS BIGINT) AS overcount
+         |FROM est GROUP BY token, exact_n
+         |ORDER BY exact_n DESC, token ASC""".stripMargin
+    }
   )
 }
