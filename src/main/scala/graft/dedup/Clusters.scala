@@ -1,0 +1,68 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair graph — the
+  * clustering step between pair detection and canonical-document
+  * selection ("of these k mutually-similar docs, keep one").
+  *
+  * Algorithm: iterative min-label propagation. Every node starts
+  * labeled with its own id; each round every node takes the min of
+  * its label and its neighbors' labels; fixpoint = per-component min
+  * id. Deterministic by construction (min is order-independent), so
+  * the result is oracle-comparable against a recursive-CTE
+  * reachability mirror.
+  *
+  * Scale posture: each round is two dense-key shuffles (neighbor-min
+  * groupBy + label join); rounds needed = component diameter. Dup
+  * clusters are band-overlap cliques with tiny diameters (2-4), so
+  * the loop converges in a handful of rounds — for general graphs
+  * with long chains use the large-star/small-star contraction
+  * (O(log n) rounds) instead. Lineage is cut per round with an eager
+  * `localCheckpoint` (iterative self-joins otherwise stack an
+  * exponential plan); the convergence probe is one scalar count per
+  * round, never a per-row driver loop.
+  */
+object Clusters {
+
+  /** @param nodes one column `id` (every node, incl. singletons)
+    * @param edges columns `id_a`, `id_b` (undirected pairs)
+    * @return (id, cluster_id) with cluster_id = min id of the component
+    */
+  def connectedComponents(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIters: Int = 50
+  ): DataFrame = {
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("lbl")).as("nlbl"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")
+        )
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+}

@@ -76,7 +76,7 @@ object DedupQueries {
     * md5-prefix collisions, and the oracle mirrors the hashed form, so
     * even a collision would affect both engines identically.
     */
-  private val minhashLsh: Q = (s, dir) => {
+  private def minhashVerified(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
     val pairs = Dedup.lshCandidatePairs(base, "doc_id", "text", K, BANDS)
     val sh = base.select(
@@ -91,7 +91,27 @@ object DedupQueries {
         col("id_b"),
         Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac")
       )
-      .orderBy("id_a", "id_b")
+  }
+
+  private val minhashLsh: Q = (s, dir) =>
+    minhashVerified(s, dir).orderBy("id_a", "id_b")
+
+  /** Dedup clustering: Jaccard-confirmed (≥ 0.5) MinHash-LSH pairs →
+    * connected components → per-doc cluster id and the canonical-keep
+    * flag (min doc id per component). The full keep-list a training
+    * pipeline feeds into its final filter.
+    */
+  private val clusters: Q = (s, dir) => {
+    val edges = minhashVerified(s, dir).filter(col("jac") >= 0.5)
+    val nodes = docs(s, dir).select(col("doc_id").as("id"))
+    graft.dedup.Clusters
+      .connectedComponents(nodes, edges)
+      .select(
+        col("id").as("doc_id"),
+        col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_canonical")
+      )
+      .orderBy("doc_id")
   }
 
   private val simhashPairs: Q = (s, dir) => {
@@ -119,7 +139,8 @@ object DedupQueries {
     "dedup02_exact_pairs" -> exactPairs,
     "dedup03_jaccard_nearby" -> jaccardNearby,
     "dedup04_minhash_lsh" -> minhashLsh,
-    "dedup05_simhash" -> simhashPairs
+    "dedup05_simhash" -> simhashPairs,
+    "dedup06_clusters" -> clusters
   )
 
   // ---------------- DuckDB mirrors ----------------
@@ -216,7 +237,35 @@ object DedupQueries {
          |FROM t a JOIN t b
          |  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
          |WHERE bit_count(xor(a.sh, b.sh)) <= 8
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+    // components via recursive reachability: reach(id) accumulates the
+    // labels of every node that can reach id; MIN over them is the
+    // component-min — same fixpoint the label propagation computes
+    "dedup06_clusters" ->
+      s"""WITH RECURSIVE $prepCte,
+         |sig AS (SELECT doc_id, sh, $sigSql AS sig FROM shh),
+         |band AS (SELECT doc_id, r.b AS band, bands[r.b + 1] AS band_sig
+         |         FROM (SELECT doc_id, $bandsSql AS bands FROM sig) s
+         |         CROSS JOIN range(0, $BANDS) r(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM band a JOIN band b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT p.id_a, p.id_b FROM pairs p
+         |  JOIN shh a ON a.doc_id = p.id_a
+         |  JOIN shh b ON b.doc_id = p.id_b
+         |  WHERE CAST(len(list_intersect(a.shh, b.shh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.shh, b.shh))) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+         |          UNION ALL SELECT id_b, id_a FROM verified),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, MIN(lbl) AS cluster_id,
+         |  (MIN(lbl) = id) AS is_canonical
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   )
 }
 

@@ -1,0 +1,46 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("property: label propagation equals union-find components") {
+    val n = 30
+    val genEdges = Gen.listOfN(
+      25,
+      for {
+        a <- Gen.choose(0L, (n - 1).toLong)
+        b <- Gen.choose(0L, (n - 1).toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b))
+    )
+    val prop = Prop.forAll(genEdges) { edges =>
+      val nodes = (0L until n.toLong).toDF("id")
+      val edf = edges.toDF("id_a", "id_b")
+      val got = Clusters
+        .connectedComponents(nodes, edf)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      got == unionFind(n, edges)
+    }
+    val res =
+      SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
