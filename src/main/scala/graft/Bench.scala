@@ -91,9 +91,21 @@ object Bench {
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       )
     } catch { case _: Throwable => () }
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"queries":${js(warm)},"sf":"$sfDir"}"""
-    )
+    // The driver captures a bounded output tail (~2.9 KB budget): if
+    // the 3-decimal line outgrows it as queries accumulate, degrade
+    // per-query precision to 2 decimals rather than risk a truncated
+    // (unparseable) line.
+    def line(perQuery: Seq[(String, Double)] => String) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"queries":${perQuery(warm)},"sf":"$sfDir"}"""
+    def js2(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) =>
+        val s =
+          if (v < 0) "-1"
+          else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        "\"" + k + "\":" + s
+      }.mkString("{", ",", "}")
+    val out = if (line(js).length <= 2600) line(js) else line(js2)
+    println(out)
     spark.stop()
   }
 }

@@ -89,13 +89,53 @@ object CdcQueries {
       .orderBy("id")
   }
 
+  /** SCD2 history from the change log: each I/U event opens a
+    * validity interval [ts, next event's ts) for its key — the
+    * standard type-2 dimension a warehouse derives from CDC; a D
+    * event closes the previous interval and opens none (the key has
+    * no live row until the next I/U). `is_current` marks rows whose
+    * interval is open AND not terminated by a delete. One window
+    * pass per key — the same single-shuffle shape as materialize.
+    */
+  private val scd2: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("id"))
+      .orderBy(col("from_us"), col("seq"))
+    // to_us is computed over ALL events (deletes included) so a D
+    // event closes its predecessor's interval, then D rows drop out
+    val log = changeLog(s, dir)
+      .select(
+        col("id"),
+        col("op"),
+        col("content"),
+        col("value"),
+        unix_micros(col("ts")).as("from_us"),
+        col("seq")
+      )
+      .withColumn("to_us", lead(col("from_us"), 1).over(w))
+    log
+      .filter(col("op") =!= "D")
+      .select(
+        col("id"),
+        col("content"),
+        col("value"),
+        col("from_us").as("valid_from_us"),
+        col("to_us").as("valid_to_us"),
+        col("to_us").isNull.as("is_current"),
+        col("seq").as("version_seq")
+      )
+      .orderBy("id", "valid_from_us", "version_seq")
+  }
+
   val queries: Map[String, Q] = Map(
     "cdc01_materialize" -> materializeState,
     "cdc02_state_count" -> stateCount,
     "cdc03_point_lookup" -> statePointLookup,
     "cdc04_seed_replay" -> seedReplay,
     "cdc05_crud_replay" -> crudReplay,
-    "cdc06_key_assign" -> keyAssign
+    "cdc06_key_assign" -> keyAssign,
+    "cdc07_scd2" -> scd2
   )
 
   private val latestSql =
@@ -139,6 +179,23 @@ object CdcQueries {
         |  SELECT CAST(5 AS BIGINT) + ROW_NUMBER() OVER (ORDER BY ts, event_id) AS id,
         |         concat('signup:', CAST(user_id AS VARCHAR)) AS content
         |  FROM events WHERE event_type = 'signup'
-        |) ORDER BY id""".stripMargin
+        |) ORDER BY id""".stripMargin,
+    "cdc07_scd2" ->
+      """WITH log AS (
+        |  SELECT user_id AS id,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    event_type AS content, value,
+        |    epoch_us(ts) AS from_us, event_id AS seq
+        |  FROM events),
+        |iv AS (
+        |  SELECT *, lead(from_us) OVER (PARTITION BY id
+        |    ORDER BY from_us, seq) AS to_us
+        |  FROM log)
+        |SELECT id, content, value,
+        |  from_us AS valid_from_us, to_us AS valid_to_us,
+        |  (to_us IS NULL) AS is_current, seq AS version_seq
+        |FROM iv WHERE op <> 'D'
+        |ORDER BY id, valid_from_us, version_seq""".stripMargin
   )
 }
