@@ -113,11 +113,37 @@ object MiscQueries {
       .orderBy("media_id")
   }
 
+  /** The `spark.sql` entrypoint itself under the gate: temp views +
+    * ANSI text with a correlated EXISTS and a NOT EXISTS — the
+    * library's SQL surface (not just the DataFrame DSL). Catalyst
+    * rewrites the subqueries to left-semi/anti joins — the same
+    * physical plans as q09/q10, from SQL text.
+    */
+  private val sqlExists: Q = (s, dir) => {
+    Tables(s, dir).customer.createOrReplaceTempView("customer_v")
+    Tables(s, dir).orders.createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT c.c_custkey, c.c_name,
+             EXISTS (SELECT 1 FROM orders_v o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 300000) AS has_big_order
+      FROM customer_v c
+      WHERE EXISTS (SELECT 1 FROM orders_v o
+                    WHERE o.o_custkey = c.c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders_v o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F'
+                          AND o.o_totalprice < 1000)
+      ORDER BY c.c_custkey
+    """)
+  }
+
   val queries: Map[String, Q] = Map(
     "info01_table_counts" -> tableCounts,
     "metrics01_doc" -> metricsDoc,
     "mm01_media_meta" -> mediaMeta,
-    "mm03_decode_stats" -> decodeStats
+    "mm03_decode_stats" -> decodeStats,
+    "q53_sql_exists" -> sqlExists
   )
 
   val oracle: Map[String, String] = Map(
@@ -166,6 +192,19 @@ object MiscQueries {
         |      i -> CAST(('0x' || substring(hx, i*2 + 1, 2)) AS BIGINT)),
         |    'sum'), 0) AS BIGINT) AS checksum,
         |  CAST((n_bytes + 255) // 256 AS INT) AS n_frames
-        |FROM h ORDER BY media_id""".stripMargin
+        |FROM h ORDER BY media_id""".stripMargin,
+    "q53_sql_exists" ->
+      """SELECT c.c_custkey, c.c_name,
+        |       EXISTS (SELECT 1 FROM orders o
+        |               WHERE o.o_custkey = c.c_custkey
+        |                 AND o.o_totalprice > 300000) AS has_big_order
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F'
+        |                    AND o.o_totalprice < 1000)
+        |ORDER BY c.c_custkey""".stripMargin
   )
 }
