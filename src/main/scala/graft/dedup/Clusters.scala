@@ -39,8 +39,15 @@ object Clusters {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = nodes
-      .select(col("id"), col("id").as("lbl"))
+    // propagate only over edge-incident nodes: components exist only
+    // on the edge graph, and dup pairs are a sliver of the corpus —
+    // looping over every document's label would shuffle the whole
+    // corpus each round for rows that can never change. Singletons
+    // rejoin as their own cluster at the end.
+    var labels = sym
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("lbl", col("id"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
@@ -63,6 +70,9 @@ object Clusters {
       labels = next
       iter += 1
     }
-    labels.select(col("id"), col("lbl").as("cluster_id"))
+    nodes
+      .select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
 }

@@ -82,7 +82,9 @@ object SimilarityQueries {
     * an IVF/LSH index (which buckets to probe). */
   private val lshBucketStats: Q = (s, dir) =>
     Tables(s, dir).embeddings
-      .groupBy(Similarity.lshBucket(col("embedding"), PLANES, DIMS).as("bucket"))
+      .groupBy(
+        Similarity.lshBucketFused(s, col("embedding"), PLANES, DIMS).as("bucket")
+      )
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("bucket")
 

@@ -87,6 +87,11 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id over `nPlanes` sign bits.
     * `dims` must match the embedding dimensionality.
+    *
+    * Composed higher-order-function form — interpreted per plane, so
+    * the serving queries use [[lshBucketFused]] (one generated loop,
+    * bit-identical: HyperplaneBandsSpec) and this stays as the
+    * readable semantic reference the parity spec checks against.
     */
   def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column =
     (0 until nPlanes)
@@ -105,6 +110,18 @@ object Similarity {
       }
       .reduce(_ + _)
 
+  /** Fused codegen form of [[lshBucket]]: table 0 of the multi-table
+    * `HyperplaneBands` expression (same global plane indices 0..n-1,
+    * same sequential projection sums — value-identical).
+    */
+  def lshBucketFused(
+      spark: org.apache.spark.sql.SparkSession,
+      vec: Column,
+      nPlanes: Int,
+      dims: Int
+  ): Column =
+    element_at(graft.plans.HyperplaneBands(spark, vec, 1, nPlanes, dims), 1)
+
   /** LSH-bucketed ANN: candidates share a bucket; exact cosine rank
     * within the candidate set. Misses cross-bucket neighbors —
     * that is the approximation trade.
@@ -118,11 +135,12 @@ object Similarity {
       nPlanes: Int = 8,
       dims: Int = 64
   ): DataFrame = {
+    val spark = corpus.sparkSession
     val withBucket =
-      corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dims))
+      corpus.withColumn("bucket", lshBucketFused(spark, col(vecCol), nPlanes, dims))
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-      .withColumn("bucket", lshBucket(col("query_vec"), nPlanes, dims))
+      .withColumn("bucket", lshBucketFused(spark, col("query_vec"), nPlanes, dims))
     val scored = withBucket
       .join(broadcast(q), Seq("bucket"))
       .filter(col(idCol) =!= col("query_id"))
