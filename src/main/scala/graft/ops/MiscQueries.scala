@@ -138,12 +138,40 @@ object MiscQueries {
     """)
   }
 
+  /** Deterministic train/eval split by portable hash — the
+    * reproducible-sampling primitive a training pipeline needs
+    * instead of `sample()` (whose RNG is partition-order dependent
+    * and not reproducible across engines or re-partitions): split =
+    * hash(id) mod 100 against a 90/10 cut. Per-(source, split)
+    * counts + token mass verify the assignment end-to-end. Map-side
+    * assignment, one aggregation shuffle.
+    */
+  private val hashSplit: Q = (s, dir) => {
+    val bucket = pmod(
+      graft.functions.PortableHash.h32(col("doc_id").cast("string")),
+      lit(100L)
+    )
+    Tables(s, dir).documents
+      .select(
+        col("source"),
+        when(bucket < 90, lit("train")).otherwise(lit("eval")).as("split"),
+        col("text")
+      )
+      .groupBy(col("source"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens")
+      )
+      .orderBy("source", "split")
+  }
+
   val queries: Map[String, Q] = Map(
     "info01_table_counts" -> tableCounts,
     "metrics01_doc" -> metricsDoc,
     "mm01_media_meta" -> mediaMeta,
     "mm03_decode_stats" -> decodeStats,
-    "q53_sql_exists" -> sqlExists
+    "q53_sql_exists" -> sqlExists,
+    "q54_hash_split" -> hashSplit
   )
 
   val oracle: Map[String, String] = Map(
@@ -205,6 +233,16 @@ object MiscQueries {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderstatus = 'F'
         |                    AND o.o_totalprice < 1000)
-        |ORDER BY c.c_custkey""".stripMargin
+        |ORDER BY c.c_custkey""".stripMargin,
+    "q54_hash_split" -> {
+      val bucketSql =
+        s"${graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")} % 100"
+      s"""SELECT source,
+         |  CASE WHEN $bucketSql < 90 THEN 'train' ELSE 'eval' END AS split,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         |    AS n_tokens
+         |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+    }
   )
 }
