@@ -70,6 +70,16 @@ object Clusters {
       labels = next
       iter += 1
     }
+    // fail loudly rather than return non-component-min labels: a
+    // component with diameter > maxIters (long chains — use
+    // star-contraction for such graphs) would otherwise silently
+    // yield multiple "canonical" docs per true component
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing); component diameter exceeds " +
+          "maxIters — raise it or use a star-contraction variant"
+      )
     nodes
       .select(col("id"))
       .join(labels, Seq("id"), "left")

@@ -160,7 +160,8 @@ object MiscQueries {
       .groupBy(col("source"), col("split"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens")
+        sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("n_tokens")
       )
       .orderBy("source", "split")
   }

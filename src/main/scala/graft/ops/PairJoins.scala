@@ -64,6 +64,10 @@ object PairJoins {
       idCol: String
   ): DataFrame =
     buckets
+      // equi-join semantics: NULL never matches NULL, but groupBy
+      // would happily pool all NULL-bucket rows (e.g. null-text docs
+      // whose sketch is NULL) into one bucket and emit spurious pairs
+      .filter(bucketCols.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(bucketCols.map(col): _*)
       .agg(collect_list(col(idCol)).as("__ids"))
       .filter(size(col("__ids")) > 1)

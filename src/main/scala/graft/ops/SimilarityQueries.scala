@@ -283,8 +283,12 @@ object SimilarityQueries {
   private val centroids: Q = (s, dir) => {
     val ex = Tables(s, dir).embeddings
       // posexplode_outer: keeps InferFiltersFromGenerate from
-      // duplicating the generator into a pushed size()>0 filter
+      // duplicating the generator into a pushed size()>0 filter; the
+      // dim-not-null filter then drops the one (NULL, NULL) row outer
+      // emits for an empty/null embedding — the oracle's range join
+      // generates no row for such a vector
       .select(col("label"), posexplode_outer(col("embedding")).as(Seq("dim", "x")))
+      .filter(col("dim").isNotNull)
     ex.groupBy(col("label"), col("dim"))
       .agg(
         count(lit(1)).as("n"),

@@ -46,6 +46,13 @@ object HyperplaneBands {
     val w = weights(tables * planes, dims)
     val n = math.min(vec.numElements(), dims)
     val out = new Array[Long](tables)
+    // Empty vector → bucket 0 on every table: the DuckDB mirror's
+    // list_aggregate over an empty list is NULL and its CASE WHEN
+    // NULL >= 0 picks the no-bit branch — an all-bits-set bucket from
+    // `0.0 >= 0.0` here would silently diverge from the gate. Vectors
+    // shorter than `dims` project over their own length (also the
+    // mirror's semantics); the contract is dims == vector length.
+    if (n == 0) return out
     var t = 0
     while (t < tables) {
       var bucket = 0L

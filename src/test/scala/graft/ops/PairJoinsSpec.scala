@@ -31,6 +31,21 @@ class PairJoinsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("bucketedPairs drops NULL bucket keys (equi-join NULL semantics)") {
+    val df = Seq(
+      (1L, Some(7L)),
+      (2L, Some(7L)),
+      (3L, None), // NULL bucket: must never pair, even with other NULLs
+      (4L, None)
+    ).toDF("id", "bx")
+    val got = PairJoins
+      .bucketedPairs(df, Seq("bx"), "id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("property: bucketedPairs == bucket equi-self-join pair set") {
     val genRows = Gen.listOfN(
       80,

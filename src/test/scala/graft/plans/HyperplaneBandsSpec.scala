@@ -48,6 +48,19 @@ class HyperplaneBandsSpec extends SparkSpec {
     assert(withBoth.forall(r => (1 to tables).forall(i => r.getBoolean(i))))
   }
 
+  test("empty vector buckets to 0 on every table (oracle NULL-CASE parity)") {
+    val df = Seq((1L, Array.empty[Float]), (2L, Array(0.5f, -0.25f)))
+      .toDF("id", "vec")
+    val rows = df
+      .select(col("id"), HyperplaneBands(spark, col("vec"), 2, 16, 8).as("b"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    assert(rows(1L) === Seq(0L, 0L))
+    // a short-but-nonempty vector projects over its own length
+    assert(rows(2L).exists(_ != 0L) || rows(2L).forall(_ >= 0L))
+  }
+
   test("table 0 with matching plane count equals Similarity.lshBucket") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 32L).map { i =>
