@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** The library's public API exercised exactly as an adopting user
+  * would call it — compile-checked documentation: every block below
+  * is a copy-pasteable recipe built ONLY from public surface
+  * (`graft.cdc.*`, `graft.dedup.*`, `graft.sim.*`, `graft.plans
+  * .AsOfJoin`, `graft.streaming.*`, `graft.functions.*`).
+  */
+class ApiUsageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CDC: materialize a change log, then merge a late delta") {
+    val log = Seq(
+      ("I", 1L, "a", Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      ("U", 1L, "a2", Timestamp.valueOf("2024-01-01 00:01:00"), 2L),
+      ("I", 2L, "b", Timestamp.valueOf("2024-01-01 00:02:00"), 3L),
+      ("D", 2L, null, Timestamp.valueOf("2024-01-01 00:03:00"), 4L)
+    ).toDF("op", "id", "content", "ts", "seq")
+    val state = cdc.Materializer.materialize(log)
+    assert(
+      state.select("id", "content").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((1L, "a2"))
+    )
+  }
+
+  test("CDC: batch key assignment issues a dense DB-sequence range") {
+    val existing = Seq((1L, "x"), (7L, "y")).toDF("id", "content")
+    val inserts = Seq(
+      ("n1", Timestamp.valueOf("2024-01-01 00:00:02"), 2L),
+      ("n0", Timestamp.valueOf("2024-01-01 00:00:01"), 1L)
+    ).toDF("content", "ts", "seq")
+    val assigned = cdc.Materializer.assignIds(inserts, existing)
+    assert(
+      assigned.select("id", "content").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        === Set((8L, "n0"), (9L, "n1"))
+    )
+  }
+
+  test("joins: as-of with tolerance, inner semantics") {
+    val trades = Seq((1L, 100L, "t1"), (1L, 205L, "t2")).toDF("k", "t", "trade")
+    val quotes = Seq((1L, 95L, 9.5), (1L, 199L, 9.9)).toDF("qk", "qt", "px")
+    val matched = plans.AsOfJoin
+      .joinAsOf(trades, quotes, Seq("k"), Seq("qk"), "t", "qt",
+        tolerance = Some(6L), inner = true)
+      .select("trade", "px")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .toSet
+    // t1@100 has no quote within 6 ticks (95 is 5 back — within!);
+    // t2@205 matches 199 (6 back, inclusive)
+    assert(matched === Set(("t1", 9.5), ("t2", 9.9)))
+  }
+
+  test("similarity: brute-force cosine top-k over an embedding column") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val top = sim.Similarity
+      .bruteForceTopK(corpus, corpus.filter($"vec_id" === 0L), "vec_id", "embedding", 1)
+      .select("neighbor_id")
+      .collect()
+      .map(_.getLong(0))
+    assert(top.toSeq === Seq(1L))
+  }
+
+  test("dedup: LSH candidates -> Jaccard verify -> clusters -> canonical keep list") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "an entirely different document about query engines")
+    ).toDF("doc_id", "text")
+    val pairs = dedup.Dedup.lshCandidatePairs(docs, "doc_id", "text")
+    val clusters = dedup.Clusters
+      .connectedComponents(docs.select($"doc_id".as("id")), pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("text: quality scoring and reproducible train/eval split") {
+    val docs = Seq((1L, "a solid sentence with several plain words"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val withSplit = docs.select(
+      $"doc_id",
+      functions.TextFunctions.tokenCount($"text").as("n_tokens"),
+      when(
+        pmod(functions.PortableHash.h32($"doc_id".cast("string")), lit(100L)) < 90,
+        lit("train")
+      ).otherwise(lit("eval")).as("split")
+    )
+    val rows = withSplit.collect()
+    assert(rows.length === 2 && rows.forall(r => Set("train", "eval")(r.getString(2))))
+  }
+
+  test("property: assignIds is dense and gapless across chained batches") {
+    val genBatchSizes = Gen.listOfN(3, Gen.choose(0, 8))
+    val prop = Prop.forAll(genBatchSizes, Gen.choose(0L, 50L)) { (sizes, base) =>
+      var state = (1L to base).map(i => (i, s"seed$i")).toDF("id", "content")
+      var next = base
+      sizes.zipWithIndex.foreach { case (n, b) =>
+        val batch = (0 until n)
+          .map(i => (s"b$b-$i", Timestamp.valueOf(f"2024-01-01 00:0$b:${i}%02d"), i.toLong))
+          .toDF("content", "ts", "seq")
+        val assigned = cdc.Materializer.assignIds(batch, state)
+        state = state.unionByName(assigned.select("id", "content"))
+        next += n
+      }
+      val ids = state.select("id").collect().map(_.getLong(0)).sorted
+      ids.sameElements(1L to next)
+    }
+    val res =
+      SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
