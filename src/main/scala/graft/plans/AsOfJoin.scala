@@ -120,7 +120,19 @@ case class AsOfJoinExec(
     (rightKeys :+ rightTime).map(SortOrder(_, Ascending))
   )
 
-  override def outputPartitioning: Partitioning = left.outputPartitioning
+  /** Inner mode preserves BOTH children's hash partitionings (every
+    * output row carries real key values from each side), so a
+    * downstream join/agg keyed on either side's columns skips its
+    * Exchange — the SortMergeJoinExec discipline. The default
+    * (left-outer-like) mode claims only the left: null-padded right
+    * keys on unmatched rows would violate the right partitioning.
+    */
+  override def outputPartitioning: Partitioning =
+    if (inner)
+      new org.apache.spark.sql.catalyst.plans.physical.PartitioningCollection(
+        Seq(left.outputPartitioning, right.outputPartitioning)
+      )
+    else left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
 

@@ -184,6 +184,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(messages(e).exists(_.toLowerCase.contains("null")))
   }
 
+  test("inner as-of preserves right-side partitioning: no re-shuffle for a right-key agg") {
+    val left = spark
+      .range(100)
+      .select(col("id").as("k"), (col("id") % 10).as("t"))
+    val right = spark
+      .range(50)
+      .select(col("id").as("rk"), (col("id") % 7).as("rt"))
+    val agg = AsOfJoin
+      .joinAsOf(left, right, Seq("k"), Seq("rk"), "t", "rt", inner = true)
+      .groupBy(col("rk"))
+      .count()
+    val plan = agg.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    // two shuffles co-partition the join inputs; the right-key agg
+    // must reuse the join's PartitioningCollection, not add a third
+    assert(exchanges === 2, s"expected 2 exchanges, plan:\n$plan")
+    // inner semantics: left rows survive iff a same-key right row has
+    // rt <= t — i.e. k < 50 (right keys stop at 49) and k%7 <= k%10
+    val expected = (0 until 100).count(k => k < 50 && k % 7 <= k % 10)
+    assert(agg.collect().map(_.getLong(1)).sum === expected.toLong)
+  }
+
   test("empty right side yields all-null right columns") {
     val left = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
     val right = Seq.empty[(Long, Long)].toDF("rk", "rt")
