@@ -93,10 +93,11 @@ object Bench {
     } catch { case _: Throwable => () }
     // The driver captures a bounded output tail (~2.9 KB budget): if
     // the 3-decimal line outgrows it as queries accumulate, degrade
-    // per-query precision to 2 decimals rather than risk a truncated
-    // (unparseable) line.
-    def line(perQuery: Seq[(String, Double)] => String) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"queries":${perQuery(warm)},"sf":"$sfDir"}"""
+    // per-query precision to 2 decimals; if even that exceeds the
+    // budget, drop the per-query map entirely — a parseable headline
+    // (total + failures) beats a silently-truncated unparseable line.
+    def line(perQuery: String) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"queries":$perQuery,"sf":"$sfDir"}"""
     def js2(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) =>
         val s =
@@ -104,7 +105,12 @@ object Bench {
           else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
         "\"" + k + "\":" + s
       }.mkString("{", ",", "}")
-    val out = if (line(js).length <= 2600) line(js) else line(js2)
+    val full = line(js(warm))
+    val compact = line(js2(warm))
+    val out =
+      if (full.length <= 2600) full
+      else if (compact.length <= 2850) compact
+      else line("{}")
     println(out)
     spark.stop()
   }

@@ -112,7 +112,11 @@ object Similarity {
 
   /** Fused codegen form of [[lshBucket]]: table 0 of the multi-table
     * `HyperplaneBands` expression (same global plane indices 0..n-1,
-    * same sequential projection sums — value-identical).
+    * same sequential projection sums — value-identical). A NULL
+    * vector is pinned to bucket 0: the composed form's per-plane
+    * `when(NULL >= 0.0, bit).otherwise(0)` and the DuckDB mirror's
+    * CASE both yield 0, while the null-intolerant fused expression
+    * would null-propagate — coalesce keeps the three in lockstep.
     */
   def lshBucketFused(
       spark: org.apache.spark.sql.SparkSession,
@@ -120,7 +124,10 @@ object Similarity {
       nPlanes: Int,
       dims: Int
   ): Column =
-    element_at(graft.plans.HyperplaneBands(spark, vec, 1, nPlanes, dims), 1)
+    coalesce(
+      element_at(graft.plans.HyperplaneBands(spark, vec, 1, nPlanes, dims), 1),
+      lit(0L)
+    )
 
   /** LSH-bucketed ANN: candidates share a bucket; exact cosine rank
     * within the candidate set. Misses cross-bucket neighbors —

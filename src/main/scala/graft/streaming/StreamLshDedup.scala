@@ -51,6 +51,15 @@ object StreamLshDedup {
           graft.plans.MinHashBands(spark, col(textCol), k, bands)
         ).as(Seq("band", "band_sig"))
       )
+      // a null text (sketch NULL → outer-explode emits a null band
+      // row) or null id must not kill the stream: the non-nullable
+      // BucketRow encoder would fail the query permanently on one bad
+      // record — and NULL buckets must never pair anyway (the same
+      // equi-join NULL semantics PairJoins.bucketedPairs enforces)
+      .filter(
+        col("band").isNotNull && col("band_sig").isNotNull &&
+          col("doc_id").isNotNull
+      )
       .select(col("band"), col("band_sig"), col("doc_id"))
       .as[BucketRow]
     ex.groupByKey(r => (r.band, r.band_sig))

@@ -51,7 +51,7 @@ class ApiUsageSpec extends SparkSpec {
       .collect()
       .map(r => (r.getString(0), r.getDouble(1)))
       .toSet
-    // t1@100 has no quote within 6 ticks (95 is 5 back — within!);
+    // t1@100 matches 95 (5 back, within the 6-tick tolerance);
     // t2@205 matches 199 (6 back, inclusive)
     assert(matched === Set(("t1", 9.5), ("t2", 9.9)))
   }

@@ -57,8 +57,19 @@ class HyperplaneBandsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Long](1))
       .toMap
     assert(rows(1L) === Seq(0L, 0L))
-    // a short-but-nonempty vector projects over its own length
-    assert(rows(2L).exists(_ != 0L) || rows(2L).forall(_ >= 0L))
+    // a short-but-nonempty vector projects over its own length: the
+    // fused form (dims=8, 2-element vec) must equal the composed form
+    // restricted to 2 dims — same weights 0..1, same partial sums
+    val short = df
+      .filter(col("id") === 2L)
+      .select(
+        (0 until 2).map(t =>
+          (HyperplaneBands(spark, col("vec"), 2, 16, 8).getItem(t) ===
+            composedBucket(col("vec"), t, 16, 2)).as(s"eq$t")
+        ): _*
+      )
+      .collect()
+    assert(short.forall(r => (0 until 2).forall(i => r.getBoolean(i))))
   }
 
   test("table 0 with matching plane count equals Similarity.lshBucket") {

@@ -6,6 +6,22 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 class StreamLshDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("a null-text record neither kills the stream nor pairs with other nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamLshDedup
+      .candidates(in.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("lsh_dedup_null_test")
+      .start()
+    in.addData((1L, "some real document"), (2L, null), (3L, null))
+    q.processAllAvailable() // must not throw
+    q.stop()
+    assert(spark.table("lsh_dedup_null_test").count() === 0)
+  }
+
   test("arriving duplicates are flagged against all prior ingests; pairs never repeat") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
