@@ -14,15 +14,16 @@ import org.apache.spark.sql.functions._
   * the result is oracle-comparable against a recursive-CTE
   * reachability mirror.
   *
-  * Scale posture: each round is two dense-key shuffles (neighbor-min
-  * groupBy + label join); rounds needed = component diameter. Dup
-  * clusters are band-overlap cliques with tiny diameters (2-4), so
-  * the loop converges in a handful of rounds — for general graphs
-  * with long chains use the large-star/small-star contraction
-  * (O(log n) rounds) instead. Lineage is cut per round with an eager
-  * `localCheckpoint` (iterative self-joins otherwise stack an
-  * exponential plan); the convergence probe is one scalar count per
-  * round, never a per-row driver loop.
+  * Scale posture: each round is three dense-key shuffles
+  * (neighbor-min groupBy + label join + pointer-jump join), and the
+  * pointer-jump halves every node's remaining distance to its
+  * component min, so rounds needed = O(log diameter) — long chains
+  * converge in ~log₂(n) rounds, dup-cluster cliques in 1-2. The loop
+  * runs only over edge-incident nodes (singletons rejoin at the
+  * end). Lineage is cut per round with an eager `localCheckpoint`
+  * (iterative self-joins otherwise stack an exponential plan); the
+  * convergence probe is one scalar count per round, never a per-row
+  * driver loop; non-convergence at maxIters throws.
   */
 object Clusters {
 
@@ -56,12 +57,25 @@ object Clusters {
         .join(labels.select(col("id").as("src"), col("lbl")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("lbl")).as("nlbl"))
-      val next = labels
+      val stepped = labels
         .join(neighborMin, Seq("id"), "left")
         .select(
           col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")
         )
+      // pointer jumping: replace each label by ITS label (labels are
+      // node ids, so they resolve in the same table) — halves the
+      // remaining distance to the component min every round, making
+      // convergence O(log diameter) instead of O(diameter); a label's
+      // label is never larger (min-monotone), so correctness is
+      // unchanged and the union-find property spec pins it
+      val next = stepped
+        .join(
+          stepped.select(col("id").as("l_id"), col("lbl").as("l_lbl")),
+          col("lbl") === col("l_id"),
+          "left"
+        )
+        .select(col("id"), coalesce(col("l_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
       changed = next
         .join(labels.select(col("id"), col("lbl").as("old")), "id")

@@ -20,6 +20,20 @@ class ClustersSpec extends SparkSpec {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
+  test("pointer jumping: a 40-node chain converges within ~log2(n) rounds") {
+    // plain min-propagation needs diameter (39) rounds and would hit
+    // the cap; the jump halves remaining distance every round
+    val nodes = (0L until 40L).toDF("id")
+    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Clusters
+      .connectedComponents(nodes, edges, maxIters = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(got.values.toSet === Set(0L))
+    assert(got.keySet === (0L until 40L).toSet)
+  }
+
   test("property: label propagation equals union-find components") {
     val n = 30
     val genEdges = Gen.listOfN(
