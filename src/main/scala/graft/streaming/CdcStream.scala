@@ -42,8 +42,12 @@ object CdcStream {
       .foreachBatch { (batch: Dataset[ChangeEvent], _: Long) =>
         // reduce the batch to its per-key winners, then merge into state
         val merged = Materializer.merge(handle.state, batch.toDF())
-        // materialize eagerly so the handle is stable across batches
+        // materialize eagerly so the handle is stable across batches,
+        // then release the superseded state's checkpoint blocks — a
+        // long-running stream otherwise strands one block set per batch
+        val prev = handle.state
         handle.state = merged.localCheckpoint(true)
+        org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(prev)
         ()
       }
       .start()

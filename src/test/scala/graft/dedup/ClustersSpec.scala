@@ -34,6 +34,25 @@ class ClustersSpec extends SparkSpec {
     assert(got.keySet === (0L until 40L).toSet)
   }
 
+  test("checkpoint blocks are released: at most one persisted RDD survives a call") {
+    // the iterative loop localCheckpoints sym + one table per round;
+    // all but the FINAL label table (which the returned DataFrame
+    // reads lazily) must be unpersisted before return — a bench
+    // session running this 4× otherwise strands ~10 block sets per
+    // execution in storage memory (round-3 verdict item 3)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val nodes = (0L until 64L).toDF("id")
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Clusters.connectedComponents(nodes, edges, maxIters = 10)
+    assert(out.count() === 64L)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(
+      leaked.size <= 1,
+      s"expected <=1 surviving checkpoint (final labels), got ${leaked.size}"
+    )
+  }
+
   test("property: label propagation equals union-find components") {
     val n = 30
     val genEdges = Gen.listOfN(
