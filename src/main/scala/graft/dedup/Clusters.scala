@@ -110,4 +110,89 @@ object Clusters {
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the variant for adversarial graphs whose diameter
+    * exceeds what per-round propagation can cover: each round
+    * rewrites the EDGE set itself toward a star per component rooted
+    * at the component min, converging in O(log n) rounds regardless
+    * of diameter.
+    *
+    *  - large-star (per node u over the symmetric view): connect every
+    *    neighbor v > u to m = min(Γ(u) ∪ {u});
+    *  - small-star (per node u over hi→lo directed edges): connect
+    *    every smaller neighbor and u itself to m = min(Γ⁻(u) ∪ {u}).
+    *
+    * Both steps are groupBy-min + equi-join shuffles on node ids —
+    * no quadratic expansion; the edge set only contracts toward
+    * stars. Convergence is an EXACT set-equality probe (distinct
+    * union count vs both counts), not a checksum, so a hash collision
+    * can never declare a wrong fixpoint; at the fixpoint every edge
+    * is (node, component-min). Same checkpoint/unpersist discipline
+    * as the propagation variant. Output contract is identical, so the
+    * two variants property-check each other (ClustersSpec).
+    */
+  def connectedComponentsStars(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIters: Int = 50
+  ): DataFrame = {
+    var e = edges
+      .select(
+        greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v")
+      )
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var eCount = e.count()
+    var converged = eCount == 0L
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // large-star over the symmetric neighbor view: emits (v, m) for
+      // every neighbor v > u; v > u >= m keeps the hi→lo direction
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val largeMins = sym
+        .groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym
+        .join(largeMins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star on the directed result: every strictly-smaller
+      // neighbor and u itself re-point to the local min m < u
+      val smallMins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large
+        .join(smallMins, "u")
+        .select(col("v").as("n"), col("m"))
+        .filter(col("n") =!= col("m"))
+        .unionByName(smallMins.select(col("u").as("n"), col("m")))
+        .distinct()
+        .select(col("n").as("u"), col("m").as("v"))
+        .localCheckpoint(true)
+      val smallCount = small.count()
+      val unionCount = small.unionByName(e).distinct().count()
+      converged = smallCount == eCount && unionCount == eCount
+      graftshim.GraftSqlShims.unpersistCheckpoint(e)
+      e = small
+      eCount = smallCount
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStars did not converge in $maxIters rounds"
+      )
+    val labels = e
+      .select(col("u").as("id"), col("v").as("lbl"))
+      .unionByName(e.select(col("v").as("id"), col("v").as("lbl")))
+      .distinct()
+    nodes
+      .select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
+  }
 }

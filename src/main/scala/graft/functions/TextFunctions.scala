@@ -17,22 +17,41 @@ object TextFunctions {
   /** Whitespace tokenization of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  // The `*Of` forms take an ALREADY-TOKENIZED array column: queries
+  // that derive several stats from the same text must stage
+  // `tokens(text)` as one projection column and feed it here — the
+  // text-taking forms below re-tokenize per call, which multiplies the
+  // split work by the number of derived stats (the round-1
+  // HOF-inlining lesson, applied to the text family in round 4).
 
-  def uniqueTokenCount(text: Column): Column =
-    size(array_distinct(tokens(text)))
+  def tokenCountOf(toks: Column): Column = size(toks)
+
+  def uniqueTokenCountOf(toks: Column): Column =
+    size(array_distinct(toks))
 
   /** Total characters across tokens (exact integer aggregate). BIGINT
     * on both engines: DuckDB's list_aggregate 'sum' yields HUGEINT,
     * which pandas renders as float64 — both sides pin to long so the
     * gate hashes `13`, not `13.0` (see oracle text01).
     */
-  def tokenCharCount(text: Column): Column =
+  def tokenCharCountOf(toks: Column): Column =
     aggregate(
-      transform(tokens(text), t => length(t)),
+      transform(toks, t => length(t)),
       lit(0),
       (acc, x) => acc + x
     ).cast("long")
+
+  /** Count of tokens found in `words`. */
+  def stopwordCountOf(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  def tokenCount(text: Column): Column = tokenCountOf(tokens(text))
+
+  def uniqueTokenCount(text: Column): Column =
+    uniqueTokenCountOf(tokens(text))
+
+  def tokenCharCount(text: Column): Column =
+    tokenCharCountOf(tokens(text))
 
   /** Mean token length as double (exact int sum / count). */
   def avgTokenLen(text: Column): Column =
@@ -42,9 +61,8 @@ object TextFunctions {
   def typeTokenRatio(text: Column): Column =
     uniqueTokenCount(text).cast("double") / tokenCount(text)
 
-  /** Count of tokens found in `words`. */
   def stopwordCount(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+    stopwordCountOf(tokens(text), words)
 
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
@@ -57,35 +75,68 @@ object TextFunctions {
     "es" -> Seq("el", "los", "las", "y", "que", "una")
   )
 
-  /** Heuristic language ID: CJK-character presence short-circuits to
-    * zh; otherwise the stopword profile with the most hits wins
-    * (deterministic tie order en > fr > de > es); no hits ⇒ unknown.
+  /** CJK character count (zh evidence for [[langId]]). */
+  def cjkCharCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[一-鿿]", ""))
+
+  /** Language-ID decision tree over precomputed evidence columns
+    * (CJK char count + per-language stopword hits): CJK presence
+    * short-circuits to zh; otherwise the profile with the most hits
+    * wins (deterministic tie order en > fr > de > es); no hits ⇒
+    * unknown. Take the counts from staged columns — inlining five
+    * count expressions into one CASE re-tokenizes per branch.
     */
-  def langId(text: Column): Column = {
-    val cjk = length(text) - length(regexp_replace(text, "[一-鿿]", ""))
-    val s = stopwords.map { case (l, w) => l -> stopwordCount(text, w) }
+  def langIdFromCounts(
+      cjk: Column,
+      en: Column,
+      fr: Column,
+      de: Column,
+      es: Column
+  ): Column =
     when(cjk > 0, lit("zh"))
-      .when(
-        s("en") >= s("fr") && s("en") >= s("de") && s("en") >= s("es") && s("en") > 0,
-        lit("en")
-      )
-      .when(s("fr") >= s("de") && s("fr") >= s("es") && s("fr") > 0, lit("fr"))
-      .when(s("de") >= s("es") && s("de") > 0, lit("de"))
-      .when(s("es") > 0, lit("es"))
+      .when(en >= fr && en >= de && en >= es && en > 0, lit("en"))
+      .when(fr >= de && fr >= es && fr > 0, lit("fr"))
+      .when(de >= es && de > 0, lit("de"))
+      .when(es > 0, lit("es"))
       .otherwise(lit("unknown"))
+
+  /** Heuristic language ID from raw text (convenience form). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    langIdFromCounts(
+      cjkCharCount(text),
+      stopwordCountOf(toks, stopwords("en")),
+      stopwordCountOf(toks, stopwords("fr")),
+      stopwordCountOf(toks, stopwords("de")),
+      stopwordCountOf(toks, stopwords("es"))
+    )
   }
 
-  /** Composite quality score in [0,1]: length saturation, stopword
-    * density, lexical diversity. Deterministic double arithmetic.
+  /** Composite quality score in [0,1] from precomputed counts: length
+    * saturation, stopword density, lexical diversity. Deterministic
+    * double arithmetic (term order fixed — the oracle mirrors it).
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val stopRatio =
-      stopwordCount(text, stopwords("en")).cast("double") / nTok
-    val lengthTerm = least(lit(1.0), nTok / 50.0)
-    val diversity = typeTokenRatio(text)
+  def qualityScoreFromCounts(
+      nTok: Column,
+      nStop: Column,
+      nUniq: Column
+  ): Column = {
+    val nTokD = nTok.cast("double")
+    val lengthTerm = least(lit(1.0), nTokD / 50.0)
+    val stopRatio = nStop.cast("double") / nTokD
+    val diversity = nUniq.cast("double") / nTokD
     lit(0.4) * lengthTerm + lit(0.3) * least(lit(1.0), stopRatio * 5.0) +
       lit(0.3) * diversity
+  }
+
+  /** Composite quality score from raw text (convenience form). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    qualityScoreFromCounts(
+      tokenCountOf(toks),
+      stopwordCountOf(toks, stopwords("en")),
+      uniqueTokenCountOf(toks)
+    )
   }
 
   /** Whitespace-normalized lowercase form (dedup canonicalization). */

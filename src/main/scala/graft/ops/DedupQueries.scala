@@ -134,6 +134,24 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** dedup06's pipeline with the star-contraction component finder —
+    * the diameter-independent variant (adversarial long-chain graphs
+    * where label propagation's round count would blow past its cap).
+    * Same contract, same oracle.
+    */
+  private val clustersStars: Q = (s, dir) => {
+    val edges = minhashVerified(s, dir).filter(col("jac") >= 0.5)
+    val nodes = docs(s, dir).select(col("doc_id").as("id"))
+    graft.dedup.Clusters
+      .connectedComponentsStars(nodes, edges.select("id_a", "id_b"))
+      .select(
+        col("id").as("doc_id"),
+        col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_canonical")
+      )
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup with Hamming-band candidate generation — the
     * corpus-scale form (dedup05 keeps the id-window as a verify
     * primitive): the 32-bit sketch splits into 4×8-bit band keys, docs
@@ -183,7 +201,8 @@ object DedupQueries {
     "dedup04_minhash_lsh" -> minhashLsh,
     "dedup05_simhash" -> simhashPairs,
     "dedup06_clusters" -> clusters,
-    "dedup07_simhash_bands" -> simhashBandPairs
+    "dedup07_simhash_bands" -> simhashBandPairs,
+    "dedup08_clusters_stars" -> clustersStars
   )
 
   // ---------------- DuckDB mirrors ----------------
@@ -301,8 +320,14 @@ object DedupQueries {
          |ORDER BY id_a, id_b""".stripMargin,
     // components via recursive reachability: reach(id) accumulates the
     // labels of every node that can reach id; MIN over them is the
-    // component-min — same fixpoint the label propagation computes
-    "dedup06_clusters" ->
+    // component-min — same fixpoint the label propagation computes.
+    // dedup08 runs the star-contraction finder over the same edges and
+    // must land on the same fixpoint, so it shares the oracle.
+    "dedup06_clusters" -> clustersOracle,
+    "dedup08_clusters_stars" -> clustersOracle
+  )
+
+  private lazy val clustersOracle: String =
       s"""WITH RECURSIVE $prepCte,
          |sig AS (SELECT doc_id, sh, $sigSql AS sig FROM shh),
          |band AS (SELECT doc_id, r.b AS band, bands[r.b + 1] AS band_sig
@@ -327,7 +352,6 @@ object DedupQueries {
          |SELECT id AS doc_id, MIN(lbl) AS cluster_id,
          |  (MIN(lbl) = id) AS is_canonical
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
-  )
 }
 
 /** Shared SQL fragments (single source of truth for mirrors). */

@@ -25,32 +25,73 @@ object TextQueries {
   private val cjkSql =
     "len(text) - len(regexp_replace(text, '[一-鿿]', '', 'g'))"
 
+  // text01-03 stage `tokens(text)` as ONE projection column and every
+  // derived stat reads the staged array: higher-order/array functions
+  // are interpreted, and an inlined `tokens(text)` subtree would be
+  // re-evaluated once per stat (CollapseProject keeps a
+  // multiply-referenced non-cheap alias staged — plan-asserted in
+  // TextQueriesPlanSpec: exactly one split per query).
+
   private val tokenStats: Q = (s, dir) =>
     Tables(s, dir).documents
+      .withColumn("__toks", tokens(col("text")))
       .select(
         col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        uniqueTokenCount(col("text")).as("n_uniq"),
-        tokenCharCount(col("text")).as("n_tok_chars"),
-        avgTokenLen(col("text")).as("avg_tok_len"),
-        typeTokenRatio(col("text")).as("ttr")
+        tokenCountOf(col("__toks")).as("n_tokens"),
+        uniqueTokenCountOf(col("__toks")).as("n_uniq"),
+        tokenCharCountOf(col("__toks")).as("n_tok_chars")
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_uniq"),
+        col("n_tok_chars"),
+        (col("n_tok_chars").cast("double") / col("n_tokens")).as("avg_tok_len"),
+        (col("n_uniq").cast("double") / col("n_tokens")).as("ttr")
       )
       .orderBy("doc_id")
 
   private val quality: Q = (s, dir) =>
     Tables(s, dir).documents
+      .withColumn("__toks", tokens(col("text")))
       .select(
         col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
+        tokenCountOf(col("__toks")).as("n_tokens"),
         punctCount(col("text")).as("n_punct"),
-        stopwordCount(col("text"), stopwords("en")).as("n_stop"),
-        qualityScore(col("text")).as("quality")
+        stopwordCountOf(col("__toks"), stopwords("en")).as("n_stop"),
+        uniqueTokenCountOf(col("__toks")).as("__n_uniq")
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_punct"),
+        col("n_stop"),
+        qualityScoreFromCounts(col("n_tokens"), col("n_stop"), col("__n_uniq"))
+          .as("quality")
       )
       .orderBy("doc_id")
 
   private val langid: Q = (s, dir) =>
     Tables(s, dir).documents
-      .groupBy(col("lang"), langId(col("text")).as("pred_lang"))
+      .withColumn("__toks", tokens(col("text")))
+      .select(
+        col("lang"),
+        cjkCharCount(col("text")).as("__cjk"),
+        stopwordCountOf(col("__toks"), stopwords("en")).as("__en"),
+        stopwordCountOf(col("__toks"), stopwords("fr")).as("__fr"),
+        stopwordCountOf(col("__toks"), stopwords("de")).as("__de"),
+        stopwordCountOf(col("__toks"), stopwords("es")).as("__es")
+      )
+      .groupBy(
+        col("lang"),
+        langIdFromCounts(
+          col("__cjk"),
+          col("__en"),
+          col("__fr"),
+          col("__de"),
+          col("__es")
+        ).as("pred_lang")
+      )
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
 

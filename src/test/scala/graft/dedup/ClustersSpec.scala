@@ -53,6 +53,51 @@ class ClustersSpec extends SparkSpec {
     )
   }
 
+  test("star contraction: a 10k-node chain converges (diameter-independent)") {
+    // the propagation variant with default maxIters would need
+    // log2-rounds too, but star contraction rewrites the EDGE set —
+    // this pins the O(log n) convergence on the worst-case topology
+    val n = 10000L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Clusters
+      .connectedComponentsStars(nodes, edges, maxIters = 20)
+      .agg(
+        org.apache.spark.sql.functions.countDistinct("cluster_id"),
+        org.apache.spark.sql.functions.count("id"),
+        org.apache.spark.sql.functions.max("cluster_id")
+      )
+      .collect()
+      .head
+    assert(got.getLong(0) === 1L)
+    assert(got.getLong(1) === n)
+    assert(got.getLong(2) === 0L)
+  }
+
+  test("property: star contraction equals union-find components") {
+    val n = 30
+    val genEdges = Gen.listOfN(
+      25,
+      for {
+        a <- Gen.choose(0L, (n - 1).toLong)
+        b <- Gen.choose(0L, (n - 1).toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b))
+    )
+    val prop = Prop.forAll(genEdges) { edges =>
+      val nodes = (0L until n.toLong).toDF("id")
+      val edf = edges.toDF("id_a", "id_b")
+      val got = Clusters
+        .connectedComponentsStars(nodes, edf)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      got == unionFind(n, edges)
+    }
+    val res =
+      SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: label propagation equals union-find components") {
     val n = 30
     val genEdges = Gen.listOfN(

@@ -4,6 +4,18 @@ import graft.SparkSpec
 
 class TextQueriesPlanSpec extends SparkSpec {
 
+  test("text01/02/03 tokenize once: exactly one split per plan") {
+    Seq("text01_token_stats", "text02_quality", "text03_langid").foreach { q =>
+      val physical =
+        TextQueries.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      val n = "split\\(trim\\(".r.findAllIn(physical).size
+      assert(
+        n == 1,
+        s"$q: expected the staged single tokenizer evaluation, got $n:\n$physical"
+      )
+    }
+  }
+
   test("text05 top-k plans as TakeOrderedAndProject, not a global sort") {
     val df = TextQueries.queries("text05_top_tokens")(spark, sfDir)
     val physical = df.queryExecution.executedPlan.toString
