@@ -327,6 +327,22 @@ object DedupQueries {
     "dedup08_clusters_stars" -> clustersOracle
   )
 
+  /** Candidate pairs only (no verify) — the truth for the streaming
+    * ingest replay (stream07), which must accumulate exactly the batch
+    * candidate set.
+    */
+  private[ops] lazy val candidatePairsOracle: String =
+    s"""WITH $prepCte,
+       |sig AS (SELECT doc_id, sh, $sigSql AS sig FROM shh),
+       |band AS (SELECT doc_id, r.b AS band, bands[r.b + 1] AS band_sig
+       |         FROM (SELECT doc_id, $bandsSql AS bands FROM sig) s
+       |         CROSS JOIN range(0, $BANDS) r(b)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM band a JOIN band b
+       |            ON a.band = b.band AND a.band_sig = b.band_sig
+       |           AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin
+
   private lazy val clustersOracle: String =
       s"""WITH RECURSIVE $prepCte,
          |sig AS (SELECT doc_id, sh, $sigSql AS sig FROM shh),

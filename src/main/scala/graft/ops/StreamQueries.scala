@@ -188,7 +188,23 @@ object StreamQueries {
       .orderBy("purchase_event")
   }
 
+  /** Deterministic replay of the foreachBatch MinHash-dedup ingest
+    * (StreamMinhashDedup) in 5 micro-batches: the accumulated pair
+    * stream must equal the one-pass batch candidate set (dedup04's
+    * pairs CTE) — pinning arrival-order independence and exactly-once
+    * pair emission. The live streaming path runs in
+    * StreamMinhashDedupSpec with MemoryStream.
+    */
+  private val minhashIngest: Q = (s, dir) =>
+    graft.streaming.StreamMinhashDedup
+      .replay(
+        Tables(s, dir).documents
+          .repartition(s.sparkContext.defaultParallelism)
+      )
+      .orderBy("id_a", "id_b")
+
   val queries: Map[String, Q] = Map(
+    "stream07_minhash_ingest" -> minhashIngest,
     "stream06_asof_enrich" -> asofEnrich,
     "stream01_tumbling" -> tumbling,
     "stream02_sliding" -> sliding,
@@ -202,6 +218,7 @@ object StreamQueries {
     * hops); make_timestamp keeps the naive-UTC type.
     */
   val oracle: Map[String, String] = Map(
+    "stream07_minhash_ingest" -> DedupQueries.candidatePairsOracle,
     "stream01_tumbling" ->
       s"""SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000)
          |    AS window_start,

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamMinhashDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foreachBatch ingest flags duplicates on arrival; re-sends are idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val (q, handle) = StreamMinhashDedup.dedupQuery(
+      in.toDF().toDF("doc_id", "text"),
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("mh_dedup_ck")
+        .toString
+    )
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val otherText = "completely different content about distributed query engines"
+
+    in.addData((1L, dupText), (2L, otherText))
+    q.processAllAvailable()
+    assert(handle.pairs.count() === 0)
+
+    in.addData((3L, dupText), (4L, null))
+    q.processAllAvailable()
+    val afterB2 = handle.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterB2 === Set((1L, 3L)))
+
+    // another copy pairs with BOTH priors; re-sent doc 3 adds nothing
+    in.addData((5L, dupText), (3L, dupText))
+    q.processAllAvailable()
+    q.stop()
+    val afterB3 = handle.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterB3 === Set((1L, 3L), (1L, 5L), (3L, 5L)))
+  }
+
+  test("replay over micro-batches equals the one-pass batch candidate set") {
+    val docs = graft.Tables(spark, sfDir).documents
+    val streamed = StreamMinhashDedup
+      .replay(docs, splits = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val batch = graft.dedup.Dedup
+      .lshCandidatePairs(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(streamed === batch)
+  }
+
+  test("bucket cap bounds state but over-cap arrivals still flag against kept members") {
+    val state = StreamMinhashDedup.newState(spark, cap = 2)
+    val same = "identical boilerplate text shared by every single document here"
+    val b0 = Seq((1L, same), (2L, same)).toDF("doc_id", "text")
+    StreamMinhashDedup.ingest(state, b0, 0L)
+    // cap reached; a third copy still pairs against the 2 kept members
+    val p1 = StreamMinhashDedup
+      .ingest(state, Seq((3L, same)).toDF("doc_id", "text"), 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(p1 === Set((1L, 3L), (2L, 3L)))
+    // ...but was NOT added: a fourth copy pairs only with the kept 2
+    val p2 = StreamMinhashDedup
+      .ingest(state, Seq((4L, same)).toDF("doc_id", "text"), 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(p2 === Set((1L, 4L), (2L, 4L)))
+    val perBucket = state.bands
+      .groupBy("band", "band_sig")
+      .agg(count(lit(1)).as("n"))
+      .agg(max("n"))
+      .collect()
+      .head
+      .getLong(0)
+    assert(perBucket <= 2L)
+  }
+}
