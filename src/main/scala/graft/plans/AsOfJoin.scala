@@ -45,6 +45,23 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * through analyzer/optimizer untouched (opaque binary node) and the
   * strategy lowers it to [[AsOfJoinExec]].
   *
+  * Under AQE the ENSURE_REQUIREMENTS exchanges on both children are
+  * adaptive-readable: small shuffles coalesce, and coalescing is
+  * validated against the node's ClusteredDistribution so both sides
+  * stay co-partitioned (AsOfJoinAqeSpec pins this plus value parity
+  * with the non-adaptive run). Known limitation: AQE's
+  * `OptimizeSkewedJoin` pattern-matches only SortMergeJoin/
+  * ShuffledHashJoin, so a pathologically hot KEY (one key ≫ one
+  * partition's budget) is NOT auto-split here. Mitigation at scale,
+  * in preference order: (1) pre-reduce the right side to one row per
+  * (key, time) — usually free, it's the deterministic-tie contract
+  * anyway; (2) pre-salt the hot keys on both sides with a
+  * time-range-aligned salt (each salt slice carries the boundary row,
+  * `ops.Salting` shows the two-phase discipline); (3) raise
+  * partition count for the stage. The merge pass itself is O(1)
+  * memory regardless of skew — only shuffle-partition sizing is at
+  * stake, never correctness.
+  *
   * Contract: key and time columns are non-null — `joinAsOf` wraps
   * nullable picked columns in `AssertNotNull`, so a null key/time
   * FAILS the task loudly instead of silently sorting first and
