@@ -164,9 +164,14 @@ object DedupQueries {
     * bands (candidate mass n²/2¹⁶ per band instead of n²/2⁸).
     */
   private val simhashBandPairs: Q = (s, dir) => {
-    // sketch staged as its own projection: 4 band keys + 2 verify
-    // attachments all read the SAME evaluation (CollapseProject keeps
-    // multiply-referenced non-cheap aliases staged)
+    // sketch staged as its own projection and CARRIED through the
+    // candidate path as an 8-byte struct member: the Hamming verify
+    // reads it straight off the pair rows — zero re-attach joins,
+    // one sketch evaluation total (plan-checked in PLANS.md). This
+    // inverts dedup04's choice deliberately: there the verify needs
+    // the full shingle-hash ARRAYS, which would multiply the
+    // band-explode shuffle width ×BANDS, so re-attaching via join
+    // wins; for a fixed-width sketch, carry-through wins.
     val d = docs(s, dir)
       .select(
         col("doc_id"),
@@ -174,21 +179,23 @@ object DedupQueries {
       )
     // posexplode_outer: see minHashSignatureAgg (InferFiltersFromGenerate)
     val bands = d.select(
-      col("doc_id"),
+      struct(col("doc_id"), col("__simhash")).as("m"),
       posexplode_outer(
         array((0 until 4).map(b =>
           shiftright(col("__simhash"), 8 * b).bitwiseAND(lit(255L))
         ): _*)
       ).as(Seq("band", "key"))
     )
+    // struct ordering is field-lexicographic and doc_id leads, so
+    // bucketedPairs' id_a < id_b dedup works unchanged on the structs
     PairJoins
-      .bucketedPairs(bands, Seq("band", "key"), "doc_id")
-      .join(d.select(col("doc_id").as("id_a"), col("__simhash").as("sh_a")), "id_a")
-      .join(d.select(col("doc_id").as("id_b"), col("__simhash").as("sh_b")), "id_b")
+      .bucketedPairs(bands, Seq("band", "key"), "m")
       .select(
-        col("id_a"),
-        col("id_b"),
-        Dedup.hamming(col("sh_a"), col("sh_b")).as("hamming")
+        col("id_a.doc_id").as("id_a"),
+        col("id_b.doc_id").as("id_b"),
+        Dedup
+          .hamming(col("id_a.__simhash"), col("id_b.__simhash"))
+          .as("hamming")
       )
       .filter(col("hamming") <= 8)
       .orderBy("id_a", "id_b")

@@ -134,14 +134,20 @@ object TextQueries {
     */
   private val bpeRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
   private val bpeCount: Q = (s, dir) =>
+    // both regex scans staged once (the ratio re-reads the counted
+    // columns, not the extraction) — same discipline as text01-03
     Tables(s, dir).documents
       .select(
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit(bpeRegex), lit(0)))
           .as("n_bpe"),
-        tokenCount(col("text")).as("n_ws"),
-        (size(regexp_extract_all(col("text"), lit(bpeRegex), lit(0)))
-          .cast("double") / tokenCount(col("text"))).as("bpe_per_ws")
+        tokenCount(col("text")).as("n_ws")
+      )
+      .select(
+        col("doc_id"),
+        col("n_bpe"),
+        col("n_ws"),
+        (col("n_bpe").cast("double") / col("n_ws")).as("bpe_per_ws")
       )
       .orderBy("doc_id")
 
