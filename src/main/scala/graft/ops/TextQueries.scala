@@ -250,7 +250,140 @@ object TextQueries {
       .orderBy(col("exact_n").desc, col("token").asc)
   }
 
+  /** Sequence packing for training: each doc gets the chunk index and
+    * intra-chunk offset of its first token under a fixed token budget
+    * per training sequence (concat-and-chunk planning — the step
+    * between cleaning and tokenizer sharding in an LLM data pipeline).
+    *
+    * chunk_id = floor(prefix / B), offset = prefix mod B, where
+    * prefix = total tokens of all docs BEFORE this one in doc_id
+    * order. A naive `SUM OVER (ORDER BY doc_id)` is a single-reducer
+    * global window; this is the scalable two-level prefix scan with a
+    * VALUE-derived bucket key (doc_id div W — deterministic, unlike
+    * spark_partition_id over sampled range bounds):
+    *   - local running sums window over each W-doc bucket (bounded);
+    *   - bucket totals (tiny) get their own prefix scan;
+    *   - prefix = bucket offset + local running sum, map-side join.
+    * Levels nest for corpora where n/W itself outgrows one partition.
+    * Integer arithmetic throughout — exact on both engines.
+    */
+  private val packBudget = 512L
+  private val packWidth = 64L
+  private val pack: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val withN = Tables(s, dir).documents
+      .withColumn("__toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        tokenCountOf(col("__toks")).cast("long").as("n_tokens")
+      )
+      .withColumn("__bucket", expr(s"doc_id div $packWidth"))
+    val localW = Window
+      .partitionBy(col("__bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketW = Window
+      .orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketTotals = withN
+      .groupBy(col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__btotal"))
+      .withColumn("__boffset", coalesce(sum(col("__btotal")).over(bucketW), lit(0L)))
+      .select(col("__bucket"), col("__boffset"))
+    withN
+      .withColumn("__local", coalesce(sum(col("n_tokens")).over(localW), lit(0L)))
+      .join(broadcast(bucketTotals), "__bucket")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        // `div`: exact integer division (Column./ is double division,
+        // which would round once prefixes pass 2^53 at extreme scale)
+        expr(s"(__boffset + __local) div $packBudget").as("chunk_id"),
+        pmod(col("__boffset") + col("__local"), lit(packBudget)).as("chunk_offset")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** The end-to-end corpus pipeline, as ONE declarative plan: score
+    * quality + language per doc (tokens staged once), keep en docs at
+    * quality ≥ 0.5, drop exact near-copies (canonical = min doc_id per
+    * normalized fingerprint, one shuffle on the fingerprint), then
+    * assign the deterministic hash train/eval split. This is the
+    * composition a training-data pipeline runs nightly; expressing it
+    * as one plan lets Catalyst pipeline the filters into the scan and
+    * share the single tokenizer projection across every consumer.
+    */
+  private val corpusPipeline: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val counted = Tables(s, dir).documents
+      .withColumn("__toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        tokenCountOf(col("__toks")).as("n_tokens"),
+        stopwordCountOf(col("__toks"), stopwords("en")).as("__en"),
+        uniqueTokenCountOf(col("__toks")).as("__nuniq"),
+        cjkCharCount(col("text")).as("__cjk"),
+        stopwordCountOf(col("__toks"), stopwords("fr")).as("__fr"),
+        stopwordCountOf(col("__toks"), stopwords("de")).as("__de"),
+        stopwordCountOf(col("__toks"), stopwords("es")).as("__es"),
+        fingerprintMd5(col("text")).as("__fp"),
+        // pushdown barrier: the quality/language filter below is a
+        // COMPUTED predicate (it could never reach the parquet scan as
+        // a pushed filter), but PushPredicateThroughNonJoin would still
+        // rewrite it below these projections by substituting the
+        // aliases — re-inlining the tokenizer ~20× into the filter
+        // condition (the rule only fires on an all-deterministic
+        // project list). One non-deterministic column blocks it — and
+        // it must stay REFERENCED downstream (the window's no-op
+        // tiebreak below) or ColumnPruning deletes it and the project
+        // turns deterministic again. Plan-asserted in
+        // TextQueriesPlanSpec.
+        monotonically_increasing_id().as("__nd")
+      )
+    val scored = counted
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("__fp"),
+        col("__nd"),
+        qualityScoreFromCounts(col("n_tokens"), col("__en"), col("__nuniq"))
+          .as("quality"),
+        langIdFromCounts(
+          col("__cjk"),
+          col("__en"),
+          col("__fr"),
+          col("__de"),
+          col("__es")
+        ).as("__lang")
+      )
+    val kept = scored
+      .filter(col("__lang") === "en" && col("quality") >= 0.5)
+      .withColumn(
+        "__rn",
+        // __nd is a NO-OP tiebreak (doc_id is unique) that keeps the
+        // barrier column alive through pruning — see above
+        row_number().over(
+          Window.partitionBy(col("__fp")).orderBy(col("doc_id"), col("__nd"))
+        )
+      )
+      .filter(col("__rn") === 1)
+    val bucket = pmod(
+      PortableHash.h32(col("doc_id").cast("string")),
+      lit(100L)
+    )
+    kept
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("quality"),
+        when(bucket < 90, lit("train")).otherwise(lit("eval")).as("split")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipe01_corpus" -> corpusPipeline,
+    "text10_pack" -> pack,
     "text01_token_stats" -> tokenStats,
     "text02_quality" -> quality,
     "text03_langid" -> langid,
@@ -276,6 +409,40 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "pipe01_corpus" -> {
+      val bucketSql =
+        s"${PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")} % 100"
+      s"""WITH scored AS (
+         |  SELECT doc_id, len($toksSql) AS n_tokens,
+         |    0.4 * least(1.0, CAST(len($toksSql) AS DOUBLE) / 50.0)
+         |    + 0.3 * least(1.0, (CAST(${stopSql(stopwords("en"))} AS DOUBLE)
+         |        / len($toksSql)) * 5.0)
+         |    + 0.3 * (CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql))
+         |      AS quality,
+         |    $langCaseSql AS pred_lang,
+         |    md5($normSql) AS fp
+         |  FROM documents),
+         |kept AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM scored WHERE pred_lang = 'en' AND quality >= 0.5)
+         |SELECT doc_id, n_tokens, quality,
+         |  CASE WHEN $bucketSql < 90 THEN 'train' ELSE 'eval' END AS split
+         |FROM kept WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+    // the oracle states the SPEC (one global prefix sum); the Spark
+    // side must make its two-level scan land on identical values
+    "text10_pack" ->
+      s"""WITH n AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |p AS (SELECT doc_id, n_tokens,
+         |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS prefix
+         |      FROM n)
+         |SELECT doc_id, n_tokens,
+         |  prefix // $packBudget AS chunk_id,
+         |  prefix % $packBudget AS chunk_offset
+         |FROM p ORDER BY doc_id""".stripMargin,
     "text01_token_stats" ->
       s"""SELECT doc_id,
          |  len($toksSql) AS n_tokens,

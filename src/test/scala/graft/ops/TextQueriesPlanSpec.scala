@@ -16,6 +16,28 @@ class TextQueriesPlanSpec extends SparkSpec {
     }
   }
 
+  test("text10 prefix scan: corpus window is bucket-partitioned, never global") {
+    val physical = TextQueries
+      .queries("text10_pack")(spark, sfDir)
+      .queryExecution
+      .executedPlan
+      .toString
+    // the full-corpus running sum must be keyed by the derived bucket
+    // (a partition-less window over the corpus is a single-reducer
+    // bottleneck; only the tiny bucket-totals table may use one)
+    assert(physical.contains("windowspecdefinition(__bucket"), physical)
+  }
+
+  test("pipe01 tokenizes once and carries filters into one plan") {
+    val physical = TextQueries
+      .queries("pipe01_corpus")(spark, sfDir)
+      .queryExecution
+      .executedPlan
+      .toString
+    val n = "split\\(trim\\(".r.findAllIn(physical).size
+    assert(n == 1, s"expected one staged tokenizer, got $n:\n$physical")
+  }
+
   test("text05 top-k plans as TakeOrderedAndProject, not a global sort") {
     val df = TextQueries.queries("text05_top_tokens")(spark, sfDir)
     val physical = df.queryExecution.executedPlan.toString
