@@ -98,6 +98,48 @@ class ApiUsageSpec extends SparkSpec {
     assert(rows.length === 2 && rows.forall(r => Set("train", "eval")(r.getString(2))))
   }
 
+  test("dedup: star-contraction components for diameter-unbounded graphs") {
+    val nodes = (0L until 6L).toDF("id")
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = dedup.Clusters
+      .connectedComponentsStars(nodes, chain)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("streaming: incremental near-dup detection with sink-owned state") {
+    val state = streaming.StreamMinhashDedup.newState(spark, cap = 64)
+    val day1 = Seq((1L, "same text repeated across ingestion days here")).toDF("doc_id", "text")
+    val day2 = Seq((2L, "same text repeated across ingestion days here")).toDF("doc_id", "text")
+    assert(streaming.StreamMinhashDedup.ingest(state, day1, 0L).count() === 0L)
+    val flagged = streaming.StreamMinhashDedup
+      .ingest(state, day2, 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(flagged === Set((1L, 2L)))
+  }
+
+  test("sources: JDBC read with partitioned fan-out (embedded Derby)") {
+    val url = "jdbc:derby:memory:apiusage;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE t (id BIGINT, v VARCHAR(10))")
+      st.execute("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+      st.close()
+    } finally c.close()
+    val df = sources.JdbcSource.read(
+      spark,
+      url,
+      "t",
+      partitioning = Some(sources.JdbcSource.Partitioning("id", 1L, 3L, 2))
+    )
+    assert(df.count() === 2L && df.rdd.getNumPartitions === 2)
+  }
+
   test("property: assignIds is dense and gapless across chained batches") {
     val genBatchSizes = Gen.listOfN(3, Gen.choose(0, 8))
     val prop = Prop.forAll(genBatchSizes, Gen.choose(0L, 50L)) { (sizes, base) =>
