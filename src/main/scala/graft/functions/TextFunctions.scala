@@ -45,6 +45,19 @@ object TextFunctions {
   def stopwordCountOf(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
+  /** Adjacent-token bigrams `"a b"` of a token array (empty for a
+    * single-token array): two length-aligned slices zipped with a
+    * space separator. Pure array expression — no explode until the
+    * caller chooses to.
+    */
+  def bigramsOf(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      // concat (not concat_ws): null-propagating like DuckDB's `||`
+      (a, b) => concat(a, lit(" "), b)
+    )
+
   def tokenCount(text: Column): Column = tokenCountOf(tokens(text))
 
   def uniqueTokenCount(text: Column): Column =

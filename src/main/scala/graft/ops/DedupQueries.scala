@@ -201,7 +201,35 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Fuzzy entity resolution over part names: banded candidates
+    * (brand + first name token — the blocking key of record-linkage
+    * practice) through the same single-shuffle bucketedPairs path,
+    * then BOUNDED edit distance only on candidates. Spark's
+    * three-argument `levenshtein` stops the DP once the threshold is
+    * exceeded (O(threshold·len) per pair, returns -1 past it), so the
+    * verify cost is capped regardless of string length — the banded
+    * fuzzy-join shape that scales: no cross join, no unbounded DP.
+    */
+  private val fuzzyNames: Q = (s, dir) => {
+    val parts = Tables(s, dir).part
+      .select(
+        struct(col("p_partkey"), col("p_name")).as("m"),
+        col("p_brand"),
+        split(col("p_name"), " ").getItem(0).as("__w0")
+      )
+    PairJoins
+      .bucketedPairs(parts, Seq("p_brand", "__w0"), "m")
+      .select(
+        col("id_a.p_partkey").as("key_a"),
+        col("id_b.p_partkey").as("key_b"),
+        levenshtein(col("id_a.p_name"), col("id_b.p_name"), 3).as("lev")
+      )
+      .filter(col("lev") =!= -1)
+      .orderBy("key_a", "key_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup09_fuzzy_names" -> fuzzyNames,
     "dedup01_exact_stats" -> exactStats,
     "dedup02_exact_pairs" -> exactPairs,
     "dedup03_jaccard_nearby" -> jaccardNearby,
@@ -263,6 +291,17 @@ object DedupQueries {
        |          list_transform(sh, x -> ${h32("x")}) AS shh FROM sh)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup09_fuzzy_names" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name,
+        |             string_split(p_name, ' ')[1] AS w0 FROM part),
+        |pairs AS (SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |            a.p_name AS na, b.p_name AS nb
+        |          FROM p a JOIN p b
+        |            ON a.p_brand = b.p_brand AND a.w0 = b.w0
+        |           AND a.p_partkey < b.p_partkey)
+        |SELECT key_a, key_b, levenshtein(na, nb) AS lev
+        |FROM pairs WHERE levenshtein(na, nb) <= 3
+        |ORDER BY key_a, key_b""".stripMargin,
     "dedup01_exact_stats" ->
       s"""SELECT source, COUNT(*) AS n_docs,
          |  COUNT(DISTINCT md5($normSql)) AS n_uniq_norm

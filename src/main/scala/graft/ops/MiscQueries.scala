@@ -166,7 +166,40 @@ object MiscQueries {
       .orderBy("source", "split")
   }
 
+  /** Deterministic per-stratum sampling: the first 20 docs of each
+    * source in portable-hash order — the balanced-subset primitive a
+    * data-mixing pipeline uses to draw a fixed quota per domain,
+    * reproducible across engines and re-partitionings (same property
+    * as q54's split, extended from a rate to a quota).
+    *
+    * Scale note: `row_number <= k` over a partition is NOT a full
+    * per-stratum sort at execution time — Catalyst's
+    * InferWindowGroupLimit inserts WindowGroupLimit (per-partition
+    * top-k heaps) both before and after the shuffle, so each stratum
+    * moves only O(k) rows per map partition. Asserted in
+    * StratifiedSampleSpec.
+    */
+  private val stratifiedSample: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    Tables(s, dir).documents
+      .select(
+        col("source"),
+        col("doc_id"),
+        graft.functions.PortableHash.h32(col("doc_id").cast("string")).as("__h")
+      )
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
+        )
+      )
+      .filter(col("rk") <= 20)
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q55_stratified_sample" -> stratifiedSample,
     "info01_table_counts" -> tableCounts,
     "metrics01_doc" -> metricsDoc,
     "mm01_media_meta" -> mediaMeta,
@@ -235,6 +268,17 @@ object MiscQueries {
         |                    AND o.o_orderstatus = 'F'
         |                    AND o.o_totalprice < 1000)
         |ORDER BY c.c_custkey""".stripMargin,
+    "q55_stratified_sample" -> {
+      val hSql =
+        graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH r AS (
+         |  SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY $hSql, doc_id) AS rk
+         |  FROM documents)
+         |SELECT source, doc_id, CAST(rk AS INT) AS rk FROM r
+         |WHERE rk <= 20 ORDER BY source, rk""".stripMargin
+    },
     "q54_hash_split" -> {
       val bucketSql =
         s"${graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")} % 100"

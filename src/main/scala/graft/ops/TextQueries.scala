@@ -381,7 +381,61 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Repetition quality metrics (the Gopher-style repetition filters a
+    * pretraining corpus runs): per doc, the duplicate-token fraction
+    * `1 − n_uniq/n_tokens` and the top-bigram mass `max bigram count /
+    * (n_tokens − 1)`, plus the keep/drop flag. Tokens are staged once;
+    * the bigram mode is computed distributively — explode bigrams,
+    * hash-aggregate on (doc_id, bigram), max per doc — two dense-key
+    * shuffles and a doc_id join, never a per-row quadratic HOF. At
+    * corpus scale every key is dense (doc_id) or near-unique
+    * (doc_id×bigram), so the aggregation is skew-free by construction.
+    */
+  private val repetition: Q = (s, dir) => {
+    val stats = Tables(s, dir).documents
+      .withColumn("__toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        col("source"),
+        tokenCountOf(col("__toks")).as("n_tokens"),
+        uniqueTokenCountOf(col("__toks")).as("__n_uniq"),
+        col("__toks")
+      )
+    val topBigram = stats
+      .select(col("doc_id"), explode(bigramsOf(col("__toks"))).as("__bg"))
+      .groupBy("doc_id", "__bg")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id")
+      .agg(max(col("__c")).as("__top_bg"))
+    stats
+      .drop("__toks")
+      .join(topBigram, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_tokens"),
+        (lit(1.0) - col("__n_uniq").cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        when(
+          col("n_tokens") >= 2,
+          col("__top_bg").cast("double") / (col("n_tokens") - lit(1))
+        ).as("top_bigram_frac")
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_tokens"),
+        col("dup_token_frac"),
+        col("top_bigram_frac"),
+        (col("dup_token_frac") > 0.3 ||
+          coalesce(col("top_bigram_frac"), lit(0.0)) > 0.18)
+          .as("is_repetitive")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text11_repetition" -> repetition,
     "pipe01_corpus" -> corpusPipeline,
     "text10_pack" -> pack,
     "text01_token_stats" -> tokenStats,
@@ -409,6 +463,27 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "text11_repetition" ->
+      s"""WITH d AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, source, len(toks) AS n_tokens,
+         |        len(list_distinct(toks)) AS n_uniq FROM d),
+         |bg AS (SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                  i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         |       FROM d),
+         |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |top AS (SELECT doc_id, MAX(c) AS top_bg FROM bgc GROUP BY 1)
+         |SELECT s.doc_id, s.source, s.n_tokens,
+         |  1.0 - CAST(s.n_uniq AS DOUBLE) / s.n_tokens AS dup_token_frac,
+         |  CASE WHEN s.n_tokens >= 2
+         |    THEN CAST(t.top_bg AS DOUBLE) / (s.n_tokens - 1) END
+         |    AS top_bigram_frac,
+         |  (1.0 - CAST(s.n_uniq AS DOUBLE) / s.n_tokens) > 0.3
+         |    OR COALESCE(CASE WHEN s.n_tokens >= 2
+         |         THEN CAST(t.top_bg AS DOUBLE) / (s.n_tokens - 1) END, 0.0)
+         |       > 0.18 AS is_repetitive
+         |FROM s LEFT JOIN top t USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
     "pipe01_corpus" -> {
       val bucketSql =
         s"${PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")} % 100"
