@@ -228,7 +228,52 @@ object DedupQueries {
       .orderBy("key_a", "key_b")
   }
 
+  /** Benchmark decontamination — the pipeline step that removes eval
+    * contamination from a training corpus: per train doc, the number
+    * of distinct shingles it shares with ANY doc of the held-out
+    * source (`src0` plays the benchmark), flagged at ≥ 5 shared.
+    *
+    * Scale shape: the eval side of a decontamination pass is a
+    * benchmark suite — MBs against the corpus's TBs — so its distinct
+    * shingle-hash set is a BROADCAST, and the whole pass is one
+    * map-side semi-join over the exploded train shingles plus one
+    * dense groupBy on doc_id. No shuffle ever carries corpus text;
+    * the sketch is the fused codegen [[graft.plans.ShingleHashes]],
+    * evaluated once per doc.
+    */
+  private val decontaminate: Q = (s, dir) => {
+    val EVAL = "src0"
+    val T = 5
+    val d = docs(s, dir).select(
+      col("doc_id"),
+      col("source"),
+      graft.plans.ShingleHashes(s, col("text")).as("__shh")
+    )
+    val evalSet = d
+      .filter(col("source") === EVAL)
+      .select(explode(col("__shh")).as("h"))
+      .distinct()
+    // explode_outer: see minHashSignatureAgg (InferFiltersFromGenerate)
+    val train = d.filter(col("source") =!= EVAL)
+    val shared = train
+      .select(col("doc_id"), explode_outer(col("__shh")).as("h"))
+      .join(broadcast(evalSet), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+    train
+      .select(col("doc_id"), size(col("__shh")).as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= T).as("contaminated")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup10_decontaminate" -> decontaminate,
     "dedup09_fuzzy_names" -> fuzzyNames,
     "dedup01_exact_stats" -> exactStats,
     "dedup02_exact_pairs" -> exactPairs,
@@ -291,6 +336,24 @@ object DedupQueries {
        |          list_transform(sh, x -> ${h32("x")}) AS shh FROM sh)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup10_decontaminate" ->
+      s"""WITH prep AS (SELECT doc_id, source, $normSql AS norm,
+         |               $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, source, $shinglesSql AS sh FROM prep),
+         |shh AS (SELECT doc_id, source,
+         |          list_transform(sh, x -> ${h32("x")}) AS shh FROM sh),
+         |ev AS (SELECT DISTINCT unnest(shh) AS h FROM shh
+         |       WHERE source = 'src0'),
+         |tr AS (SELECT doc_id, unnest(shh) AS h FROM shh
+         |       WHERE source <> 'src0'),
+         |shared AS (SELECT tr.doc_id, COUNT(DISTINCT tr.h) AS n_shared
+         |           FROM tr JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id)
+         |SELECT t.doc_id, len(t.shh) AS n_shingles,
+         |  COALESCE(s.n_shared, 0) AS n_shared,
+         |  COALESCE(s.n_shared, 0) >= 5 AS contaminated
+         |FROM shh t LEFT JOIN shared s ON s.doc_id = t.doc_id
+         |WHERE t.source <> 'src0'
+         |ORDER BY t.doc_id""".stripMargin,
     "dedup09_fuzzy_names" ->
       """WITH p AS (SELECT p_partkey, p_brand, p_name,
         |             string_split(p_name, ' ')[1] AS w0 FROM part),
