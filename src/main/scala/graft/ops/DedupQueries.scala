@@ -218,7 +218,10 @@ object DedupQueries {
         split(col("p_name"), " ").getItem(0).as("__w0")
       )
     PairJoins
-      .bucketedPairs(parts, Seq("p_brand", "__w0"), "m")
+      // one blocking key per part → pairs are already unique; the
+      // multi-band distinct would re-shuffle every candidate for
+      // nothing (plan: exactly one Exchange before the output sort)
+      .bucketedPairsSingleMembership(parts, Seq("p_brand", "__w0"), "m")
       .select(
         col("id_a.p_partkey").as("key_a"),
         col("id_b.p_partkey").as("key_b"),

@@ -63,6 +63,27 @@ object PairJoins {
       bucketCols: Seq[String],
       idCol: String
   ): DataFrame =
+    rawBucketedPairs(buckets, bucketCols, idCol).distinct()
+
+  /** [[bucketedPairs]] without the final pair-distinct — ONE shuffle
+    * total. Correct whenever each id holds a single bucket membership
+    * (one blocking key per row, as in fuzzy-ER blocking): a pair can
+    * then only ever be emitted by its one shared bucket, so the
+    * distinct the multi-band form needs (a pair agreeing on several
+    * LSH bands is emitted once per band) would be a pure extra
+    * shuffle of the whole candidate set.
+    */
+  def bucketedPairsSingleMembership(
+      buckets: DataFrame,
+      bucketCols: Seq[String],
+      idCol: String
+  ): DataFrame = rawBucketedPairs(buckets, bucketCols, idCol)
+
+  private def rawBucketedPairs(
+      buckets: DataFrame,
+      bucketCols: Seq[String],
+      idCol: String
+  ): DataFrame =
     buckets
       // equi-join semantics: NULL never matches NULL, but groupBy
       // would happily pool all NULL-bucket rows (e.g. null-text docs
@@ -74,5 +95,4 @@ object PairJoins {
       .select(col("__ids"), explode(col("__ids")).as("id_a"))
       .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .filter(col("id_b") > col("id_a"))
-      .distinct()
 }

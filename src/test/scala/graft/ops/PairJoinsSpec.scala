@@ -46,6 +46,22 @@ class PairJoinsSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("single-membership form == distinct form when each id has one bucket") {
+    val rows = (0L until 50L).map(i => (i, i % 7)) // one bucket per id
+    val df = rows.toDF("id", "bx")
+    val full = PairJoins
+      .bucketedPairs(df, Seq("bx"), "id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val single = PairJoins
+      .bucketedPairsSingleMembership(df, Seq("bx"), "id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(single.toSet === full.toSet)
+    // ...and already duplicate-free without the distinct
+    assert(single.length === single.toSet.size)
+  }
+
   test("property: bucketedPairs == bucket equi-self-join pair set") {
     val genRows = Gen.listOfN(
       80,
