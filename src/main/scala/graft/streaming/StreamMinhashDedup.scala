@@ -73,21 +73,24 @@ object StreamMinhashDedup {
       bands: Int = 8
   ): DataFrame = {
     val spark = batch.sparkSession
-    // fused sketch; NULL-hardened like StreamLshDedup (a null text
-    // yields a null band row via the outer explode — it must neither
-    // pair nor enter state)
+    // within-batch idempotency (at-least-once delivery can repeat a
+    // doc inside one batch) is enforced BEFORE the sketch: one narrow
+    // shuffle on the id of the raw rows, not a distinct over the
+    // bands×-wider exploded band rows. Docs are immutable by contract
+    // (doc_id determines text), so keep-any is deterministic in value.
+    // Fused sketch below; NULL-hardened like StreamLshDedup (a null
+    // text yields a null band row via the outer explode — it must
+    // neither pair nor enter state).
     val sketched = batch
+      .filter(col(idCol).isNotNull)
+      .dropDuplicates(Seq(idCol))
       .select(
         col(idCol).cast("long").as("doc_id"),
         posexplode_outer(
           graft.plans.MinHashBands(spark, col(textCol), k, bands)
         ).as(Seq("band", "band_sig"))
       )
-      .filter(
-        col("band").isNotNull && col("band_sig").isNotNull &&
-          col("doc_id").isNotNull
-      )
-      .distinct()
+      .filter(col("band").isNotNull && col("band_sig").isNotNull)
     val prev = state.bands
     val newRows = sketched
       .join(prev, Seq("band", "band_sig", "doc_id"), "left_anti")

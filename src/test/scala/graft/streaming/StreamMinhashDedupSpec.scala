@@ -36,6 +36,27 @@ class StreamMinhashDedupSpec extends SparkSpec {
     assert(afterB3 === Set((1L, 3L), (1L, 5L), (3L, 5L)))
   }
 
+  test("a doc repeated WITHIN one batch neither self-pairs nor double-enters state") {
+    val state = StreamMinhashDedup.newState(spark, cap = 1024)
+    val text = "at least once delivery repeats this very document in one batch"
+    val b0 = Seq((1L, text), (1L, text), (2L, text))
+      .toDF("doc_id", "text")
+    val pairs = StreamMinhashDedup
+      .ingest(state, b0, 0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs === Set((1L, 2L)))
+    val memberships = state.bands
+      .groupBy("band", "band_sig", "doc_id")
+      .count()
+      .agg(max("count"))
+      .collect()
+      .head
+      .getLong(0)
+    assert(memberships === 1L)
+  }
+
   test("replay over micro-batches equals the one-pass batch candidate set") {
     val docs = graft.Tables(spark, sfDir).documents
     val streamed = StreamMinhashDedup
