@@ -24,10 +24,16 @@ object TextFunctions {
   // split work by the number of derived stats (the round-1
   // HOF-inlining lesson, applied to the text family in round 4).
 
-  def tokenCountOf(toks: Column): Column = size(toks)
+  // `size(NULL)` is -1 in Spark where DuckDB's `len(NULL)` is NULL:
+  // every size-derived stat guards the null array so a null-text doc
+  // scores NULL on both engines (fixtures carry no null text — this
+  // is the latent-divergence class the oracle gate cannot reach).
+
+  def tokenCountOf(toks: Column): Column =
+    when(toks.isNotNull, size(toks))
 
   def uniqueTokenCountOf(toks: Column): Column =
-    size(array_distinct(toks))
+    when(toks.isNotNull, size(array_distinct(toks)))
 
   /** Total characters across tokens (exact integer aggregate). BIGINT
     * on both engines: DuckDB's list_aggregate 'sum' yields HUGEINT,
@@ -43,7 +49,7 @@ object TextFunctions {
 
   /** Count of tokens found in `words`. */
   def stopwordCountOf(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit): _*)))
+    when(toks.isNotNull, size(filter(toks, t => t.isin(words.map(lit): _*))))
 
   /** Adjacent-token bigrams `"a b"` of a token array (empty for a
     * single-token array): two length-aligned slices zipped with a

@@ -264,7 +264,13 @@ object DedupQueries {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_shared"))
     train
-      .select(col("doc_id"), size(col("__shh")).as("n_shingles"))
+      // size(NULL) is -1 where DuckDB's len(NULL) is NULL — align the
+      // degenerate null-text doc (latent-divergence class the gate's
+      // fixtures can't reach)
+      .select(
+        col("doc_id"),
+        when(col("__shh").isNotNull, size(col("__shh"))).as("n_shingles")
+      )
       .join(shared, Seq("doc_id"), "left")
       .select(
         col("doc_id"),

@@ -94,8 +94,9 @@ object Relational6 {
           regexp_extract_all(col("text"), lit("[A-Za-z]{6,}"), lit(0)),
           ","
         ).as("long_words"),
-        size(regexp_extract_all(col("text"), lit("[A-Za-z]{6,}"), lit(0)))
-          .as("n_long")
+        when(col("text").isNotNull,
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]{6,}"), lit(0)))
+        ).as("n_long")
       )
       .orderBy("doc_id")
 

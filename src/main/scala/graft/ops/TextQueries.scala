@@ -139,8 +139,9 @@ object TextQueries {
     Tables(s, dir).documents
       .select(
         col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(bpeRegex), lit(0)))
-          .as("n_bpe"),
+        when(col("text").isNotNull,
+          size(regexp_extract_all(col("text"), lit(bpeRegex), lit(0)))
+        ).as("n_bpe"),
         tokenCount(col("text")).as("n_ws")
       )
       .select(
@@ -165,8 +166,12 @@ object TextQueries {
     Tables(s, dir).documents
       .select(
         col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_email"),
-        size(regexp_extract_all(col("text"), lit(urlRe), lit(0))).as("n_url"),
+        when(col("text").isNotNull,
+          size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+        ).as("n_email"),
+        when(col("text").isNotNull,
+          size(regexp_extract_all(col("text"), lit(urlRe), lit(0)))
+        ).as("n_url"),
         regexp_replace(
           regexp_replace(col("text"), urlRe, "<URL>"),
           emailRe,
