@@ -27,6 +27,69 @@ object SimilarityQueries {
   private def queriesDf(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings.filter(col("vec_id").isin(QUERY_IDS: _*))
 
+  /** Top-k over int8-QUANTIZED vectors — the memory-bandwidth form of
+    * brute-force search (4× less data moved per candidate than fp32;
+    * at 100 TB of embeddings the scan is bandwidth-bound, so this is
+    * the production brute-force). Same per-vector symmetric quantizer
+    * as sim09; the candidate score is the EXACT integer dot product
+    * (BIGINT, order-independent) de-scaled once per pair — float
+    * rounding happens in two deterministic multiplies, not in a
+    * length-n accumulation, which is what keeps it bit-reproducible
+    * across engines AND partitionings.
+    */
+  private val quantizedTopK: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = col("embedding")
+    val absmax = aggregate(
+      v,
+      lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))
+    )
+    val qArr = transform(
+      v,
+      x =>
+        floor(x.cast("double") * (lit(127.0) / col("absmax")) + lit(0.5))
+          .cast("int")
+    )
+    val e = Tables(s, dir).embeddings
+      .withColumn("absmax", absmax)
+      .filter(col("absmax") > 0)
+      .withColumn("q", qArr)
+      .select(col("vec_id"), col("absmax"), col("q"))
+    val qs = e
+      .filter(col("vec_id").isin(QUERY_IDS: _*))
+      .select(
+        col("vec_id").as("query_id"),
+        col("absmax").as("qmax"),
+        col("q").as("qq")
+      )
+    val dotInt = aggregate(
+      zip_with(col("qq"), col("q"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L),
+      (acc, x) => acc + x
+    )
+    val scored = e
+      .join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        ((dotInt.cast("double") * (col("qmax") / lit(127.0)))
+          * (col("absmax") / lit(127.0))).as("score")
+      )
+    scored
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("neighbor_id"))
+        )
+      )
+      .filter(col("rank") <= TOPK)
+      .select("query_id", "neighbor_id", "rank", "score")
+      .orderBy("query_id", "rank")
+  }
+
   private val bruteTopK: Q = (s, dir) => {
     val emb = Tables(s, dir).embeddings
     Similarity
@@ -299,6 +362,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "sim11_quantized_topk" -> quantizedTopK,
     "sim10_centroids" -> centroids,
     "sim09_quantize" -> quantize,
     "sim08_lsh_neardup" -> lshNearDup,
@@ -396,6 +460,33 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim11_quantized_topk" ->
+      s"""WITH am AS (
+         |  SELECT vec_id, embedding,
+         |    COALESCE(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max'), 0.0) AS absmax
+         |  FROM embeddings),
+         |qz AS (
+         |  SELECT vec_id, absmax,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / absmax) + 0.5)
+         |             AS INT)) AS q
+         |  FROM am WHERE absmax > 0),
+         |qs AS (SELECT vec_id AS query_id, absmax AS qmax, q AS qq
+         |       FROM qz WHERE vec_id IN $qIdsSql),
+         |scored AS (
+         |  SELECT qs.query_id, e.vec_id AS neighbor_id,
+         |    (CAST(CAST(list_aggregate(list_transform(
+         |        range(1, len(qs.qq) + 1),
+         |        i -> CAST(qs.qq[i] AS BIGINT) * e.q[i]), 'sum')
+         |      AS BIGINT) AS DOUBLE)
+         |     * (qs.qmax / 127.0)) * (e.absmax / 127.0) AS score
+         |  FROM qz e JOIN qs ON e.vec_id <> qs.query_id),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY score DESC, neighbor_id ASC) AS rank
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+         |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin,
     "sim10_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim, COUNT(*) AS n,
         |  CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
