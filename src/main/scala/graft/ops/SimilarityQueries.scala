@@ -36,6 +36,12 @@ object SimilarityQueries {
     * rounding happens in two deterministic multiplies, not in a
     * length-n accumulation, which is what keeps it bit-reproducible
     * across engines AND partitionings.
+    *
+    * Contract: uniform dimensionality (the fixture's 128; asserted by
+    * sim07's `dims`). Mixed-length vectors would diverge from the
+    * oracle — Spark's `aggregate` propagates the NULLs `zip_with`
+    * pads, DuckDB's list sum skips them — so a production corpus
+    * validates dims at ingest.
     */
   private val quantizedTopK: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
