@@ -37,11 +37,12 @@ object SimilarityQueries {
     * length-n accumulation, which is what keeps it bit-reproducible
     * across engines AND partitionings.
     *
-    * Contract: uniform dimensionality (the fixture's 128; asserted by
-    * sim07's `dims`). Mixed-length vectors would diverge from the
-    * oracle — Spark's `aggregate` propagates the NULLs `zip_with`
-    * pads, DuckDB's list sum skips them — so a production corpus
-    * validates dims at ingest.
+    * Contract: uniform dimensionality (the fixture's 128). Mixed-length
+    * vectors would silently diverge from the oracle — Spark's
+    * `aggregate` propagates the NULLs `zip_with` pads, DuckDB's list
+    * sum skips them — so the scored pairs carry a raise_error guard: a
+    * malformed corpus fails the job loudly instead of shipping NULL
+    * scores.
     */
   private val quantizedTopK: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
@@ -76,6 +77,18 @@ object SimilarityQueries {
     )
     val scored = e
       .join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      // dims guard: fail loudly on ragged vectors (see docstring) —
+      // raise_error is non-foldable, so the optimizer keeps the check.
+      .filter(
+        when(size(col("qq")) === size(col("q")), lit(true)).otherwise(
+          raise_error(
+            concat(
+              lit("sim11: embedding dimensionality mismatch at vec_id="),
+              col("vec_id").cast("string")
+            )
+          ).cast("boolean")
+        )
+      )
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),

@@ -520,8 +520,8 @@ object TextQueries {
          |          AS prefix
          |      FROM n)
          |SELECT doc_id, n_tokens,
-         |  prefix // $packBudget AS chunk_id,
-         |  prefix % $packBudget AS chunk_offset
+         |  CAST(prefix // $packBudget AS BIGINT) AS chunk_id,
+         |  CAST(prefix % $packBudget AS BIGINT) AS chunk_offset
          |FROM p ORDER BY doc_id""".stripMargin,
     "text01_token_stats" ->
       s"""SELECT doc_id,

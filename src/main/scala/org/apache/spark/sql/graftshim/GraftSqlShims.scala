@@ -24,13 +24,17 @@ object GraftSqlShims {
     * unpersisting it after the successor round is materialized is
     * safe because the lineage-cut RDD is never recomputed.
     *
-    * No-op for plans without a `LogicalRDD` leaf (never throws):
-    * callers may hand back arbitrary DataFrames.
+    * Only frames returned DIRECTLY by `localCheckpoint` are released:
+    * the analyzed plan must BE a single `LogicalRDD` leaf. Anything
+    * else (a union/join over checkpointed leaves, a derived frame) is
+    * a no-op — unpersisting every reachable leaf of a composite plan
+    * could release blocks a sibling frame still needs, and a
+    * lineage-cut RDD can never be recomputed once its blocks are gone.
     */
   def unpersistCheckpoint(df: DataFrame, blocking: Boolean = false): Unit =
     df match {
       case ds: Dataset[_] =>
-        ds.queryExecution.analyzed.foreach {
+        ds.queryExecution.analyzed match {
           case lr: org.apache.spark.sql.execution.LogicalRDD =>
             lr.rdd.unpersist(blocking)
           case _ => ()
