@@ -47,7 +47,12 @@ object Bench {
     }
 
     // warm-up: session, parquet footers
+    // SPARK_GRAFT_ONLY: optional comma-separated name filter for
+    // focused local iteration (the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val t = Tables(spark, sfDir)
     Seq(t.lineitem, t.orders, t.customer, t.events, t.documents, t.embeddings)
       .foreach(_.count())

@@ -60,9 +60,11 @@ object Relational5 {
   }
 
   /** ntile quartiles over customer balance. The unpartitioned window
-    * is a deliberate single-reducer op at any scale — for 100 TB use
-    * approx quantile cut-points instead; this query is the exact-tile
-    * semantics the approximation is checked against.
+    * is a deliberate single-reducer op at any scale — the 100 TB form
+    * is [[ApproxNtile.bucketed]] (sketch cut-points + broadcast
+    * bucketing, no global sort), and ApproxNtileSpec pins its bounded
+    * disagreement against THIS query: q37 is the exact-tile spec
+    * anchor, not the shape to run at scale.
     */
   private val ntileBuckets: Q = (s, dir) => {
     val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)

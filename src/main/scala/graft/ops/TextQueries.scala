@@ -269,20 +269,46 @@ object TextQueries {
     *   - local running sums window over each W-doc bucket (bounded);
     *   - bucket totals (tiny) get their own prefix scan;
     *   - prefix = bucket offset + local running sum, map-side join.
-    * Levels nest for corpora where n/W itself outgrows one partition.
-    * Integer arithmetic throughout — exact on both engines.
+    * W is derived from the id domain (W = ceil(sqrt(max_id+1)),
+    * floored at 64): BOTH levels are then bounded by ~sqrt(n) rows —
+    * 10^11 docs put ~316k rows through each window partition, never
+    * 1.6G through one reducer. PackPlanSpec pins that bound on the
+    * plan. Integer arithmetic throughout — exact on both engines.
     */
   private val packBudget = 512L
-  private val packWidth = 64L
   private val pack: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val withN = Tables(s, dir).documents
       .withColumn("__toks", tokens(col("text")))
       .select(
         col("doc_id"),
         tokenCountOf(col("__toks")).cast("long").as("n_tokens")
       )
-      .withColumn("__bucket", expr(s"doc_id div $packWidth"))
+    packChunks(withN, packBudget).orderBy("doc_id")
+  }
+
+  /** Assign (chunk_id, chunk_offset) for budget-B sequence packing
+    * over `(doc_id, n_tokens)` rows in doc_id order — the two-level
+    * distributed prefix scan described on text10. `width` (docs per
+    * prefix bucket) defaults to ceil(sqrt(max_id+1)) so that the
+    * per-bucket local window and the single bucket-totals window are
+    * BOTH bounded by ~sqrt(n) rows; the value of the result does not
+    * depend on it. The max-id probe is one min/max-stats scan of the
+    * id column — the same class of pre-plan statistic AQE reads.
+    */
+  def packChunks(
+      withN: DataFrame,
+      budget: Long,
+      width: Option[Long] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = width.getOrElse {
+      val bound = withN.agg(max(col("doc_id"))).head() match {
+        case r if r.isNullAt(0) => 1L
+        case r                  => r.getLong(0) + 1L
+      }
+      math.max(64L, math.ceil(math.sqrt(bound.toDouble)).toLong)
+    }
+    val bucketed = withN.withColumn("__bucket", expr(s"doc_id div $w"))
     val localW = Window
       .partitionBy(col("__bucket"))
       .orderBy(col("doc_id"))
@@ -290,12 +316,12 @@ object TextQueries {
     val bucketW = Window
       .orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketTotals = withN
+    val bucketTotals = bucketed
       .groupBy(col("__bucket"))
       .agg(sum(col("n_tokens")).as("__btotal"))
       .withColumn("__boffset", coalesce(sum(col("__btotal")).over(bucketW), lit(0L)))
       .select(col("__bucket"), col("__boffset"))
-    withN
+    bucketed
       .withColumn("__local", coalesce(sum(col("n_tokens")).over(localW), lit(0L)))
       .join(broadcast(bucketTotals), "__bucket")
       .select(
@@ -303,10 +329,9 @@ object TextQueries {
         col("n_tokens"),
         // `div`: exact integer division (Column./ is double division,
         // which would round once prefixes pass 2^53 at extreme scale)
-        expr(s"(__boffset + __local) div $packBudget").as("chunk_id"),
-        pmod(col("__boffset") + col("__local"), lit(packBudget)).as("chunk_offset")
+        expr(s"(__boffset + __local) div $budget").as("chunk_id"),
+        pmod(col("__boffset") + col("__local"), lit(budget)).as("chunk_offset")
       )
-      .orderBy("doc_id")
   }
 
   /** The end-to-end corpus pipeline, as ONE declarative plan: score

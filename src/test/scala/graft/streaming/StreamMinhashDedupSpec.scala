@@ -100,4 +100,58 @@ class StreamMinhashDedupSpec extends SparkSpec {
       .getLong(0)
     assert(perBucket <= 2L)
   }
+
+  test("re-ingest of an over-cap doc is suppressed, not re-paired") {
+    val state = StreamMinhashDedup.newState(spark, cap = 2)
+    val same = "identical boilerplate text shared by every single document here"
+    StreamMinhashDedup.ingest(state, Seq((1L, same), (2L, same)).toDF("doc_id", "text"), 0L)
+    val first = StreamMinhashDedup
+      .ingest(state, Seq((3L, same)).toDF("doc_id", "text"), 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(first === Set((1L, 3L), (2L, 3L)))
+    // doc 3 never got a cap slot, but its membership is logged
+    // (kept=false) — an at-least-once re-send must emit NOTHING
+    // (pre-log-structured state re-emitted both pairs here)
+    val again = StreamMinhashDedup
+      .ingest(state, Seq((3L, same)).toDF("doc_id", "text"), 2L)
+      .count()
+    assert(again === 0L)
+    val overCap = state.log
+      .filter(!col("kept"))
+      .select("doc_id")
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(overCap === Set(3L))
+  }
+
+  test("a batch appends O(batch) membership rows; compaction bounds the log") {
+    val state = StreamMinhashDedup.newState(spark, cap = 1024, compactEvery = 4)
+    val big = (0L until 400L)
+      .map(i => (i, s"unique document number $i carrying its own distinct words $i"))
+      .toDF("doc_id", "text")
+    StreamMinhashDedup.ingest(state, big, 0L)
+    val stateRows = state.segments.head.count()
+    assert(stateRows >= 400L)
+    // a tiny late batch must materialize ONLY its own segment — the
+    // big resident state is not rewritten (the O(state)-per-batch
+    // rewrite was round 4's scale flag on this operator)
+    StreamMinhashDedup.ingest(
+      state, Seq((9001L, "tiny late arrival document")).toDF("doc_id", "text"), 1L)
+    assert(state.segments.size === 2)
+    assert(state.segments.last.count() <= 8L) // one doc x 8 bands
+    // two more appends hit compactEvery=4: the log collapses to one
+    // segment with every membership row preserved
+    StreamMinhashDedup.ingest(
+      state, Seq((9002L, "another tiny arrival document")).toDF("doc_id", "text"), 2L)
+    StreamMinhashDedup.ingest(
+      state, Seq((9003L, "yet another tiny arrival document")).toDF("doc_id", "text"), 3L)
+    assert(state.segments.size === 1)
+    val compacted = state.log.count()
+    assert(compacted >= stateRows + 3L)
+    state.close()
+  }
 }
