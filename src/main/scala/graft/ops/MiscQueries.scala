@@ -198,7 +198,40 @@ object MiscQueries {
       .orderBy("source", "rk")
   }
 
+  /** Deterministic WEIGHTED sampling per stratum (priority sampling):
+    * each doc draws priority = u / w where u is its portable-hash
+    * uniform and w its weight (n_chars — longer docs more likely
+    * kept); the 15 smallest priorities per source win. Inclusion odds
+    * scale with weight, yet the draw is a pure function of doc_id —
+    * reproducible across engines, partitionings and reruns, unlike
+    * `sample()`. The emitted priority is ONE IEEE division of two
+    * exactly-representable integers, so it hashes bit-identically on
+    * both engines. Same WindowGroupLimit top-k shape as q55: O(k)
+    * rows move per stratum.
+    */
+  private val weightedSample: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.PortableHash.h32(col("doc_id").cast("string"))
+    Tables(s, dir).documents
+      .filter(col("n_chars") > 0)
+      .select(
+        col("source"),
+        col("doc_id"),
+        col("n_chars"),
+        (h.cast("double") / col("n_chars").cast("double")).as("priority")
+      )
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("priority"), col("doc_id"))
+        )
+      )
+      .filter(col("rk") <= 15)
+      .orderBy("source", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q56_weighted_sample" -> weightedSample,
     "q55_stratified_sample" -> stratifiedSample,
     "info01_table_counts" -> tableCounts,
     "metrics01_doc" -> metricsDoc,
@@ -278,6 +311,19 @@ object MiscQueries {
          |  FROM documents)
          |SELECT source, doc_id, CAST(rk AS INT) AS rk FROM r
          |WHERE rk <= 20 ORDER BY source, rk""".stripMargin
+    },
+    "q56_weighted_sample" -> {
+      val hSql =
+        graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH r AS (
+         |  SELECT source, doc_id, n_chars,
+         |    CAST($hSql AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY CAST($hSql AS DOUBLE) / CAST(n_chars AS DOUBLE),
+         |               doc_id) AS rk
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT source, doc_id, n_chars, priority, CAST(rk AS INT) AS rk
+         |FROM r WHERE rk <= 15 ORDER BY source, rk""".stripMargin
     },
     "q54_hash_split" -> {
       val bucketSql =

@@ -380,7 +380,73 @@ object SimilarityQueries {
       .orderBy("label", "dim")
   }
 
+  /** Prefix-score + rerank top-k (the matryoshka/truncated-dimension
+    * ANN pattern): score every candidate with only the FIRST 16 dims
+    * (an 8x cheaper dot product — at 100 TB the brute-force scan is
+    * memory-bandwidth-bound, and a production layout stores the
+    * prefix as its own column so the coarse pass reads 1/8 of the
+    * bytes), pool the top 50 per query by coarse score, then rerank
+    * only the pool with the full 128-dim cosine. Same broadcast-query
+    * + WindowGroupLimit discipline as sim01; the rerank touches
+    * O(pool) rows. Exact-vs-approx recall is the trade the pool size
+    * buys back — with pool >> k the full-cosine top-k almost always
+    * survives the coarse cut.
+    */
+  private val PREFIX_DIMS = 16
+  private val RERANK_POOL = 50
+  private val prefixRerank: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(s, dir).embeddings
+    val q = emb
+      .filter(col("vec_id").isin(QUERY_IDS: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val coarse = emb
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        col("embedding"),
+        col("query_vec"),
+        graft.sim.Similarity
+          .dot(
+            slice(col("query_vec"), 1, PREFIX_DIMS),
+            slice(col("embedding"), 1, PREFIX_DIMS)
+          )
+          .as("coarse")
+      )
+    val pool = coarse
+      .withColumn(
+        "crank",
+        row_number().over(
+          Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("coarse").desc, col("neighbor_id").asc)
+        )
+      )
+      .filter(col("crank") <= RERANK_POOL)
+    pool
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        graft.plans
+          .CosineSimilarity(s, col("query_vec"), col("embedding"))
+          .as("cos_sim")
+      )
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        )
+      )
+      .filter(col("rank") <= TOPK)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim12_prefix_rerank" -> prefixRerank,
     "sim11_quantized_topk" -> quantizedTopK,
     "sim10_centroids" -> centroids,
     "sim09_quantize" -> quantize,
@@ -479,6 +545,25 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim12_prefix_rerank" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id IN $qIdsSql),
+         |coarse AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id, q.qv,
+         |         e.embedding AS ev,
+         |         ${dotSql(s"q.qv[1:$PREFIX_DIMS]", s"e.embedding[1:$PREFIX_DIMS]")}
+         |           AS coarse
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         |pool AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY coarse DESC, neighbor_id ASC) AS crank
+         |         FROM coarse),
+         |rr AS (SELECT query_id, neighbor_id, ${cosSql("qv", "ev")} AS cos_sim
+         |       FROM pool WHERE crank <= $RERANK_POOL),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |           FROM rr)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+         |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin,
     "sim11_quantized_topk" ->
       s"""WITH am AS (
          |  SELECT vec_id, embedding,

@@ -464,7 +464,63 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Consecutive-run token cleanup (the CCNet/RefinedWeb-style
+    * boilerplate pass a pretraining pipeline runs before counting):
+    * collapse each run of identically repeated adjacent tokens to one
+    * occurrence ("batch batch batch" -> "batch"), keeping non-adjacent
+    * repeats. Pure array HOF per row — the index lambda compares each
+    * token to its predecessor — so the op is map-side only; the staged
+    * token array is read by both the filter and the counts.
+    */
+  private val dedupRuns: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .withColumn("__toks", tokens(col("text")))
+      .withColumn(
+        "__kept",
+        // Spark's HOF index is 0-based while element_at is 1-based, so
+        // element_at(toks, i) IS the predecessor of position i
+        filter(col("__toks"), (t, i) => i === 0 || t =!= element_at(col("__toks"), i))
+      )
+      .select(
+        col("doc_id"),
+        tokenCountOf(col("__toks")).as("n_tokens"),
+        when(col("__kept").isNotNull, size(col("__kept"))).as("n_kept"),
+        array_join(col("__kept"), " ").as("cleaned")
+      )
+      .orderBy("doc_id")
+
+  /** Per-source token budgeting (domain balancing): walk each source's
+    * docs in doc_id order and keep rows while the running token total
+    * stays inside the quota — the deterministic "cap every domain at N
+    * tokens" pass a data mixer runs. The window is PARTITIONED by
+    * source: each domain's scan is independent, so the op distributes
+    * by construction (no global window anywhere).
+    */
+  // 800 binds at every fixture SF (per-source masses are ~1.4k tokens
+  // at sf0.001/0.01 and ~13k at sf0.1), so the gate actually checks
+  // the cutoff, not just the running sum
+  private val quotaTokens = 800L
+  private val sourceQuota: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir).documents
+      .withColumn("__toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        col("source"),
+        tokenCountOf(col("__toks")).cast("long").as("n_tokens")
+      )
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= quotaTokens)
+      .orderBy("source", "doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text12_dedup_runs" -> dedupRuns,
+    "text13_source_quota" -> sourceQuota,
     "text11_repetition" -> repetition,
     "pipe01_corpus" -> corpusPipeline,
     "text10_pack" -> pack,
@@ -493,6 +549,25 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "text12_dedup_runs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |k AS (SELECT doc_id, toks,
+         |        list_filter(toks, (x, i) -> i = 1 OR x != toks[i-1]) AS kept
+         |      FROM t)
+         |SELECT doc_id, len(toks) AS n_tokens, len(kept) AS n_kept,
+         |  array_to_string(kept, ' ') AS cleaned
+         |FROM k ORDER BY doc_id""".stripMargin,
+    "text13_source_quota" ->
+      s"""WITH n AS (SELECT doc_id, source,
+         |             CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS cum_tokens
+         |      FROM n)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= $quotaTokens ORDER BY source, doc_id""".stripMargin,
     "text11_repetition" ->
       s"""WITH d AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, source, len(toks) AS n_tokens,
