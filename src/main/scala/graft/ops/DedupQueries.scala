@@ -281,7 +281,53 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-document duplicated n-gram coverage (the Gopher/RefinedWeb
+    * `dup_ngram_frac` quality signal): for each doc, the fraction of
+    * its distinct shingles that also occur in at least one OTHER doc —
+    * high coverage means the doc is assembled from corpus boilerplate
+    * even when no single near-duplicate partner exists (which is why
+    * pair-based dedup (dedup04/05) cannot catch it).
+    *
+    * Shape at scale: the fused [[graft.plans.ShingleHashes]] sketch is
+    * map-side; everything that shuffles is a dense LONG key (shingle
+    * hash or doc_id) — two hash aggregations + one semi join, no text
+    * moves. h32 collisions overcount identically on both engines (the
+    * oracle uses the same hash), so the gate stays exact.
+    */
+  private val dupNgrams: Q = (s, dir) => {
+    val base = docs(s, dir).select(
+      col("doc_id"),
+      graft.plans.ShingleHashes(s, col("text")).as("__shh")
+    )
+    val inst = base.select(col("doc_id"), explode_outer(col("__shh")).as("h"))
+      .filter(col("h").isNotNull)
+    val dup = inst
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select("h")
+    val perDoc = inst
+      .join(dup, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup"))
+    base
+      .select(
+        col("doc_id"),
+        when(col("__shh").isNotNull, size(col("__shh"))).as("n_shingles")
+      )
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("dup_frac")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup11_dup_ngrams" -> dupNgrams,
     "dedup10_decontaminate" -> decontaminate,
     "dedup09_fuzzy_names" -> fuzzyNames,
     "dedup01_exact_stats" -> exactStats,
@@ -345,6 +391,22 @@ object DedupQueries {
        |          list_transform(sh, x -> ${h32("x")}) AS shh FROM sh)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup11_dup_ngrams" ->
+      s"""WITH prep AS (SELECT doc_id, $normSql AS norm,
+         |               $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM prep),
+         |shh AS (SELECT doc_id,
+         |          list_transform(sh, x -> ${h32("x")}) AS shh FROM sh),
+         |inst AS (SELECT doc_id, unnest(shh) AS h FROM shh),
+         |dup AS (SELECT h FROM inst GROUP BY h
+         |        HAVING COUNT(DISTINCT doc_id) >= 2),
+         |perdoc AS (SELECT i.doc_id, COUNT(*) AS n_dup
+         |           FROM inst i JOIN dup USING (h) GROUP BY i.doc_id)
+         |SELECT s.doc_id, len(s.shh) AS n_shingles,
+         |  COALESCE(p.n_dup, 0) AS n_dup,
+         |  CAST(COALESCE(p.n_dup, 0) AS DOUBLE) / len(s.shh) AS dup_frac
+         |FROM shh s LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
     "dedup10_decontaminate" ->
       s"""WITH prep AS (SELECT doc_id, source, $normSql AS norm,
          |               $toksSql AS toks FROM documents),
