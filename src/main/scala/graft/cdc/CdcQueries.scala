@@ -128,6 +128,67 @@ object CdcQueries {
       .orderBy("id", "valid_from_us", "version_seq")
   }
 
+  /** Incremental materialized-aggregate maintenance (retract-stream
+    * algebra): maintain `GROUP BY content → (count, sum(value))` over
+    * the LIVE state purely from change-event deltas, never touching
+    * the materialized table. Each event retracts the key's previously
+    * visible row (−1, −value) and adds its new visible row (+1,
+    * +value); a D adds nothing, an event after a D retracts nothing.
+    * The maintained view is then just SUM over deltas per group —
+    * the standard incremental-view-maintenance / changelog-to-agg
+    * shape (what a streaming sink would apply batch-by-batch).
+    *
+    * Exactness: deltas sum in DECIMAL(18,2) (per [[Qx.dsum]]) so every
+    * retraction cancels its addition bit-for-bit regardless of
+    * aggregation order — a double sum of +x/−x terms would drift.
+    * Shape at scale: ONE keyed window shuffle (same as materialize)
+    * + one dense-key hash aggregate with map-side partials; group
+    * cardinality = distinct `content`, so the final agg is tiny.
+    */
+  private val aggMaintain: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("ts"), col("seq"))
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val deltas = changeLog(s, dir)
+      .select(col("id"), col("op"), col("content"), col("value"),
+        col("ts"), col("seq"))
+      .withColumn("prev_op", lag(col("op"), 1).over(w))
+      .withColumn("prev_content", lag(col("content"), 1).over(w))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(
+        explode(
+          array(
+            when(
+              col("prev_op").isNotNull && col("prev_op") =!= "D",
+              struct(
+                col("prev_content").as("g"),
+                lit(-1L).as("dn"),
+                (-dec(col("prev_value"))).as("dv")
+              )
+            ),
+            when(
+              col("op") =!= "D",
+              struct(
+                col("content").as("g"),
+                lit(1L).as("dn"),
+                dec(col("value")).as("dv")
+              )
+            )
+          )
+        ).as("d")
+      )
+      .filter(col("d").isNotNull)
+    deltas
+      .groupBy(col("d.g").as("content"))
+      .agg(
+        sum(col("d.dn")).as("n_rows"),
+        sum(col("d.dv")).cast("double").as("sum_value")
+      )
+      .filter(col("n_rows") > 0)
+      .orderBy("content")
+  }
+
   val queries: Map[String, Q] = Map(
     "cdc01_materialize" -> materializeState,
     "cdc02_state_count" -> stateCount,
@@ -135,7 +196,8 @@ object CdcQueries {
     "cdc04_seed_replay" -> seedReplay,
     "cdc05_crud_replay" -> crudReplay,
     "cdc06_key_assign" -> keyAssign,
-    "cdc07_scd2" -> scd2
+    "cdc07_scd2" -> scd2,
+    "cdc08_agg_maintain" -> aggMaintain
   )
 
   private val latestSql =
@@ -196,6 +258,13 @@ object CdcQueries {
         |  from_us AS valid_from_us, to_us AS valid_to_us,
         |  (to_us IS NULL) AS is_current, seq AS version_seq
         |FROM iv WHERE op <> 'D'
-        |ORDER BY id, valid_from_us, version_seq""".stripMargin
+        |ORDER BY id, valid_from_us, version_seq""".stripMargin,
+    // the oracle RECOMPUTES the aggregate from the materialized state —
+    // passing means incremental maintenance ≡ full recompute
+    "cdc08_agg_maintain" ->
+      s"""SELECT content, COUNT(*) AS n_rows,
+         |  ${graft.ops.Qx.sqlDsum("value")} AS sum_value
+         |FROM ($latestSql)
+         |GROUP BY content ORDER BY content""".stripMargin
   )
 }

@@ -326,7 +326,57 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Asymmetric shingle containment C(a→b) = |S(a)∩S(b)| / |S(a)| —
+    * catches docs that are QUOTED or EMBEDDED inside a larger doc,
+    * which symmetric Jaccard misses (a 100-token doc fully contained
+    * in a 10k-token doc has Jaccard ≈ 0.01 but containment 1.0).
+    *
+    * Scale shape: inverted-index self-join on the shingle hash with a
+    * document-frequency band [2, maxDf] — df=1 shingles cannot pair,
+    * df>maxDf "stop shingles" carry no discriminative signal and would
+    * create O(df²) fan-out, so both the metric and the join exclude
+    * them (documented semantics, mirrored by the oracle). Every
+    * shuffled key is a dense long (h or doc_id); the per-doc distinct
+    * is `array_distinct` BEFORE the explode, so it's map-side.
+    */
+  private val maxDf = 20
+  private val containTau = 0.5
+  private val containment: Q = (s, dir) => {
+    val inst = docs(s, dir)
+      .select(
+        col("doc_id"),
+        explode_outer(
+          array_distinct(graft.plans.ShingleHashes(s, col("text")))
+        ).as("h")
+      )
+      .filter(col("h").isNotNull)
+    val keep = inst
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("h")
+    val instF = inst.join(keep, Seq("h"), "left_semi")
+    val sizes = instF.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    instF
+      .select(col("h"), col("doc_id").as("id_a"))
+      .join(instF.select(col("h"), col("doc_id").as("id_b")), Seq("h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("n_a"),
+        col("n_common"),
+        (col("n_common").cast("double") / col("n_a")).as("containment")
+      )
+      .filter(col("containment") >= containTau)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup12_containment" -> containment,
     "dedup11_dup_ngrams" -> dupNgrams,
     "dedup10_decontaminate" -> decontaminate,
     "dedup09_fuzzy_names" -> fuzzyNames,
@@ -391,6 +441,27 @@ object DedupQueries {
        |          list_transform(sh, x -> ${h32("x")}) AS shh FROM sh)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup12_containment" ->
+      s"""WITH prep AS (SELECT doc_id, $normSql AS norm,
+         |               $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM prep),
+         |shh AS (SELECT doc_id,
+         |          list_transform(sh, x -> ${h32("x")}) AS shh FROM sh),
+         |inst AS (SELECT DISTINCT doc_id, h FROM
+         |           (SELECT doc_id, unnest(shh) AS h FROM shh)),
+         |keep AS (SELECT h FROM inst GROUP BY h
+         |         HAVING COUNT(*) BETWEEN 2 AND $maxDf),
+         |instf AS (SELECT i.doc_id, i.h FROM inst i JOIN keep USING (h)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_a FROM instf GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |            COUNT(*) AS n_common
+         |          FROM instf a JOIN instf b USING (h)
+         |          WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, s.n_a, n_common,
+         |  CAST(n_common AS DOUBLE) / s.n_a AS containment
+         |FROM inter JOIN sizes s ON s.doc_id = id_a
+         |WHERE CAST(n_common AS DOUBLE) / s.n_a >= $containTau
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup11_dup_ngrams" ->
       s"""WITH prep AS (SELECT doc_id, $normSql AS norm,
          |               $toksSql AS toks FROM documents),

@@ -230,7 +230,41 @@ object MiscQueries {
       .orderBy("source", "rk")
   }
 
+  /** Mergeable HyperLogLog distinct-count sketch (M=64 registers)
+    * next to the exact count it approximates: distinct users per
+    * event type. The typed Aggregator's merge is elementwise register
+    * max, so the sketch combines map-side like any partial aggregate
+    * — the O(1)-state substitute for `COUNT(DISTINCT)` when key
+    * cardinality itself is shuffle-prohibitive (the exact column here
+    * is the checkable companion, same discipline as q37/ApproxNtile).
+    * Register math is portable-hash-derived and libm-free, so the
+    * DuckDB oracle reconstructs the ESTIMATE bit-for-bit — the sketch
+    * is oracle-exact, not just property-tested (see
+    * [[graft.sim.HllAggregator]]).
+    */
+  private val hllDistinct: Q = (s, dir) => {
+    val hllEst = udaf(
+      graft.sim.HllAggregator.distinctEstimate,
+      org.apache.spark.sql.Encoders.scalaLong
+    )
+    Tables(s, dir).events
+      .filter(col("user_id").isNotNull)
+      .select(
+        col("event_type"),
+        col("user_id"),
+        graft.functions.PortableHash.h32(col("user_id").cast("string"))
+          .as("__h")
+      )
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        hllEst(col("__h")).as("hll_est")
+      )
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q57_hll_distinct" -> hllDistinct,
     "q56_weighted_sample" -> weightedSample,
     "q55_stratified_sample" -> stratifiedSample,
     "info01_table_counts" -> tableCounts,
@@ -242,6 +276,31 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // reconstructs the HLL registers AND estimate from the same md5
+    // hashes — decimal literals forced ::DOUBLE so the arithmetic is
+    // the identical IEEE expression Spark evaluates (all register
+    // terms are powers of two, so the sums are exact on both engines)
+    "q57_hll_distinct" -> {
+      val h = graft.functions.PortableHash.sqlH32("CAST(user_id AS VARCHAR)")
+      """WITH hh AS (SELECT event_type, user_id, HEXPR AS h
+        |            FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, h % 64 AS idx,
+        |        MAX(CASE WHEN h // 64 = 0 THEN 27
+        |             ELSE bit_count(((h // 64) & -(h // 64)) - 1) + 1
+        |            END) AS mx
+        |      FROM hh GROUP BY 1, 2),
+        |s AS (SELECT event_type,
+        |        SUM(1.0::DOUBLE / (1::BIGINT << mx))
+        |          + (64 - COUNT(*)) * 1.0::DOUBLE AS ssum
+        |      FROM r GROUP BY 1),
+        |e AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+        |      FROM hh GROUP BY 1)
+        |SELECT e.event_type, e.n_exact,
+        |  (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 64.0::DOUBLE)
+        |    * 64.0::DOUBLE * 64.0::DOUBLE) / s.ssum AS hll_est
+        |FROM e JOIN s USING (event_type)
+        |ORDER BY event_type""".stripMargin.replace("HEXPR", h)
+    },
     "info01_table_counts" ->
       allTables
         .map(t => s"SELECT '$t' AS table_name, COUNT(*) AS n_rows FROM $t")

@@ -518,7 +518,53 @@ object TextQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** Sliding-window chunking with overlap (RAG / context-window prep):
+    * split each doc into 128-token chunks every 96 tokens, so adjacent
+    * chunks share a 32-token overlap and no token is more than one
+    * chunk boundary from full context. Chunk starts are a pure
+    * function of the doc's own token count (integer `div`), so the op
+    * is map-side only — stage tokens once, explode a tiny index
+    * sequence, slice the staged array; no shuffle at any scale, and
+    * output size is bounded by (1 + overlap/stride) ≈ 1.33× the corpus.
+    */
+  private val chunkLen = 128
+  private val chunkStride = 96
+  private val chunkOverlap: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .withColumn("__toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        col("__toks"),
+        tokenCountOf(col("__toks")).cast("long").as("n_tokens")
+      )
+      .filter(col("n_tokens") > 0)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("__toks"),
+        explode(
+          sequence(lit(0L), expr(s"(n_tokens - 1) div $chunkStride"))
+        ).as("chunk_idx")
+      )
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        (col("chunk_idx") * chunkStride).as("tok_start"),
+        least(col("chunk_idx") * chunkStride + chunkLen, col("n_tokens"))
+          .as("tok_end"),
+        array_join(
+          slice(
+            col("__toks"),
+            (col("chunk_idx") * chunkStride + 1).cast("int"),
+            lit(chunkLen)
+          ),
+          " "
+        ).as("chunk_text")
+      )
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, Q] = Map(
+    "text14_chunk_overlap" -> chunkOverlap,
     "text12_dedup_runs" -> dedupRuns,
     "text13_source_quota" -> sourceQuota,
     "text11_repetition" -> repetition,
@@ -549,6 +595,19 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "text14_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+         |      FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, chunk_idx,
+         |  chunk_idx * $chunkStride AS tok_start,
+         |  least(chunk_idx * $chunkStride + $chunkLen, n_tokens) AS tok_end,
+         |  array_to_string(
+         |    toks[chunk_idx * $chunkStride + 1 : chunk_idx * $chunkStride + $chunkLen],
+         |    ' ') AS chunk_text
+         |FROM n, unnest(generate_series(0, (n_tokens - 1) // $chunkStride))
+         |  AS u(chunk_idx)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "text12_dedup_runs" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |k AS (SELECT doc_id, toks,
