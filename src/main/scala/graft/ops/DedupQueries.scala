@@ -342,7 +342,13 @@ object DedupQueries {
   private val maxDf = 20
   private val containTau = 0.5
   private val containment: Q = (s, dir) => {
-    val inst = docs(s, dir)
+    // one aggregation shuffle builds the inverted index (the sketch is
+    // computed ONCE — a semi-join + self-join formulation would
+    // re-evaluate the map-side sketch subtree per use); the df band
+    // is a size() filter on the collected posting list, and both the
+    // per-doc sizes and the pair counts explode from the SAME kept
+    // lists, so everything downstream shuffles dense long keys only
+    val members = docs(s, dir)
       .select(
         col("doc_id"),
         explode_outer(
@@ -350,16 +356,16 @@ object DedupQueries {
         ).as("h")
       )
       .filter(col("h").isNotNull)
-    val keep = inst
       .groupBy(col("h"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select("h")
-    val instF = inst.join(keep, Seq("h"), "left_semi")
-    val sizes = instF.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
-    instF
-      .select(col("h"), col("doc_id").as("id_a"))
-      .join(instF.select(col("h"), col("doc_id").as("id_b")), Seq("h"))
+      .agg(collect_list(col("doc_id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxDf))
+    val sizes = members
+      .select(explode(col("__ids")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_a"))
+    members
+      .select(col("__ids"), explode(col("__ids")).as("id_a"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
