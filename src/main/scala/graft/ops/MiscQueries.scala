@@ -263,7 +263,139 @@ object MiscQueries {
       .orderBy("event_type")
   }
 
+  /** Deterministic global corpus shuffle + sharding (the training-
+    * order pass before tokenizer export): shard by one seeded hash,
+    * order within each shard by an INDEPENDENT seeded hash — the
+    * standard "shuffle then shard" that decorrelates training order
+    * from ingest order, as a pure function of doc_id (reproducible
+    * across engines, partitionings, and reruns, unlike
+    * `orderBy(rand())`). Shard assignment is map-side; the only
+    * shuffle is the per-shard window, bounded by corpus/NSHARDS rows
+    * per partition — no global sort anywhere.
+    */
+  private val nShards = 16
+  private val corpusShuffle: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hShard =
+      graft.functions.PortableHash.h32(col("doc_id").cast("string"), 5801)
+    val hPos =
+      graft.functions.PortableHash.h32(col("doc_id").cast("string"), 5802)
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        pmod(hShard, lit(nShards.toLong)).as("shard"),
+        hPos.as("__pos_key")
+      )
+      .withColumn(
+        "pos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("__pos_key"), col("doc_id"))
+        )
+      )
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  /** Mixture oversampling (epoch weighting): repeat each source's
+    * docs according to a per-source mixture weight with one decimal
+    * digit (1.0–2.9, derived here from a hash so no config table is
+    * needed; a real pipeline joins a broadcast weights table). A doc
+    * repeats floor(w) times plus one more with probability frac(w),
+    * decided by its own hash — expected emitted mass per source is
+    * exactly w × docs while the draw stays a pure function of doc_id.
+    * The tenths digit makes the fractional draw EXACT integer
+    * arithmetic (h mod 10 < tenths), so the oracle reproduces it
+    * bit-for-bit. Map-side only: explode of a per-row index sequence,
+    * no shuffle at any scale.
+    */
+  private val mixtureEpochs: Q = (s, dir) => {
+    val hSrc = graft.functions.PortableHash.h32(col("source"), 5803)
+    val hDoc =
+      graft.functions.PortableHash.h32(col("doc_id").cast("string"), 5804)
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        col("source"),
+        (pmod(hSrc, lit(20L)) / 10L).cast("long").as("__w_int"),
+        pmod(hSrc, lit(10L)).as("__tenths"),
+        pmod(hDoc, lit(10L)).as("__u")
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        (lit(1L) + col("__w_int") +
+          when(col("__u") < col("__tenths"), 1L).otherwise(0L))
+          .as("n_epochs")
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_epochs"),
+        explode(sequence(lit(1L), col("n_epochs"))).as("epoch")
+      )
+      .orderBy("doc_id", "epoch")
+  }
+
+  /** Sharded training-data EXPORT (the write path the other queries
+    * stop short of): hash-shard the corpus, `partitionBy(shard)` with
+    * `maxRecordsPerFile` so every shard splits into bounded files,
+    * read the directory back and report per-shard file/row counts.
+    * The repartition on shard puts each shard's rows in ONE task, so
+    * the file count is deterministically ceil(rows/maxRecords) — which
+    * is what the oracle recomputes from the source table (the parquet
+    * roundtrip itself is what's under test; a mismatch means rows were
+    * lost, duplicated, or mis-sharded in the sink).
+    *
+    * At scale this is the real recipe: partitioned columnar write,
+    * file sizes bounded for downstream loader parallelism, shard
+    * count chosen so shard ≫ executor count.
+    */
+  private val wShards = 8
+  private val maxPerFile = 32
+  private val shardWrite: Q = (s, dir) => {
+    val h = graft.functions.PortableHash.h32(col("doc_id").cast("string"), 5805)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_pipe02_")
+      .toFile
+    val target = out.getAbsolutePath
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), col("text"),
+        pmod(h, lit(wShards.toLong)).as("shard"))
+      .repartition(wShards, col("shard"))
+      .write
+      .option("maxRecordsPerFile", maxPerFile)
+      .partitionBy("shard")
+      .mode("overwrite")
+      .parquet(target)
+    // partition-column inference types `shard=` as INT — pin to long
+    val back = s.read.parquet(target)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("shard")
+    val files = out.listFiles((d: java.io.File) => d.getName.startsWith("shard="))
+    val actualFiles = files.map { d =>
+      val shard = d.getName.stripPrefix("shard=").toLong
+      shard -> d.listFiles((f: java.io.File) => f.getName.endsWith(".parquet")).length.toLong
+    }.toMap
+    // materialize before deleting the roundtrip directory: the
+    // returned frame must stay evaluable after cleanup
+    val rows = back.collect().map { r =>
+      val shard = r.getLong(0)
+      (shard, r.getLong(1), actualFiles.getOrElse(shard, 0L))
+    }
+    def delete(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(delete))
+      f.delete(): Unit
+    }
+    delete(out)
+    import s.implicits._
+    rows.toSeq.toDF("shard", "n_docs", "n_files").orderBy("shard")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipe02_shard_write" -> shardWrite,
+    "q58_corpus_shuffle" -> corpusShuffle,
+    "q59_mixture_epochs" -> mixtureEpochs,
     "q57_hll_distinct" -> hllDistinct,
     "q56_weighted_sample" -> weightedSample,
     "q55_stratified_sample" -> stratifiedSample,
@@ -276,6 +408,45 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q58_corpus_shuffle" -> {
+      val hShard = graft.functions.PortableHash
+        .sqlH32("CAST(doc_id AS VARCHAR)", 5801)
+      val hPos = graft.functions.PortableHash
+        .sqlH32("CAST(doc_id AS VARCHAR)", 5802)
+      s"""WITH t AS (SELECT doc_id, $hShard % $nShards AS shard,
+         |             $hPos AS pos_key FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+         |    ORDER BY pos_key, doc_id) AS INT) AS pos
+         |FROM t ORDER BY shard, pos""".stripMargin
+    },
+    "q59_mixture_epochs" -> {
+      val hSrc = graft.functions.PortableHash.sqlH32("source", 5803)
+      val hDoc = graft.functions.PortableHash
+        .sqlH32("CAST(doc_id AS VARCHAR)", 5804)
+      s"""WITH t AS (SELECT doc_id, source,
+         |             ($hSrc % 20) // 10 AS w_int,
+         |             $hSrc % 10 AS tenths,
+         |             $hDoc % 10 AS u
+         |           FROM documents),
+         |n AS (SELECT doc_id, source,
+         |        1 + w_int + CASE WHEN u < tenths THEN 1 ELSE 0 END
+         |          AS n_epochs
+         |      FROM t)
+         |SELECT doc_id, source, CAST(n_epochs AS BIGINT) AS n_epochs,
+         |  CAST(epoch AS BIGINT) AS epoch
+         |FROM n, unnest(generate_series(1, n_epochs)) AS e(epoch)
+         |ORDER BY doc_id, epoch""".stripMargin
+    },
+    // recomputes the per-shard row counts AND the file counts the
+    // bounded writer must have produced (ceil(rows / maxRecordsPerFile))
+    "pipe02_shard_write" -> {
+      val h = graft.functions.PortableHash
+        .sqlH32("CAST(doc_id AS VARCHAR)", 5805)
+      s"""SELECT $h % $wShards AS shard, COUNT(*) AS n_docs,
+         |  (COUNT(*) + ${maxPerFile - 1}) // $maxPerFile AS n_files
+         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+    },
     // reconstructs the HLL registers AND estimate from the same md5
     // hashes — decimal literals forced ::DOUBLE so the arithmetic is
     // the identical IEEE expression Spark evaluates (all register
