@@ -189,7 +189,70 @@ object CdcQueries {
       .orderBy("content")
   }
 
+  /** Point-in-time cutoffs for cdc09/cdc10 — inside the fixture's
+    * event window (Jan 2024) at every SF, so both queries bind.
+    */
+  private val asOfT = "2024-01-15 00:00:00"
+  private val diffT1 = "2024-01-10 00:00:00"
+  private val diffT2 = "2024-01-20 00:00:00"
+
+  /** Materialized state AS OF a cutoff: latest-wins over only the
+    * events at or before it — time travel over the change log (what a
+    * warehouse answers with AS OF T, recovered here from raw CDC
+    * without any snapshot having been taken). Same single keyed
+    * window shuffle as materialize; the cutoff filter is pushed into
+    * the scan.
+    */
+  private def stateAsOf(s: SparkSession, dir: String, cutoff: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("id"))
+      .orderBy(col("ts").desc, col("seq").desc)
+    changeLog(s, dir)
+      .filter(col("ts") <= lit(cutoff).cast("timestamp"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "D")
+      .select(col("id"), col("content"), col("value"))
+  }
+
+  private val timeTravel: Q = (s, dir) =>
+    stateAsOf(s, dir, asOfT).orderBy("id")
+
+  /** State DIFF between two points in time: which keys appeared,
+    * changed, or vanished between T1 and T2 — the audit query a CDC
+    * store answers without any snapshots, built from two as-of
+    * states full-outer-joined on the key. `change_op` classifies:
+    * I (absent → present), U (present both sides, payload differs),
+    * D (present → absent); unchanged keys drop out. Null-safe
+    * comparison (`<=>`) so a NULL payload change still classifies.
+    */
+  private val stateDiff: Q = (s, dir) => {
+    val s1 = stateAsOf(s, dir, diffT1)
+      .select(col("id"), col("content").as("old_content"),
+        col("value").as("old_value"))
+    val s2 = stateAsOf(s, dir, diffT2)
+      .select(col("id"), col("content").as("new_content"),
+        col("value").as("new_value"))
+    s1.join(s2, Seq("id"), "full_outer")
+      .withColumn(
+        "change_op",
+        when(col("old_content").isNull && col("new_content").isNotNull, "I")
+          .when(col("old_content").isNotNull && col("new_content").isNull, "D")
+          .when(
+            !(col("old_content") <=> col("new_content")) ||
+              !(col("old_value") <=> col("new_value")),
+            "U"
+          )
+      )
+      .filter(col("change_op").isNotNull)
+      .select(col("id"), col("change_op"), col("old_content"),
+        col("old_value"), col("new_content"), col("new_value"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cdc09_time_travel" -> timeTravel,
+    "cdc10_state_diff" -> stateDiff,
     "cdc01_materialize" -> materializeState,
     "cdc02_state_count" -> stateCount,
     "cdc03_point_lookup" -> statePointLookup,
@@ -205,6 +268,14 @@ object CdcQueries {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
       |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
       |WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
+  /** [[latestSql]] restricted to events at or before a cutoff. */
+  private def latestAtSql(cutoff: String) =
+    s"""SELECT user_id AS id, event_type AS content, value
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |        ORDER BY ts DESC, event_id DESC) AS rn FROM events
+       |      WHERE ts <= TIMESTAMP '$cutoff')
+       |WHERE rn = 1 AND event_type <> 'error'""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "cdc01_materialize" -> (latestSql + "\nORDER BY id"),
@@ -265,6 +336,22 @@ object CdcQueries {
       s"""SELECT content, COUNT(*) AS n_rows,
          |  ${graft.ops.Qx.sqlDsum("value")} AS sum_value
          |FROM ($latestSql)
-         |GROUP BY content ORDER BY content""".stripMargin
+         |GROUP BY content ORDER BY content""".stripMargin,
+    "cdc09_time_travel" ->
+      s"SELECT * FROM (${latestAtSql(asOfT)})\nORDER BY id",
+    "cdc10_state_diff" ->
+      s"""SELECT * FROM (
+         |  SELECT COALESCE(s1.id, s2.id) AS id,
+         |    CASE WHEN s1.content IS NULL AND s2.content IS NOT NULL THEN 'I'
+         |         WHEN s1.content IS NOT NULL AND s2.content IS NULL THEN 'D'
+         |         WHEN s1.content IS DISTINCT FROM s2.content
+         |           OR s1.value IS DISTINCT FROM s2.value THEN 'U'
+         |    END AS change_op,
+         |    s1.content AS old_content, s1.value AS old_value,
+         |    s2.content AS new_content, s2.value AS new_value
+         |  FROM (${latestAtSql(diffT1)}) s1
+         |  FULL JOIN (${latestAtSql(diffT2)}) s2 ON s1.id = s2.id)
+         |WHERE change_op IS NOT NULL
+         |ORDER BY id""".stripMargin
   )
 }

@@ -381,7 +381,53 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Survivor selection — the actionable END of the dedup chain
+    * (candidates → verify → cluster → CHOOSE WHAT TO KEEP): per
+    * near-dup cluster, keep the doc with the most tokens (ties →
+    * smaller doc_id) and mark every other member dropped. Quality-
+    * based selection, not min-id: the canonical label is a graph
+    * artifact; the survivor should be the best COPY.
+    *
+    * Shape at scale: the cluster assignment is dedup06's pointer-
+    * jumping CC; the argmax is ONE dense-key struct-max aggregate
+    * (no per-cluster sort window), joined back to members on
+    * cluster_id. Singleton clusters pass through as their own
+    * survivor — a corpus-wide keep/drop verdict for every doc.
+    */
+  private val survivors: Q = (s, dir) => {
+    val edges = minhashVerified(s, dir).filter(col("jac") >= 0.5)
+    val nodes = docs(s, dir).select(col("doc_id").as("id"))
+    val membership = graft.dedup.Clusters
+      .connectedComponents(nodes, edges)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val withTokens = membership.join(
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")
+      ),
+      Seq("doc_id")
+    )
+    val best = withTokens
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("n_tokens"), (-col("doc_id")).as("__negid")))
+          .as("__m")
+      )
+      .select(col("cluster_id"), (-col("__m.__negid")).as("survivor_id"))
+    withTokens
+      .join(best, Seq("cluster_id"))
+      .select(
+        col("doc_id"),
+        col("cluster_id"),
+        col("n_tokens"),
+        col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("keep")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup13_survivors" -> survivors,
     "dedup12_containment" -> containment,
     "dedup11_dup_ngrams" -> dupNgrams,
     "dedup10_decontaminate" -> decontaminate,
@@ -581,7 +627,8 @@ object DedupQueries {
     // dedup08 runs the star-contraction finder over the same edges and
     // must land on the same fixpoint, so it shares the oracle.
     "dedup06_clusters" -> clustersOracle,
-    "dedup08_clusters_stars" -> clustersOracle
+    "dedup08_clusters_stars" -> clustersOracle,
+    "dedup13_survivors" -> survivorsOracle
   )
 
   /** Candidate pairs only (no verify) — the truth for the streaming
@@ -600,7 +647,10 @@ object DedupQueries {
        |           AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin
 
-  private lazy val clustersOracle: String =
+  /** The WITH body shared by the clustering oracles: candidate pairs →
+    * Jaccard verify → undirected edges → recursive reachability.
+    */
+  private lazy val clusterCtes: String =
       s"""WITH RECURSIVE $prepCte,
          |sig AS (SELECT doc_id, sh, $sigSql AS sig FROM shh),
          |band AS (SELECT doc_id, r.b AS band, bands[r.b + 1] AS band_sig
@@ -621,10 +671,33 @@ object DedupQueries {
          |reach(id, lbl) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
-         |SELECT id AS doc_id, MIN(lbl) AS cluster_id,
-         |  (MIN(lbl) = id) AS is_canonical
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin
+
+  private lazy val clustersOracle: String =
+    s"""$clusterCtes
+       |SELECT id AS doc_id, MIN(lbl) AS cluster_id,
+       |  (MIN(lbl) = id) AS is_canonical
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  private lazy val survivorsOracle: String =
+    s"""$clusterCtes,
+       |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+       |       FROM reach GROUP BY id),
+       |tok AS (SELECT doc_id,
+       |          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |            AS n_tokens
+       |        FROM documents),
+       |t AS (SELECT c.doc_id, c.cluster_id, tok.n_tokens
+       |      FROM cl c JOIN tok USING (doc_id)),
+       |b AS (SELECT cluster_id, doc_id AS survivor_id FROM
+       |        (SELECT cluster_id, doc_id,
+       |           ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |             ORDER BY n_tokens DESC, doc_id) AS rn
+       |         FROM t)
+       |      WHERE rn = 1)
+       |SELECT t.doc_id, t.cluster_id, t.n_tokens, b.survivor_id,
+       |  (t.doc_id = b.survivor_id) AS keep
+       |FROM t JOIN b USING (cluster_id) ORDER BY t.doc_id""".stripMargin
 }
 
 /** Shared SQL fragments (single source of truth for mirrors). */
