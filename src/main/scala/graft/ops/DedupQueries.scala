@@ -426,7 +426,70 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter decontamination — dedup10's shape once the eval
+    * shingle SET is itself too large to broadcast exactly: the
+    * mergeable [[graft.sim.BloomAggregator]] builds an M=4096-bit
+    * filter over the eval shingles distributed (map-side partials,
+    * OR-merge), the finished 512-byte bitset embeds in the probe plan
+    * as ONE array literal, and the probe is a pure array HOF over
+    * each train doc's staged shingle hashes — ZERO shuffle on the
+    * probe side (dedup10's exact form pays a join + groupBy).
+    * One-sided error: every exact hit is flagged; false positives
+    * (≈(1−e^(−Kn/M))^K) are deterministic, portable-hash-derived,
+    * and reproduced bit-for-bit by the DuckDB oracle, which rebuilds
+    * the same filter in SQL. At production scale M grows with the
+    * eval set (M/n ≈ 10 bits/key for ~1% FP) — the register math is
+    * M-independent.
+    */
+  private val bloomDecontaminate: Q = (s, dir) => {
+    import graft.sim.BloomAggregator
+    val EVAL = "src0"
+    val T = 5
+    val d = docs(s, dir).select(
+      col("doc_id"),
+      col("source"),
+      graft.plans.ShingleHashes(s, col("text")).as("__shh")
+    )
+    // distributed build: insertion is idempotent, so no distinct
+    // shuffle is needed before the sketch
+    val words: Array[Long] = d
+      .filter(col("source") === EVAL)
+      .select(explode(col("__shh")).as("h"))
+      .select(col("h"))
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+      .select(BloomAggregator.sketch.toColumn.name("bits"))
+      .collect()
+      .headOption
+      .getOrElse(BloomAggregator.sketch.zero)
+    val bitsLit = typedLit(
+      (0 until BloomAggregator.BITS)
+        .map(p => ((words(p >> 6) >>> (p & 63)) & 1L) == 1L)
+    )
+    def pos(h: org.apache.spark.sql.Column, i: Int) =
+      pmod(
+        PortableHash.h32(h.cast("string"), BloomAggregator.seed(i)),
+        lit(BloomAggregator.BITS.toLong)
+      )
+    def hit(h: org.apache.spark.sql.Column) =
+      (0 until BloomAggregator.K)
+        .map(i => element_at(bitsLit, (pos(h, i) + 1L).cast("int")))
+        .reduce(_ && _)
+    d.filter(col("source") =!= EVAL)
+      .select(col("doc_id"), array_distinct(col("__shh")).as("__hs"))
+      .select(
+        col("doc_id"),
+        when(col("__hs").isNotNull, size(col("__hs"))).as("n_shingles"),
+        coalesce(
+          when(col("__hs").isNotNull, size(filter(col("__hs"), hit(_)))),
+          lit(0)
+        ).as("n_flagged")
+      )
+      .withColumn("contaminated", col("n_flagged") >= T)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup14_bloom_decontaminate" -> bloomDecontaminate,
     "dedup13_survivors" -> survivors,
     "dedup12_containment" -> containment,
     "dedup11_dup_ngrams" -> dupNgrams,
@@ -492,7 +555,45 @@ object DedupQueries {
        |shh AS (SELECT doc_id, sh,
        |          list_transform(sh, x -> ${h32("x")}) AS shh FROM sh)""".stripMargin
 
+  private def bloomPosSql(e: String, i: Int) =
+    s"${PortableHash.sqlH32(e, 9100 + i)} % 4096"
+
   val oracle: Map[String, String] = Map(
+    // rebuilds the SAME 4096-bit filter in SQL (distinct set bit
+    // positions from the seeded hashes) and probes with three
+    // semi-joins — false positives match the engine's bit-for-bit
+    "dedup14_bloom_decontaminate" ->
+      s"""WITH prep AS (SELECT doc_id, source, $normSql AS norm,
+         |               $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, source, $shinglesSql AS sh FROM prep),
+         |shh AS (SELECT doc_id, source,
+         |          list_transform(sh, x -> ${h32("x")}) AS shh FROM sh),
+         |ev AS (SELECT DISTINCT unnest(shh) AS h FROM shh
+         |       WHERE source = 'src0'),
+         |bits AS (SELECT DISTINCT pos FROM (
+         |  SELECT ${bloomPosSql("CAST(h AS VARCHAR)", 0)} AS pos FROM ev
+         |  UNION ALL
+         |  SELECT ${bloomPosSql("CAST(h AS VARCHAR)", 1)} FROM ev
+         |  UNION ALL
+         |  SELECT ${bloomPosSql("CAST(h AS VARCHAR)", 2)} FROM ev)),
+         |tr AS (SELECT doc_id, unnest(list_distinct(shh)) AS h FROM shh
+         |       WHERE source <> 'src0'),
+         |p AS (SELECT doc_id, h,
+         |        ${bloomPosSql("CAST(h AS VARCHAR)", 0)} AS p0,
+         |        ${bloomPosSql("CAST(h AS VARCHAR)", 1)} AS p1,
+         |        ${bloomPosSql("CAST(h AS VARCHAR)", 2)} AS p2
+         |      FROM tr),
+         |f AS (SELECT doc_id FROM p
+         |      WHERE p0 IN (SELECT pos FROM bits)
+         |        AND p1 IN (SELECT pos FROM bits)
+         |        AND p2 IN (SELECT pos FROM bits)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_flagged FROM f GROUP BY doc_id)
+         |SELECT t.doc_id, len(list_distinct(t.shh)) AS n_shingles,
+         |  COALESCE(c.n_flagged, 0) AS n_flagged,
+         |  (COALESCE(c.n_flagged, 0) >= 5) AS contaminated
+         |FROM shh t LEFT JOIN cnt c USING (doc_id)
+         |WHERE t.source <> 'src0'
+         |ORDER BY t.doc_id""".stripMargin,
     "dedup12_containment" ->
       s"""WITH prep AS (SELECT doc_id, $normSql AS norm,
          |               $toksSql AS toks FROM documents),
