@@ -109,6 +109,46 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Recall@k evaluation of every ANN arm against the brute-force
+    * truth — the query an embedding platform runs before trusting an
+    * approximate index (tune planes/probes/pool until recall clears
+    * the bar). All four arms are this library's own operators (sim02
+    * LSH, sim06 IVF, sim12 prefix-rerank vs sim01 exact top-k); the
+    * overlap is a semi-join on (query_id, neighbor_id), all counts
+    * exact integers — the fixture shows the spread (prefix ≫ ivf ≫
+    * lsh) that motivates the rerank design. At scale the truth arm
+    * runs over a SAMPLE of queries: recall is a statistic, so the
+    * brute-force cost is bounded by the evaluation budget, not the
+    * corpus.
+    */
+  private val annRecall: Q = (s, dir) => {
+    val truth = bruteTopK(s, dir).select(col("query_id"), col("neighbor_id"))
+    val arms = Seq(
+      "lsh" -> lshTopK(s, dir),
+      "ivf" -> ivfTopK(s, dir),
+      "prefix" -> prefixRerank(s, dir)
+    ).map { case (m, df) =>
+      df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val hits = arms
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("method"), col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    val grid = Seq("lsh", "ivf", "prefix")
+      .map(m => lit(m).as("method"))
+      .map(c => truth.select("query_id").distinct().select(c, col("query_id")))
+      .reduce(_ unionByName _)
+    grid
+      .join(hits, Seq("method", "query_id"), "left")
+      .select(
+        col("method"),
+        col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / TOPK).as("recall")
+      )
+      .orderBy("method", "query_id")
+  }
+
   private val bruteTopK: Q = (s, dir) => {
     val emb = Tables(s, dir).embeddings
     Similarity
@@ -454,6 +494,7 @@ object SimilarityQueries {
     "sim07_vector_stats" -> vectorStats,
     "sim06_ivf_topk" -> ivfTopK,
     "sim05_topk_aggregator" -> topkViaAggregator,
+    "sim13_ann_recall" -> annRecall,
     "sim01_topk_bruteforce" -> bruteTopK,
     "sim02_topk_lsh" -> lshTopK,
     "sim03_near_dup" -> nearDup,
@@ -544,7 +585,7 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
        |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private val baseOracle: Map[String, String] = Map(
     "sim12_prefix_rerank" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id IN $qIdsSql),
@@ -676,4 +717,29 @@ object SimilarityQueries {
       s"""SELECT ${bucketSql("embedding")} AS bucket, COUNT(*) AS n_vectors
          |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
   )
+
+  /** sim13's oracle COMPOSES the four arm oracles verbatim (single
+    * source of truth — a drift in any arm's mirror shows up here
+    * too): each arm SQL runs as a subquery, overlaps counted per
+    * (method, query) over a method×query grid.
+    */
+  val oracle: Map[String, String] = baseOracle + ("sim13_ann_recall" -> {
+    def arm(m: String, name: String) =
+      s"SELECT '$m' AS method, query_id, neighbor_id FROM (${baseOracle(name)})"
+    s"""WITH btop AS (SELECT query_id, neighbor_id
+       |              FROM (${baseOracle("sim01_topk_bruteforce")})),
+       |arm AS (${arm("lsh", "sim02_topk_lsh")}
+       |  UNION ALL ${arm("ivf", "sim06_ivf_topk")}
+       |  UNION ALL ${arm("prefix", "sim12_prefix_rerank")}),
+       |hits AS (SELECT method, a.query_id, COUNT(*) AS n_hit
+       |         FROM arm a JOIN btop USING (query_id, neighbor_id)
+       |         GROUP BY 1, 2),
+       |m(method) AS (VALUES ('lsh'), ('ivf'), ('prefix')),
+       |qs AS (SELECT DISTINCT query_id FROM btop)
+       |SELECT m.method, qs.query_id, COALESCE(h.n_hit, 0) AS n_hit,
+       |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / $TOPK AS recall
+       |FROM m CROSS JOIN qs
+       |LEFT JOIN hits h ON h.method = m.method AND h.query_id = qs.query_id
+       |ORDER BY m.method, qs.query_id""".stripMargin
+  })
 }
