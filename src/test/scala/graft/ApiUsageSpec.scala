@@ -140,6 +140,39 @@ class ApiUsageSpec extends SparkSpec {
     assert(df.count() === 2L && df.rdd.getNumPartitions === 2)
   }
 
+  test("sketches: HLL distinct estimate and Bloom membership, mergeable") {
+    // HLL: one 64-byte register array per group, merged like any
+    // partial aggregate; estimate is deterministic (no libm)
+    val hll = udaf(
+      sim.HllAggregator.distinctEstimate,
+      org.apache.spark.sql.Encoders.scalaLong
+    )
+    val est = Seq.tabulate(2000)(i => ("g", functions.PortableHash.h32Local(s"u$i")))
+      .toDF("g", "h")
+      .groupBy("g")
+      .agg(hll(col("h")).as("est"))
+      .head()
+      .getDouble(1)
+    assert(math.abs(est - 2000) / 2000 < 0.4)
+    // Bloom: build over one column, probe another — one-sided error
+    val bits = Seq.tabulate(100)(i => functions.PortableHash.h32Local(s"k$i"))
+      .foldLeft(sim.BloomAggregator.sketch.zero)(sim.BloomAggregator.sketch.reduce)
+    assert(sim.BloomAggregator.contains(bits, functions.PortableHash.h32Local("k7")))
+  }
+
+  test("CDC: state as of a timestamp, and what changed since") {
+    val log = Seq(
+      ("I", 1L, "a", Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      ("U", 1L, "a2", Timestamp.valueOf("2024-01-03 00:00:00"), 2L),
+      ("I", 2L, "b", Timestamp.valueOf("2024-01-04 00:00:00"), 3L)
+    ).toDF("op", "id", "content", "ts", "seq")
+    // time travel = materialize over the log restricted to the cutoff
+    val asOf = cdc.Materializer
+      .materialize(log.filter(col("ts") <= lit("2024-01-02 00:00:00").cast("timestamp")))
+    assert(asOf.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a")))
+  }
+
   test("property: assignIds is dense and gapless across chained batches") {
     val genBatchSizes = Gen.listOfN(3, Gen.choose(0, 8))
     val prop = Prop.forAll(genBatchSizes, Gen.choose(0L, 50L)) { (sizes, base) =>
