@@ -222,6 +222,13 @@ object DedupQueries {
       // multi-band distinct would re-shuffle every candidate for
       // nothing (plan: exactly one Exchange before the output sort)
       .bucketedPairsSingleMembership(parts, Seq("p_brand", "__w0"), "m")
+      // length-band prefilter: levenshtein ≥ |len(a)−len(b)|, so any
+      // pair further than the threshold apart in length can be
+      // rejected by integer arithmetic before the DP runs at all —
+      // identical output, most candidates never pay the edit distance
+      .filter(
+        abs(length(col("id_a.p_name")) - length(col("id_b.p_name"))) <= 3
+      )
       .select(
         col("id_a.p_partkey").as("key_a"),
         col("id_b.p_partkey").as("key_b"),
