@@ -203,7 +203,20 @@ object StreamQueries {
       )
       .orderBy("id_a", "id_b")
 
+  /** Streaming incremental aggregate maintenance: replay the fixture
+    * change log in seq-sliced micro-batches through
+    * [[graft.streaming.StreamAggMaintain]]; the accumulated view must
+    * equal batch cdc08's aggregate (same oracle), and the spec
+    * additionally pins the REVERSED (out-of-order) replay to the same
+    * result.
+    */
+  private val aggMaintainIngest: Q = (s, dir) =>
+    graft.streaming.StreamAggMaintain
+      .replay(graft.cdc.CdcQueries.changeLog(s, dir))
+      .orderBy("content")
+
   val queries: Map[String, Q] = Map(
+    "stream08_agg_maintain" -> aggMaintainIngest,
     "stream07_minhash_ingest" -> minhashIngest,
     "stream06_asof_enrich" -> asofEnrich,
     "stream01_tumbling" -> tumbling,
@@ -218,6 +231,9 @@ object StreamQueries {
     * hops); make_timestamp keeps the naive-UTC type.
     */
   val oracle: Map[String, String] = Map(
+    // the maintained view must land on the batch recompute exactly
+    "stream08_agg_maintain" ->
+      graft.cdc.CdcQueries.oracle("cdc08_agg_maintain"),
     "stream07_minhash_ingest" -> DedupQueries.candidatePairsOracle,
     "stream01_tumbling" ->
       s"""SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000)
