@@ -563,7 +563,40 @@ object TextQueries {
       )
       .orderBy("doc_id", "chunk_idx")
 
+  /** Curriculum binning: bucket the corpus into four STATIC quality
+    * bands (thresholds, not quantiles — map-side and scale-free,
+    * where an exact quantile split is q37's global window; the
+    * approx-quantile cut-point recipe in [[ApproxNtile]] upgrades
+    * this to data-relative bands) and report per-band mass — the
+    * summary a curriculum scheduler consumes to order training from
+    * clean to noisy. Aggregates are order-independent: counts, an
+    * integer token sum, and min/max of the identical-on-both-engines
+    * quality double.
+    */
+  private val curriculum: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .withColumn("__toks", tokens(col("text")))
+      .select(
+        tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
+        qualityScoreFromCounts(
+          tokenCountOf(col("__toks")),
+          stopwordCountOf(col("__toks"), stopwords("en")),
+          uniqueTokenCountOf(col("__toks"))
+        ).as("quality")
+      )
+      .groupBy(
+        least(floor(col("quality") * 4), lit(3L)).cast("int").as("bin")
+      )
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("quality")).as("min_q"),
+        max(col("quality")).as("max_q")
+      )
+      .orderBy("bin")
+
   val queries: Map[String, Q] = Map(
+    "text15_curriculum" -> curriculum,
     "text14_chunk_overlap" -> chunkOverlap,
     "text12_dedup_runs" -> dedupRuns,
     "text13_source_quota" -> sourceQuota,
@@ -595,6 +628,20 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "text15_curriculum" ->
+      s"""WITH q AS (SELECT
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  0.4 * least(1.0, CAST(len($toksSql) AS DOUBLE) / 50.0)
+         |  + 0.3 * least(1.0, (CAST(${stopSql(stopwords("en"))} AS DOUBLE)
+         |      / len($toksSql)) * 5.0)
+         |  + 0.3 * (CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql))
+         |    AS quality
+         |FROM documents)
+         |SELECT CAST(least(floor(quality * 4), 3) AS INT) AS bin,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  MIN(quality) AS min_q, MAX(quality) AS max_q
+         |FROM q GROUP BY 1 ORDER BY bin""".stripMargin,
     "text14_chunk_overlap" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
