@@ -392,7 +392,30 @@ object MiscQueries {
     rows.toSeq.toDF("shard", "n_docs", "n_files").orderBy("shard")
   }
 
+  /** Modality-pairing coverage: per source, how many docs have a
+    * matching embedding row (doc_id = vec_id) — the dataset-hygiene
+    * join a multimodal trainer runs before pairing text with vectors
+    * (a silently unpaired slice becomes a silently text-only model).
+    * Dense-long equi-join; at scale both sides are large → sort-merge
+    * on the id, with the aggregate on the tiny source domain.
+    */
+  private val mmPairing: Q = (s, dir) => {
+    val d = Tables(s, dir).documents.select(col("doc_id"), col("source"))
+    val e = Tables(s, dir).embeddings
+      .select(col("vec_id").as("doc_id"), lit(1).as("__has"))
+    d.join(e, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("__has")).as("n_paired"),
+        (count(col("__has")).cast("double") / count(lit(1)))
+          .as("coverage")
+      )
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm04_pairing" -> mmPairing,
     "pipe02_shard_write" -> shardWrite,
     "q58_corpus_shuffle" -> corpusShuffle,
     "q59_mixture_epochs" -> mixtureEpochs,
@@ -408,6 +431,12 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm04_pairing" ->
+      """SELECT d.source, COUNT(*) AS n_docs,
+        |  COUNT(e.vec_id) AS n_paired,
+        |  CAST(COUNT(e.vec_id) AS DOUBLE) / COUNT(*) AS coverage
+        |FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q58_corpus_shuffle" -> {
       val hShard = graft.functions.PortableHash
         .sqlH32("CAST(doc_id AS VARCHAR)", 5801)
