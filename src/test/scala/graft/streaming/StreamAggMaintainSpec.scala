@@ -51,6 +51,33 @@ class StreamAggMaintainSpec extends SparkSpec {
     assert(got === batchTruth)
   }
 
+  test("property: hash-random slicings in rotated orders land on the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val log = graft.cdc.CdcQueries.changeLog(spark, sfDir)
+    val truth = batchTruth
+    for (seed <- Seq(11, 38)) {
+      val sliced = log.withColumn(
+        "__b",
+        pmod(hash(col("seq"), lit(seed)), lit(3))
+      )
+      val base = Seq(0, 1, 2)
+      val order = {
+        val rot = base.drop(seed % 3) ++ base.take(seed % 3)
+        if (seed % 2 == 1) rot.reverse else rot
+      }
+      val state = StreamAggMaintain.newState(spark)
+      order.foreach { i =>
+        StreamAggMaintain.ingest(state, sliced.filter(col("__b") === i).drop("__b"))
+      }
+      val got = state.aggregate
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      state.close()
+      assert(got === truth, s"seed=$seed order=$order")
+    }
+  }
+
   test("foreachBatch query maintains the view incrementally") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
