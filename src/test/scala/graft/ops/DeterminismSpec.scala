@@ -1,0 +1,33 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** The sampling/shuffle/scoring operators advertise "a pure function
+  * of the data — reproducible across partitionings": rerun each under
+  * a different shuffle-partition count and require bit-identical rows.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val names = Seq(
+    "q55_stratified_sample",
+    "q56_weighted_sample",
+    "q58_corpus_shuffle",
+    "q59_mixture_epochs",
+    "sim11_quantized_topk"
+  )
+
+  test("partitioning never changes the result rows") {
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.shuffle.partitions")
+    names.foreach { n =>
+      val q = graft.SparkEntry.queries(n)
+      val a = q(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      try {
+        conf.set("spark.sql.shuffle.partitions", "7")
+        val b = q(spark, sfDir).collect().map(_.toString).sorted.toSeq
+        assert(a === b, s"$n diverged across partitionings")
+        assert(a.nonEmpty, s"$n returned nothing")
+      } finally conf.set("spark.sql.shuffle.partitions", orig)
+    }
+  }
+}
