@@ -595,7 +595,44 @@ object TextQueries {
       )
       .orderBy("bin")
 
+  /** Token-rarity scoring — the integer-exact proxy for the unigram
+    * surprisal (perplexity-style) quality filter: each token scores
+    * floor(log2(N / freq)) bits (N = corpus token instances, freq =
+    * the token's corpus count), a doc scores the mean over its
+    * tokens. floor(log2(x)) is computed as `length(bin(x)) − 1` —
+    * EXACT integer arithmetic on both engines, where a float log
+    * would diverge in the last ulp and break the gate (the same
+    * libm-free discipline as text08's tf-idf and q57's HLL).
+    *
+    * Shape at scale: one vocabulary aggregation, one token→freq join
+    * (broadcast when the vocab is small, shuffle on the token
+    * otherwise — Zipf makes the hot keys the LOW-information ones, so
+    * AQE skew-split handles them without correctness risk), one
+    * dense doc_id aggregate; N is a broadcast scalar.
+    */
+  private val rarity: Q = (s, dir) => {
+    val toks = Tables(s, dir).documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum(col("freq")).as("n_total"))
+    toks
+      .join(freq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"),
+        (length(bin(expr("n_total div freq"))) - 1).cast("long").as("bits")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("sum_bits"),
+        (sum(col("bits")).cast("double") / count(lit(1))).as("mean_bits")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text16_rarity" -> rarity,
     "text15_curriculum" -> curriculum,
     "text14_chunk_overlap" -> chunkOverlap,
     "text12_dedup_runs" -> dedupRuns,
@@ -628,6 +665,17 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "text16_rarity" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |f AS (SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok),
+         |n AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_total FROM f),
+         |b AS (SELECT t.doc_id,
+         |        CAST(len(bin(n.n_total // f.freq)) - 1 AS BIGINT) AS bits
+         |      FROM t JOIN f USING (tok) CROSS JOIN n)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+         |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_bits
+         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text15_curriculum" ->
       s"""WITH q AS (SELECT
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
