@@ -495,7 +495,44 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** MinHash estimator fidelity — sketch-quality evaluation for the
+    * dedup family (sim13's role for the ANN family): per LSH
+    * candidate pair, the signature's own Jaccard ESTIMATE (matching
+    * components / K) next to the exact shingle Jaccard and the
+    * absolute error. The numbers that justify K: with K=32 the
+    * standard error is ≈ √(J(1−J)/32) ≤ 0.09, and the fixture errors
+    * sit inside it. Exact arithmetic throughout (component equality
+    * counts and one division) — oracle reconstructs the same
+    * signatures from the same permutation formulas.
+    */
+  private val minhashFidelity: Q = (s, dir) => {
+    val base = docs(s, dir)
+    val pairs = Dedup.lshCandidatePairs(base, "doc_id", "text", K, BANDS)
+    val sigs = Dedup
+      .minHashSignatureAgg(Dedup.prepared(base, "text"), "doc_id", K)
+      .select(col("doc_id"), col("__sig"))
+    val sh = base.select(
+      col("doc_id"),
+      graft.plans.ShingleHashes(s, col("text")).as("__shh")
+    )
+    pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("__sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("__sig").as("sig_b")), "id_b")
+      .join(sh.select(col("doc_id").as("id_a"), col("__shh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("__shh").as("sh_b")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / K).as("est_jac"),
+        Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac")
+      )
+      .withColumn("abs_err", abs(col("est_jac") - col("jac")))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup15_minhash_fidelity" -> minhashFidelity,
     "dedup14_bloom_decontaminate" -> bloomDecontaminate,
     "dedup13_survivors" -> survivors,
     "dedup12_containment" -> containment,
@@ -566,6 +603,27 @@ object DedupQueries {
     s"${PortableHash.sqlH32(e, 9100 + i)} % 4096"
 
   val oracle: Map[String, String] = Map(
+    "dedup15_minhash_fidelity" ->
+      s"""WITH $prepCte,
+         |sig AS (SELECT doc_id, sh, shh, $sigSql AS sig FROM shh),
+         |band AS (SELECT doc_id, r.b AS band, bands[r.b + 1] AS band_sig
+         |         FROM (SELECT doc_id, $bandsSql AS bands FROM sig) s
+         |         CROSS JOIN range(0, $BANDS) r(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM band a JOIN band b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id),
+         |est AS (SELECT p.id_a, p.id_b,
+         |    CAST(len(list_filter(range(0, $K),
+         |        i -> sa.sig[i + 1] = sb.sig[i + 1])) AS DOUBLE) / $K
+         |      AS est_jac,
+         |    CAST(len(list_intersect(sa.shh, sb.shh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.shh, sb.shh))) AS jac
+         |  FROM pairs p
+         |  JOIN sig sa ON sa.doc_id = p.id_a
+         |  JOIN sig sb ON sb.doc_id = p.id_b)
+         |SELECT id_a, id_b, est_jac, jac, abs(est_jac - jac) AS abs_err
+         |FROM est ORDER BY id_a, id_b""".stripMargin,
     // rebuilds the SAME 4096-bit filter in SQL (distinct set bit
     // positions from the seeded hashes) and probes with three
     // semi-joins — false positives match the engine's bit-for-bit
