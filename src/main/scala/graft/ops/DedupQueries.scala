@@ -531,7 +531,54 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The FULL training-data pipeline, composed end-to-end from this
+    * library's own passes: exclude the benchmark source, drop docs
+    * contaminated by it (dedup10's flags), keep only each near-dup
+    * cluster's best copy (dedup13's survivors), cap every source at
+    * its token quota (text13's window), then assign packed training
+    * sequences (text10's two-level prefix scan). ONE declarative
+    * composition — what a lab's nightly corpus build actually runs —
+    * with the same constants as the member queries, so each stage's
+    * own gate row pins its semantics and this row pins the
+    * composition.
+    */
+  private val fullPipeline: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val surv = queries("dedup13_survivors")(s, dir)
+      .filter(col("keep"))
+      .select("doc_id")
+    val contam = queries("dedup10_decontaminate")(s, dir)
+      .filter(col("contaminated"))
+      .select("doc_id")
+    val base = Tables(s, dir).documents
+      .filter(col("source") =!= "src0")
+      .select(
+        col("doc_id"),
+        col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")
+      )
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val quotaed = base
+      .join(surv, Seq("doc_id"), "left_semi")
+      .join(contam, Seq("doc_id"), "left_anti")
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .filter(col("__cum") <= TextQueries.quotaTokens)
+      .select("doc_id", "source", "n_tokens")
+    TextQueries
+      .packChunks(
+        quotaed.select(col("doc_id"), col("n_tokens")),
+        TextQueries.packBudget
+      )
+      .join(quotaed.select("doc_id", "source"), Seq("doc_id"))
+      .select("doc_id", "source", "n_tokens", "chunk_id", "chunk_offset")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipe03_full_pipeline" -> fullPipeline,
     "dedup15_minhash_fidelity" -> minhashFidelity,
     "dedup14_bloom_decontaminate" -> bloomDecontaminate,
     "dedup13_survivors" -> survivors,
@@ -603,6 +650,54 @@ object DedupQueries {
     s"${PortableHash.sqlH32(e, 9100 + i)} % 4096"
 
   val oracle: Map[String, String] = Map(
+    // composes the member-query mirrors: clustering CTEs → survivor
+    // argmax → contamination flags → per-source quota window → global
+    // pack prefix (all windowed sums pinned to BIGINT — the HUGEINT
+    // trap from rounds 3/4)
+    "pipe03_full_pipeline" ->
+      s"""$clusterCtes,
+         |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |tok AS (SELECT doc_id,
+         |          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |            AS n_tokens
+         |        FROM documents),
+         |t AS (SELECT c.doc_id, c.cluster_id, tok.n_tokens
+         |      FROM cl c JOIN tok USING (doc_id)),
+         |bsel AS (SELECT cluster_id, doc_id AS survivor_id FROM
+         |        (SELECT cluster_id, doc_id,
+         |           ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |             ORDER BY n_tokens DESC, doc_id) AS rn
+         |         FROM t)
+         |      WHERE rn = 1),
+         |surv AS (SELECT t.doc_id FROM t JOIN bsel USING (cluster_id)
+         |         WHERE t.doc_id = bsel.survivor_id),
+         |shs AS (SELECT s.doc_id, d.source, s.shh
+         |        FROM shh s JOIN documents d USING (doc_id)),
+         |ev AS (SELECT DISTINCT unnest(shh) AS h FROM shs
+         |       WHERE source = 'src0'),
+         |tr AS (SELECT doc_id, unnest(shh) AS h FROM shs
+         |       WHERE source <> 'src0'),
+         |shared AS (SELECT tr.doc_id, COUNT(DISTINCT tr.h) AS n_shared
+         |           FROM tr JOIN ev USING (h) GROUP BY tr.doc_id),
+         |contam AS (SELECT doc_id FROM shared WHERE n_shared >= 5),
+         |kept AS (SELECT d.doc_id, d.source, tok.n_tokens
+         |         FROM documents d JOIN tok USING (doc_id)
+         |         WHERE d.source <> 'src0'
+         |           AND d.doc_id IN (SELECT doc_id FROM surv)
+         |           AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |q AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |        AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM kept),
+         |qq AS (SELECT doc_id, source, n_tokens FROM q
+         |       WHERE cum_tokens <= ${TextQueries.quotaTokens}),
+         |p AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS prefix FROM qq)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(prefix // ${TextQueries.packBudget} AS BIGINT) AS chunk_id,
+         |  CAST(prefix % ${TextQueries.packBudget} AS BIGINT) AS chunk_offset
+         |FROM p ORDER BY doc_id""".stripMargin,
     "dedup15_minhash_fidelity" ->
       s"""WITH $prepCte,
          |sig AS (SELECT doc_id, sh, shh, $sigSql AS sig FROM shh),

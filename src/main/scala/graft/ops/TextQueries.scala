@@ -275,7 +275,7 @@ object TextQueries {
     * 1.6G through one reducer. PackPlanSpec pins that bound on the
     * plan. Integer arithmetic throughout — exact on both engines.
     */
-  private val packBudget = 512L
+  private[ops] val packBudget = 512L
   private val pack: Q = (s, dir) => {
     val withN = Tables(s, dir).documents
       .withColumn("__toks", tokens(col("text")))
@@ -499,7 +499,7 @@ object TextQueries {
   // 800 binds at every fixture SF (per-source masses are ~1.4k tokens
   // at sf0.001/0.01 and ~13k at sf0.1), so the gate actually checks
   // the cutoff, not just the running sum
-  private val quotaTokens = 800L
+  private[ops] val quotaTokens = 800L
   private val sourceQuota: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val w = Window
