@@ -28,6 +28,28 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerSketchUdafs(spark)
     spark
+  }
+
+  /** Register the mergeable sketch Aggregators as SQL UDAFs so
+    * SQL-only users can call them alongside the `graft_*` expression
+    * functions (`GraftExtensions` covers the codegen Expressions;
+    * UDAFs register per-session through the udf registry — this is
+    * idempotent, call it on any externally-built session):
+    *
+    *   SELECT graft_hll_distinct(h)  FROM t GROUP BY g   -- DOUBLE
+    *   SELECT graft_bloom(h)         FROM t GROUP BY g   -- ARRAY<LONG>
+    */
+  def registerSketchUdafs(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.{functions => F, Encoders}
+    spark.udf.register(
+      "graft_hll_distinct",
+      F.udaf(sim.HllAggregator.distinctEstimate, Encoders.scalaLong)
+    )
+    spark.udf.register(
+      "graft_bloom",
+      F.udaf(sim.BloomAggregator.sketch, Encoders.scalaLong)
+    )
   }
 }
