@@ -414,7 +414,34 @@ object MiscQueries {
       .orderBy("source")
   }
 
+  /** LATERAL correlated subquery through `spark.sql` — per driving
+    * row, a dependent top-k subquery (each January-1995 order's two
+    * priciest line items). Catalyst decorrelates the lateral into a
+    * ranked join (no per-row re-execution), which is exactly why the
+    * SQL surface can afford the form at scale; the q53 EXISTS family
+    * plus this close out the correlated-subquery feature set.
+    */
+  private val sqlLateral: Q = (s, dir) => {
+    Tables(s, dir).orders.createOrReplaceTempView("orders_lv")
+    Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_lv")
+    s.sql("""
+      SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+      FROM orders_lv o,
+      LATERAL (
+        SELECT l_linenumber, l_extendedprice
+        FROM lineitem_lv
+        WHERE l_orderkey = o.o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber
+        LIMIT 2
+      ) l
+      WHERE o.o_orderdate >= DATE '1995-01-01'
+        AND o.o_orderdate < DATE '1995-02-01'
+      ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber
+    """)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q60_sql_lateral" -> sqlLateral,
     "mm04_pairing" -> mmPairing,
     "pipe02_shard_write" -> shardWrite,
     "q58_corpus_shuffle" -> corpusShuffle,
@@ -431,6 +458,19 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q60_sql_lateral" ->
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        |FROM orders o,
+        |LATERAL (
+        |  SELECT l_linenumber, l_extendedprice
+        |  FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber
+        |  LIMIT 2
+        |) l
+        |WHERE o.o_orderdate >= DATE '1995-01-01'
+        |  AND o.o_orderdate < DATE '1995-02-01'
+        |ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber""".stripMargin,
     "mm04_pairing" ->
       """SELECT d.source, COUNT(*) AS n_docs,
         |  COUNT(e.vec_id) AS n_paired,
