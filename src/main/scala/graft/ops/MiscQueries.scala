@@ -440,7 +440,28 @@ object MiscQueries {
     """)
   }
 
+  /** Value-range window frame: per user, the trailing-7-day sum of
+    * `value` — RANGE frames bound by an INTERVAL over event time, the
+    * window feature the ROWS-frame family (q15/q39) cannot express
+    * (a frame defined by the ORDER value, not a row count; ties are
+    * peers, so the result is reorder-proof by construction). Decimal-
+    * exact sum per [[Qx]]; epoch-µs output like cdc07.
+    */
+  private val rangeFrame: Q = (s, dir) => {
+    Tables(s, dir).events.createOrReplaceTempView("events_rf")
+    s.sql("""
+      SELECT user_id, unix_micros(ts) AS ts_us, event_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+          PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+        ) AS DOUBLE) AS sum_7d
+      FROM events_rf
+      ORDER BY user_id, ts_us, event_id
+    """)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q61_range_frame" -> rangeFrame,
     "q60_sql_lateral" -> sqlLateral,
     "mm04_pairing" -> mmPairing,
     "pipe02_shard_write" -> shardWrite,
@@ -458,6 +479,14 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q61_range_frame" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+        |  ) AS DOUBLE) AS sum_7d
+        |FROM events
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q60_sql_lateral" ->
       """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
         |FROM orders o,
