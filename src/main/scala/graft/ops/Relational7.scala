@@ -1,0 +1,200 @@
+package graft.ops
+
+import graft.Tables
+import graft.ops.Qx._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distribution-shape operators: fixed-bin histograms and least-squares
+  * trend fits — the profiling step before choosing partition widths,
+  * salting factors, or curriculum bands over a new corpus.
+  */
+object Relational7 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q62: fixed-bin histogram of order totals via `width_bucket`.
+    *
+    * Bin bounds are compile-time constants, NOT a data-dependent
+    * min/max probe: at 100 TB a min/max pre-scan is a full extra pass
+    * (column stats make it cheap, but the bounds then shift with the
+    * data and two runs aren't comparable). Fixed bounds make the
+    * histogram mergeable across corpus slices — each slice's counts
+    * add. Out-of-range rows land in the standard under/overflow
+    * buckets (0 and nb+1), so nothing is silently dropped.
+    * One hash aggregation on an integer key; counts are integer-exact.
+    */
+  private val lo = 0.0
+  private val hi = 600000.0
+  private val nb = 12
+  private val histogram: Q = (s, dir) => {
+    val width = (hi - lo) / nb
+    Tables(s, dir).orders
+      .select(
+        width_bucket(col("o_totalprice"), lit(lo), lit(hi), lit(nb))
+          .as("bucket")
+      )
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      // bucket 1 spans [lo, lo+width); publish the edges so the result
+      // is self-describing (underflow/overflow rows get null edges)
+      .withColumn(
+        "bin_lo",
+        when(col("bucket").between(1, nb),
+          round(lit(lo) + (col("bucket") - 1) * lit(width), 2))
+      )
+      .withColumn(
+        "bin_hi",
+        when(col("bucket").between(1, nb),
+          round(lit(lo) + col("bucket") * lit(width), 2))
+      )
+      .orderBy("bucket")
+  }
+
+  /** q63: per-group least-squares fit (slope, intercept, R²) of
+    * extendedprice on quantity — `regr_slope`-family semantics
+    * computed from DECIMAL-exact sufficient statistics (n, Σx, Σy,
+    * Σxx, Σyy, Σxy) so the result is order-independent and engine-
+    * reproducible (the fp builtins aggregate doubles in partition
+    * order — see Qx). One aggregation shuffle on the group key; the
+    * six moments ride one pass, the fit is per-group scalar
+    * arithmetic. The same shape fits scaling-law curves over corpus
+    * stats at 100 TB: moments are mergeable, so slices combine.
+    */
+  private val regression: Q = (s, dir) => {
+    val x = col("l_quantity").cast(DecimalType(9, 2))
+    val y = col("l_extendedprice").cast(DecimalType(12, 2))
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum(x * x).cast(DoubleType).as("sxx"),
+        sum(y * y).cast(DoubleType).as("syy"),
+        sum(x * y).cast(DoubleType).as("sxy")
+      )
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        round(
+          (col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n")),
+          10
+        ).as("slope"),
+        round(
+          (col("sy") - ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n"))) * col("sx")) /
+            col("n"),
+          10
+        ).as("intercept"),
+        round(
+          ((col("sxy") - col("sx") * col("sy") / col("n")) *
+            (col("sxy") - col("sx") * col("sy") / col("n"))) /
+            ((col("sxx") - col("sx") * col("sx") / col("n")) *
+              (col("syy") - col("sy") * col("sy") / col("n"))),
+          10
+        ).as("r2")
+      )
+      .orderBy("l_returnflag")
+  }
+
+  /** q64: ordered conversion funnel view → click → purchase. A user
+    * advances a stage only with a LATER event of the next type (strict
+    * event-time order), the standard product-analytics funnel.
+    *
+    * Three stage aggregates, each a filter → groupBy(user_id) min —
+    * the event-type filters push to the scan, every join key is the
+    * dense user_id, and each stage's frame only shrinks (click joins
+    * view's survivors, purchase joins click's). The three one-row
+    * counts meet in broadcast crossJoins — no stage ever re-scans
+    * events, so the whole funnel is three pushed-filter passes over
+    * the fact table at any scale.
+    */
+  private val funnel: Q = (s, dir) => {
+    val e = Tables(s, dir).events
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("view_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("view_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("click_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("click_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("purchase_ts"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+      .select(
+        col("n_view"),
+        col("n_click"),
+        col("n_purchase"),
+        round(col("n_click").cast("double") / col("n_view"), 10)
+          .as("click_rate"),
+        round(col("n_purchase").cast("double") / col("n_click"), 10)
+          .as("purchase_rate")
+      )
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q62_histogram" -> histogram,
+    "q63_regression" -> regression,
+    "q64_funnel" -> funnel
+  )
+
+  val oracle: Map[String, String] = Map(
+    // width_bucket replicated in portable arithmetic (DuckDB has no
+    // width_bucket): bucket 0 = underflow, nb+1 = overflow.
+    "q62_histogram" ->
+      s"""WITH b AS (
+         |  SELECT CAST(
+         |    LEAST(GREATEST(FLOOR((o_totalprice - $lo) / ((${hi} - $lo) / $nb)), -1), $nb)
+         |    AS BIGINT) + 1 AS bucket
+         |  FROM orders)
+         |SELECT bucket, COUNT(*) AS n,
+         |  CASE WHEN bucket BETWEEN 1 AND $nb
+         |    THEN round($lo + (bucket - 1) * ((${hi} - $lo) / $nb), 2) END AS bin_lo,
+         |  CASE WHEN bucket BETWEEN 1 AND $nb
+         |    THEN round($lo + bucket * ((${hi} - $lo) / $nb), 2) END AS bin_hi
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q64_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS click_ts
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |  (SELECT COUNT(*) FROM c) AS n_click,
+        |  (SELECT COUNT(*) FROM p) AS n_purchase,
+        |  round(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM v), 10) AS click_rate,
+        |  round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM c), 10) AS purchase_rate""".stripMargin,
+    "q63_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 10) AS slope,
+        |  round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 10)
+        |    AS intercept,
+        |  round(((sxy - sx * sy / n) * (sxy - sx * sy / n)) /
+        |    ((sxx - sx * sx / n) * (syy - sy * sy / n)), 10) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin
+  )
+}

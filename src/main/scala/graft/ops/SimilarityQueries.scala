@@ -485,7 +485,72 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** sim14: leave-one-out k-NN label vote — the downstream-task eval
+    * of embedding quality (does cosine neighborhood predict the
+    * label?), complementing sim13's index-recall eval. Query set is a
+    * hash-free id stride (vec_id mod [[KNN_STRIDE]]) so the eval
+    * budget — not the corpus — bounds the brute-force cost at scale;
+    * each query's k nearest corpus rows (self excluded) vote, majority
+    * wins, ties break to the smaller label (deterministic on both
+    * engines). Same broadcast + WindowGroupLimit shape as sim01: one
+    * corpus scan, per-partition top-k heaps, then a vote aggregation
+    * over k·|queries| rows — negligible at any scale.
+    */
+  private val KNN_STRIDE = 25L
+  private val knnLabelVote: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(s, dir).embeddings
+    val q = emb
+      .filter(pmod(col("vec_id"), lit(KNN_STRIDE)) === 0)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"),
+        col("label").as("true_label")
+      )
+    val topk = emb
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("true_label"),
+        col("label").as("n_label"),
+        col("vec_id").as("neighbor_id"),
+        graft.plans
+          .CosineSimilarity(s, col("query_vec"), col("embedding"))
+          .as("cos_sim")
+      )
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        )
+      )
+      .filter(col("rank") <= TOPK)
+    topk
+      .groupBy(col("query_id"), col("true_label"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn(
+        "vrank",
+        row_number().over(
+          Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("votes").desc, col("n_label").asc)
+        )
+      )
+      .filter(col("vrank") === 1)
+      .select(
+        col("query_id"),
+        col("true_label"),
+        col("n_label").as("pred_label"),
+        col("votes"),
+        (col("n_label") === col("true_label")).as("correct")
+      )
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim14_label_knn" -> knnLabelVote,
     "sim12_prefix_rerank" -> prefixRerank,
     "sim11_quantized_topk" -> quantizedTopK,
     "sim10_centroids" -> centroids,
@@ -586,6 +651,28 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
 
   private val baseOracle: Map[String, String] = Map(
+    "sim14_label_knn" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |             label AS true_label
+         |           FROM embeddings WHERE vec_id % $KNN_STRIDE = 0),
+         |scored AS (
+         |  SELECT q.query_id, q.true_label, e.label AS n_label,
+         |         e.vec_id AS neighbor_id,
+         |         ${cosSql("q.qv", "e.embedding")} AS cos_sim
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         |topk AS (SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |    FROM scored) WHERE rank <= $TOPK),
+         |votes AS (SELECT query_id, true_label, n_label,
+         |            COUNT(*) AS votes
+         |          FROM topk GROUP BY query_id, true_label, n_label),
+         |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY votes DESC, n_label ASC) AS vrank
+         |         FROM votes)
+         |SELECT query_id, true_label, n_label AS pred_label, votes,
+         |  n_label = true_label AS correct
+         |FROM best WHERE vrank = 1 ORDER BY query_id""".stripMargin,
     "sim12_prefix_rerank" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id IN $qIdsSql),

@@ -631,7 +631,45 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** text17: boundary-cut distribution of concat-and-chunk packing —
+    * for each doc, how many budget-B sequence boundaries it straddles
+    * (`span` = end chunk − start chunk), grouped into a distribution.
+    * The pipeline health metric for text10's packer: span 0 docs fit
+    * inside one training sequence; span ≥ 1 docs get cut, losing
+    * cross-boundary attention. Derived entirely from [[packChunks]]
+    * output (start prefix = chunk_id·B + chunk_offset), so span is
+    * map-side integer arithmetic on top of the two-level prefix scan,
+    * plus one tiny aggregation on `span` (a key with a handful of
+    * distinct values — broadcast-size result at any corpus size).
+    */
+  private val packSpans: Q = (s, dir) => {
+    val withN = Tables(s, dir).documents
+      .withColumn("__toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        tokenCountOf(col("__toks")).cast("long").as("n_tokens")
+      )
+    packChunks(withN, packBudget)
+      .select(
+        col("n_tokens"),
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(
+            expr(
+              s"(chunk_id * $packBudget + chunk_offset + n_tokens - 1) div $packBudget"
+            ) - col("chunk_id")
+          )
+          .as("span")
+      )
+      .groupBy(col("span"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens")
+      )
+      .orderBy("span")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text17_pack_spans" -> packSpans,
     "text16_rarity" -> rarity,
     "text15_curriculum" -> curriculum,
     "text14_chunk_overlap" -> chunkOverlap,
@@ -665,6 +703,24 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // CASTs: DuckDB windowed SUM(BIGINT) is HUGEINT (pandas float64) —
+    // pin every derived integer to BIGINT (see OracleTypeLintSpec).
+    "text17_pack_spans" ->
+      s"""WITH n AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |p AS (SELECT doc_id, n_tokens,
+         |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS prefix
+         |      FROM n),
+         |sp AS (SELECT n_tokens,
+         |         CASE WHEN n_tokens = 0 THEN 0
+         |           ELSE CAST((prefix + n_tokens - 1) // $packBudget
+         |                  - prefix // $packBudget AS BIGINT) END AS span
+         |       FROM p)
+         |SELECT CAST(span AS BIGINT) AS span, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM sp GROUP BY span ORDER BY span""".stripMargin,
     "text16_rarity" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |f AS (SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok),
