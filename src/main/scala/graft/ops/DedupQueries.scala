@@ -96,6 +96,31 @@ object DedupQueries {
   private val minhashLsh: Q = (s, dir) =>
     minhashVerified(s, dir).orderBy("id_a", "id_b")
 
+  /** dedup16: cross-source duplication matrix — Jaccard-confirmed
+    * (≥ 0.5) near-dup pairs rolled up by the (unordered) source pair.
+    * The corpus contamination report: how much of source A re-appears
+    * in source B decides which source a survivor should be kept from
+    * and whether a crawl slice is worth ingesting at all.
+    *
+    * Cost is the dedup04 candidate discipline plus two dense doc_id
+    * joins to attach sources and one tiny aggregation (sources² keys
+    * at most) — nothing new shuffles at corpus width.
+    */
+  private val crossSourceMatrix: Q = (s, dir) => {
+    val srcs = docs(s, dir).select(col("doc_id"), col("source"))
+    minhashVerified(s, dir)
+      .filter(col("jac") >= 0.5)
+      .join(srcs.select(col("doc_id").as("id_a"), col("source").as("__sa")), "id_a")
+      .join(srcs.select(col("doc_id").as("id_b"), col("source").as("__sb")), "id_b")
+      .select(
+        least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b")
+      )
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Dedup clustering: Jaccard-confirmed (≥ 0.5) MinHash-LSH pairs →
     * connected components → per-doc cluster id and the canonical-keep
     * flag (min doc id per component). The full keep-list a training
@@ -578,6 +603,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "dedup16_cross_source" -> crossSourceMatrix,
     "pipe03_full_pipeline" -> fullPipeline,
     "dedup15_minhash_fidelity" -> minhashFidelity,
     "dedup14_bloom_decontaminate" -> bloomDecontaminate,
@@ -648,6 +674,26 @@ object DedupQueries {
 
   private def bloomPosSql(e: String, i: Int) =
     s"${PortableHash.sqlH32(e, 9100 + i)} % 4096"
+
+  /** dedup04 mirror (LSH candidates + exact Jaccard verify); shared
+    * verbatim by dedup16's composition. */
+  private val minhashVerifiedOracle =
+    s"""WITH $prepCte,
+       |sig AS (SELECT doc_id, sh, $sigSql AS sig FROM shh),
+       |band AS (SELECT doc_id, r.b AS band, bands[r.b + 1] AS band_sig
+       |         FROM (SELECT doc_id, $bandsSql AS bands FROM sig) s
+       |         CROSS JOIN range(0, $BANDS) r(b)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM band a JOIN band b
+       |            ON a.band = b.band AND a.band_sig = b.band_sig
+       |           AND a.doc_id < b.doc_id)
+       |SELECT p.id_a, p.id_b,
+       |  CAST(len(list_intersect(a.shh, b.shh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.shh, b.shh))) AS jac
+       |FROM pairs p
+       |JOIN shh a ON a.doc_id = p.id_a
+       |JOIN shh b ON b.doc_id = p.id_b
+       |ORDER BY id_a, id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // composes the member-query mirrors: clustering CTEs → survivor
@@ -836,23 +882,18 @@ object DedupQueries {
          |  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
          |WHERE $jacSql >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
-    "dedup04_minhash_lsh" ->
-      s"""WITH $prepCte,
-         |sig AS (SELECT doc_id, sh, $sigSql AS sig FROM shh),
-         |band AS (SELECT doc_id, r.b AS band, bands[r.b + 1] AS band_sig
-         |         FROM (SELECT doc_id, $bandsSql AS bands FROM sig) s
-         |         CROSS JOIN range(0, $BANDS) r(b)),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |          FROM band a JOIN band b
-         |            ON a.band = b.band AND a.band_sig = b.band_sig
-         |           AND a.doc_id < b.doc_id)
-         |SELECT p.id_a, p.id_b,
-         |  CAST(len(list_intersect(a.shh, b.shh)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.shh, b.shh))) AS jac
-         |FROM pairs p
-         |JOIN shh a ON a.doc_id = p.id_a
-         |JOIN shh b ON b.doc_id = p.id_b
-         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup04_minhash_lsh" -> minhashVerifiedOracle,
+    // composes the dedup04 mirror: confirmed pairs → source pair cells
+    "dedup16_cross_source" ->
+      s"""WITH mh AS ($minhashVerifiedOracle)
+         |SELECT LEAST(da.source, db.source) AS source_a,
+         |  GREATEST(da.source, db.source) AS source_b,
+         |  COUNT(*) AS n_pairs
+         |FROM mh
+         |JOIN documents da ON da.doc_id = mh.id_a
+         |JOIN documents db ON db.doc_id = mh.id_b
+         |WHERE mh.jac >= 0.5
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup05_simhash" ->
       s"""WITH $prepCte,
          |tokh AS (SELECT doc_id,

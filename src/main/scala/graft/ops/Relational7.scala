@@ -141,13 +141,61 @@ object Relational7 {
       )
   }
 
+  /** q65: weekly cohort retention — users grouped by the week of
+    * their first event; each cell counts how many of a cohort's users
+    * were active `week_offset` weeks later. The classic triangular
+    * retention matrix.
+    *
+    * Two passes over the fact table: first-event per user (groupBy on
+    * the dense user_id), then a join back and a distinct on (cohort,
+    * offset, user) before the cell count — the distinct and the count
+    * share one shuffle (partial aggregation dedups map-side). Week
+    * arithmetic is integer throughout: both endpoints are truncated
+    * to week starts, so the day difference is an exact multiple of 7
+    * and `div 7` is engine-stable.
+    */
+  private val retention: Q = (s, dir) => {
+    val e = Tables(s, dir).events
+    val first = e
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+    e.join(first, "user_id")
+      .select(
+        col("user_id"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+        expr(
+          "datediff(CAST(date_trunc('week', ts) AS DATE), " +
+            "CAST(date_trunc('week', first_ts) AS DATE)) div 7"
+        ).cast("long").as("week_offset")
+      )
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
     "q62_histogram" -> histogram,
     "q63_regression" -> regression,
-    "q64_funnel" -> funnel
+    "q64_funnel" -> funnel,
+    "q65_retention" -> retention
   )
 
   val oracle: Map[String, String] = Map(
+    "q65_retention" ->
+      """WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events
+        |           GROUP BY user_id),
+        |cells AS (SELECT DISTINCT e.user_id,
+        |            CAST(date_trunc('week', f.first_ts) AS DATE)
+        |              AS cohort_week,
+        |            CAST(date_diff('day',
+        |              CAST(date_trunc('week', f.first_ts) AS DATE),
+        |              CAST(date_trunc('week', e.ts) AS DATE)) // 7
+        |              AS BIGINT) AS week_offset
+        |          FROM events e JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset, COUNT(*) AS n_active
+        |FROM cells GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     // width_bucket replicated in portable arithmetic (DuckDB has no
     // width_bucket): bucket 0 = underflow, nb+1 = overflow.
     "q62_histogram" ->

@@ -60,4 +60,39 @@ class PlanBudgetSpec extends SparkSpec {
     val (s, _) = exchanges(run("dedup12_containment"))
     assert(s <= 7, s"dedup12 shuffles=$s")
   }
+
+  test("q62 histogram: one hash agg plus the presentation sort") {
+    val (s, _) = exchanges(run("q62_histogram"))
+    assert(s <= 2, s"q62 shuffles=$s")
+  }
+
+  test("q63 regression: one moments agg plus the presentation sort") {
+    val (s, _) = exchanges(run("q63_regression"))
+    assert(s <= 2, s"q63 shuffles=$s")
+  }
+
+  test("q64 funnel: three stage aggs + stage joins, nothing rescans") {
+    val (s, _) = exchanges(run("q64_funnel"))
+    assert(s <= 8, s"q64 shuffles=$s")
+  }
+
+  test("q65 retention: first-event agg + join + cell distinct/agg") {
+    val (s, _) = exchanges(run("q65_retention"))
+    assert(s <= 4, s"q65 shuffles=$s")
+  }
+
+  test("text17 pack spans: the two prefix-scan levels + span agg + sort") {
+    val (s, _) = exchanges(run("text17_pack_spans"))
+    assert(s <= 5, s"text17 shuffles=$s")
+  }
+
+  test("sim14 kNN vote: one query_id window partition, vote agg reuses it") {
+    val (s, _) = exchanges(run("sim14_label_knn"))
+    assert(s <= 2, s"sim14 shuffles=$s")
+  }
+
+  test("dedup16 cross-source: dedup04 discipline + two source joins + cell agg") {
+    val (s, _) = exchanges(run("dedup16_cross_source"))
+    assert(s <= 9, s"dedup16 shuffles=$s")
+  }
 }
