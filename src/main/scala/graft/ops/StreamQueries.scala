@@ -215,7 +215,17 @@ object StreamQueries {
       .replay(graft.cdc.CdcQueries.changeLog(s, dir))
       .orderBy("content")
 
+  /** Streaming funnel CEP: replay the fixture events in time-sliced
+    * micro-batches through [[graft.streaming.StreamFunnel]]'s per-user
+    * state machine; the accumulated stage counts must equal batch
+    * q64's funnel (same oracle). The live mapGroupsWithState path
+    * runs in StreamFunnelSpec with MemoryStream.
+    */
+  private val funnelIngest: Q = (s, dir) =>
+    graft.streaming.StreamFunnel.replay(Tables(s, dir).events)
+
   val queries: Map[String, Q] = Map(
+    "stream09_funnel" -> funnelIngest,
     "stream08_agg_maintain" -> aggMaintainIngest,
     "stream07_minhash_ingest" -> minhashIngest,
     "stream06_asof_enrich" -> asofEnrich,
@@ -234,6 +244,8 @@ object StreamQueries {
     // the maintained view must land on the batch recompute exactly
     "stream08_agg_maintain" ->
       graft.cdc.CdcQueries.oracle("cdc08_agg_maintain"),
+    // the state machine must land on batch q64's funnel exactly
+    "stream09_funnel" -> Relational7.oracle("q64_funnel"),
     "stream07_minhash_ingest" -> DedupQueries.candidatePairsOracle,
     "stream01_tumbling" ->
       s"""SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000)
