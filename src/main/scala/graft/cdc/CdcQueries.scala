@@ -250,7 +250,39 @@ object CdcQueries {
       .orderBy("id")
   }
 
+  /** cdc11: log compaction behind a retention watermark — the
+    * Kafka-compacted-topic / snapshot-plus-tail maintenance a CDC
+    * store runs so the log doesn't grow with history. Events at or
+    * before the watermark collapse to ONE latest-wins row per key
+    * (the same keyed window as materialize, cutoff filter pushed to
+    * the scan); a key whose prefix winner is a tombstone vanishes
+    * entirely — by the watermark contract nothing older can still
+    * arrive, so no replayer needs the D row to suppress anything.
+    * Events after the watermark are retained raw. Replaying the
+    * compacted log therefore lands on exactly the full log's
+    * materialized state (pinned in CompactionSpec), while storage
+    * drops from O(history) to O(live keys at watermark + tail).
+    */
+  private val compactW = asOfT
+  private val compaction: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val log = changeLog(s, dir)
+    val cut = lit(compactW).cast("timestamp")
+    val w = Window
+      .partitionBy(col("id"))
+      .orderBy(col("ts").desc, col("seq").desc)
+    val compactedPrefix = log
+      .filter(col("ts") <= cut)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "D")
+      .drop("__rn")
+    compactedPrefix
+      .unionByName(log.filter(col("ts") > cut))
+      .orderBy("seq")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cdc11_compaction" -> compaction,
     "cdc09_time_travel" -> timeTravel,
     "cdc10_state_diff" -> stateDiff,
     "cdc01_materialize" -> materializeState,
@@ -277,7 +309,26 @@ object CdcQueries {
        |      WHERE ts <= TIMESTAMP '$cutoff')
        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin
 
+  private val logSql =
+    """SELECT CASE WHEN event_type = 'signup' THEN 'I'
+      |         WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |  user_id AS id, event_type AS content, value, ts,
+      |  event_id AS seq
+      |FROM events""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "cdc11_compaction" ->
+      s"""WITH log AS ($logSql),
+         |pre AS (SELECT op, id, content, value, ts, seq
+         |        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+         |                ORDER BY ts DESC, seq DESC) AS rn
+         |              FROM log WHERE ts <= TIMESTAMP '$compactW')
+         |        WHERE rn = 1 AND op <> 'D')
+         |SELECT * FROM pre
+         |UNION ALL
+         |SELECT op, id, content, value, ts, seq FROM log
+         |WHERE ts > TIMESTAMP '$compactW'
+         |ORDER BY seq""".stripMargin,
     "cdc01_materialize" -> (latestSql + "\nORDER BY id"),
     "cdc02_state_count" ->
       s"SELECT COUNT(*) AS n_live_keys FROM ($latestSql)",
