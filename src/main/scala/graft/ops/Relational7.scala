@@ -174,7 +174,44 @@ object Relational7 {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** q66: local-supplier volume (the TPC-H Q5 shape) — the deepest
+    * star join on the surface: customer ⋈ orders ⋈ lineitem ⋈
+    * supplier with the LOCAL constraint `s_nationkey = c_nationkey`
+    * riding the supplier join, nation/region broadcast, a one-year
+    * date slice pushed to the orders scan. The optimizer workout:
+    * join order, broadcast choice, and filter placement are all
+    * Catalyst's — the declared plan has no hints beyond the two dim
+    * broadcasts, and at scale the fact joins hash on their dense keys
+    * while the region cut prunes via the broadcast.
+    */
+  private val localSupplierVolume: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")
+      )
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(
+        t.supplier,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey")
+      )
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q66_local_supplier" -> localSupplierVolume,
     "q62_histogram" -> histogram,
     "q63_regression" -> regression,
     "q64_funnel" -> funnel,
@@ -182,6 +219,22 @@ object Relational7 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q66_local_supplier" ->
+      s"""SELECT n_name,
+         |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND s_nationkey = c_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
     "q65_retention" ->
       """WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events
         |           GROUP BY user_id),

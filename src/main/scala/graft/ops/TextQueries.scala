@@ -668,7 +668,53 @@ object TextQueries {
       .orderBy("span")
   }
 
+  /** text18: vocabulary growth curve (Heaps' law) — per doc_id-domain
+    * slice, the token instances it contributes and the vocabulary
+    * types FIRST seen in it, plus running totals. The diagnostic that
+    * says whether more corpus still buys new vocabulary (V(n) ∝ n^β)
+    * or the crawl has gone stale.
+    *
+    * first-seen is `min(doc_id) per token` — one vocabulary-keyed
+    * aggregation, the same key space as text05 — and slicing is a
+    * pure integer function of the id domain (div W, W from one max
+    * probe), so both per-slice counts are dense-key aggregates; the
+    * running totals window over exactly [[heapsSlices]] rows.
+    */
+  private val heapsSlices = 10L
+  private val heaps: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir).documents
+    val maxId = d.agg(max(col("doc_id"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    val w = (maxId + heapsSlices) / heapsSlices
+    val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val inst = toks
+      .groupBy(expr(s"doc_id div $w").as("slice"))
+      .agg(count(lit(1)).as("n_instances"))
+    val news = toks
+      .groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr(s"first_doc div $w").as("slice"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val cum = Window
+      .orderBy(col("slice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inst
+      .join(news, Seq("slice"), "left")
+      .select(
+        col("slice"),
+        col("n_instances"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types")
+      )
+      .withColumn("cum_instances", sum(col("n_instances")).over(cum))
+      .withColumn("cum_types", sum(col("n_new_types")).over(cum))
+      .orderBy("slice")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text18_heaps" -> heaps,
     "text17_pack_spans" -> packSpans,
     "text16_rarity" -> rarity,
     "text15_curriculum" -> curriculum,
@@ -705,6 +751,25 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     // CASTs: DuckDB windowed SUM(BIGINT) is HUGEINT (pandas float64) —
     // pin every derived integer to BIGINT (see OracleTypeLintSpec).
+    "text18_heaps" ->
+      s"""WITH wdef AS (SELECT (MAX(doc_id) + $heapsSlices) // $heapsSlices
+         |                AS w FROM documents),
+         |t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |inst AS (SELECT CAST(t.doc_id // wdef.w AS BIGINT) AS slice,
+         |           COUNT(*) AS n_instances
+         |         FROM t CROSS JOIN wdef GROUP BY 1),
+         |fs AS (SELECT tok, MIN(doc_id) AS first_doc FROM t GROUP BY tok),
+         |news AS (SELECT CAST(fs.first_doc // wdef.w AS BIGINT) AS slice,
+         |           COUNT(*) AS n_new_types
+         |         FROM fs CROSS JOIN wdef GROUP BY 1)
+         |SELECT inst.slice, inst.n_instances,
+         |  COALESCE(news.n_new_types, 0) AS n_new_types,
+         |  CAST(SUM(inst.n_instances) OVER (ORDER BY inst.slice
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_instances,
+         |  CAST(SUM(COALESCE(news.n_new_types, 0)) OVER (ORDER BY inst.slice
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+         |FROM inst LEFT JOIN news USING (slice)
+         |ORDER BY slice""".stripMargin,
     "text17_pack_spans" ->
       s"""WITH n AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |           FROM documents),

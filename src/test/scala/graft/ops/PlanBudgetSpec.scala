@@ -95,4 +95,19 @@ class PlanBudgetSpec extends SparkSpec {
     val (s, _) = exchanges(run("dedup16_cross_source"))
     assert(s <= 9, s"dedup16 shuffles=$s")
   }
+
+  test("q66 deep star join: no nested loop, date slice reaches the scan") {
+    val df = run("q66_local_supplier")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"nested loop in plan:\n$plan")
+    assert(
+      plan.contains("GreaterThanOrEqual(o_orderdate"),
+      "date filter not pushed to the orders scan"
+    )
+  }
+
+  test("text18 heaps curve: two vocab-keyed aggs + slice aggs + join") {
+    val (s, _) = exchanges(run("text18_heaps"))
+    assert(s <= 5, s"text18 shuffles=$s")
+  }
 }
