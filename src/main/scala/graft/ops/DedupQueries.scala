@@ -602,7 +602,39 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** dedup17: triangle enumeration over the confirmed near-dup graph —
+    * the cohesion QA for dedup clustering: a clique-ish component
+    * (every pair confirmed) is a true duplicate group, while a long
+    * triangle-free path is LSH chaining that cluster-survivor logic
+    * should treat with suspicion. Edges are canonical (id_a < id_b),
+    * so the two ordered joins enumerate each triangle a<b<c exactly
+    * once. The three legs are the SAME frame — Catalyst's exchange
+    * reuse dedups the underlying MinHash pipeline. At corpus scale a
+    * confirmed-duplicate graph is a union of small near-cliques
+    * (bounded degree), which keeps the join output linear in the
+    * clique mass; for general graphs the degree-ordered node-iterator
+    * form replaces the raw self-join.
+    */
+  private val triangles: Q = (s, dir) => {
+    val e = minhashVerified(s, dir)
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    e.as("e1")
+      .join(e.as("e2"), col("e1.id_b") === col("e2.id_a"))
+      .join(
+        e.as("e3"),
+        col("e3.id_a") === col("e1.id_a") && col("e3.id_b") === col("e2.id_b")
+      )
+      .select(
+        col("e1.id_a").as("id_a"),
+        col("e1.id_b").as("id_b"),
+        col("e2.id_b").as("id_c")
+      )
+      .orderBy("id_a", "id_b", "id_c")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup17_triangles" -> triangles,
     "dedup16_cross_source" -> crossSourceMatrix,
     "pipe03_full_pipeline" -> fullPipeline,
     "dedup15_minhash_fidelity" -> minhashFidelity,
@@ -883,6 +915,14 @@ object DedupQueries {
          |WHERE $jacSql >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup04_minhash_lsh" -> minhashVerifiedOracle,
+    "dedup17_triangles" ->
+      s"""WITH mh AS ($minhashVerifiedOracle),
+         |e AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5)
+         |SELECT e1.id_a, e1.id_b, e2.id_b AS id_c
+         |FROM e e1
+         |JOIN e e2 ON e1.id_b = e2.id_a
+         |JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+         |ORDER BY 1, 2, 3""".stripMargin,
     // composes the dedup04 mirror: confirmed pairs → source pair cells
     "dedup16_cross_source" ->
       s"""WITH mh AS ($minhashVerifiedOracle)

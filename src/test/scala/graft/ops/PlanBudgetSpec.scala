@@ -110,4 +110,14 @@ class PlanBudgetSpec extends SparkSpec {
     val (s, _) = exchanges(run("text18_heaps"))
     assert(s <= 5, s"text18 shuffles=$s")
   }
+
+  test("dedup17 triangle legs reuse one MinHash pipeline (ReusedExchange)") {
+    val df = run("dedup17_triangles")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+      s"no exchange reuse across triangle legs:\n$plan"
+    )
+  }
 }
