@@ -210,7 +210,42 @@ object Relational7 {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** q67: 2-D skyline (Pareto front) of orders — keep an order iff no
+    * other order is strictly better on BOTH dimensions (earlier
+    * `o_orderdate` AND higher `o_totalprice`). The textbook form is a
+    * quadratic NOT EXISTS self-join; this is the sort-based linear
+    * form: collapse to one max-price row per distinct date (dense-key
+    * agg), running max over the date order on that tiny frame, join
+    * back — a row survives iff its price exceeds every earlier date's
+    * best. Skyline is DISTRIBUTIVE (skyline(A ∪ B) ⊆ skyline(A) ∪
+    * skyline(B)), so at 100 TB each partition computes its local front
+    * first and only fronts merge — the same shape as this plan with a
+    * pre-aggregation, never the cross join.
+    */
+  private val skyline: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val daily = o
+      .groupBy(col("o_orderdate"))
+      .agg(max(col("o_totalprice")).as("__dmax"))
+    val prior = Window
+      .orderBy(col("o_orderdate"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bestBefore = daily
+      .withColumn("__best_before", max(col("__dmax")).over(prior))
+      .select(col("o_orderdate"), col("__best_before"))
+    o.join(broadcast(bestBefore), "o_orderdate")
+      .filter(
+        col("__best_before").isNull ||
+          col("o_totalprice") > col("__best_before")
+      )
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy("o_orderdate", "o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q67_skyline" -> skyline,
     "q66_local_supplier" -> localSupplierVolume,
     "q62_histogram" -> histogram,
     "q63_regression" -> regression,
@@ -219,6 +254,20 @@ object Relational7 {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same sort-based linear form (the quadratic NOT EXISTS mirror
+    // is pinned separately in SkylineSpec against in-test brute force)
+    "q67_skyline" ->
+      """WITH daily AS (SELECT o_orderdate, MAX(o_totalprice) AS dmax
+        |               FROM orders GROUP BY 1),
+        |bb AS (SELECT o_orderdate,
+        |         MAX(dmax) OVER (ORDER BY o_orderdate
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS best_before
+        |       FROM daily)
+        |SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |FROM orders o JOIN bb USING (o_orderdate)
+        |WHERE bb.best_before IS NULL OR o.o_totalprice > bb.best_before
+        |ORDER BY o_orderdate, o_orderkey""".stripMargin,
     "q66_local_supplier" ->
       s"""SELECT n_name,
          |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
