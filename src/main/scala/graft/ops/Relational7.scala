@@ -244,7 +244,43 @@ object Relational7 {
       .orderBy("o_orderdate", "o_orderkey")
   }
 
+  /** q68: event-type transition matrix (first-order Markov counts) —
+    * for each user's event sequence in (ts, event_id) order, count
+    * every adjacent (from → to) pair and its row-normalized
+    * probability. The sequence-mining primitive behind path analysis
+    * and next-action models.
+    *
+    * One window pass partitioned by the dense user_id (lead(1) is
+    * O(1) state per row), one hash agg on the tiny (from, to) key
+    * space, and the normalizing sum is a window over ≤ |types| rows
+    * per partition. The probability is one division of exact counts,
+    * rounded — engine-stable.
+    */
+  private val transitions: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = Tables(s, dir).events
+      .select(
+        col("user_id"),
+        col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(seq).as("to_type")
+      )
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn(
+        "prob",
+        round(col("n").cast("double") / sum(col("n")).over(byFrom), 10)
+      )
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q68_transitions" -> transitions,
     "q67_skyline" -> skyline,
     "q66_local_supplier" -> localSupplierVolume,
     "q62_histogram" -> histogram,
@@ -254,6 +290,19 @@ object Relational7 {
   )
 
   val oracle: Map[String, String] = Map(
+    // windowed SUM(BIGINT) is HUGEINT in DuckDB — cast before dividing
+    "q68_transitions" ->
+      """WITH seq AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |t AS (SELECT from_type, to_type, COUNT(*) AS n FROM seq
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT), 10)
+        |    AS prob
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
     // the same sort-based linear form (the quadratic NOT EXISTS mirror
     // is pinned separately in SkylineSpec against in-test brute force)
     "q67_skyline" ->
