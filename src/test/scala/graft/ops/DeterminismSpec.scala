@@ -13,7 +13,15 @@ class DeterminismSpec extends SparkSpec {
     "q56_weighted_sample",
     "q58_corpus_shuffle",
     "q59_mixture_epochs",
-    "sim11_quantized_topk"
+    "sim11_quantized_topk",
+    // round-5 additions: decimal-exact moments, integer week/prefix
+    // arithmetic, and vote/stage machines all claim order-independence
+    "q63_regression",
+    "q65_retention",
+    "q68_transitions",
+    "text17_pack_spans",
+    "sim14_label_knn",
+    "stream09_funnel"
   )
 
   test("partitioning never changes the result rows") {
