@@ -633,7 +633,47 @@ object DedupQueries {
       .orderBy("id_a", "id_b", "id_c")
   }
 
+  /** dedup18: eval-leakage report — train docs that are a CONFIRMED
+    * near-duplicate of an eval doc under the library's own q54 hash
+    * split. The held-out set is only held out if its near-copies are
+    * too: decontamination (dedup10/14) guards against a FOREIGN
+    * benchmark, this guards the pipeline's own split. Composes the
+    * dedup04 candidate discipline with the q54 split predicate —
+    * pairs are generated banded, the split is a map-side pure
+    * function of doc_id, and only the confirmed cross-split pairs
+    * survive. Empty output is the healthy state; every row is an
+    * eval example a trained model has effectively seen.
+    */
+  private val leakage: Q = (s, dir) => {
+    val bucket = pmod(
+      graft.functions.PortableHash.h32(col("doc_id").cast("string")),
+      lit(100L)
+    )
+    val split = docs(s, dir).select(
+      col("doc_id"),
+      (bucket < 90).as("is_train")
+    )
+    minhashVerified(s, dir)
+      .filter(col("jac") >= 0.5)
+      .join(
+        split.select(col("doc_id").as("id_a"), col("is_train").as("__ta")),
+        "id_a"
+      )
+      .join(
+        split.select(col("doc_id").as("id_b"), col("is_train").as("__tb")),
+        "id_b"
+      )
+      .filter(col("__ta") =!= col("__tb"))
+      .select(
+        when(col("__ta"), col("id_a")).otherwise(col("id_b")).as("train_doc"),
+        when(col("__ta"), col("id_b")).otherwise(col("id_a")).as("eval_doc"),
+        col("jac")
+      )
+      .orderBy("train_doc", "eval_doc")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup18_leakage" -> leakage,
     "dedup17_triangles" -> triangles,
     "dedup16_cross_source" -> crossSourceMatrix,
     "pipe03_full_pipeline" -> fullPipeline,
@@ -915,6 +955,18 @@ object DedupQueries {
          |WHERE $jacSql >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup04_minhash_lsh" -> minhashVerifiedOracle,
+    "dedup18_leakage" -> {
+      val trainSql = (id: String) =>
+        s"(${graft.functions.PortableHash.sqlH32(s"CAST($id AS VARCHAR)")} % 100 < 90)"
+      s"""WITH mh AS ($minhashVerifiedOracle),
+         |e AS (SELECT id_a, id_b, jac,
+         |        ${trainSql("id_a")} AS ta, ${trainSql("id_b")} AS tb
+         |      FROM mh WHERE jac >= 0.5)
+         |SELECT CASE WHEN ta THEN id_a ELSE id_b END AS train_doc,
+         |  CASE WHEN ta THEN id_b ELSE id_a END AS eval_doc, jac
+         |FROM e WHERE ta <> tb
+         |ORDER BY train_doc, eval_doc""".stripMargin
+    },
     "dedup17_triangles" ->
       s"""WITH mh AS ($minhashVerifiedOracle),
          |e AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5)
