@@ -5,6 +5,7 @@ import graft.functions.PortableHash
 import graft.sim.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity-search queries over `embeddings`: brute-force cosine
   * top-k baseline, LSH-bucketed ANN, and embedding near-duplicate
@@ -549,7 +550,52 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
+  /** sim15: per-label embedding diversity — mean pairwise cosine
+    * inside each label over a vec_id-stride sample. High intra-label
+    * similarity marks a redundant class (dedup/downsample candidate);
+    * the complement of sim14's separability eval. Pair count is
+    * bounded by the SAMPLE size squared (an eval-budget constant),
+    * never the corpus. The mean is engine-exact: each cosine is
+    * rounded to 12 digits first and summed as DECIMAL — a raw double
+    * SUM would be partition-order-dependent and break the gate.
+    */
+  private val DIV_STRIDE = 10L
+  private val diversity: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+      .filter(pmod(col("vec_id"), lit(DIV_STRIDE)) === 0)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val a = emb.select(
+      col("vec_id").as("id_a"),
+      col("embedding").as("va"),
+      col("label")
+    )
+    val b = emb.select(
+      col("vec_id").as("id_b"),
+      col("embedding").as("vb"),
+      col("label")
+    )
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("label"),
+        round(
+          graft.plans.CosineSimilarity(s, col("va"), col("vb")),
+          12
+        ).cast(DecimalType(16, 12)).as("__cos")
+      )
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(
+          sum(col("__cos")).cast("double") / count(lit(1)),
+          10
+        ).as("mean_cos")
+      )
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim15_diversity" -> diversity,
     "sim14_label_knn" -> knnLabelVote,
     "sim12_prefix_rerank" -> prefixRerank,
     "sim11_quantized_topk" -> quantizedTopK,
@@ -651,6 +697,17 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
 
   private val baseOracle: Map[String, String] = Map(
+    "sim15_diversity" ->
+      s"""WITH smp AS (SELECT vec_id, embedding, label FROM embeddings
+         |             WHERE vec_id % $DIV_STRIDE = 0),
+         |p AS (SELECT a.label,
+         |        CAST(round(${cosSql("a.embedding", "b.embedding")}, 12)
+         |          AS DECIMAL(16,12)) AS c
+         |      FROM smp a JOIN smp b
+         |        ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT label, COUNT(*) AS n_pairs,
+         |  round(CAST(SUM(c) AS DOUBLE) / COUNT(*), 10) AS mean_cos
+         |FROM p GROUP BY label ORDER BY label""".stripMargin,
     "sim14_label_knn" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
          |             label AS true_label

@@ -21,6 +21,7 @@ class DeterminismSpec extends SparkSpec {
     "q68_transitions",
     "text17_pack_spans",
     "sim14_label_knn",
+    "sim15_diversity",
     "stream09_funnel"
   )
 
