@@ -279,7 +279,62 @@ object Relational7 {
       .orderBy("from_type", "to_type")
   }
 
+  /** q69: mergeable hash-sample median — the engine-exact form of an
+    * approximate quantile sketch. The sample is each group's SAMPLE_K
+    * rows with the SMALLEST portable hash of their id (bottom-k
+    * priority sampling): a pure function of the data, so it is
+    * order/partitioning-independent AND mergeable — the bottom-k of a
+    * union is the bottom-k of the per-slice bottom-k's, which is what
+    * lets every executor keep an O(k) heap and a single reduce
+    * produce the corpus sample (same mergeability argument as q57's
+    * HLL, here for quantiles). The estimate is the sample's LOWER
+    * median by selection (rank (n+1)÷2 in (value, id) order) — never
+    * interpolation, whose (a+b)/2 vs 0.5a+0.5b float forms differ
+    * across engines in the last ulp.
+    *
+    * The exact median (same selection rule over the full group) rides
+    * along as the spec anchor, exactly like q37's exact ntile next to
+    * ApproxNtile: its per-group global sort is the thing the sketch
+    * replaces at 100 TB.
+    */
+  private val SAMPLE_K = 101
+  private val hashMedian: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir).events
+      .select(col("event_type"), col("event_id"), col("value"))
+    val wH = Window
+      .partitionBy(col("event_type"))
+      .orderBy(
+        graft.functions.PortableHash.h32(col("event_id").cast("string")).asc,
+        col("event_id").asc
+      )
+    val wV = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val wN = Window.partitionBy(col("event_type"))
+    def lowerMedian(in: DataFrame, nCol: String, vCol: String): DataFrame =
+      in.withColumn("vr", row_number().over(wV))
+        .withColumn(nCol, count(lit(1)).over(wN))
+        .filter(col("vr") === expr(s"($nCol + 1) div 2"))
+        .select(col("event_type"), col(nCol), col("value").as(vCol))
+    val smp = ev
+      .withColumn("hr", row_number().over(wH))
+      .filter(col("hr") <= SAMPLE_K)
+      .drop("hr")
+    lowerMedian(smp, "n_sample", "approx_median")
+      .join(lowerMedian(ev, "n", "exact_median"), "event_type")
+      .select(
+        col("event_type"),
+        col("n"),
+        col("n_sample"),
+        col("approx_median"),
+        col("exact_median")
+      )
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q69_hash_median" -> hashMedian,
     "q68_transitions" -> transitions,
     "q67_skyline" -> skyline,
     "q66_local_supplier" -> localSupplierVolume,
@@ -290,6 +345,31 @@ object Relational7 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q69_hash_median" -> {
+      val h = graft.functions.PortableHash.sqlH32("CAST(event_id AS VARCHAR)")
+      s"""WITH ev AS (SELECT event_type, event_id, value FROM events),
+         |smp AS (SELECT event_type, event_id, value FROM
+         |  (SELECT event_type, event_id, value,
+         |     row_number() OVER (PARTITION BY event_type
+         |       ORDER BY ($h) ASC, event_id ASC) AS hr
+         |   FROM ev) WHERE hr <= $SAMPLE_K),
+         |a AS (SELECT event_type, n_sample, value AS approx_median FROM
+         |  (SELECT event_type, value,
+         |     row_number() OVER (PARTITION BY event_type
+         |       ORDER BY value ASC, event_id ASC) AS vr,
+         |     COUNT(*) OVER (PARTITION BY event_type) AS n_sample
+         |   FROM smp) WHERE vr = (n_sample + 1) // 2),
+         |e AS (SELECT event_type, n, value AS exact_median FROM
+         |  (SELECT event_type, value,
+         |     row_number() OVER (PARTITION BY event_type
+         |       ORDER BY value ASC, event_id ASC) AS vr,
+         |     COUNT(*) OVER (PARTITION BY event_type) AS n
+         |   FROM ev) WHERE vr = (n + 1) // 2)
+         |SELECT a.event_type, e.n, a.n_sample, a.approx_median,
+         |  e.exact_median
+         |FROM a JOIN e ON a.event_type = e.event_type
+         |ORDER BY a.event_type""".stripMargin
+    },
     // windowed SUM(BIGINT) is HUGEINT in DuckDB — cast before dividing
     "q68_transitions" ->
       """WITH seq AS (SELECT event_type AS from_type,

@@ -594,7 +594,117 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  /** sim16: semantic dedup (SemDeDup, Abbas et al. 2023 shape) — drop
+    * near-identical embeddings WITHIN a coarse cluster cell, keeping
+    * one representative per near-dup group. Cells here are the
+    * `label` column (the same deterministic k-means stand-in as
+    * sim06); the drop rule is the paper's greedy keep-first: vector b
+    * is dropped iff some lower-id cell-mate a has cos(a,b) ≥ τ, so
+    * the minimum-id member of every dup group survives and verdicts
+    * are order- and partitioning-independent (no iterative pass).
+    *
+    * Shape at scale: ONE equi-shuffle on the cell key; the quadratic
+    * term is per-cell and bounded by the coarse-clustering cell cap
+    * (pick k ≈ n/10⁴ and a cell is ~10⁴ vectors — the paper's
+    * regime), never corpus-quadratic. The semi-join needs only the
+    * existence of one dropper, so no pair materialization survives
+    * the exchange; verdicts re-attach by vec_id (dense key).
+    */
+  private val SEM_TAU = 0.3
+  private val semDedup: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("label"))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("label").as("label_a"))
+    val droppedIds = b
+      .join(
+        a,
+        col("label") === col("label_a") &&
+          col("id_a") < col("id_b") &&
+          graft.plans.CosineSimilarity(s, col("va"), col("vb")) >= SEM_TAU,
+        "left_semi"
+      )
+      .select(col("id_b").as("vec_id"), lit(true).as("__dropped"))
+    emb
+      .select(col("vec_id"), col("label"))
+      .join(droppedIds, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("label"),
+        coalesce(col("__dropped"), lit(false)).as("dropped")
+      )
+      .orderBy("vec_id")
+  }
+
+  /** sim17: contrastive-pair mining — for each stride-sampled anchor,
+    * the hardest positive (highest-cosine same-label neighbor) and the
+    * hardest negative (highest-cosine CROSS-label neighbor), plus the
+    * margin between them. The batch that feeds metric-learning /
+    * embedding-finetune training: small or negative margins mark the
+    * anchors worth training on.
+    *
+    * Shape at scale: the anchor set is a broadcast-size sample (id
+    * stride, same budget device as sim14), so scoring is one map-side
+    * broadcast join over the corpus — no shuffle touches the corpus
+    * rows; per-anchor top-1s are WindowGroupLimit-prunable windows
+    * over O(anchors) keys. Margin is a single double subtraction of
+    * two exact selections — no accumulation.
+    */
+  private val HARD_STRIDE = 25L
+  private val hardNegatives: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(s, dir).embeddings
+    val anchors = emb
+      .filter(pmod(col("vec_id"), lit(HARD_STRIDE)) === 0)
+      .select(
+        col("vec_id").as("anchor_id"),
+        col("embedding").as("av"),
+        col("label").as("anchor_label")
+      )
+    val scored = emb
+      .join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .select(
+        col("anchor_id"),
+        col("anchor_label"),
+        col("vec_id").as("neighbor_id"),
+        (col("label") === col("anchor_label")).as("is_pos"),
+        graft.plans.CosineSimilarity(s, col("av"), col("embedding")).as("c")
+      )
+    val w = Window
+      .partitionBy(col("anchor_id"), col("is_pos"))
+      .orderBy(col("c").desc, col("neighbor_id").asc)
+    val top = scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+    val pos = top
+      .filter(col("is_pos"))
+      .select(
+        col("anchor_id"),
+        col("anchor_label").as("label"),
+        col("neighbor_id").as("pos_id"),
+        col("c").as("pos_cos")
+      )
+    val neg = top
+      .filter(!col("is_pos"))
+      .select(
+        col("anchor_id"),
+        col("neighbor_id").as("neg_id"),
+        col("c").as("neg_cos")
+      )
+    pos
+      .join(neg, "anchor_id")
+      .select(
+        col("anchor_id"),
+        col("label"),
+        col("pos_id"),
+        col("pos_cos"),
+        col("neg_id"),
+        col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin")
+      )
+      .orderBy("anchor_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim17_hardneg" -> hardNegatives,
+    "sim16_semdedup" -> semDedup,
     "sim15_diversity" -> diversity,
     "sim14_label_knn" -> knnLabelVote,
     "sim12_prefix_rerank" -> prefixRerank,
@@ -697,6 +807,35 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
 
   private val baseOracle: Map[String, String] = Map(
+    "sim17_hardneg" ->
+      s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS av,
+         |             label AS anchor_label
+         |           FROM embeddings WHERE vec_id % $HARD_STRIDE = 0),
+         |sc AS (SELECT a.anchor_id, a.anchor_label,
+         |         e.vec_id AS neighbor_id,
+         |         (e.label = a.anchor_label) AS is_pos,
+         |         ${cosSql("a.av", "e.embedding")} AS c
+         |       FROM a JOIN embeddings e ON e.vec_id <> a.anchor_id),
+         |top AS (SELECT * FROM
+         |  (SELECT sc.*, row_number() OVER (PARTITION BY anchor_id, is_pos
+         |     ORDER BY c DESC, neighbor_id ASC) AS r FROM sc)
+         |  WHERE r = 1)
+         |SELECT p.anchor_id, p.anchor_label AS label,
+         |  p.neighbor_id AS pos_id, p.c AS pos_cos,
+         |  n.neighbor_id AS neg_id, n.c AS neg_cos,
+         |  p.c - n.c AS margin
+         |FROM top p JOIN top n
+         |  ON p.anchor_id = n.anchor_id AND p.is_pos AND NOT n.is_pos
+         |ORDER BY p.anchor_id""".stripMargin,
+    "sim16_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |drp AS (SELECT DISTINCT b.vec_id
+         |        FROM e b JOIN e a
+         |          ON a.label = b.label AND a.vec_id < b.vec_id
+         |         AND ${cosSql("a.embedding", "b.embedding")} >= $SEM_TAU)
+         |SELECT e.vec_id, e.label, (d.vec_id IS NOT NULL) AS dropped
+         |FROM e LEFT JOIN drp d USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin,
     "sim15_diversity" ->
       s"""WITH smp AS (SELECT vec_id, embedding, label FROM embeddings
          |             WHERE vec_id % $DIV_STRIDE = 0),

@@ -5,6 +5,7 @@ import graft.functions.PortableHash
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis queries over `documents`, each with a DuckDB oracle
   * mirroring the expression tree exactly (same tokenization, same
@@ -631,6 +632,104 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** text19: bigram-LM surprisal scoring — the integer-exact stand-in
+    * for the n-gram-LM (KenLM-style) perplexity filter every large
+    * corpus build runs: train bigram counts ON the corpus itself, then
+    * score each doc by its mean conditional surprisal. A bigram
+    * (w1,w2) scores floor(log2(C(w1·)/C(w1,w2))) bits — C(w1·) the
+    * corpus count of w1 as a bigram PREFIX, C(w1,w2) the bigram count
+    * — via the `length(bin(x))−1` trick (text16's libm-free log2):
+    * low mean bits = formulaic/repetitive text, high = incoherent
+    * token soup; both tails get cut by a real filter.
+    *
+    * Shape at scale: bigram counts = one shuffle on the bigram key
+    * (map-side combined; Zipf hot keys are the LOW-information ones —
+    * AQE skew split is safe); prefix counts REUSE the bigram table
+    * (second tiny aggregate, no re-scan of text); scoring joins on
+    * the bigram key (broadcast once the model fits, shuffle + AQE
+    * otherwise) and aggregates on dense doc_id. The corpus is scanned
+    * for bigrams exactly once.
+    */
+  private val lmScore: Q = (s, dir) => {
+    val bigr = Tables(s, dir).documents
+      .select(col("doc_id"), explode(bigramsOf(tokens(col("text")))).as("bg"))
+    val c2 = bigr.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = c2
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    bigr
+      .join(c2, Seq("bg"))
+      .join(c1, split(col("bg"), " ").getItem(0) === col("w1"))
+      .select(
+        col("doc_id"),
+        (length(bin(expr("c1 div c2"))) - 1).cast("long").as("bits")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("sum_bits"),
+        (sum(col("bits")).cast("double") / count(lit(1))).as("mean_bits")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** text20: BM25 relevance scoring of the corpus against a fixed
+    * query-term set — the retrieval primitive a targeted-data
+    * curation pass runs (rank the crawl against a topic query, keep
+    * the head). Okapi BM25 with k1=1.2, b=0.75 and the raw-ratio idf
+    * (N−df+0.5)/(df+0.5) — no logarithm, same libm-free discipline
+    * as text08: the ranking is order-isomorphic and the arithmetic
+    * (+,−,×,÷) is IEEE-exact on both engines. Per-term scores are
+    * rounded once and summed as DECIMAL so the per-doc total is
+    * independent of term arrival order.
+    *
+    * Shape at scale: the tokenizer output is filtered to the query
+    * terms BEFORE any shuffle (the explode feeds a pushed isin — the
+    * surviving row count is O(matches), not O(corpus tokens)); df and
+    * the corpus length stats are broadcast scalars; the only dense
+    * shuffle is the per-doc aggregate on doc_id.
+    */
+  private val BM25_TERMS = Seq("spark", "merge", "window")
+  private val BM25_K1 = 1.2
+  private val BM25_B = 0.75
+  private val bm25: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    val withToks = docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+    val dl = withToks.select(
+      col("doc_id"),
+      tokenCountOf(col("__toks")).cast("long").as("dl")
+    )
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl")
+    )
+    val tf = withToks
+      .select(col("doc_id"), explode(col("__toks")).as("tok"))
+      .filter(col("tok").isin(BM25_TERMS: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf =
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val denom = col("tf").cast("double") +
+      lit(BM25_K1) * (lit(1.0) - lit(BM25_B) + lit(BM25_B) * (col("dl").cast("double") / avgdl))
+    val termScore = idf * (col("tf").cast("double") * (lit(BM25_K1) + lit(1.0))) / denom
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"),
+        round(termScore, 12).cast(DecimalType(24, 12)).as("__s")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(sum(col("__s")).cast("double"), 10).as("bm25")
+      )
+      .orderBy("doc_id")
+  }
+
   /** text17: boundary-cut distribution of concat-and-chunk packing —
     * for each doc, how many budget-B sequence boundaries it straddles
     * (`span` = end chunk − start chunk), grouped into a distribution.
@@ -714,6 +813,8 @@ object TextQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "text20_bm25" -> bm25,
+    "text19_lm_score" -> lmScore,
     "text18_heaps" -> heaps,
     "text17_pack_spans" -> packSpans,
     "text16_rarity" -> rarity,
@@ -786,6 +887,46 @@ object TextQueries {
          |SELECT CAST(span AS BIGINT) AS span, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
          |FROM sp GROUP BY span ORDER BY span""".stripMargin,
+    "text20_bm25" -> {
+      val termsIn = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+         |       FROM dl),
+         |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t
+         |       WHERE tok IN ($termsIn) GROUP BY 1, 2),
+         |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |sc AS (SELECT tf.doc_id,
+         |  CAST(round(
+         |    ((CAST(st.n_docs AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5))
+         |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+         |    / (CAST(tf.tf AS DOUBLE)
+         |       + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE)
+         |           / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))),
+         |  12) AS DECIMAL(24,12)) AS s
+         |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
+         |SELECT doc_id, COUNT(*) AS n_terms,
+         |  round(CAST(SUM(s) AS DOUBLE), 10) AS bm25
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "text19_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                  i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         |       FROM d),
+         |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+         |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+         |       FROM c2 GROUP BY 1),
+         |b AS (SELECT bg.doc_id,
+         |        CAST(len(bin(c1.c1 // c2.c2)) - 1 AS BIGINT) AS bits
+         |      FROM bg JOIN c2 USING (bg)
+         |      JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.w1)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+         |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_bits
+         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text16_rarity" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |f AS (SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok),

@@ -22,7 +22,15 @@ class DeterminismSpec extends SparkSpec {
     "text17_pack_spans",
     "sim14_label_knn",
     "sim15_diversity",
-    "stream09_funnel"
+    "stream09_funnel",
+    // round-5: hash-sample sketch, selection-based mining/dedup
+    // verdicts, and integer-bits LM scores are all pure functions of
+    // the data
+    "q69_hash_median",
+    "sim16_semdedup",
+    "sim17_hardneg",
+    "text19_lm_score",
+    "text20_bm25"
   )
 
   test("partitioning never changes the result rows") {
