@@ -333,7 +333,34 @@ object Relational7 {
       .orderBy("event_type")
   }
 
+  /** q70: z-order (Morton) layout key over (nation, balance-bucket) —
+    * the multi-dimensional sort key a corpus store writes by so that
+    * row-group min/max stats prune on EITHER dimension (see
+    * [[graft.functions.ZOrder]] and ZOrderLayoutSpec, which measures
+    * the pruning). This query pins the key arithmetic engine-exactly:
+    * bucketing is integer/double ops shared with the oracle, the
+    * interleave is pure bit arithmetic. Map-side only — the key adds
+    * zero shuffles to a write pipeline (it becomes the sort column of
+    * sortWithinPartitions).
+    */
+  private val zorderKeyQ: Q = (s, dir) => {
+    import graft.functions.ZOrder
+    val yb = least(
+      greatest(floor((col("c_acctbal") + lit(1000.0)) / lit(43.0)), lit(0.0)),
+      lit(255.0)
+    ).cast("long")
+    Tables(s, dir).customer
+      .select(
+        col("c_custkey"),
+        col("c_nationkey").cast("long").as("xb"),
+        yb.as("yb")
+      )
+      .withColumn("zkey", ZOrder.zorderKey(col("xb"), col("yb"), 8))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q70_zorder_key" -> zorderKeyQ,
     "q69_hash_median" -> hashMedian,
     "q68_transitions" -> transitions,
     "q67_skyline" -> skyline,
@@ -345,6 +372,15 @@ object Relational7 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q70_zorder_key" -> {
+      val yb =
+        "CAST(least(greatest(floor((c_acctbal + 1000.0) / 43.0), 0.0), 255.0) AS BIGINT)"
+      s"""WITH b AS (SELECT c_custkey,
+         |  CAST(c_nationkey AS BIGINT) AS xb, $yb AS yb FROM customer)
+         |SELECT c_custkey, xb, yb,
+         |  ${graft.functions.ZOrder.zorderSql("xb", "yb", 8)} AS zkey
+         |FROM b ORDER BY c_custkey""".stripMargin
+    },
     "q69_hash_median" -> {
       val h = graft.functions.PortableHash.sqlH32("CAST(event_id AS VARCHAR)")
       s"""WITH ev AS (SELECT event_type, event_id, value FROM events),
