@@ -359,7 +359,53 @@ object Relational7 {
       .orderBy("c_custkey")
   }
 
+  /** q71: robust outlier detection per event type — median/MAD
+    * (median absolute deviation), the heavy-tail-safe alternative to
+    * mean±kσ (one wild value drags a mean/stddev band, not a median
+    * band). Both medians are lower medians BY SELECTION (q69's rule) —
+    * engine-exact, no interpolation — and the flag is a pure
+    * comparison, so outlier counts are bit-stable across engines and
+    * partitionings.
+    *
+    * Scale: two selection medians per group = two per-group sorts
+    * here; the production swap is q69's mergeable hash-sample median
+    * for both m and MAD (the anchor/sketch pairing this file pins
+    * via the shared rule). The flag pass is map-side after a small
+    * broadcast of per-type (m, MAD).
+    */
+  private val madOutliers: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir).events
+      .select(col("event_type"), col("event_id"), col("value"))
+    def lowerMedianBy(in: DataFrame, v: String, out: String): DataFrame = {
+      val wV = Window
+        .partitionBy(col("event_type"))
+        .orderBy(col(v).asc, col("event_id").asc)
+      val wN = Window.partitionBy(col("event_type"))
+      in.withColumn("vr", row_number().over(wV))
+        .withColumn("__n", count(lit(1)).over(wN))
+        .filter(col("vr") === expr("(__n + 1) div 2"))
+        .select(col("event_type"), col(v).as(out))
+    }
+    val med = lowerMedianBy(ev, "value", "med")
+    val withDev = ev
+      .join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = lowerMedianBy(withDev, "dev", "mad")
+    withDev
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers")
+      )
+      .select(col("event_type"), col("n"), col("med"), col("mad"), col("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q71_mad_outliers" -> madOutliers,
     "q70_zorder_key" -> zorderKeyQ,
     "q69_hash_median" -> hashMedian,
     "q68_transitions" -> transitions,
@@ -372,6 +418,29 @@ object Relational7 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q71_mad_outliers" ->
+      s"""WITH ev AS (SELECT event_type, event_id, value FROM events),
+         |m AS (SELECT event_type, value AS med FROM
+         |  (SELECT event_type, value,
+         |     row_number() OVER (PARTITION BY event_type
+         |       ORDER BY value ASC, event_id ASC) AS vr,
+         |     COUNT(*) OVER (PARTITION BY event_type) AS n
+         |   FROM ev) WHERE vr = (n + 1) // 2),
+         |dv AS (SELECT ev.event_type, ev.event_id, m.med,
+         |         abs(ev.value - m.med) AS dev
+         |       FROM ev JOIN m USING (event_type)),
+         |md AS (SELECT event_type, dev AS mad FROM
+         |  (SELECT event_type, dev,
+         |     row_number() OVER (PARTITION BY event_type
+         |       ORDER BY dev ASC, event_id ASC) AS vr,
+         |     COUNT(*) OVER (PARTITION BY event_type) AS n
+         |   FROM dv) WHERE vr = (n + 1) // 2)
+         |SELECT dv.event_type, COUNT(*) AS n, dv.med, md.mad,
+         |  CAST(SUM(CASE WHEN dv.dev > 3.0 * md.mad THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers
+         |FROM dv JOIN md USING (event_type)
+         |GROUP BY dv.event_type, dv.med, md.mad
+         |ORDER BY dv.event_type""".stripMargin,
     "q70_zorder_key" -> {
       val yb =
         "CAST(least(greatest(floor((c_acctbal + 1000.0) / 43.0), 0.0), 255.0) AS BIGINT)"

@@ -730,6 +730,51 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** text21: per-source distribution drift — χ² divergence of each
+    * source's unigram distribution from the corpus distribution, the
+    * domain-shift detector a mixture pipeline watches (a source whose
+    * χ² jumps between crawls changed its content; a source with
+    * extreme χ² is an outlier domain). χ² instead of KL because it is
+    * RATIONAL: sums of (p−q)²/q need only +,−,×,÷ — engine-exact
+    * under the decimal-sum discipline — where KL's log is libm
+    * territory (the text08/text16 rule).
+    *
+    * The identity Σ_t (p_t−q_t)²/q_t = 1 + Σ_{t∈source}((p_t−q_t)²/q_t
+    * − q_t) lets the sum run over SOURCE-PRESENT tokens only — the
+    * absent-token tail collapses into the constant — so the plan
+    * never materializes |vocab|×|sources| rows: one (source, token)
+    * aggregate, one token-keyed corpus-count join (broadcast-eligible),
+    * per-source totals broadcast back.
+    */
+  private val divergence: Q = (s, dir) => {
+    val tok = Tables(s, dir).documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val cst = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+    val ct = cst.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val ns = cst.groupBy(col("source")).agg(
+      sum(col("c_st")).as("n_s"),
+      count(lit(1)).as("n_types")
+    )
+    val nTotal = ct.agg(sum(col("c_t")).as("n_total"))
+    val p = col("c_st").cast("double") / col("n_s")
+    val q = col("c_t").cast("double") / col("n_total")
+    val term = ((p - q) * (p - q)) / q - q
+    cst
+      .join(ct, "tok")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nTotal))
+      .select(
+        col("source"),
+        col("n_s"),
+        col("n_types"),
+        round(term, 12).cast(DecimalType(28, 12)).as("__t")
+      )
+      .groupBy(col("source"), col("n_s"), col("n_types"))
+      .agg(round(lit(1.0) + sum(col("__t")).cast("double"), 10).as("chi2"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("n_types"), col("chi2"))
+      .orderBy("source")
+  }
+
   /** text17: boundary-cut distribution of concat-and-chunk packing —
     * for each doc, how many budget-B sequence boundaries it straddles
     * (`span` = end chunk − start chunk), grouped into a distribution.
@@ -813,6 +858,7 @@ object TextQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "text21_divergence" -> divergence,
     "text20_bm25" -> bm25,
     "text19_lm_score" -> lmScore,
     "text18_heaps" -> heaps,
@@ -887,6 +933,29 @@ object TextQueries {
          |SELECT CAST(span AS BIGINT) AS span, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
          |FROM sp GROUP BY span ORDER BY span""".stripMargin,
+    "text21_divergence" ->
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+         |cst AS (SELECT source, tok, COUNT(*) AS c_st FROM t GROUP BY 1, 2),
+         |ct AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t
+         |       FROM cst GROUP BY tok),
+         |ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s,
+         |         COUNT(*) AS n_types
+         |       FROM cst GROUP BY source),
+         |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_total FROM ct),
+         |tm AS (SELECT cst.source, ns.n_s, ns.n_types,
+         |  CAST(round(
+         |    ((CAST(cst.c_st AS DOUBLE) / ns.n_s
+         |        - CAST(ct.c_t AS DOUBLE) / tot.n_total)
+         |     * (CAST(cst.c_st AS DOUBLE) / ns.n_s
+         |        - CAST(ct.c_t AS DOUBLE) / tot.n_total))
+         |    / (CAST(ct.c_t AS DOUBLE) / tot.n_total)
+         |    - CAST(ct.c_t AS DOUBLE) / tot.n_total,
+         |  12) AS DECIMAL(28,12)) AS tv
+         |  FROM cst JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN tot)
+         |SELECT source, n_s AS n_tokens, n_types,
+         |  round(1.0 + CAST(SUM(tv) AS DOUBLE), 10) AS chi2
+         |FROM tm GROUP BY source, n_s, n_types
+         |ORDER BY source""".stripMargin,
     "text20_bm25" -> {
       val termsIn = BM25_TERMS.map(t => s"'$t'").mkString(", ")
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),

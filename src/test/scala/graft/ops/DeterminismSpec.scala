@@ -30,7 +30,9 @@ class DeterminismSpec extends SparkSpec {
     "sim16_semdedup",
     "sim17_hardneg",
     "text19_lm_score",
-    "text20_bm25"
+    "text20_bm25",
+    "q71_mad_outliers",
+    "text21_divergence"
   )
 
   test("partitioning never changes the result rows") {
