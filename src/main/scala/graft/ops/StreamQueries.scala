@@ -224,7 +224,19 @@ object StreamQueries {
   private val funnelIngest: Q = (s, dir) =>
     graft.streaming.StreamFunnel.replay(Tables(s, dir).events)
 
+  /** Streaming exact-dedup ingest: replay the documents in doc_id-
+    * sliced micro-batches through [[graft.streaming.StreamExactDedup]];
+    * survivors must be exactly min(doc_id) per normalized-content
+    * fingerprint — the batch dedup01 identity. The live
+    * dropDuplicatesWithinWatermark path runs in StreamExactDedupSpec.
+    */
+  private val exactDedupIngest: Q = (s, dir) =>
+    graft.streaming.StreamExactDedup
+      .replay(Tables(s, dir).documents)
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "stream10_exact_dedup" -> exactDedupIngest,
     "stream09_funnel" -> funnelIngest,
     "stream08_agg_maintain" -> aggMaintainIngest,
     "stream07_minhash_ingest" -> minhashIngest,
@@ -241,6 +253,14 @@ object StreamQueries {
     * hops); make_timestamp keeps the naive-UTC type.
     */
   val oracle: Map[String, String] = Map(
+    "stream10_exact_dedup" -> {
+      val fp = graft.functions.PortableHash.sqlH32(
+        """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+      )
+      s"""WITH f AS (SELECT doc_id, $fp AS fp FROM documents)
+         |SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fp
+         |FROM f GROUP BY fp ORDER BY doc_id""".stripMargin
+    },
     // the maintained view must land on the batch recompute exactly
     "stream08_agg_maintain" ->
       graft.cdc.CdcQueries.oracle("cdc08_agg_maintain"),

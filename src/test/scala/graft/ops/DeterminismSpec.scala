@@ -32,7 +32,8 @@ class DeterminismSpec extends SparkSpec {
     "text19_lm_score",
     "text20_bm25",
     "q71_mad_outliers",
-    "text21_divergence"
+    "text21_divergence",
+    "stream10_exact_dedup"
   )
 
   test("partitioning never changes the result rows") {
