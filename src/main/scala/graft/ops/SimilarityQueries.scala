@@ -672,32 +672,27 @@ object SimilarityQueries {
     val w = Window
       .partitionBy(col("anchor_id"), col("is_pos"))
       .orderBy(col("c").desc, col("neighbor_id").asc)
+    // ONE window pass, then fold the two r=1 rows per anchor into
+    // columns via conditional agg — a pos/neg self-join would run the
+    // broadcast scoring pass (the dominant cost) twice
     val top = scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-    val pos = top
-      .filter(col("is_pos"))
-      .select(
-        col("anchor_id"),
-        col("anchor_label").as("label"),
-        col("neighbor_id").as("pos_id"),
-        col("c").as("pos_cos")
+    top
+      .groupBy(col("anchor_id"), col("anchor_label").as("label"))
+      .agg(
+        max(when(col("is_pos"), struct(col("c"), col("neighbor_id")))).as("__p"),
+        max(when(!col("is_pos"), struct(col("c"), col("neighbor_id")))).as("__n")
       )
-    val neg = top
-      .filter(!col("is_pos"))
-      .select(
-        col("anchor_id"),
-        col("neighbor_id").as("neg_id"),
-        col("c").as("neg_cos")
-      )
-    pos
-      .join(neg, "anchor_id")
+      // anchors whose label has no other member (or only members) would
+      // leave a null side; inner-join semantics of the pair require both
+      .filter(col("__p").isNotNull && col("__n").isNotNull)
       .select(
         col("anchor_id"),
         col("label"),
-        col("pos_id"),
-        col("pos_cos"),
-        col("neg_id"),
-        col("neg_cos"),
-        (col("pos_cos") - col("neg_cos")).as("margin")
+        col("__p.neighbor_id").as("pos_id"),
+        col("__p.c").as("pos_cos"),
+        col("__n.neighbor_id").as("neg_id"),
+        col("__n.c").as("neg_cos"),
+        (col("__p.c") - col("__n.c")).as("margin")
       )
       .orderBy("anchor_id")
   }

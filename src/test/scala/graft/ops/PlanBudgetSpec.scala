@@ -13,8 +13,18 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleEx
   */
 class PlanBudgetSpec extends SparkSpec {
 
+  // Counting must happen with AQE OFF: under AQE the executedPlan is
+  // an AdaptiveSparkPlanExec whose TreeNode children are empty, so a
+  // `plan.foreach` sees NO exchanges and every budget holds vacuously
+  // (found in round 5 — the round-4 budgets asserted 0 ≤ N). The
+  // pre-AQE plan is also the honest upper bound: AQE only removes or
+  // reuses exchanges at runtime, never adds.
   private def exchanges(df: DataFrame): (Int, Int) = {
     val plan = df.queryExecution.executedPlan
+    assert(
+      !plan.getClass.getSimpleName.contains("Adaptive"),
+      "exchange counting ran under AQE — counts would be vacuous"
+    )
     var shuffle = 0
     var bcast = 0
     plan.foreach {
@@ -25,8 +35,16 @@ class PlanBudgetSpec extends SparkSpec {
     (shuffle, bcast)
   }
 
-  private def run(name: String): DataFrame =
-    graft.SparkEntry.queries(name)(spark, sfDir)
+  private def run(name: String): DataFrame = {
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.queryExecution.executedPlan // force planning while AQE is off
+      df
+    } finally conf.set("spark.sql.adaptive.enabled", orig)
+  }
 
   test("text14 chunking shuffles only for the presentation sort") {
     val (s, _) = exchanges(run("text14_chunk_overlap"))
@@ -109,6 +127,53 @@ class PlanBudgetSpec extends SparkSpec {
   test("text18 heaps curve: two vocab-keyed aggs + slice aggs + join") {
     val (s, _) = exchanges(run("text18_heaps"))
     assert(s <= 5, s"text18 shuffles=$s")
+  }
+
+  test("text19 LM score: bigram agg + prefix agg + count join + doc agg + sort") {
+    val (s, _) = exchanges(run("text19_lm_score"))
+    assert(s <= 5, s"text19 shuffles=$s")
+  }
+
+  test("text20 bm25: term filter before any shuffle; tf agg + dl join + doc agg + sort") {
+    val (s, _) = exchanges(run("text20_bm25"))
+    assert(s <= 6, s"text20 shuffles=$s")
+  }
+
+  test("text21 divergence: (source,tok) agg + corpus agg + tok join + source agg + sort") {
+    val (s, _) = exchanges(run("text21_divergence"))
+    assert(s <= 7, s"text21 shuffles=$s")
+  }
+
+  test("q69 hash median: group windows + join + sort only") {
+    val (s, _) = exchanges(run("q69_hash_median"))
+    assert(s <= 3, s"q69 shuffles=$s")
+  }
+
+  test("q70 z-order key is map-side: only the presentation sort shuffles") {
+    val (s, _) = exchanges(run("q70_zorder_key"))
+    assert(s <= 1, s"q70 shuffles=$s")
+  }
+
+  test("q71 MAD: two selection-median windows + broadcast flags + agg + sort") {
+    val (s, b) = exchanges(run("q71_mad_outliers"))
+    assert(s <= 4, s"q71 shuffles=$s")
+    assert(b >= 2, s"q71 (m, MAD) must broadcast back, bcasts=$b")
+  }
+
+  test("sim16 semdedup: cell join + verdict attach, one shuffle beyond broadcasts") {
+    val (s, _) = exchanges(run("sim16_semdedup"))
+    assert(s <= 3, s"sim16 shuffles=$s")
+  }
+
+  test("sim17 hard negatives: broadcast scoring runs ONCE (no pos/neg self-join)") {
+    val (s, b) = exchanges(run("sim17_hardneg"))
+    assert(s <= 3, s"sim17 shuffles=$s")
+    assert(b <= 1, s"sim17 must broadcast the anchor set exactly once, bcasts=$b")
+  }
+
+  test("stream10 replay surfaces only the presentation sort") {
+    val (s, _) = exchanges(run("stream10_exact_dedup"))
+    assert(s <= 1, s"stream10 shuffles=$s")
   }
 
   test("dedup17 triangle legs reuse one MinHash pipeline (ReusedExchange)") {
