@@ -19,9 +19,10 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Relational2.queries ++
       ops.Relational3.queries ++ ops.Relational4.queries ++
       ops.Relational5.queries ++ ops.Relational6.queries ++
-      ops.Relational7.queries ++
+      ops.Relational7.queries ++ ops.Relational8.queries ++
       ops.BenchAggs.queries ++ cdc.CdcQueries.queries ++
-      ops.TextQueries.queries ++ ops.DedupQueries.queries ++
+      ops.TextQueries.queries ++ ops.TextQueries2.queries ++
+      ops.DedupQueries.queries ++
       ops.SimilarityQueries.queries ++ ops.StreamQueries.queries ++
       ops.MiscQueries.queries
 
@@ -29,9 +30,10 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.Relational2.oracle ++
       ops.Relational3.oracle ++ ops.Relational4.oracle ++
       ops.Relational5.oracle ++ ops.Relational6.oracle ++
-      ops.Relational7.oracle ++
+      ops.Relational7.oracle ++ ops.Relational8.oracle ++
       ops.BenchAggs.oracle ++ cdc.CdcQueries.oracle ++
-      ops.TextQueries.oracle ++ ops.DedupQueries.oracle ++
+      ops.TextQueries.oracle ++ ops.TextQueries2.oracle ++
+      ops.DedupQueries.oracle ++
       ops.SimilarityQueries.oracle ++ ops.StreamQueries.oracle ++
       ops.MiscQueries.oracle
 }

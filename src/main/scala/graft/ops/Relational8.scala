@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.Tables
+import graft.ops.Qx._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Eighth batch: relative-rank window functions and the
+  * bucket-expansion interval-lookup join — the non-equi→equi rewrite
+  * that keeps dimension-band joins off nested-loop plans at scale.
+  */
+object Relational8 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q72: relative-rank window family — dense_rank, percent_rank,
+    * cume_dist over customer balance within nation. The ORDER BY
+    * carries a c_custkey tiebreak so every rank is total-order
+    * deterministic (acctbal has 2 fractional digits — ties exist);
+    * percent_rank/cume_dist are then small-integer ratios computed
+    * identically by both engines, so the double compare is exact.
+    * One shuffle on the nation key; the per-partition sort is the
+    * whole cost — the same shape at any scale.
+    */
+  private val rankDist: Q = (s, dir) => {
+    val w = Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables(s, dir).customer
+      .select(
+        col("c_custkey"),
+        col("c_nationkey"),
+        col("c_acctbal"),
+        dense_rank().over(w).as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist")
+      )
+      .orderBy("c_custkey")
+  }
+
+  /** q73: interval-lookup join — classify each order into a
+    * NON-uniform price band from a bands dimension. The naive form is
+    * a non-equi join (`lo <= price < hi`), which Spark can only run
+    * as a nested-loop — harmless at 5 bands, quadratic death once the
+    * dimension grows (IP-geo ranges, tax brackets, SLA tiers run to
+    * millions of intervals). The scale-safe rewrite: pick a coarse
+    * bucket width W, expand each band to the W-buckets it overlaps
+    * (`sequence`), and equi-join facts on `floor(price / W)` with a
+    * residual range filter. The expansion factor is
+    * span/W per band — bounded and chosen at build time — and the
+    * join is a plain broadcast HASH join (plan-asserted in
+    * IntervalLookupSpec: zero BroadcastNestedLoopJoin), probe-side
+    * map-only at any fact count.
+    *
+    * Orders at or beyond the domain cap (none in the fixtures'
+    * [850, 550k] totalprice range) fall outside every band on both
+    * engines — excluded identically, nothing silently misclassified.
+    */
+  private val bucketW = 1000L
+  private[ops] val bands: Seq[(String, Long, Long)] = Seq(
+    ("micro", 0L, 1000L),
+    ("small", 1000L, 5000L),
+    ("mid", 5000L, 20000L),
+    ("large", 20000L, 100000L),
+    ("jumbo", 100000L, 600000L)
+  )
+
+  private val intervalLookup: Q = (s, dir) => {
+    import s.implicits._
+    val expanded = bands
+      .toDF("band", "lo", "hi")
+      .withColumn(
+        "bucket",
+        explode(
+          sequence(
+            expr(s"lo div $bucketW"),
+            expr(s"(hi - 1) div $bucketW")
+          )
+        )
+      )
+    Tables(s, dir).orders
+      .select(
+        col("o_totalprice"),
+        floor(col("o_totalprice") / bucketW).cast("long").as("bucket")
+      )
+      .join(broadcast(expanded), Seq("bucket"))
+      .filter(
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi")
+      )
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total")
+      )
+      .orderBy("band")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q72_rank_dist" -> rankDist,
+    "q73_interval_lookup" -> intervalLookup
+  )
+
+  private val bandsSql: String = bands
+    .map { case (b, lo, hi) => s"('$b', $lo, $hi)" }
+    .mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q72_rank_dist" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  dense_rank() OVER w AS drank,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
+    // the oracle states the SPEC (the plain non-equi interval join);
+    // the Spark side's bucket-expansion equi-join must land on
+    // identical band totals
+    "q73_interval_lookup" ->
+      s"""WITH bands(band, lo, hi) AS (VALUES $bandsSql)
+         |SELECT band, COUNT(*) AS n,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders JOIN bands
+         |  ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY band ORDER BY band""".stripMargin
+  )
+}

@@ -697,7 +697,91 @@ object SimilarityQueries {
       .orderBy("anchor_id")
   }
 
+  /** sim18: one exact Lloyd (k-means) iteration — the IVF/clustering
+    * training step run before [[centroids]]-style assignment serving.
+    * K=8 seed centroids are a deterministic stride sample of the
+    * corpus (lowest vec_ids with `vec_id % 97 == 0` — spread across
+    * the id range, reproducible on any engine); every vector is
+    * assigned to its nearest seed by squared L2 distance and the
+    * output reports per-cluster population, mean distance (the
+    * inertia decomposition that decides whether to iterate again),
+    * and the updated first-coordinate centroid mean.
+    *
+    * Bit-reproducibility (the sim11 discipline, applied to k-means —
+    * plain float distances would make cluster assignment
+    * partition-order- and engine-dependent): vectors quantize to
+    * integer micro-units (`floor(x·10⁶ + 0.5)`) ONCE, distances are
+    * exact BIGINT sums of squared integer diffs (max |q| ~2·10⁶ →
+    * 4·10¹² per dim, 128 dims ≈ 5·10¹⁴ — no overflow), and the
+    * argmin tiebreaks on cluster_id via struct-min. Means divide
+    * exact integer sums, so every output double is one deterministic
+    * division.
+    *
+    * Shape at scale: the K-row centroid table broadcasts into a
+    * map-side crossJoin score pass (K·dims multiply-adds per row —
+    * the same bandwidth-bound scan as brute-force ANN); the argmin is
+    * a groupBy on the dense vec_id and the stats a groupBy on K
+    * cluster ids. One Lloyd round = two hash aggregations, zero
+    * vector re-shuffles; further rounds re-broadcast the K updated
+    * centroids — state that never grows with the corpus.
+    */
+  private val kmeansK = 8
+  private val kmeansStride = 97
+  private val kmeansStep: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val quant = Tables(s, dir).embeddings
+      .select(
+        col("vec_id"),
+        transform(
+          col("embedding"),
+          x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")
+        ).as("qe")
+      )
+    val seeds = quant
+      .filter(col("vec_id") % kmeansStride === 0)
+      .orderBy("vec_id")
+      .limit(kmeansK)
+      .withColumn(
+        "cluster_id",
+        // long on both sides: DuckDB row_number() is BIGINT
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long")
+      )
+      .select(col("cluster_id"), col("qe").as("qc"))
+    val scored = quant
+      .crossJoin(broadcast(seeds))
+      // dims guard (sim11 discipline): zip_with pads ragged vectors
+      // with nulls and the fold would go null — fail closed instead
+      .filter(size(col("qe")) === size(col("qc")))
+      .select(
+        col("vec_id"),
+        element_at(col("qe"), 1).as("qe1"),
+        col("cluster_id"),
+        aggregate(
+          zip_with(col("qe"), col("qc"), (a, b) => (a - b) * (a - b)),
+          lit(0L),
+          (acc, x) => acc + x
+        ).as("dist")
+      )
+    scored
+      .groupBy(col("vec_id"), col("qe1"))
+      .agg(min(struct(col("dist"), col("cluster_id"))).as("a"))
+      .select(
+        col("vec_id"),
+        col("qe1"),
+        col("a.cluster_id").as("cluster_id"),
+        col("a.dist").as("dist")
+      )
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("dist")).cast("double") / count(lit(1))).as("avg_dist"),
+        (sum(col("qe1")).cast("double") / (count(lit(1)) * 1e6)).as("c1_new")
+      )
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim18_kmeans" -> kmeansStep,
     "sim17_hardneg" -> hardNegatives,
     "sim16_semdedup" -> semDedup,
     "sim15_diversity" -> diversity,
@@ -802,6 +886,34 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
 
   private val baseOracle: Map[String, String] = Map(
+    // the oracle states the SPEC (nearest seed by exact integer
+    // squared-L2); the Spark side's broadcast scoring must land on
+    // the identical assignment
+    "sim18_kmeans" ->
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         |      AS qe
+         |  FROM embeddings),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) AS cluster_id,
+         |        qe AS qc
+         |      FROM q WHERE vec_id % $kmeansStride = 0
+         |      ORDER BY vec_id LIMIT $kmeansK),
+         |d AS (SELECT q.vec_id, q.qe[1] AS qe1, c.cluster_id,
+         |        CAST(SUM((q.qe[i] - c.qc[i]) * (q.qe[i] - c.qc[i]))
+         |          AS BIGINT) AS dist
+         |      FROM q, c, range(1, 1000) t(i)
+         |      WHERE i <= len(q.qe) AND len(q.qe) = len(c.qc)
+         |      GROUP BY q.vec_id, q.qe[1], c.cluster_id),
+         |a AS (SELECT vec_id, qe1, cluster_id, dist,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY dist ASC, cluster_id ASC) AS r
+         |      FROM d)
+         |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, COUNT(*) AS n,
+         |  CAST(SUM(dist) AS DOUBLE) / COUNT(*) AS avg_dist,
+         |  CAST(SUM(qe1) AS DOUBLE) / (COUNT(*) * 1000000) AS c1_new
+         |FROM a WHERE r = 1
+         |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "sim17_hardneg" ->
       s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS av,
          |             label AS anchor_label

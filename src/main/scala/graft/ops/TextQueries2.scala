@@ -1,0 +1,166 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.PortableHash
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second text batch: data-selection importance weighting (DSIR) and
+  * tokenizer-coverage profiling — the curation signals that decide
+  * WHICH corpus slices feed a training run, on top of the per-doc
+  * quality metrics in [[TextQueries]].
+  */
+object TextQueries2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // keep in lockstep with TextQueries.toksSql (whitespace tokenizer)
+  private val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
+
+  /** text22: DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every doc by how much its hashed-bigram profile looks like a
+    * TARGET distribution (here the fixture's `lang = 'en'` slice)
+    * versus the RAW corpus. Features are bigrams hashed into B=256
+    * buckets; a doc's weight is Σ over its bigram instances of
+    * log2(target-bucket mass) − log2(raw-bucket mass), the log of the
+    * importance ratio up to a per-doc-length constant — computed
+    * integer-exactly as `(length(bin(tb+1))−1) − (length(bin(rb+1))−1)`
+    * (the text16 libm-free floor-log2). The target is a subset of the
+    * corpus so every term is ≤ 0; LESS negative = more target-like,
+    * and resampling keeps the top of that ranking.
+    *
+    * Shape at scale: bigrams are a map-side array expression; the
+    * bucket histogram is ONE aggregation on a 256-value dense key
+    * computing raw and target masses together (conditional agg, not
+    * two passes); the histogram broadcasts back onto the instance
+    * stream (256 rows — a plan-embedded constant at any corpus size)
+    * and the only other shuffle is the dense doc_id aggregate. No
+    * text ever shuffles: instances reduce to (doc_id, bucket) ints.
+    */
+  private[ops] val dsirBuckets = 256
+  private val dsir: Q = (s, dir) => {
+    val inst = Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        col("lang"),
+        explode(bigramsOf(tokens(col("text")))).as("bg")
+      )
+      .select(
+        col("doc_id"),
+        col("lang"),
+        (PortableHash.h32(col("bg")) % dsirBuckets).as("bucket")
+      )
+    val hist = inst
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("rb"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tb")
+      )
+    inst
+      .join(broadcast(hist), Seq("bucket"))
+      .select(
+        col("doc_id"),
+        ((length(bin(col("tb") + 1)) - 1) - (length(bin(col("rb") + 1)) - 1))
+          .cast("long")
+          .as("bits")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_feat"),
+        sum(col("bits")).as("weight_bits")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** text23: out-of-vocabulary rate per source against the corpus
+    * top-V vocabulary — the tokenizer-coverage audit run before
+    * committing a vocab: a source whose OOV rate is an outlier is
+    * either a different register/language or boilerplate the
+    * tokenizer will shred into bytes. V=64 binds at fixture scale
+    * (real vocabs are 10⁴–10⁵ — still broadcast-size).
+    *
+    * Shape at scale: ONE (source, token) aggregation stages counts;
+    * the corpus frequency table, per-source totals, and the OOV
+    * anti-join all derive from that staged aggregate (identical
+    * subplans — the shuffle is planned once and REUSED, asserted in
+    * OovRateSpec), so raw token instances shuffle exactly once. The
+    * vocab cut is top-V with a total-order tiebreak (freq desc, token
+    * asc) via TakeOrderedAndProject, and broadcasts into a left-anti
+    * probe — OOV detection never shuffles the counts table again.
+    */
+  private[ops] val oovV = 64
+  private val oovRate: Q = (s, dir) => {
+    val st = Tables(s, dir).documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = st
+      .groupBy(col("tok"))
+      .agg(sum(col("c")).as("cf"))
+      .orderBy(col("cf").desc, col("tok").asc)
+      .limit(oovV)
+      .select("tok")
+    val totals = st
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"))
+    val oov = st
+      .join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_oov"))
+    totals
+      .join(oov, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        (coalesce(col("n_oov"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("oov_rate")
+      )
+      .orderBy("source")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text22_dsir" -> dsir,
+    "text23_oov" -> oovRate
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text22_dsir" ->
+      s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |bg AS (SELECT doc_id, lang,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                  i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         |       FROM d),
+         |i AS (SELECT doc_id, lang,
+         |        ${PortableHash.sqlH32("bg")} % $dsirBuckets AS bucket
+         |      FROM bg),
+         |h AS (SELECT bucket, COUNT(*) AS rb,
+         |        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS tb
+         |      FROM i GROUP BY bucket),
+         |b AS (SELECT i.doc_id,
+         |        CAST((len(bin(h.tb + 1)) - 1) - (len(bin(h.rb + 1)) - 1)
+         |          AS BIGINT) AS bits
+         |      FROM i JOIN h USING (bucket))
+         |SELECT doc_id, COUNT(*) AS n_feat,
+         |  CAST(SUM(bits) AS BIGINT) AS weight_bits
+         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text23_oov" ->
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+         |st AS (SELECT source, tok, COUNT(*) AS c FROM t
+         |       GROUP BY source, tok),
+         |cf AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cf FROM st
+         |       GROUP BY tok),
+         |v AS (SELECT tok FROM cf ORDER BY cf DESC, tok ASC LIMIT $oovV),
+         |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens
+         |        FROM st GROUP BY source),
+         |o AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_oov FROM st
+         |      WHERE tok NOT IN (SELECT tok FROM v) GROUP BY source)
+         |SELECT tot.source, tot.n_tokens,
+         |  COALESCE(o.n_oov, 0) AS n_oov,
+         |  CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / tot.n_tokens AS oov_rate
+         |FROM tot LEFT JOIN o USING (source) ORDER BY source""".stripMargin
+  )
+}

@@ -33,7 +33,12 @@ class DeterminismSpec extends SparkSpec {
     "text20_bm25",
     "q71_mad_outliers",
     "text21_divergence",
-    "stream10_exact_dedup"
+    "stream10_exact_dedup",
+    // round-6: integer-exact k-means assignment, hashed-bucket DSIR
+    // bits, and the anti-join OOV cut are pure functions of the data
+    "sim18_kmeans",
+    "text22_dsir",
+    "text23_oov"
   )
 
   test("partitioning never changes the result rows") {

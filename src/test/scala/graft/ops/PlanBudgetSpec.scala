@@ -176,6 +176,41 @@ class PlanBudgetSpec extends SparkSpec {
     assert(s <= 1, s"stream10 shuffles=$s")
   }
 
+  test("q72 rank family: one window shuffle + the presentation sort") {
+    val (s, _) = exchanges(run("q72_rank_dist"))
+    assert(s <= 2, s"q72 shuffles=$s")
+  }
+
+  test("q73 interval lookup: bucket-expansion equi-join, never a nested loop") {
+    val df = run("q73_interval_lookup")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"nested loop in plan:\n$plan")
+    assert(
+      plan.contains("BroadcastHashJoin"),
+      s"expanded bands must broadcast-HASH-join:\n$plan"
+    )
+    val (s, _) = exchanges(df)
+    assert(s <= 2, s"q73 shuffles=$s")
+  }
+
+  test("text22 DSIR: bucket histogram broadcasts back; two dense aggs + sort") {
+    val (s, b) = exchanges(run("text22_dsir"))
+    assert(s <= 3, s"text22 shuffles=$s")
+    assert(b >= 1, s"text22 histogram must broadcast, bcasts=$b")
+  }
+
+  test("text23 OOV: staged (source,tok) agg feeds vocab/totals/anti-join") {
+    val (s, b) = exchanges(run("text23_oov"))
+    assert(s <= 7, s"text23 shuffles=$s")
+    assert(b >= 1, s"text23 vocab must broadcast into the anti-join, bcasts=$b")
+  }
+
+  test("sim18 k-means step: seeds broadcast once; argmin + stats aggs") {
+    val (s, b) = exchanges(run("sim18_kmeans"))
+    assert(s <= 5, s"sim18 shuffles=$s")
+    assert(b == 1, s"sim18 must broadcast the seed centroids exactly once, bcasts=$b")
+  }
+
   test("dedup17 triangle legs reuse one MinHash pipeline (ReusedExchange)") {
     val df = run("dedup17_triangles")
     df.collect()
