@@ -96,9 +96,43 @@ object Relational8 {
       .orderBy("band")
   }
 
+  /** q74: exact interpolated median (`percentile_cont(0.5)`
+    * semantics) per event type — the companion to q69/q71's
+    * selection (lower) median: odd n takes the middle value, even n
+    * the mean of the two middles. Implemented by SELECTION, not an
+    * interpolating aggregate: one ranked window pass keeps only the
+    * (n+1)/2-th and (n+2)/2-th values per group (identical for odd
+    * n) and a tiny aggregate averages them, so the division is the
+    * only floating-point op and both engines compute it on identical
+    * operands. One window shuffle + one agg that reuses the group
+    * partitioning — q37/q69's scale posture; the approx companion at
+    * 100 TB is ApproxNtile's sketch cut-points.
+    */
+  private val medianCont: Q = (s, dir) => {
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val wn = Window.partitionBy(col("event_type"))
+    Tables(s, dir).events
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("vr", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(
+        col("vr") === expr("(n + 1) div 2") ||
+          col("vr") === expr("(n + 2) div 2")
+      )
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        ((min(col("value")) + max(col("value"))) / 2).as("median_cont")
+      )
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q72_rank_dist" -> rankDist,
-    "q73_interval_lookup" -> intervalLookup
+    "q73_interval_lookup" -> intervalLookup,
+    "q74_median_cont" -> medianCont
   )
 
   private val bandsSql: String = bands
@@ -124,6 +158,16 @@ object Relational8 {
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders JOIN bands
          |  ON o_totalprice >= lo AND o_totalprice < hi
-         |GROUP BY band ORDER BY band""".stripMargin
+         |GROUP BY band ORDER BY band""".stripMargin,
+    "q74_median_cont" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, event_id ASC) AS vr,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  (MIN(value) + MAX(value)) / 2 AS median_cont
+        |FROM r WHERE vr = (n + 1) // 2 OR vr = (n + 2) // 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

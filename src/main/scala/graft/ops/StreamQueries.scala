@@ -235,7 +235,62 @@ object StreamQueries {
       .replay(Tables(s, dir).documents)
       .orderBy("doc_id")
 
+  /** cdc12: incremental near-dup maintenance under CDC churn — the
+    * composition that keeps a corpus's near-dup pair view current
+    * WITHOUT re-running dedup over the whole corpus per snapshot:
+    * inserts flow through the stream07 band-state ingest (per-batch
+    * incremental candidate generation), deletes and re-inserts are a
+    * latest-wins CDC materialization of the live-key set
+    * ([[graft.cdc.Materializer]]), and the served pair view is the
+    * accumulated pair log semi-joined to liveness on BOTH endpoints.
+    *
+    * Why deletes never touch band state: a membership row only ever
+    * GENERATES candidate pairs; a pair with a dead endpoint is
+    * filtered at read time, and if the doc is later re-inserted
+    * (at-least-once delivery, backfills) its pairs — including any
+    * discovered against docs that arrived while it was dead — are
+    * already in the log, so the view is correct under any
+    * insert/delete/re-insert interleaving. The replay here pins that:
+    * 4 insert slices, a delete wave (doc_id ≡ 3 mod 17), a re-insert
+    * of half of it (doc_id ≡ 3 mod 34, suppressed by the state
+    * anti-join), and the result must equal batch candidate pairs over
+    * exactly the live docs. Band state grows with total-ever-inserted
+    * until compacted against liveness — the cdc11 retention story;
+    * the pair log is append-only and dense (two longs per row).
+    */
+  private val neardupMaintain: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    val state = graft.streaming.StreamMinhashDedup.newState(s)
+    val parts = (0 until 4).map(i =>
+      graft.streaming.StreamMinhashDedup
+        .ingest(state, docs.filter(pmod(col("doc_id"), lit(4)) === i), i.toLong)
+    )
+    val reinserted = graft.streaming.StreamMinhashDedup
+      .ingest(state, docs.filter(pmod(col("doc_id"), lit(34)) === 3), 4L)
+    val pairs = (parts :+ reinserted).reduce(_ unionByName _)
+    state.close()
+    val log = docs
+      .select(col("doc_id"), lit("I").as("op"), lit(0L).as("ts"),
+        col("doc_id").as("seq"))
+      .unionByName(
+        docs.filter(pmod(col("doc_id"), lit(17)) === 3)
+          .select(col("doc_id"), lit("D").as("op"), lit(1L).as("ts"),
+            col("doc_id").as("seq")))
+      .unionByName(
+        docs.filter(pmod(col("doc_id"), lit(34)) === 3)
+          .select(col("doc_id"), lit("I").as("op"), lit(2L).as("ts"),
+            col("doc_id").as("seq")))
+    val live = graft.cdc.Materializer
+      .materialize(log, keyCol = "doc_id")
+      .select("doc_id")
+    pairs
+      .join(live.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(live.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cdc12_neardup_maintain" -> neardupMaintain,
     "stream10_exact_dedup" -> exactDedupIngest,
     "stream09_funnel" -> funnelIngest,
     "stream08_agg_maintain" -> aggMaintainIngest,
@@ -253,6 +308,14 @@ object StreamQueries {
     * hops); make_timestamp keeps the naive-UTC type.
     */
   val oracle: Map[String, String] = Map(
+    // the oracle states the SPEC: batch candidate pairs over exactly
+    // the LIVE docs (insert − delete + re-insert), which the
+    // incremental band-state + liveness-filter composition must equal
+    "cdc12_neardup_maintain" ->
+      s"""SELECT id_a, id_b FROM (${DedupQueries.candidatePairsOracle})
+         |WHERE (id_a % 17 <> 3 OR id_a % 34 = 3)
+         |  AND (id_b % 17 <> 3 OR id_b % 34 = 3)
+         |ORDER BY id_a, id_b""".stripMargin,
     "stream10_exact_dedup" -> {
       val fp = graft.functions.PortableHash.sqlH32(
         """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""

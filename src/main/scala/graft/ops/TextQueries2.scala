@@ -121,9 +121,62 @@ object TextQueries2 {
       .orderBy("source")
   }
 
+  /** text24: Zipf rank–frequency slope over the top-V vocabulary —
+    * the one-number corpus-health check (natural text fits
+    * log f ≈ −s·log r + c with s ≈ 1; machine-generated or templated
+    * corpora bend the curve). Both axes go through the integer
+    * floor-log2 (`length(bin(x))−1` — the text16 libm-free
+    * discipline), so the least-squares sufficient statistics
+    * (n, Σx, Σy, Σxx, Σxy) are exact BIGINT sums and the slope/
+    * intercept are each ONE deterministic double division — q63's
+    * decimal-moment regression, restated for integer inputs.
+    *
+    * Shape at scale: one token-key aggregation, a V-row
+    * TakeOrderedAndProject cut (total-order tiebreak), and the fit
+    * runs on V rows — a driver-free single reduce.
+    */
+  private[ops] val zipfV = 128
+  private val zipf: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables(s, dir).documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok").asc)
+      .limit(zipfV)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("f").desc, col("tok").asc))
+      )
+      .select(
+        (length(bin(col("rank"))) - 1).cast("long").as("x"),
+        (length(bin(col("f"))) - 1).cast("long").as("y")
+      )
+    top
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy")
+      )
+      .select(
+        col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"),
+        ((col("sy").cast("double") -
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            col("sx").cast("double")) / col("n").cast("double"))
+          .as("intercept")
+      )
+  }
+
   val queries: Map[String, Q] = Map(
     "text22_dsir" -> dsir,
-    "text23_oov" -> oovRate
+    "text23_oov" -> oovRate,
+    "text24_zipf" -> zipf
   )
 
   val oracle: Map[String, String] = Map(
@@ -161,6 +214,28 @@ object TextQueries2 {
          |SELECT tot.source, tot.n_tokens,
          |  COALESCE(o.n_oov, 0) AS n_oov,
          |  CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / tot.n_tokens AS oov_rate
-         |FROM tot LEFT JOIN o USING (source) ORDER BY source""".stripMargin
+         |FROM tot LEFT JOIN o USING (source) ORDER BY source""".stripMargin,
+    "text24_zipf" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |f AS (SELECT tok, COUNT(*) AS f FROM t GROUP BY tok),
+         |v AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok ASC)
+         |        AS rank
+         |      FROM f ORDER BY f DESC, tok ASC LIMIT $zipfV),
+         |xy AS (SELECT CAST(len(bin(rank)) - 1 AS BIGINT) AS x,
+         |              CAST(len(bin(f)) - 1 AS BIGINT) AS y FROM v),
+         |s AS (SELECT COUNT(*) AS n,
+         |        CAST(SUM(x) AS BIGINT) AS sx,
+         |        CAST(SUM(y) AS BIGINT) AS sy,
+         |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |        CAST(SUM(x * y) AS BIGINT) AS sxy
+         |      FROM xy)
+         |SELECT n,
+         |  CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+         |  (CAST(sy AS DOUBLE)
+         |    - CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / CAST(n * sxx - sx * sx AS DOUBLE)
+         |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+         |FROM s""".stripMargin
   )
 }

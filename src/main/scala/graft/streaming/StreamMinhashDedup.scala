@@ -97,8 +97,12 @@ object StreamMinhashDedup {
       old.foreach(GraftSqlShims.unpersistCheckpoint(_))
     }
 
-    /** Release all retained state blocks (end-of-life). */
-    private[streaming] def close(): Unit = {
+    /** Release all retained state blocks (end-of-life). Public: a
+      * caller composing ingest batches directly (cdc12's churn
+      * replay) owns the state lifecycle; pairs returned by `ingest`
+      * have their own checkpoints and stay readable after close.
+      */
+    def close(): Unit = {
       segments.foreach(GraftSqlShims.unpersistCheckpoint(_))
       segments = Vector.empty
     }

@@ -38,7 +38,9 @@ class DeterminismSpec extends SparkSpec {
     // bits, and the anti-join OOV cut are pure functions of the data
     "sim18_kmeans",
     "text22_dsir",
-    "text23_oov"
+    "text23_oov",
+    "q74_median_cont",
+    "text24_zipf"
   )
 
   test("partitioning never changes the result rows") {

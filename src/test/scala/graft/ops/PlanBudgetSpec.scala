@@ -211,6 +211,16 @@ class PlanBudgetSpec extends SparkSpec {
     assert(b == 1, s"sim18 must broadcast the seed centroids exactly once, bcasts=$b")
   }
 
+  test("q74 interpolated median: ranked window + group agg + sort") {
+    val (s, _) = exchanges(run("q74_median_cont"))
+    assert(s <= 3, s"q74 shuffles=$s")
+  }
+
+  test("text24 zipf fit: one token agg, V-row top-k cut, single reduce") {
+    val (s, _) = exchanges(run("text24_zipf"))
+    assert(s <= 4, s"text24 shuffles=$s")
+  }
+
   test("dedup17 triangle legs reuse one MinHash pipeline (ReusedExchange)") {
     val df = run("dedup17_triangles")
     df.collect()
