@@ -672,7 +672,113 @@ object DedupQueries {
       .orderBy("train_doc", "eval_doc")
   }
 
+  /** dedup19: local clustering coefficient per node of the confirmed
+    * near-dup graph — the cohesion QA one level up from dedup17's
+    * triangle list: a node whose neighbors all know each other
+    * (coeff → 1) sits in a true duplicate CLIQUE (template families,
+    * mirror sets — safe to keep one survivor); a high-degree node
+    * with coeff → 0 is a HUB stitching unrelated docs together (a
+    * boilerplate shingle, an LSH hot bucket) and a sign the
+    * threshold, not the corpus, created the cluster.
+    *
+    * coeff = 2·T(v) / (deg(v)·(deg(v)−1)): T(v) from the dedup17
+    * enumeration (each canonical a<b<c triangle credits all three
+    * corners), deg(v) from the edge list exploded both directions —
+    * integer counts, one double division at the end. The three legs
+    * and the degree pass all reuse the SAME verified-pairs pipeline
+    * (ReusedExchange, as dedup17 pins); everything that shuffles
+    * after candidate verification is (long, long) edges.
+    */
+  private val clusteringCoeff: Q = (s, dir) => {
+    val e = minhashVerified(s, dir)
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val deg = e
+      .select(col("id_a").as("node"))
+      .unionByName(e.select(col("id_b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.id_b") === col("e2.id_a"))
+      .join(
+        e.as("e3"),
+        col("e3.id_a") === col("e1.id_a") && col("e3.id_b") === col("e2.id_b")
+      )
+      .select(
+        array(col("e1.id_a"), col("e1.id_b"), col("e2.id_b")).as("__c")
+      )
+      .select(explode(col("__c")).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_tri"))
+    deg
+      .join(tri, Seq("node"), "left")
+      .select(
+        col("node").as("doc_id"),
+        col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(
+          col("deg") >= 2,
+          (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double")
+        ).otherwise(lit(0.0)).as("coeff")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** dedup20: 2-core of the confirmed near-dup graph by iterative
+    * peeling — strip nodes of degree < 2 until stable; what survives
+    * is the graph's load-bearing duplication structure (every node on
+    * ≥2 independent near-dup relations), with tree-like fringe (one
+    * accidental pair match) peeled away. The keep/audit decision
+    * differs: core members are systematic duplication (mirror farms),
+    * fringe pairs are one-off matches.
+    *
+    * KCORE_ROUNDS=4 synchronous peel rounds, UNROLLED identically in
+    * the oracle; the fixture graph converges in ≤3 (KCoreSpec proves
+    * round 4 ≡ round 6 — the published result is the fixpoint, and at
+    * scale rounds ∝ peel depth, each round two dense aggregates + one
+    * semi-join, the dedup06 iteration discipline).
+    */
+  private[ops] val KCORE_ROUNDS = 4
+  private val kcore: Q = (s, dir) =>
+    kcoreRounds(s, dir, KCORE_ROUNDS)
+
+  private[ops] def kcoreRounds(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    // checkpoint between rounds (the Clusters.scala iteration
+    // discipline): each round references the previous edge set three
+    // times — without the lineage cut every round would re-execute
+    // the whole MinHash-verify pipeline, multiplying the candidate
+    // pass by 3^rounds
+    var e = minhashVerified(s, dir)
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e
+        .select(col("id_a").as("node"))
+        .unionByName(e.select(col("id_b").as("node")))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+        .select("node")
+      val next = e
+        .join(keep.withColumnRenamed("node", "id_a"), Seq("id_a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "id_b"), Seq("id_b"), "left_semi")
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(e)
+      e = next
+    }
+    e.select(col("id_a").as("node"))
+      .unionByName(e.select(col("id_b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+      .select(col("node").as("doc_id"), col("deg"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup20_kcore" -> kcore,
+    "dedup19_clustering_coeff" -> clusteringCoeff,
     "dedup18_leakage" -> leakage,
     "dedup17_triangles" -> triangles,
     "dedup16_cross_source" -> crossSourceMatrix,
@@ -955,6 +1061,54 @@ object DedupQueries {
          |WHERE $jacSql >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup04_minhash_lsh" -> minhashVerifiedOracle,
+    "dedup19_clustering_coeff" ->
+      s"""WITH mh AS ($minhashVerifiedOracle),
+         |e AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5),
+         |d AS (SELECT node, COUNT(*) AS deg FROM
+         |        (SELECT id_a AS node FROM e
+         |         UNION ALL SELECT id_b FROM e)
+         |      GROUP BY node),
+         |tr AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+         |       FROM e e1
+         |       JOIN e e2 ON e1.id_b = e2.id_a
+         |       JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+         |t AS (SELECT node, COUNT(*) AS n_tri FROM
+         |        (SELECT a AS node FROM tr
+         |         UNION ALL SELECT b FROM tr
+         |         UNION ALL SELECT c FROM tr)
+         |      GROUP BY node)
+         |SELECT d.node AS doc_id, d.deg,
+         |  COALESCE(t.n_tri, 0) AS n_tri,
+         |  CASE WHEN d.deg >= 2 THEN
+         |    CAST(COALESCE(t.n_tri, 0) * 2 AS DOUBLE)
+         |      / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+         |  ELSE 0.0 END AS coeff
+         |FROM d LEFT JOIN t ON d.node = t.node
+         |ORDER BY doc_id""".stripMargin,
+    // every CTE MATERIALIZED: each round references the previous edge
+    // set three times — inlined, the planner would re-expand the
+    // whole MinHash CTE 3^rounds times (observed minutes-long at
+    // sf0.01; materialized it is sub-second)
+    "dedup20_kcore" -> {
+      val rounds = (1 to KCORE_ROUNDS).map { i =>
+        val prev = s"e${i - 1}"
+        s"""d$i AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+           |        (SELECT id_a AS node FROM $prev
+           |         UNION ALL SELECT id_b FROM $prev)
+           |      GROUP BY node),
+           |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 2),
+           |e$i AS MATERIALIZED (SELECT id_a, id_b FROM $prev
+           |       WHERE id_a IN (SELECT node FROM k$i)
+           |         AND id_b IN (SELECT node FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH mh AS MATERIALIZED ($minhashVerifiedOracle),
+         |e0 AS MATERIALIZED (SELECT id_a, id_b FROM mh WHERE jac >= 0.5),
+         |$rounds
+         |SELECT node AS doc_id, COUNT(*) AS deg FROM
+         |  (SELECT id_a AS node FROM e$KCORE_ROUNDS
+         |   UNION ALL SELECT id_b FROM e$KCORE_ROUNDS)
+         |GROUP BY node ORDER BY doc_id""".stripMargin
+    },
     "dedup18_leakage" -> {
       val trainSql = (id: String) =>
         s"(${graft.functions.PortableHash.sqlH32(s"CAST($id AS VARCHAR)")} % 100 < 90)"

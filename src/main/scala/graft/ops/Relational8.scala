@@ -5,6 +5,7 @@ import graft.ops.Qx._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Eighth batch: relative-rank window functions and the
   * bucket-expansion interval-lookup join — the non-equi→equi rewrite
@@ -129,10 +130,53 @@ object Relational8 {
       .orderBy("event_type")
   }
 
+  /** q75: population stddev + 3σ outlier flags per event type — the
+    * parametric sibling of q71's robust median/MAD rule. Moments go
+    * through exact decimals (q63's discipline: cast to DECIMAL(9,2)
+    * FIRST so v·v is exact decimal arithmetic, order-independent
+    * BIGINT-backed sums), the variance is one fixed double
+    * expression, and sqrt is IEEE-754 correctly-rounded on every
+    * engine — so even the σ compare is exact. The (μ, σ) row set is
+    * K event types — broadcast back for a map-side flag pass, one
+    * aggregation each side, the q71 shape.
+    */
+  private val stddevOutliers: Q = (s, dir) => {
+    val ev = Tables(s, dir).events.select(col("event_type"), col("value"))
+    val x = col("value").cast(DecimalType(9, 2))
+    val mom = ev
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(x * x).cast(DoubleType).as("sxx")
+      )
+      .select(
+        col("event_type"),
+        col("n"),
+        (col("sx") / col("n")).as("mean"),
+        sqrt(
+          col("sxx") / col("n") -
+            (col("sx") / col("n")) * (col("sx") / col("n"))
+        ).as("sd")
+      )
+    ev.join(broadcast(mom), Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("mean"), col("sd"))
+      .agg(
+        sum(
+          when(abs(col("value") - col("mean")) > lit(3.0) * col("sd"), 1L)
+            .otherwise(0L)
+        ).as("n_outliers")
+      )
+      .select(col("event_type"), col("n"), col("mean"), col("sd"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q72_rank_dist" -> rankDist,
     "q73_interval_lookup" -> intervalLookup,
-    "q74_median_cont" -> medianCont
+    "q74_median_cont" -> medianCont,
+    "q75_stddev_outliers" -> stddevOutliers
   )
 
   private val bandsSql: String = bands
@@ -168,6 +212,22 @@ object Relational8 {
         |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
         |  (MIN(value) + MAX(value)) / 2 AS median_cont
         |FROM r WHERE vr = (n + 1) // 2 OR vr = (n + 2) // 2
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q75_stddev_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(9,2))
+        |           * CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type),
+        |s AS (SELECT event_type, n, sx / n AS mean,
+        |        sqrt(sxx / n - (sx / n) * (sx / n)) AS sd
+        |      FROM m)
+        |SELECT e.event_type, s.n, s.mean, s.sd,
+        |  CAST(SUM(CASE WHEN abs(e.value - s.mean) > 3.0 * s.sd
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN s USING (event_type)
+        |GROUP BY e.event_type, s.n, s.mean, s.sd
+        |ORDER BY e.event_type""".stripMargin
   )
 }

@@ -40,7 +40,10 @@ class DeterminismSpec extends SparkSpec {
     "text22_dsir",
     "text23_oov",
     "q74_median_cont",
-    "text24_zipf"
+    "text24_zipf",
+    "q75_stddev_outliers",
+    "dedup19_clustering_coeff",
+    "dedup20_kcore"
   )
 
   test("partitioning never changes the result rows") {

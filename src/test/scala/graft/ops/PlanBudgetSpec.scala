@@ -221,6 +221,17 @@ class PlanBudgetSpec extends SparkSpec {
     assert(s <= 4, s"text24 shuffles=$s")
   }
 
+  test("q75 stddev flags: moments broadcast back, map-side flag pass") {
+    val (s, b) = exchanges(run("q75_stddev_outliers"))
+    assert(s <= 3, s"q75 shuffles=$s")
+    assert(b >= 1, s"q75 (mean, sd) must broadcast back, bcasts=$b")
+  }
+
+  test("dedup19 clustering coeff: triangle legs + degree on one verified pipeline") {
+    val (s, _) = exchanges(run("dedup19_clustering_coeff"))
+    assert(s <= 14, s"dedup19 shuffles=$s")
+  }
+
   test("dedup17 triangle legs reuse one MinHash pipeline (ReusedExchange)") {
     val df = run("dedup17_triangles")
     df.collect()

@@ -65,6 +65,12 @@ class StateTtlSpec extends SparkSpec {
     input.addData(ChangeEvent("I", 1L, Some("x"), ts(1000), 0))
     q.processAllAvailable()
     q.stop()
+    // the listener bus delivers onQueryProgress ASYNCHRONOUSLY — under
+    // full-suite load the event can land after processAllAvailable
+    // returns, so poll (bounded) instead of asserting immediately
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while ((!l.isReady || l.totalRows < 1L) && System.nanoTime() < deadline)
+      Thread.sleep(100)
     assert(l.isReady)
     assert(l.totalRows >= 1L)
     assert(l.error.isEmpty)
