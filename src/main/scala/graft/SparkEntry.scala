@@ -20,10 +20,12 @@ object SparkEntry {
       ops.Relational3.queries ++ ops.Relational4.queries ++
       ops.Relational5.queries ++ ops.Relational6.queries ++
       ops.Relational7.queries ++ ops.Relational8.queries ++
+      ops.Relational9.queries ++
       ops.BenchAggs.queries ++ cdc.CdcQueries.queries ++
       ops.TextQueries.queries ++ ops.TextQueries2.queries ++
-      ops.DedupQueries.queries ++
-      ops.SimilarityQueries.queries ++ ops.StreamQueries.queries ++
+      ops.DedupQueries.queries ++ ops.DedupQueries2.queries ++
+      ops.SimilarityQueries.queries ++ ops.SimilarityQueries2.queries ++
+      ops.StreamQueries.queries ++
       ops.MiscQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -31,9 +33,11 @@ object SparkEntry {
       ops.Relational3.oracle ++ ops.Relational4.oracle ++
       ops.Relational5.oracle ++ ops.Relational6.oracle ++
       ops.Relational7.oracle ++ ops.Relational8.oracle ++
+      ops.Relational9.oracle ++
       ops.BenchAggs.oracle ++ cdc.CdcQueries.oracle ++
       ops.TextQueries.oracle ++ ops.TextQueries2.oracle ++
-      ops.DedupQueries.oracle ++
-      ops.SimilarityQueries.oracle ++ ops.StreamQueries.oracle ++
+      ops.DedupQueries.oracle ++ ops.DedupQueries2.oracle ++
+      ops.SimilarityQueries.oracle ++ ops.SimilarityQueries2.oracle ++
+      ops.StreamQueries.oracle ++
       ops.MiscQueries.oracle
 }

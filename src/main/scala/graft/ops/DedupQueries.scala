@@ -805,12 +805,7 @@ object DedupQueries {
   private val normSql = TextQueriesSqlFragments.normSql
   private val toksSql = s"string_split($normSql, ' ')"
 
-  /** Shingle list mirror of [[Dedup.withShingles]] (toks bound in a CTE). */
-  private val shinglesSql =
-    """CASE WHEN len(toks) < 3 THEN [norm]
-      | ELSE list_distinct(list_transform(range(0, len(toks) - 2),
-      |   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
-      | END""".stripMargin
+  private val shinglesSql = TextQueriesSqlFragments.shinglesSql
 
   private def h32(e: String) = PortableHash.sqlH32(e)
 
@@ -1251,4 +1246,13 @@ object DedupQueries {
 /** Shared SQL fragments (single source of truth for mirrors). */
 private[ops] object TextQueriesSqlFragments {
   val normSql = """lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"""
+
+  /** Shingle list mirror of [[graft.dedup.Dedup.withShingles]]
+    * (`norm`/`toks` bound in a CTE).
+    */
+  val shinglesSql: String =
+    """CASE WHEN len(toks) < 3 THEN [norm]
+      | ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+      |   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+      | END""".stripMargin
 }

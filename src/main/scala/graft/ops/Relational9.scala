@@ -1,0 +1,163 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.PortableHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ninth batch: the skew-salted repartition join and batch
+  * sessionization — two shapes every large-scale pipeline hits (a
+  * hot join key melting one reducer; gap-based session assignment
+  * over an event stream replayed as a table).
+  */
+object Relational9 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Salt fan-out for q76. At real scale this is sized from the skew
+    * ratio (hot-key rows / target-partition rows); 8 here exercises
+    * the full replicate-and-route machinery.
+    */
+  private[ops] val SALT = 8
+
+  /** q76: skew-salted repartition join — the manual remedy when ONE
+    * join key holds a disproportionate share of the probe side and
+    * AQE's skew split can't help (e.g. the skew is in the map output
+    * of an upstream stage, or the join must avoid broadcast because
+    * the build side is wide). Probe rows take a deterministic salt in
+    * [0, SALT) from a hash of their OWN row identity (orderkey +
+    * linenumber — NOT the join key alone, which would put the whole
+    * hot key in one salt); the build side replicates every row SALT
+    * times via a compile-time-constant array explode. Joining on
+    * (key, salt) spreads a hot key over SALT reducers at the cost of
+    * SALT× the (small) build side — the standard trade. The join is
+    * pinned to shuffle (merge hint) because a broadcastable build
+    * side would make salting moot; the final rollup restores the
+    * plain-join aggregate, which is what the oracle computes with no
+    * salting at all — proving the rewrite is semantics-preserving.
+    *
+    * Scale: probe side shuffles once on (l_orderkey, salt) — same
+    * bytes as the unsalted join, better balance; build side shuffles
+    * SALT× its (dim-sized) bytes. Revenue sums through DECIMAL (Qx
+    * discipline) so partition count never changes the answer.
+    */
+  private val saltedJoin: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val probe = t.lineitem
+      .select(
+        col("l_orderkey"),
+        col("l_extendedprice"),
+        col("l_discount"),
+        pmod(
+          PortableHash.h32(
+            concat_ws(":", col("l_orderkey"), col("l_linenumber"))
+          ),
+          lit(SALT)
+        ).as("__salt")
+      )
+    val build = t.orders
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("__salt", explode(typedLit((0 until SALT).toArray)))
+    probe
+      .hint("merge")
+      .join(
+        build,
+        probe("l_orderkey") === build("o_orderkey") &&
+          probe("__salt") === build("__salt")
+      )
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        // price·(1−disc) carries ≤4 fractional digits → DECIMAL(18,4)
+        Qx.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy("o_orderpriority")
+  }
+
+  /** Session gap for q77: 30 minutes, in microseconds (event
+    * timestamps are µs-exact on both engines).
+    */
+  private[ops] val GAP_US = 30L * 60 * 1000 * 1000
+
+  /** q77: batch sessionization — assign gap-based sessions to the
+    * replayed event log (the batch twin of stream03's streaming
+    * session windows) and emit one row per session. A session breaks
+    * when a user is idle ≥ 30 min: `is_new = (ts − lag(ts) ≥ gap)`,
+    * `session_idx = running sum of is_new` — two window passes and
+    * the per-session rollup, all keyed by user_id.
+    *
+    * Scale: ONE exchange total. Both windows partition by user_id and
+    * the groupBy keys (user_id, session_idx) have user_id as a
+    * prefix, so HashPartitioning(user_id) satisfies every downstream
+    * distribution — plan-asserted in PlanBudgetSpec. Per-user row
+    * counts bound the window buffers (no global window anywhere);
+    * timestamps stay integral µs so durations are BIGINT-exact.
+    */
+  private val sessionize: Q = (s, dir) => {
+    // both windows share ONE partitioning (user_id) and ONE total
+    // order (us, event_id — event_id breaks timestamp ties so the
+    // running sum is engine-independent)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val ev = Tables(s, dir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val marked = ev
+      .withColumn(
+        "__new",
+        when(col("us") - lag(col("us"), 1).over(byUser) >= GAP_US, 1L)
+          .otherwise(lit(0L))
+      )
+      .withColumn(
+        "session_idx",
+        sum(col("__new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+      )
+    marked
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        (max(col("us")) - min(col("us"))).as("duration_us")
+      )
+      .orderBy("user_id", "session_idx")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q76_salted_join" -> saltedJoin,
+    "q77_sessionize" -> sessionize
+  )
+
+  val oracle: Map[String, String] = Map(
+    // the UNSALTED plain join: the oracle proves the salt rewrite
+    // changes nothing
+    "q76_salted_join" ->
+      s"""SELECT o.o_orderpriority,
+         |  ${Qx.sqlDsum("l.l_extendedprice * (1.0 - l.l_discount)", 4)} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY o.o_orderpriority
+         |ORDER BY o.o_orderpriority""".stripMargin,
+    "q77_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         |m AS (
+         |  SELECT user_id, event_id, us,
+         |    CASE WHEN us - lag(us) OVER w >= $GAP_US THEN 1 ELSE 0 END
+         |      AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |x AS (
+         |  SELECT user_id, us,
+         |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         |  FROM m)
+         |SELECT user_id, session_idx, COUNT(*) AS n_events,
+         |  MIN(us) AS start_us, MAX(us) AS end_us,
+         |  MAX(us) - MIN(us) AS duration_us
+         |FROM x GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin
+  )
+}

@@ -1,0 +1,204 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second similarity batch: product quantization — the compressed
+  * ANN family (IVF-PQ) one step past [[SimilarityQueries]]'s int8
+  * scalar quantizer. PQ splits each vector into M subvectors, maps
+  * each to its nearest entry in a per-subspace codebook, and scores
+  * candidates against a query through a precomputed distance TABLE
+  * (asymmetric distance computation, ADC) — per candidate, M table
+  * lookups instead of a length-D dot product. At 100 TB of
+  * embeddings this is the operator that makes an exhaustive scan
+  * affordable: M·log2(K) bits per vector (here 4·3 = 12 bits vs
+  * 64·32 fp32 bits) and the scan touches codes, not floats.
+  */
+object SimilarityQueries2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val QUERY_IDS = Seq(0L, 1L, 2L)
+  private val TOPK = 5
+  private[ops] val PQ_M = 4 // subspaces
+  private[ops] val PQ_K = 8 // codebook entries per subspace
+  private[ops] val SUBDIM = 16 // dims per subspace (fixture: 64 total)
+  private[ops] val PQ_STRIDE = 53 // seed sampling stride
+
+  /** sim19: PQ encode + ADC top-k, bit-reproducible end to end (the
+    * sim18 discipline): vectors quantize to integer micro-units once,
+    * per-subspace distances are exact BIGINT sums of squared integer
+    * diffs, code assignment argmins tiebreak on code_id via
+    * struct-min, and the ADC score is an exact BIGINT sum of M table
+    * entries — no float ever enters, so the ranking is identical on
+    * any engine and any partitioning. The codebook is a deterministic
+    * stride sample of the corpus (the standard sample-init; sim18 is
+    * the Lloyd refinement step that would iterate it).
+    *
+    * Shape at scale: the codebook (K rows) broadcasts for a map-side
+    * encode pass (M·K·SUBDIM integer ops per vector — one-time index
+    * build); the per-query distance tables (M·K BIGINTs per query)
+    * build on the tiny query×codebook cross and broadcast as maps
+    * embedded in the plan; candidate scoring is a map-side scan of
+    * (neighbor_id, codes) — 12 bits of payload per corpus vector on
+    * the wire, and the only shuffle is the per-query top-k
+    * (WindowGroupLimit pushes the heap below it). Encode once, serve
+    * every query from the code table: the IVF-PQ serving shape.
+    */
+  private val pqAdc: Q = (s, dir) => {
+    val quant = Tables(s, dir).embeddings
+      .select(
+        col("vec_id"),
+        transform(
+          col("embedding"),
+          x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")
+        ).as("qe")
+      )
+    val seeds = quant
+      .filter(col("vec_id") % PQ_STRIDE === 0)
+      .orderBy("vec_id")
+      .limit(PQ_K)
+      .withColumn(
+        "code_id",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long")
+      )
+      .select(col("code_id"), col("qe").as("qc"))
+
+    // per-subspace squared-L2 distances: array of PQ_M exact BIGINTs
+    def subDists(a: Column, b: Column): Column =
+      transform(
+        sequence(lit(0), lit(PQ_M - 1)),
+        m =>
+          aggregate(
+            zip_with(
+              slice(a, m * lit(SUBDIM) + lit(1), lit(SUBDIM)),
+              slice(b, m * lit(SUBDIM) + lit(1), lit(SUBDIM)),
+              (x, y) => (x - y) * (x - y)
+            ),
+            lit(0L),
+            (acc, x) => acc + x
+          )
+      )
+
+    // encode: nearest codebook entry per subspace (struct-min argmin)
+    val enc = quant
+      .crossJoin(broadcast(seeds))
+      // dims guard (sim11/sim18 discipline): drop ragged vectors the
+      // same way the oracle's len() equality does
+      .filter(size(col("qe")) === size(col("qc")))
+      .select(col("vec_id"), col("code_id"), subDists(col("qe"), col("qc")).as("ds"))
+      .groupBy(col("vec_id"))
+      .agg(
+        min(struct(element_at(col("ds"), 1), col("code_id"))).as("a0"),
+        (1 until PQ_M).map(m =>
+          min(struct(element_at(col("ds"), m + 1), col("code_id"))).as(s"a$m")
+        ): _*
+      )
+    val candidates = enc.select(
+      col("vec_id").as("neighbor_id"),
+      array((0 until PQ_M).map(m => col(s"a$m.code_id")): _*).as("codes")
+    )
+
+    // per-query ADC tables: m -> (code_id -> dist), M·K entries each,
+    // built on the tiny query×codebook cross and broadcast
+    val qs = quant
+      .filter(col("vec_id").isin(QUERY_IDS: _*))
+      .select(col("vec_id").as("query_id"), col("qe").as("qq"))
+    val dtab = qs
+      .crossJoin(broadcast(seeds))
+      .filter(size(col("qq")) === size(col("qc")))
+      .select(
+        col("query_id"),
+        col("code_id"),
+        posexplode(subDists(col("qq"), col("qc")))
+      )
+      .groupBy(col("query_id"), col("pos"))
+      .agg(
+        map_from_entries(collect_list(struct(col("code_id"), col("col"))))
+          .as("dm")
+      )
+      .groupBy(col("query_id"))
+      .agg(
+        map_from_entries(collect_list(struct(col("pos"), col("dm"))))
+          .as("dt")
+      )
+
+    val adc = candidates
+      .crossJoin(broadcast(dtab))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (0 until PQ_M)
+          .map(m =>
+            element_at(
+              element_at(col("dt"), lit(m)),
+              element_at(col("codes"), m + 1)
+            )
+          )
+          .reduce(_ + _)
+          .as("adc_dist")
+      )
+    adc
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+        )
+      )
+      .filter(col("rank") <= TOPK)
+      .select("query_id", "neighbor_id", "rank", "adc_dist")
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim19_pq_adc" -> pqAdc
+  )
+
+  private val qIdsSql = QUERY_IDS.mkString("(", ", ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "sim19_pq_adc" ->
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         |      AS qe
+         |  FROM embeddings),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) AS code_id,
+         |        qe AS qc
+         |      FROM q WHERE vec_id % $PQ_STRIDE = 0
+         |      ORDER BY vec_id LIMIT $PQ_K),
+         |d AS (SELECT q.vec_id, c.code_id, t.m,
+         |        CAST(SUM((q.qe[t.m*$SUBDIM+s.i] - c.qc[t.m*$SUBDIM+s.i])
+         |               * (q.qe[t.m*$SUBDIM+s.i] - c.qc[t.m*$SUBDIM+s.i]))
+         |          AS BIGINT) AS dist
+         |      FROM q, c, range(0, $PQ_M) t(m),
+         |           range(1, ${SUBDIM + 1}) s(i)
+         |      WHERE len(q.qe) = len(c.qc)
+         |      GROUP BY q.vec_id, c.code_id, t.m),
+         |enc AS (SELECT vec_id, m, code_id,
+         |          row_number() OVER (PARTITION BY vec_id, m
+         |            ORDER BY dist ASC, code_id ASC) AS r
+         |        FROM d),
+         |codes AS (SELECT vec_id, m, code_id FROM enc WHERE r = 1),
+         |qd AS (SELECT vec_id AS query_id, code_id, m, dist FROM d
+         |       WHERE vec_id IN $qIdsSql),
+         |adc AS (SELECT qd.query_id, codes.vec_id AS neighbor_id,
+         |          CAST(SUM(qd.dist) AS BIGINT) AS adc_dist
+         |        FROM codes JOIN qd
+         |          ON codes.m = qd.m AND codes.code_id = qd.code_id
+         |        WHERE codes.vec_id <> qd.query_id
+         |        GROUP BY qd.query_id, codes.vec_id),
+         |r AS (SELECT query_id, neighbor_id, adc_dist,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+         |      FROM adc)
+         |SELECT query_id, neighbor_id, rank, adc_dist
+         |FROM r WHERE rank <= $TOPK
+         |ORDER BY query_id, rank""".stripMargin
+  )
+}

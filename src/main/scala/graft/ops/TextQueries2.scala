@@ -173,10 +173,94 @@ object TextQueries2 {
       )
   }
 
+  /** text25: per-doc shingle novelty — what fraction of a document's
+    * (distinct, normalized) 3-gram shingles appear here FIRST, i.e.
+    * in no document with a smaller doc_id. Replayed in ingestion
+    * order this is the marginal-information curve a dedup-aware
+    * crawler watches: novelty ≈ 1 is fresh text, novelty ≈ 0 is a
+    * recombination of already-held n-grams (boilerplate, template
+    * spins, near-copies that slipped the pairwise nets). Complements
+    * dedup11 (which counts shingles shared with ANY doc, unordered)
+    * by attributing each shingle to its first holder.
+    *
+    * Shape at scale: shingles hash to 32-bit ints map-side (no text
+    * shuffles); ONE aggregation on the hash finds each shingle's
+    * min-doc_id owner; the instance stream joins back on the same
+    * hash key (the aggregate's exchange is reused — text23's staging
+    * discipline) and reduces per doc_id. Collision behavior is
+    * engine-identical: the oracle hashes with the same function.
+    */
+  private val novelty: Q = (s, dir) => {
+    import graft.dedup.Dedup
+    val inst = Dedup
+      .withShingles(Dedup.withTokens(Tables(s, dir).documents, "text"))
+      .select(col("doc_id"), explode(col("__sh")).as("sh"))
+      .select(col("doc_id"), PortableHash.h32(col("sh")).as("h"))
+    val first = inst.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    inst
+      .join(first, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel")
+      )
+      .withColumn(
+        "novelty",
+        col("n_novel").cast("double") / col("n_shingles")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** pipe04: the dataset-card report — one row per source with the
+    * headline curation numbers (volume, exact-dup rate, language mix,
+    * token mass) a corpus release documents. Everything reduces in
+    * ONE pass over `documents`: the only non-trivial aggregate is the
+    * exact-dup distinct count on the normalized fingerprint, and the
+    * ratios are single divisions of exact BIGINTs (engine-identical).
+    *
+    * Shape at scale: count-distinct on an md5 fingerprint per source
+    * — Spark plans the standard two-phase distinct aggregate (expand
+    * + partial), never a driver-side set; token counts are map-side
+    * array lengths. K sources → K output rows regardless of corpus
+    * size.
+    */
+  private val corpusReport: Q = (s, dir) => {
+    import graft.functions.TextFunctions
+    val d = Tables(s, dir).documents
+      .select(
+        col("source"),
+        col("lang"),
+        TextFunctions.fingerprintMd5(col("text")).as("fp"),
+        tokenCountOf(tokens(col("text"))).cast("long").as("n_toks")
+      )
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_uniq"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(col("n_toks")).as("total_tokens")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_uniq"),
+        ((col("n_docs") - col("n_uniq")).cast("double") / col("n_docs"))
+          .as("dup_rate"),
+        col("n_en"),
+        (col("n_en").cast("double") / col("n_docs")).as("pct_en"),
+        col("total_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("mean_tokens")
+      )
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "text22_dsir" -> dsir,
     "text23_oov" -> oovRate,
-    "text24_zipf" -> zipf
+    "text24_zipf" -> zipf,
+    "text25_novelty" -> novelty,
+    "pipe04_corpus_report" -> corpusReport
   )
 
   val oracle: Map[String, String] = Map(
@@ -236,6 +320,40 @@ object TextQueries2 {
          |    - CAST(n * sxy - sx * sy AS DOUBLE)
          |      / CAST(n * sxx - sx * sx AS DOUBLE)
          |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+    "text25_novelty" ->
+      s"""WITH prep AS (SELECT doc_id,
+         |        ${TextQueriesSqlFragments.normSql} AS norm,
+         |        string_split(${TextQueriesSqlFragments.normSql}, ' ') AS toks
+         |      FROM documents),
+         |sh AS (SELECT doc_id,
+         |         unnest(${TextQueriesSqlFragments.shinglesSql}) AS sh
+         |       FROM prep),
+         |i AS (SELECT doc_id, ${PortableHash.sqlH32("sh")} AS h FROM sh),
+         |f AS (SELECT h, MIN(doc_id) AS first_doc FROM i GROUP BY h)
+         |SELECT i.doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(SUM(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*) AS novelty
+         |FROM i JOIN f USING (h)
+         |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin,
+    "pipe04_corpus_report" ->
+      s"""WITH d AS (SELECT source, lang,
+         |        md5(${TextQueriesSqlFragments.normSql}) AS fp,
+         |        CAST(len($toksSql) AS BIGINT) AS n_toks
+         |      FROM documents),
+         |a AS (SELECT source, COUNT(*) AS n_docs,
+         |        COUNT(DISTINCT fp) AS n_uniq,
+         |        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_en,
+         |        CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+         |      FROM d GROUP BY source)
+         |SELECT source, n_docs, n_uniq,
+         |  CAST(n_docs - n_uniq AS DOUBLE) / n_docs AS dup_rate,
+         |  n_en, CAST(n_en AS DOUBLE) / n_docs AS pct_en,
+         |  total_tokens,
+         |  CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens
+         |FROM a ORDER BY source""".stripMargin
   )
 }

@@ -43,7 +43,16 @@ class DeterminismSpec extends SparkSpec {
     "text24_zipf",
     "q75_stddev_outliers",
     "dedup19_clustering_coeff",
-    "dedup20_kcore"
+    "dedup20_kcore",
+    // round-7: salted-join rewrite, gap sessionization, positional
+    // substring spans, first-holder novelty, integer PQ/ADC ranking,
+    // and the corpus report are all pure functions of the data
+    "q76_salted_join",
+    "q77_sessionize",
+    "dedup21_substring_spans",
+    "text25_novelty",
+    "pipe04_corpus_report",
+    "sim19_pq_adc"
   )
 
   test("partitioning never changes the result rows") {

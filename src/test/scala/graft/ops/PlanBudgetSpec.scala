@@ -232,6 +232,47 @@ class PlanBudgetSpec extends SparkSpec {
     assert(s <= 14, s"dedup19 shuffles=$s")
   }
 
+  test("q76 salted join: shuffle join (no broadcast), bounded exchanges") {
+    val df = run("q76_salted_join")
+    val (s, b) = exchanges(df)
+    assert(b == 0, s"q76 must NOT broadcast (salting would be moot), bcasts=$b")
+    assert(s <= 4, s"q76 shuffles=$s")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      "q76 must join via a shuffle join"
+    )
+  }
+
+  test("q77 sessionize: windows + session rollup share ONE user_id exchange") {
+    val (s, _) = exchanges(run("q77_sessionize"))
+    // user_id hash partitioning + the presentation sort's range exchange;
+    // the (user_id, session_idx) groupBy must NOT add a third
+    assert(s <= 2, s"q77 shuffles=$s")
+  }
+
+  test("dedup21 substring spans: hash-only wire, bounded exchanges") {
+    val (s, _) = exchanges(run("dedup21_substring_spans"))
+    assert(s <= 5, s"dedup21 shuffles=$s")
+  }
+
+  test("text25 novelty: one shingle-hash aggregation + doc rollup") {
+    val (s, _) = exchanges(run("text25_novelty"))
+    assert(s <= 5, s"text25 shuffles=$s")
+  }
+
+  test("pipe04 corpus report: one distinct-aggregate pass") {
+    val (s, _) = exchanges(run("pipe04_corpus_report"))
+    // two-phase distinct agg + presentation sort
+    assert(s <= 3, s"pipe04 shuffles=$s")
+  }
+
+  test("sim19 PQ/ADC: codebook and distance tables broadcast, codes scan map-side") {
+    val (s, b) = exchanges(run("sim19_pq_adc"))
+    assert(b >= 2, s"sim19 codebook + ADC tables must broadcast, bcasts=$b")
+    assert(s <= 8, s"sim19 shuffles=$s")
+  }
+
   test("dedup17 triangle legs reuse one MinHash pipeline (ReusedExchange)") {
     val df = run("dedup17_triangles")
     df.collect()
