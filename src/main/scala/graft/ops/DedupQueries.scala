@@ -76,7 +76,7 @@ object DedupQueries {
     * md5-prefix collisions, and the oracle mirrors the hashed form, so
     * even a collision would affect both engines identically.
     */
-  private def minhashVerified(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def minhashVerified(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
     val pairs = Dedup.lshCandidatePairs(base, "doc_id", "text", K, BANDS)
     val sh = base.select(
@@ -850,7 +850,7 @@ object DedupQueries {
 
   /** dedup04 mirror (LSH candidates + exact Jaccard verify); shared
     * verbatim by dedup16's composition. */
-  private val minhashVerifiedOracle =
+  private[ops] val minhashVerifiedOracle =
     s"""WITH $prepCte,
        |sig AS (SELECT doc_id, sh, $sigSql AS sig FROM shh),
        |band AS (SELECT doc_id, r.b AS band, bands[r.b + 1] AS band_sig

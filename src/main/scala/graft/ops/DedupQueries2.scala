@@ -93,11 +93,88 @@ object DedupQueries2 {
       .orderBy("doc_id")
   }
 
+  /** PageRank rounds for dedup22, unrolled identically in the oracle.
+    * The fixture graph's mass distribution stabilizes (to the output's
+    * integer resolution) well within 3; at real scale rounds grow to
+    * ~10-20 and the per-round cost is constant (see docstring).
+    */
+  private[ops] val PR_ROUNDS = 3
+
+  /** Rank scale: ranks are integers in millionths (ppm). All
+    * arithmetic is BIGINT add/multiply/floor-divide — mirrored
+    * exactly by DuckDB's `//` — so the fixpoint iteration is
+    * bit-identical on both engines with no float ever introduced.
+    */
+  private[ops] val PR_SCALE = 1000000L
+
+  /** dedup22: PageRank over the confirmed near-dup graph — the
+    * centrality ranking that picks CANONICAL documents: within a
+    * duplicate cluster the highest-rank member is the one most
+    * connected to the rest (the template origin, the most-mirrored
+    * copy) and the natural survivor, while dedup13's survivor rule
+    * (min doc_id) is arbitrary. Damping 0.85 in exact integer form:
+    * r'(u) = 0.15·S + 0.85·Σ_{v∼u} floor(r(v)/deg(v)), with the 0.85
+    * product computed as (85·x)/100 in BIGINT floor division.
+    *
+    * Shape at scale: textbook edge-partitioned message passing — each
+    * round is one join of the (node, rank) table to the static edge
+    * list plus one dense groupBy on the destination; the edge list is
+    * checkpointed ONCE and reused every round (ranks re-derive, edges
+    * don't), per-round state is O(nodes). Rounds are synchronous and
+    * the discipline matches dedup06/dedup20: lineage cut per round,
+    * superseded blocks released.
+    */
+  private val pagerank: Q = (s, dir) => {
+    val e = DedupQueries
+      .minhashVerified(s, dir)
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    // undirected: messages flow both ways
+    val arcs = e
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = arcs
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("node"), lit(PR_SCALE).as("r"))
+    for (_ <- 1 to PR_ROUNDS) {
+      val contrib = ranks
+        .join(deg, Seq("node"))
+        // `div`: exact integer floor division (Column./ is double
+        // division — correctly-rounded, but floor-after-round can
+        // disagree with true floor at extreme magnitudes)
+        .select(col("node"), expr("r div deg").as("c"))
+      val inbox = arcs
+        .join(contrib.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("m"))
+      val next = deg
+        .join(inbox, Seq("node"), "left")
+        .select(
+          col("node"),
+          (lit(15L * PR_SCALE / 100) +
+            expr(s"(85 * coalesce(m, 0L)) div 100"))
+            .cast("long")
+            .as("r")
+        )
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    ranks
+      .join(deg, Seq("node"))
+      .select(col("node").as("doc_id"), col("deg"), col("r").as("rank_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
-    "dedup21_substring_spans" -> substringSpans
+    "dedup21_substring_spans" -> substringSpans,
+    "dedup22_pagerank" -> pagerank
   )
 
   private val normSql = TextQueriesSqlFragments.normSql
+  private val minhashVerifiedOracle = DedupQueries.minhashVerifiedOracle
 
   val oracle: Map[String, String] = Map(
     "dedup21_substring_spans" ->
@@ -126,6 +203,38 @@ object DedupQueries2 {
          |  COUNT(*) AS n_spans,
          |  CAST(MAX(span) AS BIGINT) AS max_span_tokens,
          |  CAST(SUM(span) AS BIGINT) AS dup_tokens
-         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // rounds unrolled as MATERIALIZED CTEs (the dedup20 discipline:
+    // inlined, each round would re-expand the MinHash pipeline)
+    "dedup22_pagerank" -> {
+      val rounds = (1 to PR_ROUNDS).map { i =>
+        val prev = s"r${i - 1}"
+        s"""c$i AS MATERIALIZED (
+           |  SELECT $prev.node, $prev.r // deg.deg AS c
+           |  FROM $prev JOIN deg ON $prev.node = deg.node),
+           |m$i AS MATERIALIZED (
+           |  SELECT arcs.dst AS node, CAST(SUM(c$i.c) AS BIGINT) AS m
+           |  FROM arcs JOIN c$i ON arcs.src = c$i.node
+           |  GROUP BY arcs.dst),
+           |r$i AS MATERIALIZED (
+           |  SELECT deg.node,
+           |    CAST(${15L * PR_SCALE / 100}
+           |      + (85 * COALESCE(m$i.m, 0)) // 100 AS BIGINT) AS r
+           |  FROM deg LEFT JOIN m$i ON deg.node = m$i.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH mh AS MATERIALIZED ($minhashVerifiedOracle),
+         |e AS MATERIALIZED (SELECT id_a, id_b FROM mh WHERE jac >= 0.5),
+         |arcs AS MATERIALIZED (
+         |  SELECT id_a AS src, id_b AS dst FROM e
+         |  UNION ALL SELECT id_b, id_a FROM e),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS node, COUNT(*) AS deg FROM arcs GROUP BY src),
+         |r0 AS MATERIALIZED (SELECT node, CAST($PR_SCALE AS BIGINT) AS r
+         |  FROM deg),
+         |$rounds
+         |SELECT deg.node AS doc_id, deg.deg, r$PR_ROUNDS.r AS rank_ppm
+         |FROM deg JOIN r$PR_ROUNDS ON deg.node = r$PR_ROUNDS.node
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 }

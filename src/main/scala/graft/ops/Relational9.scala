@@ -125,9 +125,59 @@ object Relational9 {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Trailing window width for q78 (days). */
+  private[ops] val ACTIVE_WINDOW = 7
+
+  /** q78: daily + trailing-7-day active users (DAU/WAU) — the
+    * engagement counter every event pipeline serves. Exact sliding
+    * DISTINCT doesn't decompose (a window SUM of daily distincts
+    * double-counts returning users), and Spark windows can't do
+    * COUNT(DISTINCT) over a frame — so the scale form is the
+    * INTERVAL-EXPANSION rewrite: reduce events to distinct
+    * (day, user) pairs first (the big shrink: |days|·|users| rows max
+    * from arbitrarily many events), then each pair votes for the W
+    * target days it keeps the user active in (a W-element sequence
+    * explode), and one distinct-aggregate per target day counts the
+    * union exactly. Days with no events (the window tail past the
+    * last event) are cut by a semi-join against observed days.
+    *
+    * Shape at scale: the (day, user) distinct is the only pass over
+    * raw events; the expansion multiplies the REDUCED table by W=7,
+    * not the event stream; both aggregates key on dense dates. The
+    * W× blowup is the textbook trade against a non-decomposable
+    * sliding distinct — for W ≫ 30, swap in a sketch (q57's HLL
+    * merges across days for free).
+    */
+  private val rollingActive: Q = (s, dir) => {
+    val daily = Tables(s, dir).events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = daily.select(col("day")).distinct()
+    val dau = daily.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = daily
+      .select(
+        explode(
+          sequence(
+            col("day"),
+            date_add(col("day"), ACTIVE_WINDOW - 1),
+            expr("interval 1 day")
+          )
+        ).as("day"),
+        col("user_id")
+      )
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau
+      .join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q76_salted_join" -> saltedJoin,
-    "q77_sessionize" -> sessionize
+    "q77_sessionize" -> sessionize,
+    "q78_rolling_active" -> rollingActive
   )
 
   val oracle: Map[String, String] = Map(
@@ -158,6 +208,21 @@ object Relational9 {
          |  MIN(us) AS start_us, MAX(us) AS end_us,
          |  MAX(us) - MIN(us) AS duration_us
          |FROM x GROUP BY user_id, session_idx
-         |ORDER BY user_id, session_idx""".stripMargin
+         |ORDER BY user_id, session_idx""".stripMargin,
+    // the readable direct form (range self-join) — the Spark side's
+    // interval expansion must agree with it exactly
+    "q78_rolling_active" ->
+      s"""WITH daily AS (
+         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         |days AS (SELECT DISTINCT day FROM daily),
+         |dau AS (SELECT day, COUNT(*) AS dau FROM daily GROUP BY day),
+         |wau AS (
+         |  SELECT d.day, COUNT(DISTINCT e.user_id) AS wau
+         |  FROM days d JOIN daily e
+         |    ON e.day BETWEEN d.day - ${ACTIVE_WINDOW - 1} AND d.day
+         |  GROUP BY d.day)
+         |SELECT dau.day, dau.dau, wau.wau
+         |FROM dau JOIN wau ON dau.day = wau.day
+         |ORDER BY dau.day""".stripMargin
   )
 }

@@ -52,7 +52,9 @@ class DeterminismSpec extends SparkSpec {
     "dedup21_substring_spans",
     "text25_novelty",
     "pipe04_corpus_report",
-    "sim19_pq_adc"
+    "sim19_pq_adc",
+    "dedup22_pagerank",
+    "q78_rolling_active"
   )
 
   test("partitioning never changes the result rows") {

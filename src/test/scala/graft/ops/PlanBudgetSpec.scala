@@ -273,6 +273,22 @@ class PlanBudgetSpec extends SparkSpec {
     assert(s <= 8, s"sim19 shuffles=$s")
   }
 
+  test("q78 rolling active: expansion multiplies the REDUCED table, bounded aggs") {
+    val (s, _) = exchanges(run("q78_rolling_active"))
+    // (day,user) distinct + dau agg + wau distinct-agg (2 phases)
+    // + days semi-join + final sort
+    assert(s <= 7, s"q78 shuffles=$s")
+  }
+
+  test("dedup22 pagerank: per-round join + dense agg, edges never recomputed") {
+    val (s, _) = exchanges(run("dedup22_pagerank"))
+    // the returned frame plans AFTER the checkpointed iteration: deg
+    // re-derives from the checkpointed edge list, joins the final
+    // rank table, sorts — the MinHash pipeline and the per-round
+    // work are behind the lineage cuts
+    assert(s <= 6, s"dedup22 shuffles=$s")
+  }
+
   test("dedup17 triangle legs reuse one MinHash pipeline (ReusedExchange)") {
     val df = run("dedup17_triangles")
     df.collect()
