@@ -3,7 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.dedup.Dedup
 import graft.functions.PortableHash
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -168,9 +168,70 @@ object DedupQueries2 {
       .orderBy("doc_id")
   }
 
+  /** dedup23: the LSH operating curve — expected recall of every
+    * (bands b × rows r) split of the K=32 MinHash budget, evaluated
+    * against the measured Jaccard distribution of the engine's own
+    * confirmed near-dups. This is the query run BEFORE committing an
+    * LSH config at a new scale: detection probability for a pair at
+    * similarity j is 1 − (1 − j^r)^b, so the same 32 hashes buy high
+    * recall at j≥0.5 with (8,4) but only coin-flip recall with
+    * (32,1); the table quantifies that trade on the corpus's actual
+    * duplicate population instead of a textbook curve.
+    *
+    * Determinism: every config's b and r is a power of two, so j^r
+    * and (1−x)^b evaluate by REPEATED SQUARING — fixed chains of
+    * IEEE multiplies, no libm pow — and per-pair probabilities are
+    * rounded once and summed as DECIMAL (the text20 discipline), so
+    * the mean is order- and partition-independent.
+    *
+    * Shape at scale: reuses the verified-pairs pipeline (the jac
+    * distribution is already materialized by dedup04's discipline);
+    * per pair the four configs are a map-side stack; the aggregate
+    * keys on 4 config labels.
+    */
+  private val lshCurve: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    def sq(c: Column, times: Int): Column =
+      (1 to times).foldLeft(c)((acc, _) => acc * acc)
+    val j = col("jac")
+    // p(b, r) = 1 − (1 − j^r)^b, b·r = 32, all powers of two
+    val configs = Seq(
+      ("04x8", sq(j, 3), 2), // r=8 = j^(2^3), b=4 = ^(2^2)
+      ("08x4", sq(j, 2), 3),
+      ("16x2", sq(j, 1), 4),
+      ("32x1", j, 5)
+    )
+    val pairs = DedupQueries
+      .minhashVerified(s, dir)
+      .filter(col("jac") >= 0.5)
+    val stacked = pairs.select(
+      explode(
+        array(configs.map { case (name, jr, bLog) =>
+          struct(
+            lit(name).as("config"),
+            (lit(1.0) - sq(lit(1.0) - jr, bLog)).as("p")
+          )
+        }: _*)
+      ).as("c")
+    )
+    stacked
+      .select(col("c.config").as("config"), col("c.p").as("p"))
+      .groupBy(col("config"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(
+          sum(round(col("p"), 12).cast(DecimalType(24, 12))).cast("double") /
+            count(lit(1)),
+          10
+        ).as("expected_recall")
+      )
+      .orderBy("config")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup21_substring_spans" -> substringSpans,
-    "dedup22_pagerank" -> pagerank
+    "dedup22_pagerank" -> pagerank,
+    "dedup23_lsh_curve" -> lshCurve
   )
 
   private val normSql = TextQueriesSqlFragments.normSql
@@ -235,6 +296,25 @@ object DedupQueries2 {
          |SELECT deg.node AS doc_id, deg.deg, r$PR_ROUNDS.r AS rank_ppm
          |FROM deg JOIN r$PR_ROUNDS ON deg.node = r$PR_ROUNDS.node
          |ORDER BY doc_id""".stripMargin
+    },
+    "dedup23_lsh_curve" -> {
+      def sqSql(e: String, times: Int): String =
+        (1 to times).foldLeft(e)((acc, _) => s"($acc * $acc)")
+      val branches = Seq(("04x8", 3, 2), ("08x4", 2, 3), ("16x2", 1, 4), ("32x1", 0, 5))
+        .map { case (name, rLog, bLog) =>
+          val jr = sqSql("jac", rLog)
+          val p = s"(1.0 - ${sqSql(s"(1.0 - $jr)", bLog)})"
+          s"SELECT '$name' AS config, $p AS p FROM tp"
+        }
+        .mkString("\n  UNION ALL ")
+      s"""WITH mh AS MATERIALIZED ($minhashVerifiedOracle),
+         |tp AS (SELECT jac FROM mh WHERE jac >= 0.5),
+         |u AS (
+         |  $branches)
+         |SELECT config, COUNT(*) AS n_pairs,
+         |  round(CAST(SUM(CAST(round(p, 12) AS DECIMAL(24,12))) AS DOUBLE)
+         |    / COUNT(*), 10) AS expected_recall
+         |FROM u GROUP BY config ORDER BY config""".stripMargin
     }
   )
 }

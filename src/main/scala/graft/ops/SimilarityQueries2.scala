@@ -47,8 +47,12 @@ object SimilarityQueries2 {
     * (WindowGroupLimit pushes the heap below it). Encode once, serve
     * every query from the code table: the IVF-PQ serving shape.
     */
-  private val pqAdc: Q = (s, dir) => {
-    val quant = Tables(s, dir).embeddings
+  /** Integer micro-unit quantization of the embedding table (the
+    * sim18 discipline — the shared substrate of every exact-integer
+    * similarity op here).
+    */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings
       .select(
         col("vec_id"),
         transform(
@@ -56,35 +60,57 @@ object SimilarityQueries2 {
           x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")
         ).as("qe")
       )
-    val seeds = quant
-      .filter(col("vec_id") % PQ_STRIDE === 0)
+
+  /** Deterministic stride-sampled codebook/centroid table: the lowest
+    * `k` quantized vectors with vec_id % stride == 0, numbered 1..k.
+    */
+  private def strideSeeds(
+      quant: DataFrame,
+      stride: Int,
+      k: Int,
+      idCol: String,
+      vecCol: String
+  ): DataFrame =
+    quant
+      .filter(col("vec_id") % stride === 0)
       .orderBy("vec_id")
-      .limit(PQ_K)
+      .limit(k)
       .withColumn(
-        "code_id",
+        idCol,
         row_number().over(Window.orderBy(col("vec_id"))).cast("long")
       )
-      .select(col("code_id"), col("qe").as("qc"))
+      .select(col(idCol), col("qe").as(vecCol))
 
-    // per-subspace squared-L2 distances: array of PQ_M exact BIGINTs
-    def subDists(a: Column, b: Column): Column =
-      transform(
-        sequence(lit(0), lit(PQ_M - 1)),
-        m =>
-          aggregate(
-            zip_with(
-              slice(a, m * lit(SUBDIM) + lit(1), lit(SUBDIM)),
-              slice(b, m * lit(SUBDIM) + lit(1), lit(SUBDIM)),
-              (x, y) => (x - y) * (x - y)
-            ),
-            lit(0L),
-            (acc, x) => acc + x
-          )
-      )
+  /** Whole-vector squared-L2 distance: one exact BIGINT. */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L),
+      (acc, x) => acc + x
+    )
 
-    // encode: nearest codebook entry per subspace (struct-min argmin)
+  /** Per-subspace squared-L2 distances: array of PQ_M exact BIGINTs. */
+  private def subDists(a: Column, b: Column): Column =
+    transform(
+      sequence(lit(0), lit(PQ_M - 1)),
+      m =>
+        aggregate(
+          zip_with(
+            slice(a, m * lit(SUBDIM) + lit(1), lit(SUBDIM)),
+            slice(b, m * lit(SUBDIM) + lit(1), lit(SUBDIM)),
+            (x, y) => (x - y) * (x - y)
+          ),
+          lit(0L),
+          (acc, x) => acc + x
+        )
+    )
+
+  /** PQ code assignment: (vec_id, codes array) via struct-min argmin
+    * per subspace against the broadcast codebook.
+    */
+  private def pqCodes(quant: DataFrame, codebook: DataFrame): DataFrame = {
     val enc = quant
-      .crossJoin(broadcast(seeds))
+      .crossJoin(broadcast(codebook))
       // dims guard (sim11/sim18 discipline): drop ragged vectors the
       // same way the oracle's len() equality does
       .filter(size(col("qe")) === size(col("qc")))
@@ -96,18 +122,17 @@ object SimilarityQueries2 {
           min(struct(element_at(col("ds"), m + 1), col("code_id"))).as(s"a$m")
         ): _*
       )
-    val candidates = enc.select(
-      col("vec_id").as("neighbor_id"),
+    enc.select(
+      col("vec_id"),
       array((0 until PQ_M).map(m => col(s"a$m.code_id")): _*).as("codes")
     )
+  }
 
-    // per-query ADC tables: m -> (code_id -> dist), M·K entries each,
-    // built on the tiny query×codebook cross and broadcast
-    val qs = quant
-      .filter(col("vec_id").isin(QUERY_IDS: _*))
-      .select(col("vec_id").as("query_id"), col("qe").as("qq"))
-    val dtab = qs
-      .crossJoin(broadcast(seeds))
+  /** Per-query ADC tables: query_id -> (m -> (code_id -> dist)),
+    * built on the tiny query×codebook cross, for broadcast.
+    */
+  private def adcTables(qs: DataFrame, codebook: DataFrame): DataFrame =
+    qs.crossJoin(broadcast(codebook))
       .filter(size(col("qq")) === size(col("qc")))
       .select(
         col("query_id"),
@@ -125,21 +150,34 @@ object SimilarityQueries2 {
           .as("dt")
       )
 
+  /** ADC score of a codes array against the broadcast table map. */
+  private def adcScore: Column =
+    (0 until PQ_M)
+      .map(m =>
+        element_at(
+          element_at(col("dt"), lit(m)),
+          element_at(col("codes"), m + 1)
+        )
+      )
+      .reduce(_ + _)
+
+  private val pqAdc: Q = (s, dir) => {
+    val quant = quantized(s, dir)
+    val seeds = strideSeeds(quant, PQ_STRIDE, PQ_K, "code_id", "qc")
+
+    val candidates = pqCodes(quant, seeds)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val qs = quant
+      .filter(col("vec_id").isin(QUERY_IDS: _*))
+      .select(col("vec_id").as("query_id"), col("qe").as("qq"))
+    val dtab = adcTables(qs, seeds)
     val adc = candidates
       .crossJoin(broadcast(dtab))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("neighbor_id"),
-        (0 until PQ_M)
-          .map(m =>
-            element_at(
-              element_at(col("dt"), lit(m)),
-              element_at(col("codes"), m + 1)
-            )
-          )
-          .reduce(_ + _)
-          .as("adc_dist")
+        adcScore.as("adc_dist")
       )
     adc
       .withColumn(
@@ -155,8 +193,91 @@ object SimilarityQueries2 {
       .orderBy("query_id", "rank")
   }
 
+  private[ops] val IVF_K = 8 // coarse lists
+  private[ops] val IVF_STRIDE = 97 // coarse seed stride (sim18's)
+  private[ops] val NPROBE = 2
+
+  /** sim20: IVF-PQ — the production ANN serving shape, composed from
+    * this library's own parts: a coarse quantizer routes every vector
+    * into one of IVF_K inverted lists (sim18's stride-seeded
+    * centroids, integer L2, struct-min ties), vectors store only
+    * their PQ codes (sim19), and a query probes its NPROBE nearest
+    * lists, scoring just those candidates by ADC table lookups. The
+    * recall/cost dial is (nprobe, K): this query is the scale path
+    * where even sim19's full code scan is too much — the scan
+    * touches |corpus|·nprobe/K candidates.
+    *
+    * Simplification vs the textbook: codes quantize the RAW vector,
+    * not the residual (vector − coarse centroid). Residual PQ reuses
+    * exactly this machinery with a per-list codebook shift and buys
+    * finer resolution; raw-vector codes keep the ADC tables
+    * list-independent, which is the right first form to verify.
+    *
+    * Everything stays in the integer discipline, so the probed-list
+    * ranking is bit-identical on both engines; the oracle replays
+    * coarse assignment, codes, probes, and ADC in SQL.
+    */
+  private val ivfPq: Q = (s, dir) => {
+    val quant = quantized(s, dir)
+    val codebook = strideSeeds(quant, PQ_STRIDE, PQ_K, "code_id", "qc")
+    val coarse = strideSeeds(quant, IVF_STRIDE, IVF_K, "list_id", "qv")
+
+    // route every vector to its nearest coarse list (one broadcast
+    // scan; the index-build pass)
+    val assign = quant
+      .crossJoin(broadcast(coarse))
+      .filter(size(col("qe")) === size(col("qv")))
+      .select(col("vec_id"), col("list_id"), dist2(col("qe"), col("qv")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("list_id"))).as("a"))
+      .select(col("vec_id"), col("a.list_id").as("list_id"))
+    val candidates = pqCodes(quant, codebook)
+      .join(assign, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("codes"), col("list_id"))
+
+    val qs = quant
+      .filter(col("vec_id").isin(QUERY_IDS: _*))
+      .select(col("vec_id").as("query_id"), col("qe").as("qq"))
+    // probe set: each query's NPROBE nearest coarse lists
+    val probes = qs
+      .crossJoin(broadcast(coarse))
+      .filter(size(col("qq")) === size(col("qv")))
+      .select(col("query_id"), col("list_id"), dist2(col("qq"), col("qv")).as("d"))
+      .withColumn(
+        "pr",
+        row_number().over(
+          Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("d").asc, col("list_id").asc)
+        )
+      )
+      .filter(col("pr") <= NPROBE)
+      .select(col("query_id"), col("list_id"))
+    val dtab = adcTables(qs, codebook)
+
+    // scan ONLY the probed lists (the IVF cut), then ADC-score
+    val adc = candidates
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(dtab), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adcScore.as("adc_dist"))
+    adc
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+        )
+      )
+      .filter(col("rank") <= TOPK)
+      .select("query_id", "neighbor_id", "rank", "adc_dist")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
-    "sim19_pq_adc" -> pqAdc
+    "sim19_pq_adc" -> pqAdc,
+    "sim20_ivf_pq" -> ivfPq
   )
 
   private val qIdsSql = QUERY_IDS.mkString("(", ", ", ")")
@@ -192,6 +313,70 @@ object SimilarityQueries2 {
          |        FROM codes JOIN qd
          |          ON codes.m = qd.m AND codes.code_id = qd.code_id
          |        WHERE codes.vec_id <> qd.query_id
+         |        GROUP BY qd.query_id, codes.vec_id),
+         |r AS (SELECT query_id, neighbor_id, adc_dist,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+         |      FROM adc)
+         |SELECT query_id, neighbor_id, rank, adc_dist
+         |FROM r WHERE rank <= $TOPK
+         |ORDER BY query_id, rank""".stripMargin,
+    "sim20_ivf_pq" ->
+      s"""WITH q AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         |      AS qe
+         |  FROM embeddings),
+         |c AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS code_id, qe AS qc
+         |  FROM q WHERE vec_id % $PQ_STRIDE = 0
+         |  ORDER BY vec_id LIMIT $PQ_K),
+         |cc AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, qe AS qv
+         |  FROM q WHERE vec_id % $IVF_STRIDE = 0
+         |  ORDER BY vec_id LIMIT $IVF_K),
+         |ad AS MATERIALIZED (
+         |  SELECT q.vec_id, cc.list_id,
+         |    CAST(SUM((q.qe[s.i] - cc.qv[s.i]) * (q.qe[s.i] - cc.qv[s.i]))
+         |      AS BIGINT) AS d
+         |  FROM q, cc, range(1, 1000) s(i)
+         |  WHERE s.i <= len(q.qe) AND len(q.qe) = len(cc.qv)
+         |  GROUP BY q.vec_id, cc.list_id),
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d ASC, list_id ASC) AS r
+         |    FROM ad) WHERE r = 1),
+         |d AS MATERIALIZED (
+         |  SELECT q.vec_id, c.code_id, t.m,
+         |    CAST(SUM((q.qe[t.m*$SUBDIM+s.i] - c.qc[t.m*$SUBDIM+s.i])
+         |           * (q.qe[t.m*$SUBDIM+s.i] - c.qc[t.m*$SUBDIM+s.i]))
+         |      AS BIGINT) AS dist
+         |  FROM q, c, range(0, $PQ_M) t(m), range(1, ${SUBDIM + 1}) s(i)
+         |  WHERE len(q.qe) = len(c.qc)
+         |  GROUP BY q.vec_id, c.code_id, t.m),
+         |enc AS (SELECT vec_id, m, code_id,
+         |          row_number() OVER (PARTITION BY vec_id, m
+         |            ORDER BY dist ASC, code_id ASC) AS r
+         |        FROM d),
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id, m, code_id FROM enc WHERE r = 1),
+         |qd AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, code_id, m, dist FROM d
+         |  WHERE vec_id IN $qIdsSql),
+         |probes AS MATERIALIZED (
+         |  SELECT query_id, list_id FROM (
+         |    SELECT vec_id AS query_id, list_id, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d ASC, list_id ASC) AS r
+         |    FROM ad WHERE vec_id IN $qIdsSql) WHERE r <= $NPROBE),
+         |adc AS (SELECT qd.query_id, codes.vec_id AS neighbor_id,
+         |          CAST(SUM(qd.dist) AS BIGINT) AS adc_dist
+         |        FROM codes
+         |        JOIN asg ON codes.vec_id = asg.vec_id
+         |        JOIN probes ON asg.list_id = probes.list_id
+         |        JOIN qd ON qd.query_id = probes.query_id
+         |          AND codes.m = qd.m AND codes.code_id = qd.code_id
+         |        WHERE codes.vec_id <> probes.query_id
          |        GROUP BY qd.query_id, codes.vec_id),
          |r AS (SELECT query_id, neighbor_id, adc_dist,
          |        row_number() OVER (PARTITION BY query_id

@@ -54,7 +54,9 @@ class DeterminismSpec extends SparkSpec {
     "pipe04_corpus_report",
     "sim19_pq_adc",
     "dedup22_pagerank",
-    "q78_rolling_active"
+    "q78_rolling_active",
+    "dedup23_lsh_curve",
+    "sim20_ivf_pq"
   )
 
   test("partitioning never changes the result rows") {

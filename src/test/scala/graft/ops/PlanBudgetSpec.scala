@@ -289,6 +289,18 @@ class PlanBudgetSpec extends SparkSpec {
     assert(s <= 6, s"dedup22 shuffles=$s")
   }
 
+  test("sim20 IVF-PQ: coarse routing, probes, and ADC tables all broadcast") {
+    val (s, b) = exchanges(run("sim20_ivf_pq"))
+    assert(b >= 4, s"sim20 coarse+codebook+probes+tables must broadcast, bcasts=$b")
+    assert(s <= 10, s"sim20 shuffles=$s")
+  }
+
+  test("dedup23 LSH curve: map-side stack over the verified-pairs pipeline") {
+    val (s, _) = exchanges(run("dedup23_lsh_curve"))
+    // the dedup04 candidate pipeline + the 4-key config aggregate + sort
+    assert(s <= 8, s"dedup23 shuffles=$s")
+  }
+
   test("dedup17 triangle legs reuse one MinHash pipeline (ReusedExchange)") {
     val df = run("dedup17_triangles")
     df.collect()
