@@ -116,6 +116,20 @@ object StreamQueries {
       .sessionsByUser(Tables(s, dir).events)
       .orderBy("user_id", "session_start")
 
+  /** stream11: per-window top-k leaderboard — the streaming rank
+    * pattern. The STREAM maintains only the per-(window, event_type)
+    * counts (stream01's aggregate — ranking after an aggregate is a
+    * second stateful stage Structured Streaming won't run in update
+    * mode); the top-k is [[WindowedEvents.rankWindows]], a read-time
+    * view over the sink. This query pins the composed semantics in
+    * batch; StreamTopkSpec replays it through MemoryStream and ranks
+    * the actual sink table.
+    */
+  private val windowTopk: Q = (s, dir) =>
+    WindowedEvents
+      .rankWindows(WindowedEvents.tumblingByType(Tables(s, dir).events), 3)
+      .orderBy("window_start", "rank")
+
   /** Batch execution of the stream-stream interval join
     * (StreamJoins.purchaseAttribution): every purchase paired with
     * each signup of the same user within the preceding hour. The
@@ -300,7 +314,8 @@ object StreamQueries {
     "stream02_sliding" -> sliding,
     "stream03_sessions" -> sessions,
     "stream04_sessions_typed" -> sessionsTyped,
-    "stream05_interval_join" -> intervalJoin
+    "stream05_interval_join" -> intervalJoin,
+    "stream11_window_topk" -> windowTopk
   )
 
   /** µs-precision epoch arithmetic mirrors of Spark's window():
@@ -341,6 +356,20 @@ object StreamQueries {
          |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events CROSS JOIN (VALUES (0), (1)) k(k)
          |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream11_window_topk" ->
+      s"""WITH w AS (
+         |  SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT)
+         |      * 3600 * 1000000) AS window_start,
+         |    event_type, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |r AS (
+         |  SELECT window_start, event_type, n,
+         |    row_number() OVER (PARTITION BY window_start
+         |      ORDER BY n DESC, event_type ASC) AS rank
+         |  FROM w)
+         |SELECT window_start, rank, event_type, n
+         |FROM r WHERE rank <= 3
+         |ORDER BY window_start, rank""".stripMargin,
     "stream03_sessions" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts, event_id, value,

@@ -46,6 +46,29 @@ object WindowedEvents {
       )
   }
 
+  /** Read-time top-k view over maintained tumbling counts — the
+    * streaming leaderboard pattern: ranking inside the streaming
+    * query would need a second stateful stage (unsupported after an
+    * agg in update mode), so the STREAM maintains the per-(window,
+    * type) counts and the rank is applied at serve time over the
+    * sink table. Works identically over the batch counts, which is
+    * how the oracle pins it.
+    */
+  def rankWindows(counts: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window
+            .partitionBy(col("window_start"))
+            .orderBy(col("n").desc, col("event_type").asc)
+        )
+      )
+      .filter(col("rank") <= k)
+      .select(col("window_start"), col("rank"), col("event_type"), col("n"))
+  }
+
   /** Session windows per user with a 30-minute inactivity gap.
     * (`session_window` works in batch too; end = last event + gap.)
     */
