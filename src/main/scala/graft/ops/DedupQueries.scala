@@ -186,7 +186,8 @@ object DedupQueries {
     * for distance ≤ 3 (4 bands can't all differ); the ≤ 8 accept
     * threshold beyond that is the standard LSH recall trade-off. At
     * real scale the same shape runs with a 64-bit sketch and 4×16-bit
-    * bands (candidate mass n²/2¹⁶ per band instead of n²/2⁸).
+    * bands (candidate mass n²/2¹⁶ per band instead of n²/2⁸) —
+    * implemented as dedup24 ([[DedupQueries2]]).
     */
   private val simhashBandPairs: Q = (s, dir) => {
     // sketch staged as its own projection and CARRIED through the

@@ -228,10 +228,50 @@ object DedupQueries2 {
       .orderBy("config")
   }
 
+  /** dedup24: the 64-bit/16-bit-band SimHash near-dup — the SCALE
+    * form dedup07's in-code note names (at ~10⁹ docs a 32-bit sketch
+    * saturates: random-pair Hamming distances concentrate at 16±4 and
+    * separation collapses; 64 bits restores the margin, and 16-bit
+    * band keys cut per-bucket collision mass by ~256× at the same
+    * band count). Identical discipline to dedup07: sketch computed
+    * ONCE by a fused codegen expression, carried through the single
+    * bucketedPairs shuffle as a struct member, Hamming verify reads
+    * it straight off the pair — zero re-attach joins. Pigeonhole: a
+    * pair within Hamming ≤ 3 shares at least one of the 4 bands with
+    * certainty; the ≤ 16 threshold mirrors dedup07's 8/32 ratio.
+    */
+  private val simhash64Bands: Q = (s, dir) => {
+    val d = docs(s, dir)
+      .select(
+        col("doc_id"),
+        graft.plans.SimHash64(s, col("text")).as("__sh64")
+      )
+    val bands = d.select(
+      struct(col("doc_id"), col("__sh64")).as("m"),
+      posexplode_outer(
+        array((0 until 4).map(b =>
+          shiftright(col("__sh64"), 16 * b).bitwiseAND(lit(65535L))
+        ): _*)
+      ).as(Seq("band", "key"))
+    )
+    PairJoins
+      .bucketedPairs(bands, Seq("band", "key"), "m")
+      .select(
+        col("id_a.doc_id").as("id_a"),
+        col("id_b.doc_id").as("id_b"),
+        Dedup
+          .hamming(col("id_a.__sh64"), col("id_b.__sh64"))
+          .as("hamming")
+      )
+      .filter(col("hamming") <= 16)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup21_substring_spans" -> substringSpans,
     "dedup22_pagerank" -> pagerank,
-    "dedup23_lsh_curve" -> lshCurve
+    "dedup23_lsh_curve" -> lshCurve,
+    "dedup24_simhash64" -> simhash64Bands
   )
 
   private val normSql = TextQueriesSqlFragments.normSql
@@ -296,6 +336,36 @@ object DedupQueries2 {
          |SELECT deg.node AS doc_id, deg.deg, r$PR_ROUNDS.r AS rank_ppm
          |FROM deg JOIN r$PR_ROUNDS ON deg.node = r$PR_ROUNDS.node
          |ORDER BY doc_id""".stripMargin
+    },
+    "dedup24_simhash64" -> {
+      def voteSql(arr: String, j: Int, bit: Int) =
+        s"""(CASE WHEN list_aggregate(list_transform($arr,
+           |  h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END), 'sum') >= 0
+           |  THEN CAST(${1L << bit} AS BIGINT) ELSE 0 END)""".stripMargin
+      val sh64 =
+        ((0 until 32).map(j => voteSql("tokh", j, j)) ++
+          (0 until 32).map(j => voteSql("tokh2", j, 32 + j)))
+          .mkString("(", " + ", ")")
+      s"""WITH prep AS (SELECT doc_id, $normSql AS norm,
+         |        string_split($normSql, ' ') AS toks FROM documents),
+         |tokh AS (SELECT doc_id,
+         |    list_transform(toks, t -> ${PortableHash.sqlH32("t")}) AS tokh,
+         |    list_transform(toks, t -> ${PortableHash.sqlH32("t", 1)}) AS tokh2
+         |  FROM prep),
+         |t AS (SELECT doc_id, $sh64 AS sh FROM tokh),
+         |band AS (SELECT doc_id, sh, r.b AS band,
+         |           (sh >> (r.b * 16)) & 65535 AS key
+         |         FROM t CROSS JOIN range(0, 4) r(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM band a JOIN band b
+         |            ON a.band = b.band AND a.key = b.key
+         |           AND a.doc_id < b.doc_id)
+         |SELECT p.id_a, p.id_b, bit_count(xor(a.sh, b.sh)) AS hamming
+         |FROM pairs p
+         |JOIN t a ON a.doc_id = p.id_a
+         |JOIN t b ON b.doc_id = p.id_b
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 16
+         |ORDER BY id_a, id_b""".stripMargin
     },
     "dedup23_lsh_curve" -> {
       def sqSql(e: String, times: Int): String =

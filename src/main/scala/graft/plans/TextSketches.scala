@@ -98,6 +98,38 @@ object TextSketches {
     v
   }
 
+  /** 64-bit SimHash — the scale form dedup07's in-code note promises
+    * (32 bits over ~10⁹ docs saturates: random pairs land ~16±4 bits
+    * apart and the Hamming separation collapses). Bit j<32 votes with
+    * the portable 32-bit token hash, bit 32+j with the seed-1 variant
+    * — both reproducible in DuckDB from the same formulas, so the
+    * 64-bit operator stays oracle-checked rather than rows-only.
+    */
+  def simHash64(text: String): Long = {
+    val norm = ShingleHashes.normalizePublic(text)
+    val toks = norm.split(" ", -1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val lo = h32Cached(toks(i))
+      val hi = h32Cached("1:" + toks(i))
+      var j = 0
+      while (j < 32) {
+        if (((lo >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        if (((hi >> j) & 1L) == 1L) votes(32 + j) += 1 else votes(32 + j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) >= 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   /** 32-bit SimHash over whitespace tokens of the normalized text
     * (token multiplicity preserved, same as the staged vote form). */
   def simHash32(text: String): Long = {
@@ -202,6 +234,45 @@ object SimHash32 {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FUNC_NAME,
       exprs => SimHash32(exprs.head),
+      "internal"
+    )
+    call_function(FUNC_NAME, text)
+  }
+}
+
+/** text → 64-bit SimHash (long) — see [[TextSketches.simHash64]]. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64 expects string, got ${child.dataType.simpleString}"
+      )
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextSketches.simHash64(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.plans.TextSketches.simHash64($c.toString());"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  val FUNC_NAME = "graft_simhash64"
+
+  def apply(spark: SparkSession, text: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FUNC_NAME,
+      exprs => SimHash64(exprs.head),
       "internal"
     )
     call_function(FUNC_NAME, text)

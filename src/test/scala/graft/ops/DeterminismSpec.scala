@@ -56,7 +56,9 @@ class DeterminismSpec extends SparkSpec {
     "dedup22_pagerank",
     "q78_rolling_active",
     "dedup23_lsh_curve",
-    "sim20_ivf_pq"
+    "sim20_ivf_pq",
+    "dedup24_simhash64",
+    "stream11_window_topk"
   )
 
   test("partitioning never changes the result rows") {

@@ -301,6 +301,13 @@ class PlanBudgetSpec extends SparkSpec {
     assert(s <= 8, s"dedup23 shuffles=$s")
   }
 
+  test("dedup24 simhash64: one bucketedPairs shuffle, sketch carried as struct") {
+    val (s, _) = exchanges(run("dedup24_simhash64"))
+    // docs() fan-out repartition + band groupBy + pair distinct +
+    // presentation sort — the dedup07 shape
+    assert(s <= 4, s"dedup24 shuffles=$s")
+  }
+
   test("dedup17 triangle legs reuse one MinHash pipeline (ReusedExchange)") {
     val df = run("dedup17_triangles")
     df.collect()

@@ -65,4 +65,36 @@ class TextSketchesSpec extends SparkSpec {
     }.sum
     assert(got === expected)
   }
+
+  test("simhash64 low word IS simhash32; high word votes the seed-1 hash") {
+    // bits [0,32) of the 64-bit sketch use the SAME token hash and
+    // vote rule as SimHash32 — the invariant that makes dedup24 the
+    // strict widening of dedup07
+    val rows = graft
+      .Tables(spark, sfDir)
+      .documents
+      .limit(50)
+      .select(
+        SimHash64(spark, col("text")).as("h64"),
+        SimHash32(spark, col("text")).as("h32")
+      )
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert((r.getLong(0) & 0xffffffffL) === (r.getLong(1) & 0xffffffffL))
+    }
+    // high word: manual vote on the seed-1 hashes of a tiny doc
+    val got = Seq("a a b").toDF("text")
+      .select(SimHash64(spark, col("text")).as("h"))
+      .head().getLong(0)
+    val ha = graft.functions.PortableHash.h32Local("1:a")
+    val hb = graft.functions.PortableHash.h32Local("1:b")
+    val expectedHi = (0 until 32).map { j =>
+      val vote =
+        (if (((ha >> j) & 1L) == 1L) 2 else -2) +
+          (if (((hb >> j) & 1L) == 1L) 1 else -1)
+      if (vote >= 0) 1L << (32 + j) else 0L
+    }.sum
+    assert((got & 0xffffffff00000000L) === expectedHi)
+  }
 }
