@@ -208,10 +208,9 @@ object SimilarityQueries2 {
     * touches |corpus|·nprobe/K candidates.
     *
     * Simplification vs the textbook: codes quantize the RAW vector,
-    * not the residual (vector − coarse centroid). Residual PQ reuses
-    * exactly this machinery with a per-list codebook shift and buys
-    * finer resolution; raw-vector codes keep the ADC tables
-    * list-independent, which is the right first form to verify.
+    * not the residual (vector − coarse centroid) — raw-vector codes
+    * keep the ADC tables list-independent, the right first form to
+    * verify. The residual form is sim21 below.
     *
     * Everything stays in the integer discipline, so the probed-list
     * ranking is bit-identical on both engines; the oracle replays
@@ -275,9 +274,120 @@ object SimilarityQueries2 {
       .orderBy("query_id", "rank")
   }
 
+  /** sim21: residual IVF-PQ — the textbook form sim20's docstring
+    * names: codes quantize the RESIDUAL (vector − its coarse
+    * centroid), which concentrates the code distribution near zero
+    * and buys finer resolution from the same K codes. The price is
+    * visible in the plan: the query's residual depends on which list
+    * is probed, so ADC tables are per (query, probed list) —
+    * nprobe× the table mass of sim20, still broadcast-scale
+    * (nprobe·M·K BIGINTs per query).
+    *
+    * Everything stays exact-integer (micro-unit differences of
+    * micro-unit values — BIGINT adds/multiplies), so encode, probe
+    * and ranking are engine- and partition-identical, oracle-checked
+    * like the rest of the family.
+    */
+  private val residualPq: Q = (s, dir) => {
+    val quant = quantized(s, dir)
+    val coarse = strideSeeds(quant, IVF_STRIDE, IVF_K, "list_id", "qv")
+    val assign = quant
+      .crossJoin(broadcast(coarse))
+      .filter(size(col("qe")) === size(col("qv")))
+      .select(col("vec_id"), col("list_id"), dist2(col("qe"), col("qv")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("list_id"))).as("a"))
+      .select(col("vec_id"), col("a.list_id").as("list_id"))
+    // residual of every vector w.r.t. its OWN assigned centroid
+    val res = quant
+      .join(assign, Seq("vec_id"))
+      .join(broadcast(coarse), Seq("list_id"))
+      .select(
+        col("vec_id"),
+        col("list_id"),
+        zip_with(col("qe"), col("qv"), (a, b) => a - b).as("qe")
+      )
+    // residual codebook: the stride seeds' own residuals
+    val codebook = res
+      .filter(col("vec_id") % PQ_STRIDE === 0)
+      .orderBy("vec_id")
+      .limit(PQ_K)
+      .withColumn(
+        "code_id",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long")
+      )
+      .select(col("code_id"), col("qe").as("qc"))
+    val candidates = pqCodes(res.select(col("vec_id"), col("qe")), codebook)
+      .join(assign, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("codes"), col("list_id"))
+
+    val qs = quant
+      .filter(col("vec_id").isin(QUERY_IDS: _*))
+      .select(col("vec_id").as("query_id"), col("qe").as("qq"))
+    val probes = qs
+      .crossJoin(broadcast(coarse))
+      .filter(size(col("qq")) === size(col("qv")))
+      .select(col("query_id"), col("list_id"), dist2(col("qq"), col("qv")).as("d"))
+      .withColumn(
+        "pr",
+        row_number().over(
+          Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("d").asc, col("list_id").asc)
+        )
+      )
+      .filter(col("pr") <= NPROBE)
+      .select(col("query_id"), col("list_id"))
+    // per-(query, probed list) residuals → ADC tables keyed by both
+    val qres = probes
+      .join(qs, Seq("query_id"))
+      .join(broadcast(coarse), Seq("list_id"))
+      .select(
+        col("query_id"),
+        col("list_id"),
+        zip_with(col("qq"), col("qv"), (a, b) => a - b).as("qq")
+      )
+    val dtab = qres
+      .crossJoin(broadcast(codebook))
+      .filter(size(col("qq")) === size(col("qc")))
+      .select(
+        col("query_id"),
+        col("list_id"),
+        col("code_id"),
+        posexplode(subDists(col("qq"), col("qc")))
+      )
+      .groupBy(col("query_id"), col("list_id"), col("pos"))
+      .agg(
+        map_from_entries(collect_list(struct(col("code_id"), col("col"))))
+          .as("dm")
+      )
+      .groupBy(col("query_id"), col("list_id"))
+      .agg(
+        map_from_entries(collect_list(struct(col("pos"), col("dm"))))
+          .as("dt")
+      )
+    val adc = candidates
+      .join(broadcast(dtab), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adcScore.as("adc_dist"))
+    adc
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+        )
+      )
+      .filter(col("rank") <= TOPK)
+      .select("query_id", "neighbor_id", "rank", "adc_dist")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim19_pq_adc" -> pqAdc,
-    "sim20_ivf_pq" -> ivfPq
+    "sim20_ivf_pq" -> ivfPq,
+    "sim21_residual_pq" -> residualPq
   )
 
   private val qIdsSql = QUERY_IDS.mkString("(", ", ", ")")
@@ -377,6 +487,86 @@ object SimilarityQueries2 {
          |        JOIN qd ON qd.query_id = probes.query_id
          |          AND codes.m = qd.m AND codes.code_id = qd.code_id
          |        WHERE codes.vec_id <> probes.query_id
+         |        GROUP BY qd.query_id, codes.vec_id),
+         |r AS (SELECT query_id, neighbor_id, adc_dist,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+         |      FROM adc)
+         |SELECT query_id, neighbor_id, rank, adc_dist
+         |FROM r WHERE rank <= $TOPK
+         |ORDER BY query_id, rank""".stripMargin,
+    "sim21_residual_pq" ->
+      s"""WITH q AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         |      AS qe
+         |  FROM embeddings),
+         |cc AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, qe AS qv
+         |  FROM q WHERE vec_id % $IVF_STRIDE = 0
+         |  ORDER BY vec_id LIMIT $IVF_K),
+         |ad AS MATERIALIZED (
+         |  SELECT q.vec_id, cc.list_id,
+         |    CAST(SUM((q.qe[s.i] - cc.qv[s.i]) * (q.qe[s.i] - cc.qv[s.i]))
+         |      AS BIGINT) AS d
+         |  FROM q, cc, range(1, 1000) s(i)
+         |  WHERE s.i <= len(q.qe) AND len(q.qe) = len(cc.qv)
+         |  GROUP BY q.vec_id, cc.list_id),
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d ASC, list_id ASC) AS r
+         |    FROM ad) WHERE r = 1),
+         |res AS MATERIALIZED (
+         |  SELECT q.vec_id, asg.list_id,
+         |    list_transform(range(1, len(q.qe) + 1),
+         |      i -> q.qe[i] - cc.qv[i]) AS re
+         |  FROM q JOIN asg ON q.vec_id = asg.vec_id
+         |  JOIN cc ON cc.list_id = asg.list_id),
+         |cres AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS code_id, re AS rc
+         |  FROM res WHERE vec_id % $PQ_STRIDE = 0
+         |  ORDER BY vec_id LIMIT $PQ_K),
+         |d AS MATERIALIZED (
+         |  SELECT res.vec_id, cres.code_id, t.m,
+         |    CAST(SUM((res.re[t.m*$SUBDIM+s.i] - cres.rc[t.m*$SUBDIM+s.i])
+         |           * (res.re[t.m*$SUBDIM+s.i] - cres.rc[t.m*$SUBDIM+s.i]))
+         |      AS BIGINT) AS dist
+         |  FROM res, cres, range(0, $PQ_M) t(m), range(1, ${SUBDIM + 1}) s(i)
+         |  WHERE len(res.re) = len(cres.rc)
+         |  GROUP BY res.vec_id, cres.code_id, t.m),
+         |enc AS (SELECT vec_id, m, code_id,
+         |          row_number() OVER (PARTITION BY vec_id, m
+         |            ORDER BY dist ASC, code_id ASC) AS r
+         |        FROM d),
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id, m, code_id FROM enc WHERE r = 1),
+         |probes AS MATERIALIZED (
+         |  SELECT query_id, list_id FROM (
+         |    SELECT vec_id AS query_id, list_id, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d ASC, list_id ASC) AS r
+         |    FROM ad WHERE vec_id IN $qIdsSql) WHERE r <= $NPROBE),
+         |qres AS MATERIALIZED (
+         |  SELECT p.query_id, p.list_id,
+         |    list_transform(range(1, len(q.qe) + 1),
+         |      i -> q.qe[i] - cc.qv[i]) AS rq
+         |  FROM probes p JOIN q ON q.vec_id = p.query_id
+         |  JOIN cc ON cc.list_id = p.list_id),
+         |qd AS MATERIALIZED (
+         |  SELECT qres.query_id, qres.list_id, cres.code_id, t.m,
+         |    CAST(SUM((qres.rq[t.m*$SUBDIM+s.i] - cres.rc[t.m*$SUBDIM+s.i])
+         |           * (qres.rq[t.m*$SUBDIM+s.i] - cres.rc[t.m*$SUBDIM+s.i]))
+         |      AS BIGINT) AS dist
+         |  FROM qres, cres, range(0, $PQ_M) t(m), range(1, ${SUBDIM + 1}) s(i)
+         |  WHERE len(qres.rq) = len(cres.rc)
+         |  GROUP BY qres.query_id, qres.list_id, cres.code_id, t.m),
+         |adc AS (SELECT qd.query_id, codes.vec_id AS neighbor_id,
+         |          CAST(SUM(qd.dist) AS BIGINT) AS adc_dist
+         |        FROM codes
+         |        JOIN asg ON codes.vec_id = asg.vec_id
+         |        JOIN qd ON qd.list_id = asg.list_id
+         |          AND codes.m = qd.m AND codes.code_id = qd.code_id
+         |        WHERE codes.vec_id <> qd.query_id
          |        GROUP BY qd.query_id, codes.vec_id),
          |r AS (SELECT query_id, neighbor_id, adc_dist,
          |        row_number() OVER (PARTITION BY query_id

@@ -255,12 +255,78 @@ object TextQueries2 {
       .orderBy("source")
   }
 
+  /** Gopher stopword-containment list (Rae et al. 2021 §A1.1): a doc
+    * should contain ≥ 2 of these to count as running English prose.
+    */
+  private[ops] val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** text26: the Gopher rule battery — the published heuristic gate
+    * (word-count bounds, mean-word-length band, symbol-to-word ratio,
+    * alphabetic-word fraction, stopword containment) that production
+    * curation runs BEFORE any model-based scoring, emitted as one
+    * fail bitmask per doc so downstream can both filter (keep) and
+    * diagnose (which rule fired). Line-shape rules (bullet/ellipsis
+    * line fractions) are omitted — the fixture is single-line — and
+    * would compose identically over split(text, '\\n').
+    *
+    * Every metric is an exact integer count with at most one double
+    * division, so the flags (double comparisons of identical doubles)
+    * are engine-exact. Shape at scale: entirely map-side — one
+    * projection, no shuffle but the presentation sort.
+    */
+  private val gopherRules: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+      .withColumn("__toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        col("text"),
+        tokenCountOf(col("__toks")).cast("long").as("n_words"),
+        tokenCharCountOf(col("__toks")).as("n_chars"),
+        size(filter(col("__toks"), t => t.rlike("[A-Za-z]")))
+          .cast("long")
+          .as("n_alpha"),
+        size(
+          array_intersect(
+            array_distinct(transform(col("__toks"), t => lower(t))),
+            array(gopherStops.map(lit): _*)
+          )
+        ).cast("long").as("n_stop")
+      )
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        (col("n_chars").cast("double") / col("n_words")).as("mean_wl"),
+        ((length(col("text")) - length(expr("replace(text, '#', '')")) +
+          expr(
+            "(length(text) - length(replace(text, '...', ''))) div 3"
+          )).cast("double") / col("n_words")).as("symbol_ratio"),
+        (col("n_alpha").cast("double") / col("n_words")).as("alpha_ratio"),
+        col("n_stop")
+      )
+    d.select(
+      col("doc_id"),
+      col("n_words"),
+      col("mean_wl"),
+      col("symbol_ratio"),
+      col("alpha_ratio"),
+      col("n_stop"),
+      (when(col("n_words") < 50 || col("n_words") > 100000, 1L).otherwise(0L) +
+        when(col("mean_wl") < 3.0 || col("mean_wl") > 10.0, 2L).otherwise(0L) +
+        when(col("symbol_ratio") > 0.1, 4L).otherwise(0L) +
+        when(col("alpha_ratio") < 0.8, 8L).otherwise(0L) +
+        when(col("n_stop") < 2, 16L).otherwise(0L)).as("fail_mask")
+    ).withColumn("keep", col("fail_mask") === 0L)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text22_dsir" -> dsir,
     "text23_oov" -> oovRate,
     "text24_zipf" -> zipf,
     "text25_novelty" -> novelty,
-    "pipe04_corpus_report" -> corpusReport
+    "pipe04_corpus_report" -> corpusReport,
+    "text26_gopher_rules" -> gopherRules
   )
 
   val oracle: Map[String, String] = Map(
@@ -354,6 +420,44 @@ object TextQueries2 {
          |  n_en, CAST(n_en AS DOUBLE) / n_docs AS pct_en,
          |  total_tokens,
          |  CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens
-         |FROM a ORDER BY source""".stripMargin
+         |FROM a ORDER BY source""".stripMargin,
+    "text26_gopher_rules" -> {
+      val stopsSql = gopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(list_aggregate(
+         |      list_transform($toksSql, t -> len(t)), 'sum'), 0) AS BIGINT)
+         |      AS n_chars,
+         |    CAST(len(list_filter($toksSql,
+         |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_intersect(
+         |      list_distinct(list_transform($toksSql, t -> lower(t))),
+         |      $stopsSql)) AS BIGINT) AS n_stop,
+         |    CAST(len(text) - len(replace(text, '#', ''))
+         |      + (len(text) - len(replace(text, '...', ''))) // 3
+         |      AS BIGINT) AS n_sym
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_words,
+         |    CAST(n_chars AS DOUBLE) / n_words AS mean_wl,
+         |    CAST(n_sym AS DOUBLE) / n_words AS symbol_ratio,
+         |    CAST(n_alpha AS DOUBLE) / n_words AS alpha_ratio,
+         |    n_stop
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_wl, symbol_ratio, alpha_ratio, n_stop,
+         |  CAST((CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN mean_wl < 3.0 OR mean_wl > 10.0 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN symbol_ratio > 0.1 THEN 4 ELSE 0 END)
+         |    + (CASE WHEN alpha_ratio < 0.8 THEN 8 ELSE 0 END)
+         |    + (CASE WHEN n_stop < 2 THEN 16 ELSE 0 END) AS BIGINT)
+         |    AS fail_mask,
+         |  ((CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN mean_wl < 3.0 OR mean_wl > 10.0 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN symbol_ratio > 0.1 THEN 4 ELSE 0 END)
+         |    + (CASE WHEN alpha_ratio < 0.8 THEN 8 ELSE 0 END)
+         |    + (CASE WHEN n_stop < 2 THEN 16 ELSE 0 END)) = 0 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    }
   )
 }

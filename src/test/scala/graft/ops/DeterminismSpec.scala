@@ -58,7 +58,9 @@ class DeterminismSpec extends SparkSpec {
     "dedup23_lsh_curve",
     "sim20_ivf_pq",
     "dedup24_simhash64",
-    "stream11_window_topk"
+    "stream11_window_topk",
+    "sim21_residual_pq",
+    "text26_gopher_rules"
   )
 
   test("partitioning never changes the result rows") {

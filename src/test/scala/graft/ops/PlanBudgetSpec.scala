@@ -308,6 +308,17 @@ class PlanBudgetSpec extends SparkSpec {
     assert(s <= 4, s"dedup24 shuffles=$s")
   }
 
+  test("sim21 residual PQ: per-(query,list) ADC tables broadcast") {
+    val (s, b) = exchanges(run("sim21_residual_pq"))
+    assert(b >= 4, s"sim21 coarse+codebook+probes+tables must broadcast, bcasts=$b")
+    assert(s <= 12, s"sim21 shuffles=$s")
+  }
+
+  test("text26 gopher rules are map-side: only the presentation sort shuffles") {
+    val (s, _) = exchanges(run("text26_gopher_rules"))
+    assert(s <= 1, s"text26 shuffles=$s")
+  }
+
   test("dedup17 triangle legs reuse one MinHash pipeline (ReusedExchange)") {
     val df = run("dedup17_triangles")
     df.collect()
