@@ -320,13 +320,51 @@ object TextQueries2 {
       .orderBy("doc_id")
   }
 
+  /** text27: CCNet head/middle/tail bucketing (Wenzek et al. 2020) —
+    * rank every document WITHIN its source by LM surprisal (text19's
+    * integer-bits score, ascending: head = most fluent third) and cut
+    * into terciles by rank. This is the published shape for
+    * perplexity-based curation: per-SOURCE ranking, because absolute
+    * surprisal isn't comparable across registers (code vs prose vs
+    * forums), and a global cut would evict whole sources.
+    *
+    * Bucket = 1 + ⌊(rank−1)·3 / n⌋, all integer. Shape at scale: one
+    * window partitioned by source (bounded per-source, never global)
+    * over the text19 score pipeline; rank and the per-source count
+    * share the partition.
+    */
+  private val ccnetBuckets: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Window.partitionBy(col("source"))
+    val scored = TextQueries
+      .queries("text19_lm_score")(s, dir)
+      .select(col("doc_id"), col("mean_bits"))
+      .join(Tables(s, dir).documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+    scored
+      .withColumn(
+        "rk",
+        row_number().over(
+          bySource.orderBy(col("mean_bits").asc, col("doc_id").asc)
+        )
+      )
+      .withColumn("n", count(lit(1)).over(bySource))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("mean_bits"),
+        expr("1 + ((rk - 1) * 3) div n").cast("long").as("bucket")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text22_dsir" -> dsir,
     "text23_oov" -> oovRate,
     "text24_zipf" -> zipf,
     "text25_novelty" -> novelty,
     "pipe04_corpus_report" -> corpusReport,
-    "text26_gopher_rules" -> gopherRules
+    "text26_gopher_rules" -> gopherRules,
+    "text27_ccnet_buckets" -> ccnetBuckets
   )
 
   val oracle: Map[String, String] = Map(
@@ -458,6 +496,18 @@ object TextQueries2 {
          |    + (CASE WHEN alpha_ratio < 0.8 THEN 8 ELSE 0 END)
          |    + (CASE WHEN n_stop < 2 THEN 16 ELSE 0 END)) = 0 AS keep
          |FROM r ORDER BY doc_id""".stripMargin
-    }
+    },
+    "text27_ccnet_buckets" ->
+      s"""WITH lm AS (${TextQueries.oracle("text19_lm_score")}),
+         |j AS (SELECT lm.doc_id, d.source, lm.mean_bits
+         |      FROM lm JOIN documents d ON lm.doc_id = d.doc_id),
+         |r AS (SELECT doc_id, source, mean_bits,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY mean_bits ASC, doc_id ASC) AS rk,
+         |        COUNT(*) OVER (PARTITION BY source) AS n
+         |      FROM j)
+         |SELECT doc_id, source, mean_bits,
+         |  CAST(1 + ((rk - 1) * 3) // n AS BIGINT) AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -60,7 +60,8 @@ class DeterminismSpec extends SparkSpec {
     "dedup24_simhash64",
     "stream11_window_topk",
     "sim21_residual_pq",
-    "text26_gopher_rules"
+    "text26_gopher_rules",
+    "text27_ccnet_buckets"
   )
 
   test("partitioning never changes the result rows") {

@@ -319,6 +319,13 @@ class PlanBudgetSpec extends SparkSpec {
     assert(s <= 1, s"text26 shuffles=$s")
   }
 
+  test("text27 ccnet buckets: per-source window, no global sort before the cut") {
+    val (s, _) = exchanges(run("text27_ccnet_buckets"))
+    // text19 scoring shuffles + doc-source join + ONE per-source window
+    // partition + presentation sort; the tercile cut itself adds nothing
+    assert(s <= 8, s"text27 shuffles=$s")
+  }
+
   test("dedup17 triangle legs reuse one MinHash pipeline (ReusedExchange)") {
     val df = run("dedup17_triangles")
     df.collect()
