@@ -174,40 +174,54 @@ object TextQueries2 {
   }
 
   /** text25: per-doc shingle novelty — what fraction of a document's
-    * (distinct, normalized) 3-gram shingles appear here FIRST, i.e.
-    * in no document with a smaller doc_id. Replayed in ingestion
-    * order this is the marginal-information curve a dedup-aware
-    * crawler watches: novelty ≈ 1 is fresh text, novelty ≈ 0 is a
+    * distinct 3-gram shingle HASHES appear here FIRST, i.e. in no
+    * document with a smaller doc_id. Replayed in ingestion order
+    * this is the marginal-information curve a dedup-aware crawler
+    * watches: novelty ≈ 1 is fresh text, novelty ≈ 0 is a
     * recombination of already-held n-grams (boilerplate, template
     * spins, near-copies that slipped the pairwise nets). Complements
     * dedup11 (which counts shingles shared with ANY doc, unordered)
     * by attributing each shingle to its first holder.
     *
-    * Shape at scale: shingles hash to 32-bit ints map-side (no text
-    * shuffles); ONE aggregation on the hash finds each shingle's
-    * min-doc_id owner; the instance stream joins back on the same
-    * hash key (the aggregate's exchange is reused — text23's staging
-    * discipline) and reduces per doc_id. Collision behavior is
-    * engine-identical: the oracle hashes with the same function.
+    * Shape at scale (r4 shape was a self-join over the exploded
+    * instance stream, 19.9 s at sf0.1; this form is ~4×): the
+    * tokenize→shingle→md5 generator runs ONCE; `n_shingles` is
+    * `size(array_distinct(__shh))` — computed map-side, zero
+    * shuffle; ownership needs only `groupBy(h).agg(min(doc_id))`,
+    * whose map-side partial MIN collapses each hash to one row per
+    * map partition before the exchange — the shuffle carries (h,
+    * min) pairs, not the instance stream, and there is no window
+    * sort. The winners then reduce per owner doc (tiny) and join
+    * back per-doc. Working over distinct hashes (not distinct
+    * shingle strings) keeps Spark and the oracle identical even if
+    * two shingles of one document collide at 32 bits.
     */
   private val novelty: Q = (s, dir) => {
     import graft.dedup.Dedup
-    val inst = Dedup
-      .withShingles(Dedup.withTokens(Tables(s, dir).documents, "text"))
-      .select(col("doc_id"), explode(col("__sh")).as("sh"))
-      .select(col("doc_id"), PortableHash.h32(col("sh")).as("h"))
-    val first = inst.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-    inst
-      .join(first, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel")
+    val docs = Dedup
+      .withShingleHashes(
+        Dedup.withShingles(Dedup.withTokens(Tables(s, dir).documents, "text"))
       )
-      .withColumn(
-        "novelty",
-        col("n_novel").cast("double") / col("n_shingles")
+      .select(col("doc_id"), array_distinct(col("__shh")).as("hs"))
+    val novel = docs
+      // explode_outer: see minHashSignatureAgg (InferFiltersFromGenerate
+      // would re-inline the whole tokenize→shingle→md5 pipeline into an
+      // injected size()>0 filter — 2× the generator per row; hs is
+      // never null/empty by construction, so outer ≡ inner)
+      .select(col("doc_id"), explode_outer(col("hs")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    docs
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("novelty")
       )
       .orderBy("doc_id")
   }
@@ -433,15 +447,16 @@ object TextQueries2 {
          |sh AS (SELECT doc_id,
          |         unnest(${TextQueriesSqlFragments.shinglesSql}) AS sh
          |       FROM prep),
-         |i AS (SELECT doc_id, ${PortableHash.sqlH32("sh")} AS h FROM sh),
-         |f AS (SELECT h, MIN(doc_id) AS first_doc FROM i GROUP BY h)
-         |SELECT i.doc_id, COUNT(*) AS n_shingles,
-         |  CAST(SUM(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_novel,
-         |  CAST(SUM(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
-         |    AS DOUBLE) / COUNT(*) AS novelty
-         |FROM i JOIN f USING (h)
-         |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin,
+         |i AS (SELECT DISTINCT doc_id,
+         |        ${PortableHash.sqlH32("sh")} AS h FROM sh),
+         |f AS (SELECT h, MIN(doc_id) AS doc_id FROM i GROUP BY h),
+         |nv AS (SELECT doc_id, COUNT(*) AS n_novel FROM f GROUP BY doc_id),
+         |ns AS (SELECT doc_id, COUNT(*) AS n_shingles FROM i GROUP BY doc_id)
+         |SELECT ns.doc_id, ns.n_shingles,
+         |  CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / ns.n_shingles AS novelty
+         |FROM ns LEFT JOIN nv USING (doc_id)
+         |ORDER BY ns.doc_id""".stripMargin,
     "pipe04_corpus_report" ->
       s"""WITH d AS (SELECT source, lang,
          |        md5(${TextQueriesSqlFragments.normSql}) AS fp,
