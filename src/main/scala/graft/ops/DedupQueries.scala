@@ -287,7 +287,9 @@ object DedupQueries {
     )
     val evalSet = d
       .filter(col("source") === EVAL)
-      .select(explode(col("__shh")).as("h"))
+      // explode_outer + null filter: barrier (see minHashSignatureAgg)
+      .select(explode_outer(col("__shh")).as("h"))
+      .filter(col("h").isNotNull)
       .distinct()
     // explode_outer: see minHashSignatureAgg (InferFiltersFromGenerate)
     val train = d.filter(col("source") =!= EVAL)
@@ -487,7 +489,9 @@ object DedupQueries {
     // shuffle is needed before the sketch
     val words: Array[Long] = d
       .filter(col("source") === EVAL)
-      .select(explode(col("__shh")).as("h"))
+      // explode_outer + null filter: barrier (see minHashSignatureAgg)
+      .select(explode_outer(col("__shh")).as("h"))
+      .filter(col("h").isNotNull)
       .select(col("h"))
       .as(org.apache.spark.sql.Encoders.scalaLong)
       .select(BloomAggregator.sketch.toColumn.name("bits"))

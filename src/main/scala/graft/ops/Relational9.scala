@@ -174,10 +174,85 @@ object Relational9 {
       .orderBy("day")
   }
 
+  /** q79: portable HyperLogLog distinct-count — THE distributed
+    * cardinality estimator (Flajolet et al. 2007; Heule et al. 2013
+    * HLL++ is what `approx_count_distinct` runs): distinct users per
+    * event type at m=64 registers, with the estimate computed
+    * BIT-IDENTICALLY by Spark and the DuckDB oracle. Register build
+    * is pure relational algebra — bucket = h mod m, rho = leading
+    * zero count + 1 of the remaining 26 hash bits (libm-free via
+    * `27 − length(bin(w))`), register = MAX(rho) per (type, bucket)
+    * — so the map-side partial MAX makes the shuffle ≤ m rows per
+    * type per map partition no matter the corpus size, and register
+    * merge across partitions/engines IS the MAX (HllMergeSpec proves
+    * split-merge equality). The indicator sum Σ 2^(27−M_j) stays in
+    * exact BIGINT via a 2^k lookup literal (no pow, no float sum);
+    * the estimate α·m²·2²⁷ / T is the single float op. Alongside the
+    * exact `COUNT(DISTINCT)` — whose shuffle carries every distinct
+    * key — the register path is the one that survives 100 TB, and
+    * the query reports both plus the realized relative error.
+    */
+  private[ops] val hllP = 6 // m = 2^6 = 64 registers
+  private[ops] val hllM = 1 << hllP // 64
+  private[ops] val hllMaxRho = 33 - hllP // 27: w has 32-p bits, +1
+  private val hllDistinct: Q = (s, dir) => {
+    val pows = typedLit((0 to hllMaxRho).map(1L << _)) // 2^0 .. 2^27
+    val ev = Tables(s, dir).events.filter(col("user_id").isNotNull)
+    val regs = ev
+      .select(
+        col("event_type"),
+        PortableHash
+          .h32(concat(lit("u:"), col("user_id").cast("string")))
+          .as("h")
+      )
+      .select(
+        col("event_type"),
+        pmod(col("h"), lit(hllM.toLong)).as("bucket"),
+        when(expr(s"h div $hllM") === 0L, lit(hllMaxRho))
+          .otherwise(lit(hllMaxRho) - length(bin(expr(s"h div $hllM"))))
+          .as("rho")
+      )
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+    val agg = regs
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_present"),
+        sum(element_at(pows, (lit(hllMaxRho + 1) - col("rho")).cast("int")))
+          .as("t_present")
+      )
+    val exact = ev
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    val emptyReg = 1L << hllMaxRho // 2^27: an empty register's 2^(27-0)
+    exact
+      .join(agg, Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("exact_distinct"),
+        (lit(hllM.toLong) - col("n_present")).as("zero_registers"),
+        (col("t_present") + (lit(hllM.toLong) - col("n_present")) * emptyReg)
+          .as("t_sum")
+      )
+      .withColumn(
+        "hll_est",
+        // α_64 · m² · 2^27: 0.709 · 549755813888 (both factors exact
+        // literals; one multiply + one divide — IEEE-identical)
+        lit(0.709) * lit(549755813888.0) / col("t_sum").cast("double")
+      )
+      .withColumn(
+        "rel_err",
+        (col("hll_est") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double")
+      )
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q76_salted_join" -> saltedJoin,
     "q77_sessionize" -> sessionize,
-    "q78_rolling_active" -> rollingActive
+    "q78_rolling_active" -> rollingActive,
+    "q79_hll_distinct" -> hllDistinct
   )
 
   val oracle: Map[String, String] = Map(
@@ -223,6 +298,37 @@ object Relational9 {
          |  GROUP BY d.day)
          |SELECT dau.day, dau.dau, wau.wau
          |FROM dau JOIN wau ON dau.day = wau.day
-         |ORDER BY dau.day""".stripMargin
+         |ORDER BY dau.day""".stripMargin,
+    "q79_hll_distinct" -> {
+      val pows = (0 to hllMaxRho).map(1L << _).mkString("[", ",", "]")
+      val emptyReg = 1L << hllMaxRho
+      s"""WITH h AS (SELECT event_type, user_id,
+         |    ${PortableHash.sqlH32("concat('u:', CAST(user_id AS VARCHAR))")} AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT event_type, h % $hllM AS bucket,
+         |    MAX(CASE WHEN h // $hllM = 0 THEN $hllMaxRho
+         |        ELSE $hllMaxRho - len(bin(h // $hllM)) END) AS rho
+         |  FROM h GROUP BY 1, 2),
+         |agg AS (SELECT event_type,
+         |    CAST(COUNT(*) AS BIGINT) AS n_present,
+         |    CAST(SUM(($pows)[$hllMaxRho + 1 - rho]) AS BIGINT)
+         |      AS t_present
+         |  FROM r GROUP BY 1),
+         |ex AS (SELECT event_type,
+         |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         |SELECT ex.event_type, ex.exact_distinct,
+         |  CAST($hllM - agg.n_present AS BIGINT) AS zero_registers,
+         |  CAST(agg.t_present + ($hllM - agg.n_present) * $emptyReg
+         |    AS BIGINT) AS t_sum,
+         |  0.709 * 549755813888.0 / CAST(agg.t_present
+         |    + ($hllM - agg.n_present) * $emptyReg AS DOUBLE) AS hll_est,
+         |  (0.709 * 549755813888.0 / CAST(agg.t_present
+         |      + ($hllM - agg.n_present) * $emptyReg AS DOUBLE)
+         |    - CAST(ex.exact_distinct AS DOUBLE))
+         |    / CAST(ex.exact_distinct AS DOUBLE) AS rel_err
+         |FROM ex JOIN agg USING (event_type)
+         |ORDER BY ex.event_type""".stripMargin
+    }
   )
 }

@@ -122,7 +122,13 @@ object TextQueries {
     */
   private val topTokens: Q = (s, dir) =>
     Tables(s, dir).documents
-      .select(explode(tokens(col("text"))).as("token"))
+      // explode_outer + null filter: barrier against
+      // InferFiltersFromGenerate re-inlining the tokenizer into an
+      // injected size()>0 pre-filter (2× the generator per row);
+      // identical rows to plain explode (tokens() never yields null
+      // elements, and null/empty arrays drop either way)
+      .select(explode_outer(tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
@@ -433,7 +439,9 @@ object TextQueries {
         col("__toks")
       )
     val topBigram = stats
-      .select(col("doc_id"), explode(bigramsOf(col("__toks"))).as("__bg"))
+      // explode_outer + null filter: see topTokens barrier note
+      .select(col("doc_id"), explode_outer(bigramsOf(col("__toks"))).as("__bg"))
+      .filter(col("__bg").isNotNull)
       .groupBy("doc_id", "__bg")
       .agg(count(lit(1)).as("__c"))
       .groupBy("doc_id")
@@ -613,7 +621,9 @@ object TextQueries {
     */
   private val rarity: Q = (s, dir) => {
     val toks = Tables(s, dir).documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      // explode_outer + null filter: see topTokens barrier note
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
     val total = freq.agg(sum(col("freq")).as("n_total"))
     toks
@@ -652,7 +662,12 @@ object TextQueries {
     */
   private val lmScore: Q = (s, dir) => {
     val bigr = Tables(s, dir).documents
-      .select(col("doc_id"), explode(bigramsOf(tokens(col("text")))).as("bg"))
+      // explode_outer + null filter: see topTokens barrier note
+      .select(
+        col("doc_id"),
+        explode_outer(bigramsOf(tokens(col("text")))).as("bg")
+      )
+      .filter(col("bg").isNotNull)
     val c2 = bigr.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     val c1 = c2
       .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
@@ -748,7 +763,9 @@ object TextQueries {
     */
   private val divergence: Q = (s, dir) => {
     val tok = Tables(s, dir).documents
-      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      // explode_outer + null filter: see topTokens barrier note
+      .select(col("source"), explode_outer(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
     val cst = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
     val ct = cst.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
     val ns = cst.groupBy(col("source")).agg(
@@ -833,7 +850,10 @@ object TextQueries {
       case r                  => r.getLong(0)
     }
     val w = (maxId + heapsSlices) / heapsSlices
-    val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // explode_outer + null filter: see topTokens barrier note
+    val toks = d
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
     val inst = toks
       .groupBy(expr(s"doc_id div $w").as("slice"))
       .agg(count(lit(1)).as("n_instances"))

@@ -45,8 +45,14 @@ object TextQueries2 {
       .select(
         col("doc_id"),
         col("lang"),
-        explode(bigramsOf(tokens(col("text")))).as("bg")
+        // explode_outer + null filter: InferFiltersFromGenerate would
+        // re-inline tokenize+bigrams into an injected size()>0 filter
+        // (2× the generator per row); outer skips the rule, and the
+        // cheap isNotNull drops the one null row an empty bigram
+        // array (single-token doc) would add vs plain explode
+        explode_outer(bigramsOf(tokens(col("text")))).as("bg")
       )
+      .filter(col("bg").isNotNull)
       .select(
         col("doc_id"),
         col("lang"),
@@ -93,7 +99,12 @@ object TextQueries2 {
   private[ops] val oovV = 64
   private val oovRate: Q = (s, dir) => {
     val st = Tables(s, dir).documents
-      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      // explode_outer: barrier against InferFiltersFromGenerate
+      // re-inlining the tokenizer (see dsir above); tokens() is never
+      // null/empty for non-null text, and the null filter covers
+      // null-text rows identically to plain explode
+      .select(col("source"), explode_outer(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val vocab = st
@@ -139,7 +150,9 @@ object TextQueries2 {
   private val zipf: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val top = Tables(s, dir).documents
-      .select(explode(tokens(col("text"))).as("tok"))
+      // explode_outer + null filter: same barrier as dsir/oov above
+      .select(explode_outer(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("tok").asc)
@@ -371,7 +384,62 @@ object TextQueries2 {
       .orderBy("doc_id")
   }
 
+  /** text28: hashed-linear quality classifier — the "fastText/LR
+    * quality filter" stage of published LLM corpus pipelines (GPT-3's
+    * logistic-regression filter against a curated positive class;
+    * LLaMA/CCNet's fastText classifier): every token hashes into one
+    * of D=64 feature buckets, each bucket carries a fixed weight, and
+    * the document's score is the mean bucket weight of its tokens —
+    * a linear model applied at scan time. Weights here are
+    * deterministic pseudo-random values derived from the portable
+    * hash (stand-ins for trained coefficients; the PLUMBING — hashed
+    * features, fixed broadcast-free plan-embedded weights, margin
+    * threshold — is the production shape, the weights are where a
+    * real pipeline drops in its trained vector).
+    *
+    * Determinism/scale: the dot product is an INTEGER sum via an
+    * `aggregate` HOF over the token array (weights are a 64-element
+    * plan literal, w ∈ [−2³¹, 2³¹)); margin = num / (n·2³¹) is the
+    * only float op — one IEEE division, bit-identical in DuckDB.
+    * Fully map-side: zero shuffles except the presentation sort; at
+    * 100 TB this is a pure scan-time filter with no exchange at all.
+    */
+  private[ops] val qcDim = 64
+  private[ops] val qcTau = -0.1
+  private[ops] val qcWeights: IndexedSeq[Long] =
+    (0 until qcDim).map(b => PortableHash.h32Local(s"qw:$b") - (1L << 31))
+
+  private val qualityClassifier: Q = (s, dir) => {
+    val w = typedLit(qcWeights)
+    Tables(s, dir).documents
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(
+        col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        aggregate(
+          col("__toks"),
+          lit(0L),
+          (acc, t) =>
+            acc + element_at(
+              w,
+              (pmod(PortableHash.h32(t), lit(qcDim)) + 1).cast("int")
+            )
+        ).as("margin_num")
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("margin_num"),
+        (col("margin_num").cast("double") /
+          (col("n_tokens").cast("double") * lit(2147483648.0)))
+          .as("margin")
+      )
+      .withColumn("keep", col("margin") > qcTau)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text28_quality_classifier" -> qualityClassifier,
     "text22_dsir" -> dsir,
     "text23_oov" -> oovRate,
     "text24_zipf" -> zipf,
@@ -382,6 +450,21 @@ object TextQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "text28_quality_classifier" -> {
+      val wlit = qcWeights.mkString("[", ",", "]")
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(list_sum(list_transform(toks,
+         |    t -> ($wlit)[CAST(${PortableHash.sqlH32("t")} % $qcDim
+         |           AS INT) + 1])) AS BIGINT) AS margin_num
+         |  FROM d)
+         |SELECT doc_id, n_tokens, margin_num,
+         |  CAST(margin_num AS DOUBLE)
+         |    / (CAST(n_tokens AS DOUBLE) * 2147483648.0) AS margin,
+         |  CAST(margin_num AS DOUBLE)
+         |    / (CAST(n_tokens AS DOUBLE) * 2147483648.0) > $qcTau AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "text22_dsir" ->
       s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
          |bg AS (SELECT doc_id, lang,

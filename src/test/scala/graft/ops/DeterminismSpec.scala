@@ -61,7 +61,9 @@ class DeterminismSpec extends SparkSpec {
     "stream11_window_topk",
     "sim21_residual_pq",
     "text26_gopher_rules",
-    "text27_ccnet_buckets"
+    "text27_ccnet_buckets",
+    "text28_quality_classifier",
+    "q79_hll_distinct"
   )
 
   test("partitioning never changes the result rows") {

@@ -326,6 +326,18 @@ class PlanBudgetSpec extends SparkSpec {
     assert(s <= 8, s"text27 shuffles=$s")
   }
 
+  test("text28 quality classifier is map-side: only the presentation sort shuffles") {
+    val (s, _) = exchanges(run("text28_quality_classifier"))
+    assert(s <= 1, s"text28 shuffles=$s")
+  }
+
+  test("q79 HLL: register build + per-type rollup + exact-distinct, nothing more") {
+    val (s, _) = exchanges(run("q79_hll_distinct"))
+    // (type,bucket) partial-max agg + per-type rollup + countDistinct's
+    // two-phase agg + the type join/sort — all on ≤ m·|types| rows
+    assert(s <= 6, s"q79 shuffles=$s")
+  }
+
   test("dedup17 triangle legs reuse one MinHash pipeline (ReusedExchange)") {
     val df = run("dedup17_triangles")
     df.collect()
