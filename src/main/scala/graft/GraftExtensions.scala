@@ -61,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         plans.RollingFingerprint(_)
       )
     )
+    ext.injectFunction(
+      unaryOf(
+        plans.ShingleExplode.FUNC_NAME,
+        "table function: one row per distinct shingle hash of normalized text",
+        plans.ShingleExplode(_)
+      )
+    )
   }
 }
 

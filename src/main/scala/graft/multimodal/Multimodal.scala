@@ -64,6 +64,41 @@ object Multimodal {
       .otherwise(array().cast("array<int>"))
   }
 
+  /** 64-bit perceptual difference hash (dHash) of a payload — the
+    * image near-dup primitive (Krawetz's dHash: resize to a 9×8
+    * luminance grid, bit i = grid[i] < grid[i+1]; two re-encodes of
+    * the same picture disagree in a few bits, unrelated pictures in
+    * ~32). The DECODE step is stubbed per the multimodal contract:
+    * "luminance samples" are the payload's byte values at 65 evenly
+    * spaced offsets (pos_i = 1 + ⌊i·(L−1)/64⌋), standing in for the
+    * resampled pixel grid — deterministic, so the whole sketch is
+    * oracle-checkable; a real build computes the same 64 bits inside
+    * [[decodeFeatures]]'s per-partition codec pass and nothing
+    * downstream (banding, Hamming verify) changes.
+    *
+    * Implementation is a pure column expression (64 compare-and-weigh
+    * terms over `ascii(substr(...))` samples — the SimHash32 fused-
+    * vote discipline, whole-stage-codegen'd, zero shuffles): payloads
+    * are ASCII here so byte = char code and the DuckDB mirror is
+    * exact. Bit 63's weight is Long.MinValue — two's complement
+    * addition of disjoint powers is bitwise OR in both engines.
+    */
+  def dHash64(textOfPayload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val len = length(textOfPayload)
+    // ⌊i·(L−1)/64⌋ exactly: the operands are < 2⁵³ so the IEEE double
+    // division floors to the true integer quotient
+    def at(i: Int): org.apache.spark.sql.Column =
+      ascii(
+        textOfPayload.substr(
+          (lit(1) + floor((lit(i) * (len - lit(1))) / lit(64))).cast("int"),
+          lit(1)
+        )
+      )
+    (0 until 64)
+      .map(i => when(at(i) < at(i + 1), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
   /** The decode boundary: per-partition batch "decode" producing fixed
     * feature vectors. STUB: checksum/frame-count/features are
     * deterministic functions of the payload bytes, standing in for a

@@ -267,17 +267,107 @@ object DedupQueries2 {
       .orderBy("id_a", "id_b")
   }
 
+  /** Sketch size for dedup25. k=128 puts the KMV Jaccard estimator's
+    * standard error around 1/√k ≈ 0.09 — tight enough to rank source
+    * pairs; the sketch table is n_sources·k longs regardless of
+    * corpus size.
+    */
+  private[ops] val KMV_K = 128
+
+  /** dedup25: cross-source shingle overlap estimated from bottom-k
+    * (KMV) sketches — the sketch form of dedup16's exact contamination
+    * matrix. dedup16 answers "how many CONFIRMED near-dup pairs cross
+    * sources" by running the full LSH discipline; this query answers
+    * the coarser planning question — "which source pairs share
+    * n-gram mass at all, and roughly how much" — without EVER forming
+    * candidate pairs: each source reduces to its k smallest distinct
+    * shingle hashes, and for a pair (A, B) the standard KMV estimate
+    * ĵ = |U ∩ Â ∩ B̂| / |U| (U = bottom-k of Â ∪ B̂) is computed on
+    * the k-sized sketches alone.
+    *
+    * Shape at scale: the tokenize→shingle→md5 generator runs once
+    * map-side; what shuffles is (source, h) pairs already reduced by
+    * the aggregator's map-side partial to ≤ k longs PER SOURCE PER
+    * PARTITION ([[graft.sim.BottomKSketch]] — never the instance
+    * stream, never text). The sketch table (n_sources rows × k longs)
+    * broadcasts into a sources² pair comparison that is constant-cost
+    * at any corpus size. Every number is integer-exact; the one IEEE
+    * division per pair is engine-identical.
+    */
+  private val kmvOverlap: Q = (s, dir) => {
+    import s.implicits._
+    val d = Dedup.withShingleHashes(
+      Dedup.withShingles(Dedup.withTokens(docs(s, dir), "text"))
+    )
+    val inst = d
+      // explode_outer: the text25 barrier against
+      // InferFiltersFromGenerate re-inlining the shingle pipeline
+      .select(col("source"), explode_outer(array_distinct(col("__shh"))).as("h"))
+      .filter(col("h").isNotNull)
+      .as[(String, Long)]
+    val sk = inst
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.sim.BottomKSketch.bottomK(KMV_K).toColumn.name("sk"))
+      .toDF("source", "sk")
+    val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .withColumn(
+        "__u",
+        slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, KMV_K)
+      )
+      .select(
+        col("source_a"),
+        col("source_b"),
+        size(col("__u")).cast("long").as("k_union"),
+        size(array_intersect(array_intersect(col("__u"), col("sk_a")), col("sk_b")))
+          .cast("long")
+          .as("n_common"),
+        (size(array_intersect(array_intersect(col("__u"), col("sk_a")), col("sk_b")))
+          .cast("double") / size(col("__u")))
+          .as("jac_est")
+      )
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup21_substring_spans" -> substringSpans,
     "dedup22_pagerank" -> pagerank,
     "dedup23_lsh_curve" -> lshCurve,
-    "dedup24_simhash64" -> simhash64Bands
+    "dedup24_simhash64" -> simhash64Bands,
+    "dedup25_kmv_overlap" -> kmvOverlap
   )
 
   private val normSql = TextQueriesSqlFragments.normSql
   private val minhashVerifiedOracle = DedupQueries.minhashVerifiedOracle
 
   val oracle: Map[String, String] = Map(
+    "dedup25_kmv_overlap" ->
+      s"""WITH prep AS (SELECT doc_id, source, $normSql AS norm,
+         |        string_split($normSql, ' ') AS toks FROM documents),
+         |sh AS (SELECT source,
+         |         unnest(${TextQueriesSqlFragments.shinglesSql}) AS sh
+         |       FROM prep),
+         |i AS (SELECT DISTINCT source,
+         |        ${PortableHash.sqlH32("sh")} AS h FROM sh),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM i),
+         |skl AS (SELECT source, list_sort(list(h)) AS sk
+         |        FROM r WHERE rn <= $KMV_K GROUP BY source),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        list_slice(list_sort(list_distinct(
+         |          list_concat(a.sk, b.sk))), 1, $KMV_K) AS u,
+         |        a.sk AS ska, b.sk AS skb
+         |      FROM skl a JOIN skl b ON a.source < b.source)
+         |SELECT source_a, source_b,
+         |  CAST(len(u) AS BIGINT) AS k_union,
+         |  CAST(len(list_intersect(list_intersect(u, ska), skb))
+         |    AS BIGINT) AS n_common,
+         |  CAST(len(list_intersect(list_intersect(u, ska), skb)) AS DOUBLE)
+         |    / len(u) AS jac_est
+         |FROM p ORDER BY source_a, source_b""".stripMargin,
     "dedup21_substring_spans" ->
       s"""WITH prep AS (SELECT doc_id, $normSql AS norm,
          |        string_split($normSql, ' ') AS toks FROM documents),

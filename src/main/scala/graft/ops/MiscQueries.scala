@@ -414,6 +414,62 @@ object MiscQueries {
       .orderBy("source")
   }
 
+  /** mm05: perceptual-hash (dHash) sketch of every media payload plus
+    * its 4×16-bit Hamming band keys — the image near-dup net, built
+    * exactly like the text one (dedup24's 64-bit sketch → band keys →
+    * `PairJoins.bucketedPairs`): two re-encodes/resizes of one image
+    * land within a few bits and collide on a band; unrelated images
+    * sit at Hamming ~32. The decode stub and the expression form are
+    * documented on [[Multimodal.dHash64]]; the pair-generation step on
+    * planted near-identical payloads is exercised in MediaPhashSpec
+    * (the fixture's random-token payloads contain no true image
+    * near-dups, so the sketch table itself is the oracle surface).
+    *
+    * Shape at scale: the sketch is one codegen'd map-side pass over
+    * the payload (zero shuffles in this query — the output IS the
+    * banded index a downstream near-dup join consumes); band keys are
+    * 16-bit ints, so the join that follows is dedup24's single
+    * bucketed shuffle, never an all-pairs comparison.
+    */
+  private val mediaPhash: Q = (s, dir) => {
+    val m = Multimodal
+      .asMediaTable(Tables(s, dir).documents)
+      .select(
+        col("media_id"),
+        col("format"),
+        Multimodal.dHash64(decode(col("payload"), "UTF-8")).as("phash")
+      )
+    m.select(
+      Seq(col("media_id"), col("format"), col("phash")) ++
+        (0 until 4).map(b =>
+          shiftright(col("phash"), 16 * b)
+            .bitwiseAND(lit(65535L))
+            .as(s"band$b")
+        ): _*
+    ).orderBy("media_id")
+  }
+
+  /** q80: the UDTF surface (SURVEY.md §2.10) under the oracle gate —
+    * per-document shingle profile computed entirely through the native
+    * Generator [[graft.plans.ShingleExplode]] on the SQL surface
+    * (`LATERAL VIEW graft_shingle_explode(text)`): hashes stream from
+    * the tokenizer into `Generate` without materializing the array the
+    * `explode(graft_shingle_hashes(...))` form would allocate. The
+    * aggregate keys on the dense doc_id — one shuffle, no text on the
+    * wire.
+    */
+  private val udtfShingles: Q = (s, dir) => {
+    graft.plans.ShingleExplode.register(s)
+    Tables(s, dir).documents.createOrReplaceTempView("documents_tf")
+    s.sql(s"""
+      SELECT doc_id, COUNT(DISTINCT h) AS n_shingles,
+             MIN(h) AS min_h, MAX(h) AS max_h
+      FROM documents_tf
+      LATERAL VIEW ${graft.plans.ShingleExplode.FUNC_NAME}(text) t AS h
+      GROUP BY doc_id ORDER BY doc_id
+    """)
+  }
+
   /** LATERAL correlated subquery through `spark.sql` — per driving
     * row, a dependent top-k subquery (each January-1995 order's two
     * priciest line items). Catalyst decorrelates the lateral into a
@@ -474,6 +530,8 @@ object MiscQueries {
     "metrics01_doc" -> metricsDoc,
     "mm01_media_meta" -> mediaMeta,
     "mm03_decode_stats" -> decodeStats,
+    "mm05_media_phash" -> mediaPhash,
+    "q80_udtf_shingles" -> udtfShingles,
     "q53_sql_exists" -> sqlExists,
     "q54_hash_split" -> hashSplit
   )
@@ -604,6 +662,40 @@ object MiscQueries {
         |  octet_length(encode(text)) AS n_bytes,
         |  (octet_length(encode(text)) + 255) // 256 AS n_chunks
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q80_udtf_shingles" ->
+      s"""WITH prep AS (SELECT doc_id,
+         |        ${TextQueriesSqlFragments.normSql} AS norm,
+         |        string_split(${TextQueriesSqlFragments.normSql}, ' ') AS toks
+         |      FROM documents),
+         |sh AS (SELECT doc_id,
+         |         unnest(${TextQueriesSqlFragments.shinglesSql}) AS sh
+         |       FROM prep),
+         |i AS (SELECT doc_id,
+         |        ${graft.functions.PortableHash.sqlH32("sh")} AS h FROM sh)
+         |SELECT doc_id, COUNT(DISTINCT h) AS n_shingles,
+         |  MIN(h) AS min_h, MAX(h) AS max_h
+         |FROM i GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm05_media_phash" -> {
+      val bit = (0 until 64)
+        .map { i =>
+          s"""(CASE WHEN ascii(substr(text, 1 + ($i*(L-1))//64, 1))
+             |  < ascii(substr(text, 1 + (${i + 1}*(L-1))//64, 1))
+             |  THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)""".stripMargin
+        }
+        .mkString("(", " + ", ")")
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS L
+         |           FROM documents),
+         |p AS (SELECT doc_id AS media_id,
+         |        ['jpeg','png','webp'][CAST(doc_id % 3 AS INT) + 1] AS format,
+         |        $bit AS phash
+         |      FROM t)
+         |SELECT media_id, format, phash,
+         |  (phash >> 0) & 65535 AS band0,
+         |  (phash >> 16) & 65535 AS band1,
+         |  (phash >> 32) & 65535 AS band2,
+         |  (phash >> 48) & 65535 AS band3
+         |FROM p ORDER BY media_id""".stripMargin
+    },
     "mm03_decode_stats" ->
       """WITH h AS (SELECT doc_id AS media_id,
         |             CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -41,6 +41,14 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(r.getLong(0) === plans.TextSketches.simHash32("hello world"))
       assert(r.getDouble(3) === 1.0)
       assert(r.getInt(2) > 0)
+      // the UDTF arrives through the same install path
+      val nShingles = s2
+        .sql(
+          """SELECT h FROM (SELECT 'hello world there friend' AS t)
+            |LATERAL VIEW graft_shingle_explode(t) g AS h""".stripMargin
+        )
+        .count()
+      assert(nShingles === 2L) // 4 tokens -> 2 distinct 3-shingles
       // do NOT s2.stop(): it shares the JVM-wide SparkContext
     } finally {
       ClassicSession.setDefaultSession(shared)

@@ -63,7 +63,12 @@ class DeterminismSpec extends SparkSpec {
     "text26_gopher_rules",
     "text27_ccnet_buckets",
     "text28_quality_classifier",
-    "q79_hll_distinct"
+    "q79_hll_distinct",
+    // round-8: bottom-k sketches are pure set functions; the dHash
+    // sketch and the UDTF aggregate are map-side-deterministic
+    "dedup25_kmv_overlap",
+    "mm05_media_phash",
+    "q80_udtf_shingles"
   )
 
   test("partitioning never changes the result rows") {
