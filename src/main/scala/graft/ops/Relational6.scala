@@ -225,6 +225,43 @@ object Relational6 {
       .orderBy("event_id")
   }
 
+  /** Nearest as-of through the native operator (pandas
+    * `merge_asof(direction='nearest')`): each signup matched to the
+    * user's closest purchase in EITHER direction by |Δt|, ties to the
+    * backward side — "which transaction is this signup really about".
+    * Same single merge pass and O(1) state as backward/forward (the
+    * two candidates are the buffered row and the stream head the
+    * directional modes already hold); long-µs time columns per the
+    * integral-distance contract.
+    */
+  private val asofNearest: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val signups = ev
+      .filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("s_us"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+    graft.plans.AsOfJoin
+      .joinAsOf(
+        signups,
+        purchases,
+        Seq("user_id"),
+        Seq("p_user"),
+        "s_us",
+        "p_us",
+        nearest = true
+      )
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("s_us").as("signup_us"),
+        col("p_us").as("nearest_purchase_us"),
+        abs(col("p_us") - col("s_us")).as("gap_us")
+      )
+      .orderBy("event_id")
+  }
+
   /** percentile_approx sanity-checked against the exact percentile —
     * the sketch that replaces q33's per-group sort at 100 TB; the
     * oracle pins the exact values and the within-tolerance flags.
@@ -290,6 +327,7 @@ object Relational6 {
   val queries: Map[String, Q] = Map(
     "q52_asof_tolerance" -> asofTolerance,
     "q50_asof_forward" -> asofForward,
+    "q81_asof_nearest" -> asofNearest,
     "q51_percentile_approx" -> approxPercentile,
     "q48_date_spine" -> dateSpine,
     "q49_first_last" -> firstLast,
@@ -314,6 +352,35 @@ object Relational6 {
         |  AND epoch_us(p.ts) - epoch_us(s.ts) <= 1800 * 1000000
         |GROUP BY p.event_id, p.user_id, epoch_us(p.ts), p.value
         |ORDER BY 1""".stripMargin,
+    // nearest = pick the closer of the backward max and forward min,
+    // ties backward; a dist-0 purchase sorting after its signup is
+    // attributed forward here and backward natively — same time VALUE
+    // either way, and only times are output (see operator docstring)
+    "q81_asof_nearest" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |    max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS back_us,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS fwd_us
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'signup'))
+        |SELECT event_id, user_id, us AS signup_us,
+        |  CASE WHEN back_us IS NULL THEN fwd_us
+        |       WHEN fwd_us IS NULL THEN back_us
+        |       WHEN us - back_us <= fwd_us - us THEN back_us
+        |       ELSE fwd_us END AS nearest_purchase_us,
+        |  abs(CASE WHEN back_us IS NULL THEN fwd_us
+        |           WHEN fwd_us IS NULL THEN back_us
+        |           WHEN us - back_us <= fwd_us - us THEN back_us
+        |           ELSE fwd_us END - us) AS gap_us
+        |FROM w
+        |WHERE event_type = 'signup'
+        |ORDER BY event_id""".stripMargin,
     "q50_asof_forward" ->
       """SELECT event_id, user_id, epoch_us(ts) AS signup_us,
         |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)

@@ -81,6 +81,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * (the "next event after" lookup), same merge pass with the
   * candidate buffer replaced by the current right head.
   *
+  * `nearest = true` (pandas `merge_asof(direction='nearest')`) keeps
+  * BOTH the backward candidate and the forward head live in the same
+  * single pass and picks the smaller |t − rt|, ties to the backward
+  * side — still O(1) state: the two candidates are exactly the one
+  * buffered row and the stream head the directional modes already
+  * hold. Requires a long-backed time column (the distance compare is
+  * integral); combine with `tolerance` to bound the gap on both
+  * sides.
+  *
   * `tolerance` (Some(maxGap), in the time column's native integral
   * units — µs for TimestampType) bounds the match: backward requires
   * t − rt ≤ maxGap, forward rt − t ≤ maxGap — pandas/Polars'
@@ -96,7 +105,8 @@ case class AsOfJoinPlan(
     rightTime: Expression,
     forward: Boolean = false,
     tolerance: Option[Long] = None,
-    inner: Boolean = false
+    inner: Boolean = false,
+    nearest: Boolean = false
 ) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -108,8 +118,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, tol, inner) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol, inner) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, tol, inner, nearest) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol, inner, nearest) :: Nil
     case _ => Nil
   }
 }
@@ -123,7 +133,8 @@ case class AsOfJoinExec(
     rightTime: Expression,
     forward: Boolean = false,
     tolerance: Option[Long] = None,
-    inner: Boolean = false
+    inner: Boolean = false,
+    nearest: Boolean = false
 ) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -169,6 +180,7 @@ case class AsOfJoinExec(
     val rWidth = rOut.size
     val fwd = forward
     val innr = inner
+    val nrst = nearest
     // -1 = unbounded; tolerance requires a long-backed time type
     // (Long / Timestamp-µs), validated in joinAsOf
     val tolLimit = tolerance.getOrElse(-1L)
@@ -229,6 +241,31 @@ case class AsOfJoinExec(
                 rHead != null && cmp == 0 &&
                 (tolLimit < 0 || rHeadTime.getLong(0) - lTime.getLong(0) <= tolLimit)
               ) matched = rHead
+            } else if (nrst) {
+              // same consume loop as backward; the head left standing
+              // is the forward candidate, and both distances are
+              // integral (joinAsOf requires a long-backed time here)
+              while (
+                rHead != null &&
+                (cmp < 0 || (cmp == 0 && timeOrd.compare(rHeadTime, lTime) <= 0))
+              ) {
+                if (cmp == 0) { cand = rHead; candKey = rHeadKey; candTime = rHeadTime }
+                advanceRight()
+                cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lKey)
+              }
+              val backDist =
+                if (cand != null && keyOrd.compare(candKey, lKey) == 0) {
+                  val d = lTime.getLong(0) - candTime.getLong(0)
+                  if (tolLimit < 0 || d <= tolLimit) d else -1L
+                } else -1L
+              val fwdDist =
+                if (rHead != null && cmp == 0) {
+                  val d = rHeadTime.getLong(0) - lTime.getLong(0)
+                  if (tolLimit < 0 || d <= tolLimit) d else -1L
+                } else -1L
+              if (backDist >= 0 && (fwdDist < 0 || backDist <= fwdDist))
+                matched = cand
+              else if (fwdDist >= 0) matched = rHead
             } else {
               while (
                 rHead != null &&
@@ -300,8 +337,10 @@ object AsOfJoin {
       rightTimeCol: String,
       forward: Boolean = false,
       tolerance: Option[Long] = None,
-      inner: Boolean = false
+      inner: Boolean = false,
+      nearest: Boolean = false
   ): DataFrame = {
+    require(!(forward && nearest), "pick ONE direction: forward or nearest")
     val spark = classicDf(left).sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -345,7 +384,7 @@ object AsOfJoin {
 
     val lTime = pick(lPlan.output, leftTimeCol)
     val rTime = pick(rOut, rightTimeCol)
-    if (tolerance.isDefined) {
+    if (tolerance.isDefined || nearest) {
       import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
       val ok = Set[org.apache.spark.sql.types.DataType](
         LongType,
@@ -354,7 +393,7 @@ object AsOfJoin {
       )
       require(
         ok.contains(lTime.dataType) && ok.contains(rTime.dataType),
-        s"tolerance requires a long-backed time column (long/timestamp), got " +
+        s"tolerance/nearest requires a long-backed time column (long/timestamp), got " +
           s"${lTime.dataType.simpleString}/${rTime.dataType.simpleString}"
       )
     }
@@ -368,7 +407,8 @@ object AsOfJoin {
       rTime,
       forward,
       tolerance,
-      inner
+      inner,
+      nearest
     )
     org.apache.spark.sql.graftshim.GraftSqlShims.ofRows(spark, node)
   }

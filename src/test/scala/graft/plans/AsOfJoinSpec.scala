@@ -94,6 +94,90 @@ class AsOfJoinSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("nearest as-of matches the naive per-key reference (randomized)") {
+    val genLeft = Gen.listOfN(
+      100,
+      for {
+        k <- Gen.choose(0L, 8L)
+        t <- Gen.choose(0L, 40L)
+      } yield (k, t)
+    )
+    val genRight = Gen
+      .listOfN(
+        70,
+        for {
+          k <- Gen.choose(0L, 10L)
+          t <- Gen.choose(0L, 40L)
+        } yield (k, t)
+      )
+      .map(_.distinct)
+    val genTol = Gen.oneOf(None, Some(3L), Some(10L))
+    val prop = Prop.forAll(genLeft, genRight, genTol) { (ls, rs, tol) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = rs.toDF("rk", "rt")
+      val got = AsOfJoin
+        .joinAsOf(
+          left,
+          right,
+          Seq("k"),
+          Seq("rk"),
+          "t",
+          "rt",
+          nearest = true,
+          tolerance = tol
+        )
+        .select(col("lid"), col("rt"))
+        .collect()
+        .map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+        )
+        .toMap
+      val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+        val inTol = (d: Long) => tol.forall(d <= _)
+        val back = rs.collect {
+          case (rk, rt) if rk == k && rt <= t && inTol(t - rt) => rt
+        }.maxOption
+        val fwd = rs.collect {
+          case (rk, rt) if rk == k && rt >= t && inTol(rt - t) => rt
+        }.minOption
+        val pick = (back, fwd) match {
+          case (Some(b), Some(f)) => Some(if (t - b <= f - t) b else f)
+          case (b, f)             => b.orElse(f)
+        }
+        (i.toLong, pick)
+      }.toMap
+      got == expected
+    }
+    val res =
+      SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("nearest requires a long-backed time column and excludes forward") {
+    val left = Seq((1L, 1L)).toDF("k", "t")
+    val right = Seq((1L, 1L)).toDF("rk", "rt")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.joinAsOf(
+        left,
+        right,
+        Seq("k"),
+        Seq("rk"),
+        "t",
+        "rt",
+        forward = true,
+        nearest = true
+      )
+    }
+    val lDate = Seq((1L, java.sql.Date.valueOf("2024-01-01"))).toDF("k", "t")
+    val rDate = Seq((1L, java.sql.Date.valueOf("2024-01-01"))).toDF("rk", "rt")
+    intercept[IllegalArgumentException] {
+      AsOfJoin
+        .joinAsOf(lDate, rDate, Seq("k"), Seq("rk"), "t", "rt", nearest = true)
+    }
+  }
+
   test("tolerance + inner match the naive per-key reference (randomized)") {
     val genLeft = Gen.listOfN(
       100,
