@@ -303,7 +303,16 @@ object StreamQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** stream12: the late-data quarantine's deterministic replay face —
+    * see [[graft.streaming.StreamLateQuarantine]] (no-silent-drop
+    * watermark discipline; the live foreachBatch runner is proved
+    * equal to this in StreamLateQuarantineSpec).
+    */
+  private val lateQuarantine: Q = (s, dir) =>
+    graft.streaming.StreamLateQuarantine.quarantined(Tables(s, dir).events)
+
   val queries: Map[String, Q] = Map(
+    "stream12_late_quarantine" -> lateQuarantine,
     "cdc12_neardup_maintain" -> neardupMaintain,
     "stream10_exact_dedup" -> exactDedupIngest,
     "stream09_funnel" -> funnelIngest,
@@ -323,6 +332,28 @@ object StreamQueries {
     * hops); make_timestamp keeps the naive-UTC type.
     */
   val oracle: Map[String, String] = Map(
+    "stream12_late_quarantine" -> {
+      import graft.streaming.StreamLateQuarantine.{DELAY_US, JITTER_US, SPAN_US}
+      val h = graft.functions.PortableHash.sqlH32("CAST(event_id AS VARCHAR)")
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+         |        epoch_us(ts) + ($h % CAST($JITTER_US AS BIGINT)) AS arr
+         |      FROM events),
+         |mn AS (SELECT min(arr) AS m FROM e),
+         |b AS (SELECT event_id, user_id, us,
+         |        (arr - m) // CAST($SPAN_US AS BIGINT) AS batch
+         |      FROM e, mn),
+         |bm AS (SELECT batch, max(us) AS bmax FROM b GROUP BY batch),
+         |wm AS (SELECT batch,
+         |         max(bmax) OVER (ORDER BY batch
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           - CAST($DELAY_US AS BIGINT) AS wm
+         |       FROM bm)
+         |SELECT event_id, user_id, us AS ts_us, batch,
+         |  wm - us AS lateness_us
+         |FROM b JOIN wm USING (batch)
+         |WHERE wm IS NOT NULL AND us < wm
+         |ORDER BY event_id""".stripMargin
+    },
     // the oracle states the SPEC: batch candidate pairs over exactly
     // the LIVE docs (insert − delete + re-insert), which the
     // incremental band-state + liveness-filter composition must equal

@@ -68,7 +68,9 @@ class DeterminismSpec extends SparkSpec {
     // sketch and the UDTF aggregate are map-side-deterministic
     "dedup25_kmv_overlap",
     "mm05_media_phash",
-    "q80_udtf_shingles"
+    "q80_udtf_shingles",
+    "q81_asof_nearest",
+    "stream12_late_quarantine"
   )
 
   test("partitioning never changes the result rows") {
