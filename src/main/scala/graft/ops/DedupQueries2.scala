@@ -331,7 +331,57 @@ object DedupQueries2 {
       .orderBy("source_a", "source_b")
   }
 
+  /** Hop cap for dedup26. Termination comes from the `lvl < KHOP`
+    * guard — Spark 4.1's recursive CTEs support UNION ALL only
+    * (`UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE`), so the unbounded
+    * fixpoint form stays with the native iterative operators
+    * (dedup06/08); bounded-depth expansion is exactly what recursive
+    * SQL does support, in both engines, with identical text.
+    */
+  private[ops] val KHOP = 3
+
+  /** dedup26: k-hop duplicate neighborhood via a RECURSIVE CTE on the
+    * SQL surface (Spark 4.1 `WITH RECURSIVE` → `UnionLoop`): for each
+    * document, how many distinct documents its confirmed near-dup
+    * edges reach within ≤ 3 hops, and how many paths get there — the
+    * "how far does this template spread" QA metric next to dedup19's
+    * clustering coefficient (1-hop) and dedup20's k-core (global),
+    * and the library's demonstration that the recursive-SQL surface
+    * is available for users who write it.
+    *
+    * Shape at scale: each recursion level is one equi-join of the
+    * frontier against the edge list plus the level guard — the same
+    * per-round cost as the native iterative operators, but WITHOUT
+    * their lineage-cut/checkpoint discipline (UnionLoop re-derives
+    * the loop internally) and with path-multiplicity growth in dense
+    * clusters; the depth cap bounds both. Unbounded closure stays
+    * with dedup06/08.
+    */
+  private val khopNeighborhood: Q = (s, dir) => {
+    val e = DedupQueries
+      .minhashVerified(s, dir)
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    e.unionByName(e.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .createOrReplaceTempView("khop_edges")
+    docs(s, dir).select(col("doc_id")).createOrReplaceTempView("khop_docs")
+    s.sql(s"""
+      WITH RECURSIVE hop(id, start, lvl) AS (
+        SELECT doc_id, doc_id, 0 FROM khop_docs
+        UNION ALL
+        SELECT e.id_b, h.start, h.lvl + 1
+        FROM hop h JOIN khop_edges e ON e.id_a = h.id
+        WHERE h.lvl < $KHOP
+      )
+      SELECT start AS doc_id,
+        CAST(COUNT(DISTINCT id) - 1 AS BIGINT) AS n_within_k,
+        CAST(COUNT(*) - 1 AS BIGINT) AS n_paths_k
+      FROM hop GROUP BY start ORDER BY doc_id
+    """)
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup26_khop_recursive" -> khopNeighborhood,
     "dedup21_substring_spans" -> substringSpans,
     "dedup22_pagerank" -> pagerank,
     "dedup23_lsh_curve" -> lshCurve,
@@ -343,6 +393,20 @@ object DedupQueries2 {
   private val minhashVerifiedOracle = DedupQueries.minhashVerifiedOracle
 
   val oracle: Map[String, String] = Map(
+    "dedup26_khop_recursive" ->
+      s"""WITH RECURSIVE mh AS MATERIALIZED ($minhashVerifiedOracle),
+         |e AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5
+         |      UNION ALL SELECT id_b, id_a FROM mh WHERE jac >= 0.5),
+         |hop(id, start, lvl) AS (
+         |  SELECT doc_id, doc_id, 0 FROM documents
+         |  UNION ALL
+         |  SELECT e.id_b, h.start, h.lvl + 1
+         |  FROM hop h JOIN e ON e.id_a = h.id
+         |  WHERE h.lvl < $KHOP)
+         |SELECT start AS doc_id,
+         |  CAST(COUNT(DISTINCT id) - 1 AS BIGINT) AS n_within_k,
+         |  CAST(COUNT(*) - 1 AS BIGINT) AS n_paths_k
+         |FROM hop GROUP BY start ORDER BY doc_id""".stripMargin,
     "dedup25_kmv_overlap" ->
       s"""WITH prep AS (SELECT doc_id, source, $normSql AS norm,
          |        string_split($normSql, ' ') AS toks FROM documents),

@@ -70,7 +70,8 @@ class DeterminismSpec extends SparkSpec {
     "mm05_media_phash",
     "q80_udtf_shingles",
     "q81_asof_nearest",
-    "stream12_late_quarantine"
+    "stream12_late_quarantine",
+    "dedup26_khop_recursive"
   )
 
   test("partitioning never changes the result rows") {
