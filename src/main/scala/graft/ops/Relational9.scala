@@ -252,10 +252,137 @@ object Relational9 {
     "q76_salted_join" -> saltedJoin,
     "q77_sessionize" -> sessionize,
     "q78_rolling_active" -> rollingActive,
-    "q79_hll_distinct" -> hllDistinct
+    "q79_hll_distinct" -> hllDistinct,
+    "q82_interval_overlap" -> intervalOverlap
   )
 
+  /** Attribution lookback for q82's right-side intervals (2 h before
+    * each purchase) and the expansion bucket width (1 h). Expansion
+    * factor per interval = length/width + 1, so both are a handful of
+    * buckets at these constants.
+    */
+  private[ops] val ATTR_US = 2L * 3600 * 1000000
+  private[ops] val IVW_US = 1L * 3600 * 1000000
+
+  /** q82: interval-OVERLAP join — both sides are interval sets (q73
+    * joins points to intervals): the user's gap sessions (q77's exact
+    * session build, shared constants) against per-purchase
+    * attribution windows [ts − 2 h, ts], "which sessions overlap
+    * which purchase's attribution window". The non-equi overlap
+    * predicate `s_start ≤ p_end AND p_start ≤ s_end` would plan as a
+    * nested loop; bucketing BOTH interval sets into width-W cells
+    * turns it into a shuffle equi-join on (user_id, cell).
+    *
+    * Exactly-once without a pair-distinct: a pair overlapping k
+    * shared cells would emit k times; instead of `DISTINCT` (a second
+    * full shuffle of the candidate set) each pair is claimed ONLY by
+    * the cell containing the overlap's left edge,
+    * `greatest(s_start, p_start) div W` — that cell is covered by
+    * both intervals by construction, so each true pair survives in
+    * exactly one copy, map-side (the dedup09 single-membership
+    * discipline generalized to intervals).
+    *
+    * Shape at scale: expansion factor is interval_length/W + 1
+    * (bounded by the session gap and the lookback); join keys
+    * (user_id, cell) are dense and time-uniform; the overlap verify
+    * and ownership filters run on candidates only. No BNLJ anywhere
+    * — plan-asserted in PlanBudgetSpec.
+    */
+  // def: referenced by the queries map ABOVE its definition — a val
+  // here would still be null when the map initializes
+  private def intervalOverlap: Q = (s, dir) => {
+    val byUser =
+      Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val ev = Tables(s, dir).events
+      .select(
+        col("user_id"),
+        col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_type")
+      )
+    val sess = ev
+      .withColumn(
+        "__new",
+        when(col("us") - lag(col("us"), 1).over(byUser) >= GAP_US, 1L)
+          .otherwise(lit(0L))
+      )
+      .withColumn(
+        "session_idx",
+        sum(col("__new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+      )
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+    val promos = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        (col("us") - ATTR_US).as("p_start"),
+        col("us").as("p_end")
+      )
+    val lExp = sess.withColumn(
+      "__cell",
+      explode(sequence(
+        expr(s"s_start div ${IVW_US}L"),
+        expr(s"s_end div ${IVW_US}L")
+      ))
+    )
+    val rExp = promos.withColumn(
+      "__cell",
+      explode(sequence(
+        expr(s"p_start div ${IVW_US}L"),
+        expr(s"p_end div ${IVW_US}L")
+      ))
+    )
+    lExp
+      .join(rExp, Seq("user_id", "__cell"))
+      .filter(col("s_start") <= col("p_end") && col("p_start") <= col("s_end"))
+      .filter(col("__cell") === expr(s"greatest(s_start, p_start) div ${IVW_US}L"))
+      .select(
+        col("user_id"),
+        col("session_idx"),
+        col("purchase_id"),
+        (least(col("s_end"), col("p_end")) -
+          greatest(col("s_start"), col("p_start"))).as("overlap_us")
+      )
+      .orderBy("user_id", "session_idx", "purchase_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    // plain inequality join over the same session/window CTEs — the
+    // bucket-expansion rewrite must change nothing
+    "q82_interval_overlap" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, event_id, us,
+         |    CASE WHEN us - lag(us) OVER w >= $GAP_US THEN 1 ELSE 0 END
+         |      AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |x AS (
+         |  SELECT user_id, us,
+         |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         |  FROM m),
+         |sess AS (
+         |  SELECT user_id, session_idx, MIN(us) AS s_start,
+         |    MAX(us) AS s_end
+         |  FROM x GROUP BY user_id, session_idx),
+         |promos AS (
+         |  SELECT user_id, event_id AS purchase_id,
+         |    us - $ATTR_US AS p_start, us AS p_end
+         |  FROM e WHERE event_type = 'purchase')
+         |SELECT s.user_id, s.session_idx, p.purchase_id,
+         |  least(s.s_end, p.p_end) - greatest(s.s_start, p.p_start)
+         |    AS overlap_us
+         |FROM sess s JOIN promos p
+         |  ON s.user_id = p.user_id
+         | AND s.s_start <= p.p_end AND p.p_start <= s.s_end
+         |ORDER BY s.user_id, s.session_idx, p.purchase_id""".stripMargin,
     // the UNSALTED plain join: the oracle proves the salt rewrite
     // changes nothing
     "q76_salted_join" ->

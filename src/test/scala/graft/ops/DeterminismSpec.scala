@@ -71,7 +71,8 @@ class DeterminismSpec extends SparkSpec {
     "q80_udtf_shingles",
     "q81_asof_nearest",
     "stream12_late_quarantine",
-    "dedup26_khop_recursive"
+    "dedup26_khop_recursive",
+    "q82_interval_overlap"
   )
 
   test("partitioning never changes the result rows") {

@@ -251,6 +251,15 @@ class PlanBudgetSpec extends SparkSpec {
     assert(s <= 2, s"q77 shuffles=$s")
   }
 
+  test("q82 interval overlap: equi-join on cells, never a nested loop") {
+    val df = run("q82_interval_overlap")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"nested loop in plan:\n$plan")
+    // session exchange (user_id) + cell-join exchanges + display sort
+    val (s, _) = exchanges(df)
+    assert(s <= 4, s"q82 shuffles=$s")
+  }
+
   test("dedup21 substring spans: hash-only wire, bounded exchanges") {
     val (s, _) = exchanges(run("dedup21_substring_spans"))
     assert(s <= 5, s"dedup21 shuffles=$s")

@@ -46,6 +46,22 @@ def compare(name, spark_df, oracle_df):
     exact = True
     approx = True
     detail = []
+    # The driver hashes VALUES as rendered by pandas, so an integral
+    # Spark column against a float-rendered oracle column (DuckDB
+    # HUGEINT/DOUBLE -> float64) hash-mismatches even when every value
+    # is numerically equal (23 vs 23.0). The float-tolerant branch
+    # below would hide exactly that, so flag the dtype split first.
+    for c in a.columns:
+        ai = pd.api.types.is_integer_dtype(a[c])
+        bi = pd.api.types.is_integer_dtype(b[c])
+        af = pd.api.types.is_float_dtype(a[c])
+        bf = pd.api.types.is_float_dtype(b[c])
+        if (ai and bf) or (af and bi):
+            return (
+                f"DTYPE SPLIT col {c}: spark={a[c].dtype} oracle={b[c].dtype}"
+                " (driver hashes 23 vs 23.0 as different — CAST the oracle"
+                " column to BIGINT or the Spark column to double)"
+            )
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
@@ -114,6 +130,18 @@ def main():
             print(f"  [no-oracle] {name}: {len(spark_df)} rows")
             continue
         try:
+            # HUGEINT lint: DuckDB windowed/plain SUM(BIGINT) widens to
+            # HUGEINT, which pandas renders float64 — the driver then
+            # hashes 23.0 vs Spark's 23 (bit text10_pack in r4 and
+            # text01 before it). No Spark type maps to HUGEINT, so any
+            # occurrence is an oracle bug: CAST it.
+            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            huge = [d[0] for d in desc if "HUGEINT" in str(d[1]).upper()]
+            if huge:
+                n_fail += 1
+                print(f"  [FAIL] {name}: oracle emits HUGEINT col(s) {huge}"
+                      " — CAST(... AS BIGINT) in the oracle SQL")
+                continue
             oracle_df = con.execute(oracles[name]).df()
         except Exception as e:
             n_fail += 1
