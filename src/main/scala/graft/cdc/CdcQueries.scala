@@ -295,7 +295,7 @@ object CdcQueries {
     "cdc08_agg_maintain" -> aggMaintain
   )
 
-  private val latestSql =
+  private[graft] val latestSql =
     """SELECT user_id AS id, event_type AS content, value
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
       |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)

@@ -303,6 +303,18 @@ object StreamQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** cdc13: incremental materialized JOIN-view maintenance — replay
+    * the fixture change log in 5 seq-sliced micro-batches through
+    * [[graft.streaming.StreamJoinMaintain]]'s delta-join algebra; the
+    * maintained `live state ⋈ group count` view must equal the batch
+    * recompute (the oracle's plain join). The reversed-slice replay
+    * and the touched-rows bound are pinned in StreamJoinMaintainSpec.
+    */
+  private val joinMaintain: Q = (s, dir) =>
+    graft.streaming.StreamJoinMaintain
+      .replay(graft.cdc.CdcQueries.changeLog(s, dir))
+      .orderBy("id")
+
   /** stream12: the late-data quarantine's deterministic replay face —
     * see [[graft.streaming.StreamLateQuarantine]] (no-silent-drop
     * watermark discipline; the live foreachBatch runner is proved
@@ -314,6 +326,7 @@ object StreamQueries {
   val queries: Map[String, Q] = Map(
     "stream12_late_quarantine" -> lateQuarantine,
     "cdc12_neardup_maintain" -> neardupMaintain,
+    "cdc13_join_maintain" -> joinMaintain,
     "stream10_exact_dedup" -> exactDedupIngest,
     "stream09_funnel" -> funnelIngest,
     "stream08_agg_maintain" -> aggMaintainIngest,
@@ -370,6 +383,14 @@ object StreamQueries {
          |SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fp
          |FROM f GROUP BY fp ORDER BY doc_id""".stripMargin
     },
+    // the oracle RECOMPUTES the join from scratch — passing means the
+    // incremental delta-join path ≡ full `state ⋈ group count` rejoin
+    "cdc13_join_maintain" ->
+      s"""WITH s AS (${graft.cdc.CdcQueries.latestSql})
+         |SELECT s.id, s.content, s.value, g.group_n
+         |FROM s JOIN (SELECT content, CAST(COUNT(*) AS BIGINT) AS group_n
+         |             FROM s GROUP BY content) g USING (content)
+         |ORDER BY s.id""".stripMargin,
     // the maintained view must land on the batch recompute exactly
     "stream08_agg_maintain" ->
       graft.cdc.CdcQueries.oracle("cdc08_agg_maintain"),

@@ -72,7 +72,8 @@ class DeterminismSpec extends SparkSpec {
     "q81_asof_nearest",
     "stream12_late_quarantine",
     "dedup26_khop_recursive",
-    "q82_interval_overlap"
+    "q82_interval_overlap",
+    "cdc13_join_maintain"
   )
 
   test("partitioning never changes the result rows") {
