@@ -253,8 +253,100 @@ object Relational9 {
     "q77_sessionize" -> sessionize,
     "q78_rolling_active" -> rollingActive,
     "q79_hll_distinct" -> hllDistinct,
-    "q82_interval_overlap" -> intervalOverlap
+    "q82_interval_overlap" -> intervalOverlap,
+    "q83_interpolate" -> interpolate
   )
+
+  /** Grid step for q83's resample: daily (µs). */
+  private[ops] val GRID_US = 86400L * 1000000
+
+  /** q83: time-series grid resample with linear interpolation — the
+    * gap-fill/alignment pass every feature pipeline runs before
+    * modeling (align irregular observations onto a fixed grid). Per
+    * user: daily grid points spanning [ceil(min_us/D)·D,
+    * floor(max_us/D)·D], each valued by linear interpolation between
+    * the surrounding observations.
+    *
+    * Shape: NO joins. Observations are deduped per (user, us)
+    * (latest event_id wins), per-user bounds come from an unbounded
+    * min/max window (not an agg + re-join), the grid is exploded from
+    * the one rn=1 row per user, and prev/next anchors are two
+    * ignoreNulls window passes over the obs ∪ grid union — all on the
+    * SAME user_id partitioning, so Catalyst reuses one exchange for
+    * every pass (asserted in PlanBudgetSpec). Grid rows per user are
+    * bounded by span/D; state per window pass is O(1).
+    *
+    * Tie discipline: obs sort BEFORE the grid point at the same us,
+    * so `prev` sees an exactly-coincident observation (fraction = 0 →
+    * its value) and `next` is always STRICTLY after the grid point —
+    * mirrored in the oracle by `us > t`. A grid point at the user's
+    * last observation has no next → takes prev's value. Interpolation
+    * arithmetic is written identically on both sides (same IEEE
+    * double ops, same order).
+    */
+  private def interpolate: Q = (s, dir) => {
+    val byUserTime = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("is_grid"))
+    // dedup per (user, us) WITHOUT a (user, us)-keyed window: in
+    // (us asc, event_id desc) order the first row of each us-run is
+    // the max-event_id winner — a lag() on the user partitioning, so
+    // every window below shares ONE exchange
+    val dedupW = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id").desc)
+    val obs = Tables(s, dir).events
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("value"),
+        col("event_id")
+      )
+      .withColumn("__prev_us", lag(col("us"), 1).over(dedupW))
+      .filter(col("__prev_us").isNull || col("__prev_us") =!= col("us"))
+      .drop("__prev_us", "event_id")
+    val withBounds = obs
+      .withColumn("__lo", expr(s"((min(us) OVER (PARTITION BY user_id) + ${GRID_US - 1}L) div ${GRID_US}L) * ${GRID_US}L"))
+      .withColumn("__hi", expr(s"(max(us) OVER (PARTITION BY user_id) div ${GRID_US}L) * ${GRID_US}L"))
+      .withColumn(
+        "__first",
+        row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("us"))) === 1
+      )
+    val grid = withBounds
+      .filter(col("__first") && col("__lo") <= col("__hi"))
+      .select(
+        col("user_id"),
+        explode(sequence(col("__lo"), col("__hi"), lit(GRID_US))).as("us"),
+        lit(null).cast("double").as("value"),
+        lit(1).as("is_grid")
+      )
+    val unioned = withBounds
+      .select(col("user_id"), col("us"), col("value"), lit(0).as("is_grid"))
+      .unionByName(grid)
+    val prevW = byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nextW = byUserTime.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsUs = when(col("is_grid") === 0, col("us"))
+    val obsV = when(col("is_grid") === 0, col("value"))
+    unioned
+      .withColumn("__pv", last(obsV, ignoreNulls = true).over(prevW))
+      .withColumn("__pu", last(obsUs, ignoreNulls = true).over(prevW))
+      .withColumn("__nv", first(obsV, ignoreNulls = true).over(nextW))
+      .withColumn("__nu", first(obsUs, ignoreNulls = true).over(nextW))
+      .filter(col("is_grid") === 1)
+      .select(
+        col("user_id"),
+        col("us").as("grid_us"),
+        when(col("__nu").isNull, col("__pv"))
+          .otherwise(
+            col("__pv") + (col("__nv") - col("__pv")) *
+              ((col("us") - col("__pu")).cast("double") /
+                (col("__nu") - col("__pu")).cast("double"))
+          )
+          .as("value_interp")
+      )
+      .orderBy("user_id", "grid_us")
+  }
 
   /** Attribution lookback for q82's right-side intervals (2 h before
     * each purchase) and the expansion bucket width (1 h). Expansion
@@ -351,6 +443,39 @@ object Relational9 {
   }
 
   val oracle: Map[String, String] = Map(
+    // the oracle finds each grid point's anchors by plain min/max
+    // inequality joins — the single-pass window formulation must land
+    // on the same anchors and the same IEEE arithmetic
+    "q83_interpolate" ->
+      s"""WITH o0 AS (
+         |  SELECT user_id, epoch_us(ts) AS us, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+         |      ORDER BY event_id DESC) AS rn
+         |  FROM events),
+         |o AS (SELECT user_id, us, value FROM o0 WHERE rn = 1),
+         |b AS (SELECT user_id,
+         |        ((MIN(us) + ${GRID_US - 1}) // $GRID_US) * $GRID_US AS lo,
+         |        (MAX(us) // $GRID_US) * $GRID_US AS hi
+         |      FROM o GROUP BY user_id),
+         |g AS (SELECT user_id,
+         |        unnest(generate_series(lo, hi, $GRID_US)) AS t
+         |      FROM b WHERE lo <= hi),
+         |p AS (SELECT g.user_id, g.t, MAX(o.us) AS pu
+         |      FROM g JOIN o ON o.user_id = g.user_id AND o.us <= g.t
+         |      GROUP BY g.user_id, g.t),
+         |n AS (SELECT g.user_id, g.t, MIN(o.us) AS nu
+         |      FROM g JOIN o ON o.user_id = g.user_id AND o.us > g.t
+         |      GROUP BY g.user_id, g.t)
+         |SELECT p.user_id, p.t AS grid_us,
+         |  CASE WHEN n.nu IS NULL THEN po.value
+         |       ELSE po.value + (no.value - po.value) *
+         |         (CAST(p.t - p.pu AS DOUBLE) / CAST(n.nu - p.pu AS DOUBLE))
+         |  END AS value_interp
+         |FROM p
+         |LEFT JOIN n ON n.user_id = p.user_id AND n.t = p.t
+         |JOIN o po ON po.user_id = p.user_id AND po.us = p.pu
+         |LEFT JOIN o no ON no.user_id = n.user_id AND no.us = n.nu
+         |ORDER BY p.user_id, grid_us""".stripMargin,
     // plain inequality join over the same session/window CTEs — the
     // bucket-expansion rewrite must change nothing
     "q82_interval_overlap" ->

@@ -73,7 +73,8 @@ class DeterminismSpec extends SparkSpec {
     "stream12_late_quarantine",
     "dedup26_khop_recursive",
     "q82_interval_overlap",
-    "cdc13_join_maintain"
+    "cdc13_join_maintain",
+    "q83_interpolate"
   )
 
   test("partitioning never changes the result rows") {

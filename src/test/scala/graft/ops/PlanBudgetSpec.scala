@@ -260,6 +260,16 @@ class PlanBudgetSpec extends SparkSpec {
     assert(s <= 4, s"q82 shuffles=$s")
   }
 
+  test("q83 interpolate: join-free, one user partitioning reused") {
+    val df = run("q83_interpolate")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q83 must be join-free:\n$plan")
+    // (user,us) dedup window + user window passes + display sort;
+    // the grid/obs branches both re-sort but hash-partition on user
+    val (s, _) = exchanges(df)
+    assert(s <= 3, s"q83 shuffles=$s")
+  }
+
   test("dedup21 substring spans: hash-only wire, bounded exchanges") {
     val (s, _) = exchanges(run("dedup21_substring_spans"))
     assert(s <= 5, s"dedup21 shuffles=$s")
