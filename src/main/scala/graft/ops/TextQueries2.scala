@@ -438,7 +438,71 @@ object TextQueries2 {
       .orderBy("doc_id")
   }
 
+  /** Fraction of the corpus's total tokens the text29 training mix
+    * may keep — the global budget B = frac · Σ tokens.
+    */
+  private[ops] val WF_FRAC = 0.5
+
+  /** text29: water-filling token-budget allocation across sources —
+    * the capping rule behind balanced training mixes ("no source may
+    * exceed threshold T; surplus redistributes to the rest"): find T
+    * with Σ_i min(size_i, T) = B, allocate each source
+    * min(size_i, T). Closed form on the sorted sizes s_1 ≤ … ≤ s_K
+    * with prefix sums P: for the unique i with T ∈ [s_{i-1}, s_i],
+    * T = (B − P_{i-1}) / (K − i + 1); if B ≥ Σ, nothing is capped.
+    *
+    * Shape at 100 TB: ONE dense groupBy shuffle on source computes the
+    * sizes; everything after runs on K rows (K = source count — tiny
+    * by definition), so the deliberate global-ordered window is a
+    * K-row single partition, and the resulting per-source allocation
+    * is a broadcast-scale table applied map-side by the sampler
+    * (text13's per-source quota admission takes exactly this T as its
+    * quota). All arithmetic is integer until the final T division,
+    * mirrored bit-for-bit in the oracle.
+    */
+  private def waterFill: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = Tables(s, dir).documents
+      .select(col("source"), tokenCount(col("text")).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("sz"))
+    val bySz = Window.orderBy(col("sz"), col("source"))
+    sizes
+      .withColumn("__i", row_number().over(bySz))
+      .withColumn(
+        "__prefix",
+        coalesce(
+          sum(col("sz")).over(bySz.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L))
+      )
+      .withColumn("__prev_sz", coalesce(lag(col("sz"), 1).over(bySz), lit(0L)))
+      .withColumn("__total", expr("sum(sz) OVER ()"))
+      .withColumn("__k", expr("count(*) OVER ()"))
+      .withColumn(
+        "__t_cand",
+        (lit(WF_FRAC) * col("__total").cast("double") -
+          col("__prefix").cast("double")) /
+          (col("__k") - col("__i") + 1).cast("double")
+      )
+      .withColumn(
+        "__t",
+        expr("""min(CASE WHEN CAST(__prev_sz AS DOUBLE) <= __t_cand
+               |         AND __t_cand <= CAST(sz AS DOUBLE)
+               |        THEN __t_cand END) OVER ()""".stripMargin)
+      )
+      .select(
+        col("source"),
+        col("sz").as("n_tokens"),
+        when(col("__t").isNull, col("sz").cast("double"))
+          .otherwise(least(col("sz").cast("double"), col("__t")))
+          .as("alloc")
+      )
+      .withColumn("kept_frac", col("alloc") / col("n_tokens").cast("double"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text29_water_fill" -> waterFill,
     "text28_quality_classifier" -> qualityClassifier,
     "text22_dsir" -> dsir,
     "text23_oov" -> oovRate,
@@ -450,6 +514,38 @@ object TextQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    // same closed form over the sorted sizes; every windowed integer
+    // SUM is pinned to BIGINT (HUGEINT lint) and the T division is
+    // the only float op on both sides
+    "text29_water_fill" ->
+      s"""WITH n AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |sz AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS sz
+         |       FROM n GROUP BY source),
+         |o AS (SELECT source, sz,
+         |        ROW_NUMBER() OVER w AS i,
+         |        CAST(COALESCE(SUM(sz) OVER (ORDER BY sz, source
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS prefix,
+         |        COALESCE(LAG(sz, 1) OVER w, 0) AS prev_sz,
+         |        CAST(SUM(sz) OVER () AS BIGINT) AS total,
+         |        COUNT(*) OVER () AS k
+         |      FROM sz WINDOW w AS (ORDER BY sz, source)),
+         |t AS (SELECT *,
+         |        ($WF_FRAC * CAST(total AS DOUBLE) - CAST(prefix AS DOUBLE))
+         |          / CAST(k - i + 1 AS DOUBLE) AS t_cand
+         |      FROM o),
+         |thr AS (SELECT MIN(CASE WHEN CAST(prev_sz AS DOUBLE) <= t_cand
+         |                     AND t_cand <= CAST(sz AS DOUBLE)
+         |                    THEN t_cand END) AS t
+         |        FROM t)
+         |SELECT source, sz AS n_tokens,
+         |  CASE WHEN thr.t IS NULL THEN CAST(sz AS DOUBLE)
+         |       ELSE least(CAST(sz AS DOUBLE), thr.t) END AS alloc,
+         |  CASE WHEN thr.t IS NULL THEN CAST(sz AS DOUBLE)
+         |       ELSE least(CAST(sz AS DOUBLE), thr.t) END
+         |    / CAST(sz AS DOUBLE) AS kept_frac
+         |FROM sz, thr ORDER BY source""".stripMargin,
     "text28_quality_classifier" -> {
       val wlit = qcWeights.mkString("[", ",", "]")
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),

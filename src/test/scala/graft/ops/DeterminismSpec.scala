@@ -74,7 +74,8 @@ class DeterminismSpec extends SparkSpec {
     "dedup26_khop_recursive",
     "q82_interval_overlap",
     "cdc13_join_maintain",
-    "q83_interpolate"
+    "q83_interpolate",
+    "text29_water_fill"
   )
 
   test("partitioning never changes the result rows") {
