@@ -179,6 +179,88 @@ object MiscQueries {
     * moves only O(k) rows per map partition. Asserted in
     * StratifiedSampleSpec.
     */
+  /** q84's total sample budget. */
+  private[ops] val NEY_N = 100L
+
+  /** q84: Neyman-allocated stratified sample — the variance-optimal
+    * split of a fixed budget n across strata (n_h ∝ N_h·σ_h), the
+    * statistically right way to draw an eval/audit set from a skewed
+    * corpus (big noisy strata get more; small uniform ones less).
+    *
+    * Determinism discipline (why this hash-matches DuckDB):
+    *  - N_h·σ_h = sqrt(N_h·Σy² − (Σy)²) — INTEGER inside the sqrt
+    *    (no two-pass float variance whose accumulation order differs
+    *    by engine; at 100 TB the products need DECIMAL(38) but the
+    *    identity is unchanged), and IEEE sqrt is correctly rounded;
+    *  - weights are quantized to DECIMAL(18,6) so the total W is an
+    *    EXACT order-independent sum (a double Σwt would depend on
+    *    each engine's fold order);
+    *  - integer allocations by largest-remainder apportionment
+    *    (floor + top-r fractional parts), so Σ n_h = n exactly with
+    *    no round-half ambiguity; n_h capped at N_h.
+    *
+    * Shape: one groupBy shuffle for stratum moments, K-row windows
+    * for the apportionment, then q55's per-stratum hash-rank pick
+    * with rk ≤ NEY_N as a LITERAL prefilter — the rank pushes down as
+    * WindowGroupLimit (per-partition bounded heaps) and the dynamic
+    * n_h cut is applied on the ≤ n·K surviving rows after a broadcast
+    * join with the allocation table.
+    */
+  private val neymanSample: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir).documents
+    val st = docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("nh"),
+        sum(col("n_chars")).as("sy"),
+        sum(col("n_chars") * col("n_chars")).as("syy")
+      )
+      .withColumn(
+        "__wt",
+        sqrt((col("nh") * col("syy") - col("sy") * col("sy")).cast("double"))
+          .cast(DecimalType(18, 6))
+      )
+    val byFrac = Window.orderBy(col("__frac").desc, col("source"))
+    val alloc = st
+      .withColumn("__w", expr("sum(__wt) OVER ()"))
+      .withColumn(
+        "__share",
+        (lit(NEY_N.toDouble) * col("__wt").cast("double")) /
+          col("__w").cast("double")
+      )
+      .withColumn("__base", floor(col("__share")).cast("long"))
+      .withColumn("__frac", col("__share") - floor(col("__share")))
+      .withColumn("__rnk", row_number().over(byFrac))
+      .withColumn("__rem", lit(NEY_N) - expr("sum(__base) OVER ()"))
+      .withColumn(
+        "n_h",
+        least(
+          col("__base") +
+            when(col("__rnk") <= col("__rem"), lit(1L)).otherwise(lit(0L)),
+          col("nh")
+        )
+      )
+      .select(col("source"), col("n_h"))
+    docs
+      .select(
+        col("source"),
+        col("doc_id"),
+        graft.functions.PortableHash.h32(col("doc_id").cast("string")).as("__h")
+      )
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
+        )
+      )
+      .filter(col("rk") <= NEY_N)
+      .join(broadcast(alloc), Seq("source"))
+      .filter(col("rk") <= col("n_h"))
+      .select(col("source"), col("n_h"), col("doc_id"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
   private val stratifiedSample: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     Tables(s, dir).documents
@@ -526,6 +608,7 @@ object MiscQueries {
     "q57_hll_distinct" -> hllDistinct,
     "q56_weighted_sample" -> weightedSample,
     "q55_stratified_sample" -> stratifiedSample,
+    "q84_neyman_sample" -> neymanSample,
     "info01_table_counts" -> tableCounts,
     "metrics01_doc" -> metricsDoc,
     "mm01_media_meta" -> mediaMeta,
@@ -721,6 +804,43 @@ object MiscQueries {
         |                    AND o.o_orderstatus = 'F'
         |                    AND o.o_totalprice < 1000)
         |ORDER BY c.c_custkey""".stripMargin,
+    "q84_neyman_sample" -> {
+      val hSql =
+        graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH st AS (
+         |  SELECT source, COUNT(*) AS nh,
+         |    CAST(SUM(n_chars) AS BIGINT) AS sy,
+         |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS syy
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT source, nh,
+         |        CAST(sqrt(CAST(nh * syy - sy * sy AS DOUBLE))
+         |          AS DECIMAL(18,6)) AS wt
+         |      FROM st),
+         |sh AS (SELECT source, nh,
+         |         (${NEY_N}.0 * CAST(wt AS DOUBLE))
+         |           / CAST(SUM(wt) OVER () AS DOUBLE) AS share
+         |       FROM w),
+         |b AS (SELECT source, nh,
+         |        CAST(floor(share) AS BIGINT) AS base,
+         |        share - floor(share) AS frac
+         |      FROM sh),
+         |a AS (SELECT source, nh, base, frac,
+         |        ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rnk,
+         |        $NEY_N - CAST(SUM(base) OVER () AS BIGINT) AS rem
+         |      FROM b),
+         |alloc AS (SELECT source,
+         |            least(base + CASE WHEN rnk <= rem THEN 1 ELSE 0 END,
+         |                  nh) AS n_h
+         |          FROM a),
+         |r AS (SELECT source, doc_id,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY $hSql, doc_id) AS rk
+         |      FROM documents)
+         |SELECT r.source, alloc.n_h, r.doc_id, CAST(r.rk AS INT) AS rk
+         |FROM r JOIN alloc ON alloc.source = r.source
+         |WHERE r.rk <= alloc.n_h
+         |ORDER BY r.source, rk""".stripMargin
+    },
     "q55_stratified_sample" -> {
       val hSql =
         graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")

@@ -75,7 +75,8 @@ class DeterminismSpec extends SparkSpec {
     "q82_interval_overlap",
     "cdc13_join_maintain",
     "q83_interpolate",
-    "text29_water_fill"
+    "text29_water_fill",
+    "q84_neyman_sample"
   )
 
   test("partitioning never changes the result rows") {
