@@ -23,11 +23,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: r4's driver tail was flooded by repeated
+    // WindowExec/JoinReorder WARN lines on stderr, which can push the
+    // one JSON stdout line out of the bounded capture window.
+    spark.sparkContext.setLogLevel("ERROR")
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -100,7 +104,11 @@ object Bench {
     val slowest = warm.filter(_._2 >= 0).sortBy(-_._2).take(10)
     val out =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${names.size},"failures":$failures,"queries":${js(slowest)},"sf":"$sfDir"}"""
-    println(out)
+    // stop() BEFORE the println: session shutdown logs its own lines,
+    // and anything printed after the JSON line eats tail budget. The
+    // headline must be the last thing this process writes.
     spark.stop()
+    println(out)
+    System.out.flush()
   }
 }

@@ -22,9 +22,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS): read as ns-longs,
-      // Tables.events truncates to µs TimestampType (= DuckDB's read).
+      // Fixture timestamps: older generations wrote TIMESTAMP(NANOS)
+      // (read as ns-longs, truncated in Tables.events), current ones
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) — inferTimestampNTZ
+      // off reads those as plain µs TimestampType (= DuckDB's naive
+      // read under the pinned UTC session).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

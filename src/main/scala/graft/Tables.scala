@@ -8,10 +8,14 @@ import org.apache.spark.sql.types._
   *
   * All loads are plain `spark.read.parquet` — columnar scans with
   * Catalyst predicate pushdown / column pruning downstream. The one
-  * normalization: `events.ts` is written as parquet TIMESTAMP(NANOS),
-  * which Spark cannot represent natively; we read it as nanosecond
-  * longs (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-  * microsecond TimestampType, matching DuckDB's read of the same file.
+  * normalization: `events.ts`. Fixture generations have written it as
+  * parquet TIMESTAMP(NANOS) (unrepresentable in Spark → read as
+  * ns-longs via `spark.sql.legacy.parquet.nanosAsLong` and truncated
+  * to µs) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+  * TimestampNTZ unless `spark.sql.parquet.inferTimestampNTZ.enabled`
+  * is off, as our sessions set). All branches land on µs
+  * TimestampType under the pinned UTC session — bit-identical to
+  * DuckDB's naive read of the same file.
   */
 final case class Tables(spark: SparkSession, dir: String) {
 
@@ -36,6 +40,10 @@ final case class Tables(spark: SparkSession, dir: String) {
         // at epoch-ns magnitudes (53-bit mantissa < 2^60 ns values).
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: TimestampType => raw
+      case _: TimestampNTZType =>
+        // Externally-built session without inferTimestampNTZ=false:
+        // reinterpret the wall-clock value in the (UTC) session zone.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case other =>
         throw new IllegalStateException(s"unexpected events.ts type: $other")
     }

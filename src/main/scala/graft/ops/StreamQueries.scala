@@ -315,6 +315,19 @@ object StreamQueries {
       .replay(graft.cdc.CdcQueries.changeLog(s, dir))
       .orderBy("id")
 
+  /** stream13: stream-static broadcast enrichment — the stateless
+    * Structured Streaming join shape (each micro-batch joins the
+    * arriving facts against the static dim snapshot; zero join
+    * state). Batch face of [[graft.streaming.StreamStaticEnrich]];
+    * the MemoryStream replay and the per-micro-batch
+    * BroadcastHashJoin plan are pinned in StreamStaticEnrichSpec.
+    */
+  private val staticEnrich: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    graft.streaming.StreamStaticEnrich
+      .nationRollup(t.events, t.customer, t.nation)
+  }
+
   /** stream12: the late-data quarantine's deterministic replay face —
     * see [[graft.streaming.StreamLateQuarantine]] (no-silent-drop
     * watermark discipline; the live foreachBatch runner is proved
@@ -337,7 +350,8 @@ object StreamQueries {
     "stream03_sessions" -> sessions,
     "stream04_sessions_typed" -> sessionsTyped,
     "stream05_interval_join" -> intervalJoin,
-    "stream11_window_topk" -> windowTopk
+    "stream11_window_topk" -> windowTopk,
+    "stream13_static_enrich" -> staticEnrich
   )
 
   /** µs-precision epoch arithmetic mirrors of Spark's window():
@@ -345,6 +359,15 @@ object StreamQueries {
     * hops); make_timestamp keeps the naive-UTC type.
     */
   val oracle: Map[String, String] = Map(
+    "stream13_static_enrich" ->
+      s"""SELECT n.n_name, c.c_mktsegment,
+         |  COUNT(*) AS n_purchases, ${sqlDsum("e.value")} AS revenue
+         |FROM events e
+         |JOIN customer c ON e.user_id = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE e.event_type = 'purchase'
+         |GROUP BY n.n_name, c.c_mktsegment
+         |ORDER BY n.n_name, c.c_mktsegment""".stripMargin,
     "stream12_late_quarantine" -> {
       import graft.streaming.StreamLateQuarantine.{DELAY_US, JITTER_US, SPAN_US}
       val h = graft.functions.PortableHash.sqlH32("CAST(event_id AS VARCHAR)")

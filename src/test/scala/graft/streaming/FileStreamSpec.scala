@@ -20,12 +20,18 @@ class FileStreamSpec extends SparkSpec {
     )
     val ckpt = Files.createTempDirectory("graft-evck").toString
 
-    // same ns→µs normalization as Tables.events, on the stream schema
+    // same ts normalization as Tables.events, on the stream schema
+    // (ns-long fixture generations need the div-1000 truncation;
+    // µs-timestamp generations read as TimestampType directly)
     val rawSchema = spark.read.parquet(dir.toString).schema
-    val stream = spark.readStream
+    val raw = spark.readStream
       .schema(rawSchema)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val q = WindowedEvents
       .tumblingByType(stream, watermark = Some("1 hour"))
       .writeStream
