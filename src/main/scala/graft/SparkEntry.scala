@@ -20,7 +20,7 @@ object SparkEntry {
       ops.Relational3.queries ++ ops.Relational4.queries ++
       ops.Relational5.queries ++ ops.Relational6.queries ++
       ops.Relational7.queries ++ ops.Relational8.queries ++
-      ops.Relational9.queries ++
+      ops.Relational9.queries ++ ops.Relational10.queries ++
       ops.BenchAggs.queries ++ cdc.CdcQueries.queries ++
       ops.TextQueries.queries ++ ops.TextQueries2.queries ++
       ops.DedupQueries.queries ++ ops.DedupQueries2.queries ++
@@ -33,7 +33,7 @@ object SparkEntry {
       ops.Relational3.oracle ++ ops.Relational4.oracle ++
       ops.Relational5.oracle ++ ops.Relational6.oracle ++
       ops.Relational7.oracle ++ ops.Relational8.oracle ++
-      ops.Relational9.oracle ++
+      ops.Relational9.oracle ++ ops.Relational10.oracle ++
       ops.BenchAggs.oracle ++ cdc.CdcQueries.oracle ++
       ops.TextQueries.oracle ++ ops.TextQueries2.oracle ++
       ops.DedupQueries.oracle ++ ops.DedupQueries2.oracle ++

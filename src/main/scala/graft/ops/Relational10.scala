@@ -1,0 +1,240 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tenth batch: the HdrHistogram-style mergeable quantile sketch with
+  * sketch-guided EXACT selection, and the small-file compaction
+  * planner — two storage/profiling shapes a 100 TB corpus operation
+  * runs constantly (latency/size distributions without a global sort;
+  * bin-packing cold small files into target-sized rewrites).
+  */
+object Relational10 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sub-bucket precision bits for q85: values are truncated to
+    * S+1 significant bits, so the sketch's relative error is ≤ 2^-S
+    * (6.25 %) and the bucket count is bounded by construction at
+    * (64−S)·2^S + 2^(S+1) ≈ 992 — a few KB of state no matter how
+    * many rows feed it, mergeable by plain count addition.
+    */
+  private[ops] val HDR_S = 4
+
+  /** Quantiles reported by q85, in percent. */
+  private[ops] val HDR_PS = Seq(25, 50, 75, 90, 99)
+
+  /** q85: HdrHistogram-style log2-linear quantile sketch, plus
+    * sketch-guided exact selection — the engine's answer to "what is
+    * the p99 of a 10¹¹-row column" without q37's global sort window.
+    *
+    * Construction (libm-free, integer-exact, engine-portable):
+    * prices land in integer cents; a value's bucket zeroes all but
+    * its top S+1 significant bits (`m = len(bin(v))−1` — the q79
+    * bin-length trick for floor(log2); `shift = max(m−S, 0)`;
+    * `bucket = v − v mod 2^shift`). The per-bucket counts are the
+    * ENTIRE sketch state: bounded (≤ ~1 K rows) regardless of input
+    * size, mergeable across corpus slices by adding counts — the
+    * distributed-profiling contract (q62's fixed-bin histogram with
+    * log-scale resolution and a hard error bound).
+    *
+    * Quantile read: rank r_p = ceil(p·n/100) (integer arithmetic);
+    * the estimate is the first bucket whose cumulative count reaches
+    * r_p — a lower bound within 2^-S of the true value. The cum
+    * window is over the BOUNDED bucket table, never the data.
+    *
+    * Sketch-guided exact selection (what makes this more than an
+    * approximation): the target bucket's `cum_before` tells exactly
+    * which within-bucket local rank the global rank-r value holds, so
+    * ONE more broadcast-filtered pass over the data — touching only
+    * rows of the ≤5 target buckets, windowed per-quantile — returns
+    * the EXACT order statistic. No global sort at any point; the scan
+    * is pruned by a broadcast hash join on bucket. (At extreme scale
+    * a hot bucket can still be large; the textbook recursion —
+    * re-histogram inside the target bucket, 2^-2S after two levels —
+    * applies, same discipline as text10's two-level prefix scan.)
+    *
+    * Output per quantile: the rank, the sketch estimate, the exact
+    * value, and the PROVEN containment `exact − est ∈ [0, width)` —
+    * all integers, hash-exact against the oracle's replay of the same
+    * construction.
+    */
+  private val hdrQuantiles: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val v = t.lineitem
+      .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val rows = v
+      .withColumn("m", length(bin(col("v"))) - lit(1))
+      .withColumn("sh", greatest(col("m") - lit(HDR_S), lit(0)))
+      .withColumn("pw", expr("shiftleft(CAST(1 AS BIGINT), sh)"))
+      .withColumn("bucket", col("v") - col("v") % col("pw"))
+      .select(col("v"), col("bucket"), col("pw"))
+    val counts = rows
+      .groupBy(col("bucket"), col("pw"))
+      .agg(count(lit(1)).as("cnt"))
+    // bounded table (≤ ~1K rows by construction) — the ordered cum
+    // window here is over the SKETCH, not the data
+    val wb = Window
+      .orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(wb))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    val total = counts.agg(sum("cnt").as("n"))
+    import s.implicits._
+    val ranks = HDR_PS
+      .toDF("p")
+      .crossJoin(broadcast(total))
+      .withColumn("r", expr("CAST((n * p + 99) DIV 100 AS BIGINT)"))
+      .select(col("p"), col("r"))
+    val targets = broadcast(ranks)
+      .join(cum, col("cum") >= col("r"))
+      .groupBy(col("p"), col("r"))
+      .agg(min(struct(col("bucket"), col("cum_before"), col("pw"))).as("t"))
+      .select(
+        col("p"),
+        col("r"),
+        col("t.bucket").as("est"),
+        col("t.cum_before").as("cb"),
+        col("t.pw").as("width")
+      )
+    // second pass: broadcast the ≤5 target buckets, window only the
+    // rows that land in them (the value at global rank r is the
+    // (r − cum_before)-th smallest within its bucket)
+    val wp = Window.partitionBy("p").orderBy("v")
+    val exact = rows
+      .join(broadcast(targets), rows("bucket") === targets("est"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("cb") + col("rn") === col("r"))
+    exact
+      .select(
+        col("p"),
+        col("r"),
+        col("est"),
+        col("v").as("exact_cents"),
+        (col("v") >= col("est") && col("v") < col("est") + col("width"))
+          .as("in_bound")
+      )
+      .orderBy("p")
+  }
+
+  /** Target compaction output size for q86, in bytes of document
+    * payload. Sized so the sf0.01 fixture yields multi-file bins;
+    * production uses 128 MB–1 GB — the constant is the only knob.
+    */
+  private[ops] val COMPACT_TARGET = 4000L
+
+  /** Docs per simulated input file for q86 (file stats are derived
+    * deterministically from the documents fixture: consecutive
+    * doc_id ranges within a source, as an ingest job would write).
+    */
+  private[ops] val DOCS_PER_FILE = 8L
+
+  /** q86: small-file compaction planner — the OPTIMIZE/bin-pack pass
+    * every parquet/Delta table needs once streaming ingest has
+    * scattered thousands of under-sized files. Input: a per-file
+    * stats table (file id, bytes) — here derived deterministically
+    * from the documents fixture, in production read from the table
+    * manifest (PartitionedStore's listing). Plan: within each source
+    * partition, files in id order are assigned to bins by
+    * `bin = floor(cum_before / target)` — the streaming binning
+    * compaction planners use (a bin closes once the running total
+    * crosses the target; a threshold-crossing bin may exceed the
+    * target by one trailing file, which is the accepted behavior —
+    * exact capacity packing is NP-hard and buys nothing here).
+    *
+    * Scale: the stats table is manifest-sized (files, not rows);
+    * windows partition by source (bounded per partition); the plan
+    * result is bins-sized. Nothing touches the data itself until the
+    * rewrite executes the plan.
+    */
+  private val compactionPlan: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val files = t.documents
+      .groupBy(
+        col("source"),
+        expr(s"doc_id DIV $DOCS_PER_FILE").as("file_id")
+      )
+      .agg(
+        sum(col("n_chars")).as("bytes"),
+        count(lit(1)).as("n_docs")
+      )
+    val ws = Window
+      .partitionBy("source")
+      .orderBy("file_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val planned = files
+      .withColumn("cum_before", coalesce(sum("bytes").over(ws), lit(0L)))
+      .withColumn("bin", expr(s"cum_before DIV $COMPACT_TARGET"))
+    planned
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("bytes"),
+        min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file")
+      )
+      .orderBy("source", "bin")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q85_hdr_quantiles" -> hdrQuantiles,
+    "q86_compaction_plan" -> compactionPlan
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q85_hdr_quantiles" ->
+      s"""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+         |  FROM lineitem),
+         |rows_b AS (SELECT v,
+         |    v - v % (CAST(1 AS BIGINT) << GREATEST(length(bin(v)) - 1 - $HDR_S, 0))
+         |      AS bucket,
+         |    (CAST(1 AS BIGINT) << GREATEST(length(bin(v)) - 1 - $HDR_S, 0))
+         |      AS pw
+         |  FROM v),
+         |c AS (SELECT bucket, pw, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM rows_b GROUP BY 1, 2),
+         |cum AS (SELECT bucket, pw, cnt,
+         |    CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (ORDER BY bucket) - cnt AS BIGINT) AS cb
+         |  FROM c),
+         |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+         |p(p) AS (VALUES (25), (50), (75), (90), (99)),
+         |r AS (SELECT p, CAST((n.n * p + 99) // 100 AS BIGINT) AS r
+         |  FROM p, n),
+         |tgt AS (SELECT r.p, r.r,
+         |    MIN(cum.bucket) AS est,
+         |    arg_min(cum.cb, cum.bucket) AS cb,
+         |    arg_min(cum.pw, cum.bucket) AS width
+         |  FROM r JOIN cum ON cum.cum >= r.r
+         |  GROUP BY r.p, r.r),
+         |sel AS (SELECT t.p, t.r, t.est, t.width, rows_b.v,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY t.p ORDER BY rows_b.v)
+         |      AS BIGINT) AS rn, t.cb
+         |  FROM tgt t JOIN rows_b ON rows_b.bucket = t.est)
+         |SELECT p, r, est, v AS exact_cents,
+         |  (v >= est AND v < est + width) AS in_bound
+         |FROM sel WHERE cb + rn = r
+         |ORDER BY p""".stripMargin,
+    "q86_compaction_plan" ->
+      s"""WITH f AS (SELECT source, doc_id // $DOCS_PER_FILE AS file_id,
+         |    CAST(SUM(n_chars) AS BIGINT) AS bytes
+         |  FROM documents GROUP BY 1, 2),
+         |planned AS (SELECT source, file_id, bytes,
+         |    CAST(COALESCE(SUM(bytes) OVER (PARTITION BY source
+         |      ORDER BY file_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM f)
+         |SELECT source, cum_before // $COMPACT_TARGET AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_files,
+         |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+         |  MIN(file_id) AS first_file,
+         |  MAX(file_id) AS last_file
+         |FROM planned
+         |GROUP BY source, cum_before // $COMPACT_TARGET
+         |ORDER BY source, bin""".stripMargin
+  )
+}
