@@ -598,7 +598,76 @@ object MiscQueries {
     """)
   }
 
+  /** The star schema's FK edges for pipe05 — (edge label, child
+    * table, fk column, parent table, parent key column).
+    */
+  private val fkEdges: Seq[(String, String, String, String, String)] = Seq(
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("embeddings.vec_id->documents", "embeddings", "vec_id", "documents", "doc_id"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey")
+  )
+
+  /** pipe05: referential-integrity audit — the data-quality gate a
+    * pipeline runs before trusting joins (the reference's analogue:
+    * `/db-info/test`'s per-table SUCCESS probe, generalized to the
+    * relationships). One row per FK edge: non-null child rows, null
+    * FKs, and orphans (non-null FKs with no parent key).
+    *
+    * Scale: each edge is one left-anti join on its key — Catalyst
+    * broadcasts dimension-sized parents and shuffle-antis fact-sized
+    * ones (orders ⋈ lineitem at 100 TB); the per-edge outputs are
+    * 1-row aggregates unioned into an edges-sized report. Null FKs
+    * are excluded from the anti-join input (a NULL key would never
+    * match and would misreport as an orphan).
+    */
+  private val integrityAudit: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    def table(n: String): DataFrame = if (n == "events") t.events else t.t(n)
+    val reports = fkEdges.map { case (edge, child, fk, parent, key) =>
+      val c = table(child)
+      val totals = c.agg(
+        count(col(fk)).as("n_rows"),
+        sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null_fk")
+      )
+      val orphans = c
+        .filter(col(fk).isNotNull)
+        .select(col(fk))
+        .join(table(parent).select(col(key)), col(fk) === col(key), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      totals
+        .crossJoin(orphans)
+        .select(
+          lit(edge).as("edge"),
+          col("n_rows"),
+          coalesce(col("n_null_fk"), lit(0L)).as("n_null_fk"),
+          col("n_orphans")
+        )
+    }
+    reports.reduce(_ unionByName _).orderBy("edge")
+  }
+
+  private def integrityOracleSql: String =
+    fkEdges
+      .map { case (edge, child, fk, parent, key) =>
+        s"""SELECT '$edge' AS edge,
+           |  (SELECT CAST(COUNT($fk) AS BIGINT) FROM $child) AS n_rows,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child
+           |     WHERE $fk IS NULL) AS n_null_fk,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child c
+           |     WHERE c.$fk IS NOT NULL AND NOT EXISTS
+           |       (SELECT 1 FROM $parent p WHERE p.$key = c.$fk))
+           |    AS n_orphans""".stripMargin
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+
   val queries: Map[String, Q] = Map(
+    "pipe05_integrity" -> integrityAudit,
     "q61_range_frame" -> rangeFrame,
     "q60_sql_lateral" -> sqlLateral,
     "mm04_pairing" -> mmPairing,
@@ -620,6 +689,7 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe05_integrity" -> integrityOracleSql,
     "q61_range_frame" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (

@@ -501,7 +501,63 @@ object TextQueries2 {
       .orderBy("source")
   }
 
+  /** Per-source quota for text30 — must stay at or under the smallest
+    * source's doc count at the gated SFs for a dense round-robin; a
+    * source exhausting early just leaves position holes (the order
+    * stays total and deterministic either way).
+    */
+  private[ops] val INTERLEAVE_QUOTA = 20L
+
+  /** text30: deterministic round-robin source interleave — the
+    * curriculum ORDER for a balanced training mix. text13/text29
+    * decide HOW MUCH of each source to take; this decides the
+    * sequence the trainer reads: position (r−1)·K + (s−1) for the
+    * r-th doc (by per-source deterministic hash rank) of the s-th
+    * source (alphabetical) — sources alternate every K positions, so
+    * no gradient window ever sees a single-source run, with no RNG
+    * anywhere (re-runs and backfills reproduce the order bit-exactly).
+    *
+    * Scale: one bounded window per SOURCE partition for the rank
+    * (WindowGroupLimit pushes the `r ≤ quota` cut below the shuffle,
+    * q55's discipline), a K-row broadcast for source indices, and a
+    * closed-form position — never a global sort or a single-reducer
+    * window over the corpus.
+    */
+  private val interleave: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("hk"), col("doc_id"))
+    val wIdx = org.apache.spark.sql.expressions.Window.orderBy("source")
+    val si = docs
+      .select(col("source"))
+      .distinct()
+      .withColumn("si", row_number().over(wIdx).cast("long"))
+    val k = si.agg(count(lit(1)).as("k"))
+    docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        PortableHash
+          .h32(concat(lit("il:"), col("doc_id").cast("string")))
+          .as("hk")
+      )
+      .withColumn("r", row_number().over(wSrc).cast("long"))
+      .filter(col("r") <= INTERLEAVE_QUOTA)
+      .join(broadcast(si), "source")
+      .crossJoin(broadcast(k))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("r"),
+        col("si"),
+        ((col("r") - 1) * col("k") + col("si") - 1).as("pos")
+      )
+      .orderBy("pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text30_interleave" -> interleave,
     "text29_water_fill" -> waterFill,
     "text28_quality_classifier" -> qualityClassifier,
     "text22_dsir" -> dsir,
@@ -514,6 +570,22 @@ object TextQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "text30_interleave" -> {
+      val h = PortableHash.sqlH32("concat('il:', CAST(doc_id AS VARCHAR))")
+      s"""WITH si AS (SELECT source,
+         |    CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS si
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM si),
+         |r AS (SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY $h, doc_id) AS BIGINT) AS r
+         |  FROM documents)
+         |SELECT r.doc_id, r.source, r.r, si.si,
+         |  (r.r - 1) * k.k + si.si - 1 AS pos
+         |FROM r JOIN si USING (source), k
+         |WHERE r.r <= $INTERLEAVE_QUOTA
+         |ORDER BY pos""".stripMargin
+    },
     // same closed form over the sorted sizes; every windowed integer
     // SUM is pinned to BIGINT (HUGEINT lint) and the T division is
     // the only float op on both sides
