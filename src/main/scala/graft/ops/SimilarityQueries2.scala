@@ -384,15 +384,134 @@ object SimilarityQueries2 {
       .orderBy("query_id", "rank")
   }
 
+  private[ops] val JL_D = 64 // fixture embedding dims
+  private[ops] val JL_K = 8 // projected dims
+  private[ops] val JL_STRIDE = 16 // audit-pair sampling stride
+
+  /** ±1 sign matrix for sim22, row j = projected dim: the standard
+    * Achlioptas/JL database-friendly projection with the random bits
+    * drawn from the engine-portable hash (PortableHash parity), so
+    * BOTH engines rebuild the identical matrix from nothing. Plan
+    * literals: K arrays of D signs, evaluated at plan build.
+    */
+  private def jlSigns(j: Int): Seq[Long] =
+    (0 until JL_D).map { i =>
+      if (graft.functions.PortableHash.h32Local(s"jl:$j:$i") % 2 == 0) 1L
+      else -1L
+    }
+
+  /** sim22: Johnson-Lindenstrauss random projection with a distortion
+    * audit — the dimensionality-reduction front end for every ANN arm
+    * (project 64-d to 8-d, search coarse, rerank full — sim12's
+    * matryoshka pattern with a DERIVED coarse embedding for corpora
+    * whose embeddings don't come matryoshka-trained).
+    *
+    * Integer-exact construction: vectors quantize to micro-units ONCE
+    * (`floor(x·10⁶+0.5)`, the sim09/sim18 discipline); each projected
+    * coordinate is a ±1-signed sum of micro-ints (a plan-literal sign
+    * array per output dim — no stored projection matrix, any executor
+    * or engine rebuilds it from the hash), so projections, and both
+    * squared distances, are exact BIGINTs. The audit: on a stride
+    * sample of consecutive-id pairs, compare the projected squared
+    * distance against the full-dim squared distance — for ±1 entries
+    * E[d²_proj] = K·d²_full, so `ratio = d²_proj / (K·d²_full)`
+    * concentrates near 1; the single float op is that final division.
+    *
+    * Scale: projection is a map-side array expression (no shuffle, no
+    * UDF); the audit joins a stride sample only. At 100 TB the
+    * projected 8-d vectors are what flows into IVF training — 8× less
+    * shuffle bytes for every downstream clustering pass.
+    */
+  private val jlProject: Q = (s, dir) => {
+    val micro = transform(
+      col("embedding"),
+      x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long")
+    )
+    val proj = array((0 until JL_K).map { j =>
+      aggregate(
+        zip_with(col("m"), typedLit(jlSigns(j)), (a, b) => a * b),
+        lit(0L),
+        (acc, x) => acc + x
+      )
+    }: _*)
+    val vecs = Tables(s, dir).embeddings
+      .filter(size(col("embedding")) === JL_D)
+      .select(col("vec_id"), micro.as("m"))
+      .withColumn("y", proj)
+    val a = vecs
+      .filter(pmod(col("vec_id"), lit(JL_STRIDE.toLong)) === 0L)
+      .select(col("vec_id").as("vec_a"), col("m").as("ma"), col("y").as("ya"))
+    val b = vecs
+      .select(col("vec_id").as("vec_b"), col("m").as("mb"), col("y").as("yb"))
+    def sqDist(u: Column, v: Column): Column =
+      aggregate(
+        zip_with(u, v, (p, q) => (p - q) * (p - q)),
+        lit(0L),
+        (acc, x) => acc + x
+      )
+    a.join(b, col("vec_b") === col("vec_a") + 1)
+      .select(
+        col("vec_a"),
+        col("vec_b"),
+        sqDist(col("ma"), col("mb")).as("d2_full"),
+        sqDist(col("ya"), col("yb")).as("d2_proj")
+      )
+      .withColumn(
+        "ratio",
+        col("d2_proj").cast("double") /
+          (lit(JL_K.toDouble) * col("d2_full").cast("double"))
+      )
+      .orderBy("vec_a")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim19_pq_adc" -> pqAdc,
     "sim20_ivf_pq" -> ivfPq,
-    "sim21_residual_pq" -> residualPq
+    "sim21_residual_pq" -> residualPq,
+    "sim22_jl_project" -> jlProject
   )
 
   private val qIdsSql = QUERY_IDS.mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    "sim22_jl_project" ->
+      s"""WITH m AS (SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS i,
+         |    CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5)
+         |      AS BIGINT) AS xm
+         |  FROM embeddings, generate_series(1, $JL_D) t(i)
+         |  WHERE len(embedding) = $JL_D),
+         |sg AS (SELECT CAST(j.j AS INTEGER) AS j, CAST(i.i AS INTEGER) AS i,
+         |    CASE WHEN CAST(concat('0x', substr(md5(
+         |        concat('jl:', j.j, ':', i.i)), 1, 8)) AS BIGINT) % 2 = 0
+         |      THEN 1 ELSE -1 END AS sg
+         |  FROM generate_series(0, ${JL_K - 1}) j(j),
+         |       generate_series(0, ${JL_D - 1}) i(i)),
+         |pr AS (SELECT m.vec_id, sg.j,
+         |    CAST(SUM(m.xm * sg.sg) AS BIGINT) AS y
+         |  FROM m JOIN sg ON m.i = sg.i GROUP BY 1, 2),
+         |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         |  WHERE a.vec_id % $JL_STRIDE = 0
+         |    AND len(a.embedding) = $JL_D AND len(b.embedding) = $JL_D),
+         |df AS (SELECT p.vec_a, p.vec_b,
+         |    CAST(SUM((ma.xm - mb.xm) * (ma.xm - mb.xm)) AS BIGINT)
+         |      AS d2_full
+         |  FROM pairs p
+         |  JOIN m ma ON ma.vec_id = p.vec_a
+         |  JOIN m mb ON mb.vec_id = p.vec_b AND mb.i = ma.i
+         |  GROUP BY 1, 2),
+         |dp AS (SELECT p.vec_a, p.vec_b,
+         |    CAST(SUM((pa.y - pb.y) * (pa.y - pb.y)) AS BIGINT)
+         |      AS d2_proj
+         |  FROM pairs p
+         |  JOIN pr pa ON pa.vec_id = p.vec_a
+         |  JOIN pr pb ON pb.vec_id = p.vec_b AND pb.j = pa.j
+         |  GROUP BY 1, 2)
+         |SELECT df.vec_a, df.vec_b, df.d2_full, dp.d2_proj,
+         |  CAST(dp.d2_proj AS DOUBLE)
+         |    / ($JL_K * CAST(df.d2_full AS DOUBLE)) AS ratio
+         |FROM df JOIN dp USING (vec_a, vec_b)
+         |ORDER BY vec_a""".stripMargin,
     "sim19_pq_adc" ->
       s"""WITH q AS (SELECT vec_id,
          |    list_transform(embedding, x ->

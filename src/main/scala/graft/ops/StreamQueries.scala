@@ -328,6 +328,43 @@ object StreamQueries {
       .nationRollup(t.events, t.customer, t.nation)
   }
 
+  /** stream14: streaming per-window HLL distinct users — replay the
+    * feed in 5 event_id-sliced micro-batches through
+    * [[graft.streaming.StreamWindowHll]]'s register state (O(windows
+    * × 64) longs regardless of cardinality; per-register MAX merge is
+    * associative + commutative + idempotent, so any slicing, order,
+    * or re-delivery lands on the same registers); estimates use q79's
+    * oracle-checked α·m²·2²⁷/T formula, audited here against the
+    * exact batch COUNT(DISTINCT) per window.
+    */
+  private val windowHll: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val est = graft.streaming.StreamWindowHll
+      .replay(ev, Relational9.hllM, Relational9.hllMaxRho)
+    val exact = ev
+      .filter(col("user_id").isNotNull)
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("window_start")
+      )
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    exact
+      .join(est, Seq("window_start"))
+      .withColumn(
+        "rel_err",
+        (col("hll_est") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double")
+      )
+      .select(
+        col("window_start"),
+        col("exact_distinct"),
+        col("zero_registers"),
+        col("t_sum"),
+        col("hll_est"),
+        col("rel_err")
+      )
+      .orderBy("window_start")
+  }
+
   /** stream12: the late-data quarantine's deterministic replay face —
     * see [[graft.streaming.StreamLateQuarantine]] (no-silent-drop
     * watermark discipline; the live foreachBatch runner is proved
@@ -351,7 +388,8 @@ object StreamQueries {
     "stream04_sessions_typed" -> sessionsTyped,
     "stream05_interval_join" -> intervalJoin,
     "stream11_window_topk" -> windowTopk,
-    "stream13_static_enrich" -> staticEnrich
+    "stream13_static_enrich" -> staticEnrich,
+    "stream14_window_hll" -> windowHll
   )
 
   /** µs-precision epoch arithmetic mirrors of Spark's window():
@@ -359,6 +397,44 @@ object StreamQueries {
     * hops); make_timestamp keeps the naive-UTC type.
     */
   val oracle: Map[String, String] = Map(
+    // q79's register reconstruction, windowed — the replay's sliced
+    // MAX-merge must equal the one-pass registers over all events
+    "stream14_window_hll" -> {
+      import Relational9.{hllM, hllMaxRho}
+      val pows = (0 to hllMaxRho).map(1L << _).mkString("[", ",", "]")
+      val emptyReg = 1L << hllMaxRho
+      val h = graft.functions.PortableHash
+        .sqlH32("concat('u:', CAST(user_id AS VARCHAR))")
+      s"""WITH e AS (SELECT
+         |    make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT)
+         |      * 3600 * 1000000) AS window_start,
+         |    user_id, $h AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT window_start, h % $hllM AS bucket,
+         |    MAX(CASE WHEN h // $hllM = 0 THEN $hllMaxRho
+         |        ELSE $hllMaxRho - len(bin(h // $hllM)) END) AS rho
+         |  FROM e GROUP BY 1, 2),
+         |agg AS (SELECT window_start,
+         |    CAST(COUNT(*) AS BIGINT) AS n_present,
+         |    CAST(SUM(($pows)[$hllMaxRho + 1 - rho]) AS BIGINT)
+         |      AS t_present
+         |  FROM r GROUP BY 1),
+         |ex AS (SELECT window_start,
+         |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         |  FROM e GROUP BY 1)
+         |SELECT ex.window_start, ex.exact_distinct,
+         |  CAST($hllM - agg.n_present AS BIGINT) AS zero_registers,
+         |  CAST(agg.t_present + ($hllM - agg.n_present) * $emptyReg
+         |    AS BIGINT) AS t_sum,
+         |  0.709 * 549755813888.0 / CAST(agg.t_present
+         |    + ($hllM - agg.n_present) * $emptyReg AS DOUBLE) AS hll_est,
+         |  (0.709 * 549755813888.0 / CAST(agg.t_present
+         |      + ($hllM - agg.n_present) * $emptyReg AS DOUBLE)
+         |    - CAST(ex.exact_distinct AS DOUBLE))
+         |    / CAST(ex.exact_distinct AS DOUBLE) AS rel_err
+         |FROM ex JOIN agg USING (window_start)
+         |ORDER BY ex.window_start""".stripMargin
+    },
     "stream13_static_enrich" ->
       s"""SELECT n.n_name, c.c_mktsegment,
          |  COUNT(*) AS n_purchases, ${sqlDsum("e.value")} AS revenue
