@@ -513,7 +513,7 @@ object MiscQueries {
     * 16-bit ints, so the join that follows is dedup24's single
     * bucketed shuffle, never an all-pairs comparison.
     */
-  private val mediaPhash: Q = (s, dir) => {
+  private def mediaSketch(s: SparkSession, dir: String): DataFrame = {
     val m = Multimodal
       .asMediaTable(Tables(s, dir).documents)
       .select(
@@ -528,7 +528,54 @@ object MiscQueries {
             .bitwiseAND(lit(65535L))
             .as(s"band$b")
         ): _*
-    ).orderBy("media_id")
+    )
+  }
+
+  private val mediaPhash: Q = (s, dir) => mediaSketch(s, dir).orderBy("media_id")
+
+  /** Hamming threshold for an mm06 near-dup verdict: ≤6 of 64 bits —
+    * the usual dHash re-encode tolerance.
+    */
+  private[ops] val PHASH_HAM_T = 6
+
+  /** mm06: banded near-dup pair generation over the mm05 sketch — the
+    * join mm05's docstring promises, realized: each medium's 4×16-bit
+    * band keys go through `PairJoins.bucketedPairs` (one shuffle on
+    * (band, key), pairs only within buckets — never an all-pairs
+    * scan), the 8-byte phash rides INSIDE the id struct (dedup07's
+    * zero-re-attach trick), and each candidate gets its exact Hamming
+    * distance (`bit_count(xor)`) and a ≤${PHASH_HAM_T}-bit verdict.
+    * The fixture's random payloads produce only chance band
+    * collisions (Hamming ~32, is_near = false) — the VOLUME check;
+    * planted near-identical payloads driving true positives through
+    * this exact path are MediaPhashSpec's job.
+    *
+    * Scale: candidate count is governed by band width (16-bit keys →
+    * expected n²/2¹⁶ chance pairs per band); verification touches
+    * candidates only, and the verdict is one integer instruction per
+    * pair. The pigeonhole guarantee: any pair within 6 bits differs
+    * in ≤6 of 64 bits, so among 4 disjoint 16-bit bands at least one
+    * band is untouched — recall 1.0 for the threshold, by
+    * construction.
+    */
+  private val mediaPhashPairs: Q = (s, dir) => {
+    val sk = mediaSketch(s, dir)
+    val long = sk.select(
+      struct(col("media_id"), col("phash")).as("m"),
+      posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
+        .as(Seq("b", "key"))
+    )
+    PairJoins
+      .bucketedPairs(long, Seq("b", "key"), "m")
+      .select(
+        col("id_a.media_id").as("id_a"),
+        col("id_b.media_id").as("id_b"),
+        bit_count(col("id_a.phash").bitwiseXOR(col("id_b.phash")))
+          .cast("int")
+          .as("hamming")
+      )
+      .withColumn("is_near", col("hamming") <= PHASH_HAM_T)
+      .orderBy("id_a", "id_b")
   }
 
   /** q80: the UDTF surface (SURVEY.md §2.10) under the oracle gate —
@@ -652,6 +699,32 @@ object MiscQueries {
     reports.reduce(_ unionByName _).orderBy("edge")
   }
 
+  /** Shared mm05/mm06 oracle CTE: the dHash sketch + band keys
+    * reconstructed in SQL (keep in lockstep with
+    * [[Multimodal.dHash64]] and [[mediaSketch]]).
+    */
+  private def mm05SketchSql: String = {
+    val bit = (0 until 64)
+      .map { i =>
+        s"""(CASE WHEN ascii(substr(text, 1 + ($i*(L-1))//64, 1))
+           |  < ascii(substr(text, 1 + (${i + 1}*(L-1))//64, 1))
+           |  THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)""".stripMargin
+      }
+      .mkString("(", " + ", ")")
+    s"""WITH t AS (SELECT doc_id, text, length(text) AS L
+       |           FROM documents),
+       |p AS (SELECT doc_id AS media_id,
+       |        ['jpeg','png','webp'][CAST(doc_id % 3 AS INT) + 1] AS format,
+       |        $bit AS phash
+       |      FROM t),
+       |sk AS (SELECT media_id, format, phash,
+       |  (phash >> 0) & 65535 AS band0,
+       |  (phash >> 16) & 65535 AS band1,
+       |  (phash >> 32) & 65535 AS band2,
+       |  (phash >> 48) & 65535 AS band3
+       |FROM p)""".stripMargin
+  }
+
   private def integrityOracleSql: String =
     fkEdges
       .map { case (edge, child, fk, parent, key) =>
@@ -683,6 +756,7 @@ object MiscQueries {
     "mm01_media_meta" -> mediaMeta,
     "mm03_decode_stats" -> decodeStats,
     "mm05_media_phash" -> mediaPhash,
+    "mm06_phash_pairs" -> mediaPhashPairs,
     "q80_udtf_shingles" -> udtfShingles,
     "q53_sql_exists" -> sqlExists,
     "q54_hash_split" -> hashSplit
@@ -828,27 +902,20 @@ object MiscQueries {
          |SELECT doc_id, COUNT(DISTINCT h) AS n_shingles,
          |  MIN(h) AS min_h, MAX(h) AS max_h
          |FROM i GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "mm05_media_phash" -> {
-      val bit = (0 until 64)
-        .map { i =>
-          s"""(CASE WHEN ascii(substr(text, 1 + ($i*(L-1))//64, 1))
-             |  < ascii(substr(text, 1 + (${i + 1}*(L-1))//64, 1))
-             |  THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)""".stripMargin
-        }
-        .mkString("(", " + ", ")")
-      s"""WITH t AS (SELECT doc_id, text, length(text) AS L
-         |           FROM documents),
-         |p AS (SELECT doc_id AS media_id,
-         |        ['jpeg','png','webp'][CAST(doc_id % 3 AS INT) + 1] AS format,
-         |        $bit AS phash
-         |      FROM t)
-         |SELECT media_id, format, phash,
-         |  (phash >> 0) & 65535 AS band0,
-         |  (phash >> 16) & 65535 AS band1,
-         |  (phash >> 32) & 65535 AS band2,
-         |  (phash >> 48) & 65535 AS band3
-         |FROM p ORDER BY media_id""".stripMargin
-    },
+    "mm05_media_phash" -> s"""$mm05SketchSql
+         |SELECT media_id, format, phash, band0, band1, band2, band3
+         |FROM sk ORDER BY media_id""".stripMargin,
+    "mm06_phash_pairs" ->
+      s"""$mm05SketchSql,
+         |pairs AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         |    a.phash AS pa, b.phash AS pb
+         |  FROM sk a JOIN sk b ON a.media_id < b.media_id
+         |   AND (a.band0 = b.band0 OR a.band1 = b.band1
+         |     OR a.band2 = b.band2 OR a.band3 = b.band3))
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming,
+         |  bit_count(xor(pa, pb)) <= $PHASH_HAM_T AS is_near
+         |FROM pairs ORDER BY id_a, id_b""".stripMargin,
     "mm03_decode_stats" ->
       """WITH h AS (SELECT doc_id AS media_id,
         |             CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -179,12 +179,71 @@ object Relational10 {
       .orderBy("source", "bin")
   }
 
+  /** Columns profiled by q87 (all numeric, so min/max cast to DOUBLE
+    * losslessly — string/date min-max rendering differs across
+    * engines and is deliberately out of the stats schema).
+    */
+  private[ops] val STATS_COLS = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice", "l_discount"
+  )
+
+  /** q87: ANALYZE-style column statistics — the optimizer-feeding
+    * profile (row count, null count, NDV, min, max per column) every
+    * cost-based planner keeps current, long-form so new columns are
+    * rows, not schema changes. Per column the scan is pruned to that
+    * single column (columnar parquet reads nothing else) and the
+    * 1-row aggregates union into a columns-sized report.
+    *
+    * NDV here is the EXACT COUNT(DISTINCT) — the spec value. At
+    * 100 TB production swaps the exact pass for the mergeable
+    * register sketch (q79 / graft_hll_distinct, oracle-checked
+    * against exactly this query's ndv column) and min/max for the
+    * manifest's zone maps; the report shape is unchanged.
+    */
+  private val columnStats: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val reports = STATS_COLS.map { c =>
+      t.lineitem
+        .select(col(c))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_nulls"),
+          countDistinct(col(c)).as("ndv"),
+          min(col(c)).cast("double").as("min_v"),
+          max(col(c)).cast("double").as("max_v")
+        )
+        .select(
+          lit(c).as("column"),
+          col("n_rows"),
+          col("n_nulls"),
+          col("ndv"),
+          col("min_v"),
+          col("max_v")
+        )
+    }
+    reports.reduce(_ unionByName _).orderBy("column")
+  }
+
   val queries: Map[String, Q] = Map(
     "q85_hdr_quantiles" -> hdrQuantiles,
-    "q86_compaction_plan" -> compactionPlan
+    "q86_compaction_plan" -> compactionPlan,
+    "q87_column_stats" -> columnStats
   )
 
   val oracle: Map[String, String] = Map(
+    "q87_column_stats" ->
+      STATS_COLS
+        .map { c =>
+          s"""SELECT '$c' AS "column",
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+             |  CAST(MIN($c) AS DOUBLE) AS min_v,
+             |  CAST(MAX($c) AS DOUBLE) AS max_v
+             |FROM lineitem""".stripMargin
+        }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
     "q85_hdr_quantiles" ->
       s"""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
          |  FROM lineitem),

@@ -328,6 +328,48 @@ object StreamQueries {
       .nationRollup(t.events, t.customer, t.nation)
   }
 
+  /** stream15: stream-stream LEFT OUTER interval join — stream05's
+    * attribution with the unmatched signups KEPT (null-padded once
+    * the watermark proves no purchase can still arrive — see
+    * [[graft.streaming.StreamJoins.purchaseAttributionOuter]]). In
+    * batch the watermark is a no-op and the plan is the plain left
+    * join this oracle states; the live null-padding-after-eviction
+    * behavior runs in StreamOuterJoinSpec.
+    */
+  private val outerJoin: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val pu = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_event"),
+        col("value")
+      )
+    val su = ev
+      .filter(col("event_type") === "signup")
+      .select(
+        col("user_id").as("s_user"),
+        col("ts").as("signup_ts"),
+        col("event_id").as("signup_event")
+      )
+    graft.streaming.StreamJoins
+      .purchaseAttributionOuter(pu, su)
+      .select(
+        col("s_user").as("uid"),
+        col("signup_ts"),
+        col("signup_event"),
+        col("purchase_ts"),
+        col("purchase_event"),
+        col("value")
+      )
+      .orderBy(
+        col("uid"),
+        col("signup_event"),
+        col("purchase_event").asc_nulls_last
+      )
+  }
+
   /** stream14: streaming per-window HLL distinct users — replay the
     * feed in 5 event_id-sliced micro-batches through
     * [[graft.streaming.StreamWindowHll]]'s register state (O(windows
@@ -389,7 +431,8 @@ object StreamQueries {
     "stream05_interval_join" -> intervalJoin,
     "stream11_window_topk" -> windowTopk,
     "stream13_static_enrich" -> staticEnrich,
-    "stream14_window_hll" -> windowHll
+    "stream14_window_hll" -> windowHll,
+    "stream15_outer_join" -> outerJoin
   )
 
   /** µs-precision epoch arithmetic mirrors of Spark's window():
@@ -397,6 +440,16 @@ object StreamQueries {
     * hops); make_timestamp keeps the naive-UTC type.
     */
   val oracle: Map[String, String] = Map(
+    "stream15_outer_join" ->
+      s"""SELECT s.user_id AS uid, s.ts AS signup_ts,
+         |  s.event_id AS signup_event,
+         |  p.ts AS purchase_ts, p.event_id AS purchase_event, p.value
+         |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         |  ON p.user_id = s.user_id
+         | AND epoch_us(p.ts) >= epoch_us(s.ts)
+         | AND epoch_us(p.ts) <= epoch_us(s.ts) + CAST(3600 AS BIGINT) * 1000000
+         |ORDER BY uid, signup_event, purchase_event NULLS LAST""".stripMargin,
     // q79's register reconstruction, windowed — the replay's sliced
     // MAX-merge must equal the one-pass registers over all events
     "stream14_window_hll" -> {

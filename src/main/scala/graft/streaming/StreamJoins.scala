@@ -47,4 +47,38 @@ object StreamJoins {
         col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $boundSeconds SECONDS")
     )
   }
+
+  /** LEFT OUTER flavor, signups preserved: every signup row emits —
+    * joined to each purchase inside its attribution window, or
+    * null-padded if none arrives. In streaming execution the
+    * null-padded row CANNOT be emitted eagerly (a matching purchase
+    * may still come): it materializes only once the watermark passes
+    * `signup_ts + bound + delay`, i.e. once the state store PROVES no
+    * match can arrive while evicting the buffered signup — the same
+    * eviction the inner join does, re-used as the completeness proof.
+    * That makes outer results append-mode and watermark-bounded:
+    * state is O(in-flight window), null padding is late by exactly
+    * the watermark delay, and a replay of the full feed equals the
+    * batch left join (StreamOuterJoinSpec drives this live, sentinel
+    * rows advancing the watermark past the last real signup).
+    */
+  def purchaseAttributionOuter(
+      purchases: DataFrame,
+      signups: DataFrame,
+      boundSeconds: Long = 3600L,
+      slackSeconds: Long = 600L
+  ): DataFrame = {
+    val p = purchases.withWatermark("purchase_ts", s"$slackSeconds seconds")
+    val s = signups.withWatermark(
+      "signup_ts",
+      s"${boundSeconds + slackSeconds} seconds"
+    )
+    s.join(
+      p,
+      col("s_user") === col("user_id") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $boundSeconds SECONDS"),
+      "left_outer"
+    )
+  }
 }
