@@ -46,6 +46,35 @@ class PlanBudgetSpec extends SparkSpec {
     } finally conf.set("spark.sql.adaptive.enabled", orig)
   }
 
+  test("stream13 enrichment joins broadcast; shuffles only agg + sort") {
+    val (s, b) = exchanges(run("stream13_static_enrich"))
+    assert(s <= 2, s"stream13 shuffles=$s")
+    assert(b >= 1, "stream13 dim join must broadcast")
+  }
+
+  test("sim22 projection is map-side: one pair-join shuffle + sort at most") {
+    val (s, _) = exchanges(run("sim22_jl_project"))
+    assert(s <= 2, s"sim22 shuffles=$s")
+  }
+
+  test("mm06 banded pairs: one bucket agg + pair distinct + sort") {
+    val (s, _) = exchanges(run("mm06_phash_pairs"))
+    assert(s <= 3, s"mm06 shuffles=$s")
+  }
+
+  test("q86 compaction plan: file agg + source window + bin agg/sort") {
+    val (s, _) = exchanges(run("q86_compaction_plan"))
+    assert(s <= 3, s"q86 shuffles=$s")
+  }
+
+  test("q85 sketch + guided selection stays within its budget") {
+    // counts agg, bucket-cum window (sketch-sized), total agg, target
+    // agg, per-quantile selection window + sort — never a global
+    // data-sized sort
+    val (s, _) = exchanges(run("q85_hdr_quantiles"))
+    assert(s <= 6, s"q85 shuffles=$s")
+  }
+
   test("text14 chunking shuffles only for the presentation sort") {
     val (s, _) = exchanges(run("text14_chunk_overlap"))
     assert(s <= 1, s"text14 shuffles=$s")
