@@ -61,64 +61,120 @@ object Relational10 {
     * all integers, hash-exact against the oracle's replay of the same
     * construction.
     */
-  private val hdrQuantiles: Q = (s, dir) => {
-    val t = Tables(s, dir)
-    val v = t.lineitem
-      .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
-    val rows = v
+  /** Shared q85/q88 machinery: the sketch, the rank read, and the
+    * sketch-guided exact selection, per group (`groupCols` empty =
+    * one global profile). Input `values`: `groupCols` + a BIGINT
+    * column `v`. Every window partitions by the group (plus the
+    * bounded bucket/quantile keys), so nothing here is ever a
+    * data-sized single partition.
+    */
+  private def hdrReport(
+      s: SparkSession,
+      values: DataFrame,
+      groupCols: Seq[String]
+  ): DataFrame = {
+    val g = groupCols.map(col)
+    val rows = values
       .withColumn("m", length(bin(col("v"))) - lit(1))
       .withColumn("sh", greatest(col("m") - lit(HDR_S), lit(0)))
       .withColumn("pw", expr("shiftleft(CAST(1 AS BIGINT), sh)"))
       .withColumn("bucket", col("v") - col("v") % col("pw"))
-      .select(col("v"), col("bucket"), col("pw"))
+      .select(g ++ Seq(col("v"), col("bucket"), col("pw")): _*)
     val counts = rows
-      .groupBy(col("bucket"), col("pw"))
+      .groupBy(g ++ Seq(col("bucket"), col("pw")): _*)
       .agg(count(lit(1)).as("cnt"))
-    // bounded table (≤ ~1K rows by construction) — the ordered cum
-    // window here is over the SKETCH, not the data
+    // bounded table (≤ ~1K rows per group by construction) — the
+    // ordered cum window here is over the SKETCH, not the data
     val wb = Window
+      .partitionBy(g: _*)
       .orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts
       .withColumn("cum", sum("cnt").over(wb))
       .withColumn("cum_before", col("cum") - col("cnt"))
-    val total = counts.agg(sum("cnt").as("n"))
+    val total = counts.groupBy(g: _*).agg(sum("cnt").as("n"))
     import s.implicits._
-    val ranks = HDR_PS
-      .toDF("p")
-      .crossJoin(broadcast(total))
+    val ranks = total
+      .crossJoin(broadcast(HDR_PS.toDF("p")))
       .withColumn("r", expr("CAST((n * p + 99) DIV 100 AS BIGINT)"))
-      .select(col("p"), col("r"))
-    val targets = broadcast(ranks)
-      .join(cum, col("cum") >= col("r"))
-      .groupBy(col("p"), col("r"))
+      .select(g ++ Seq(col("p"), col("r")): _*)
+    // group-equi keys + the non-equi rank bound: a hash join with a
+    // post-filter when groups exist, a tiny sketch×5 BNLJ when not
+    val rankSide = ranks
+      .withColumnsRenamed(groupCols.map(c => c -> s"__r_$c").toMap)
+    val targets = broadcast(rankSide)
+      .join(
+        cum,
+        groupCols
+          .map(c => col(s"__r_$c") === col(c))
+          .foldLeft(col("cum") >= col("r"))(_ && _)
+      )
+      .groupBy(g ++ Seq(col("p"), col("r")): _*)
       .agg(min(struct(col("bucket"), col("cum_before"), col("pw"))).as("t"))
       .select(
-        col("p"),
-        col("r"),
-        col("t.bucket").as("est"),
-        col("t.cum_before").as("cb"),
-        col("t.pw").as("width")
+        g ++ Seq(
+          col("p"),
+          col("r"),
+          col("t.bucket").as("est"),
+          col("t.cum_before").as("cb"),
+          col("t.pw").as("width")
+        ): _*
       )
-    // second pass: broadcast the ≤5 target buckets, window only the
-    // rows that land in them (the value at global rank r is the
+    // second pass: broadcast the target buckets, window only the rows
+    // that land in them (the value at group rank r is the
     // (r − cum_before)-th smallest within its bucket)
-    val wp = Window.partitionBy("p").orderBy("v")
+    val tgtSide = targets
+      .withColumnsRenamed(groupCols.map(c => c -> s"__t_$c").toMap)
+    val wp = Window
+      .partitionBy(g :+ col("p"): _*)
+      .orderBy("v")
     val exact = rows
-      .join(broadcast(targets), rows("bucket") === targets("est"))
+      .join(
+        broadcast(tgtSide),
+        groupCols
+          .map(c => col(s"__t_$c") === col(c))
+          .foldLeft(rows("bucket") === tgtSide("est"))(_ && _)
+      )
       .withColumn("rn", row_number().over(wp))
       .filter(col("cb") + col("rn") === col("r"))
     exact
       .select(
-        col("p"),
-        col("r"),
-        col("est"),
-        col("v").as("exact_cents"),
-        (col("v") >= col("est") && col("v") < col("est") + col("width"))
-          .as("in_bound")
+        g ++ Seq(
+          col("p"),
+          col("r"),
+          col("est"),
+          col("v").as("exact_cents"),
+          (col("v") >= col("est") && col("v") < col("est") + col("width"))
+            .as("in_bound")
+        ): _*
       )
-      .orderBy("p")
+      .orderBy(g :+ col("p"): _*)
   }
+
+  private val hdrQuantiles: Q = (s, dir) =>
+    hdrReport(
+      s,
+      Tables(s, dir).lineitem
+        .select(round(col("l_extendedprice") * 100).cast("long").as("v")),
+      Nil
+    )
+
+  /** q88: the q85 sketch GROUPED — per-group quantile profiles (the
+    * per-endpoint latency dashboard shape: p50/p99 per key from one
+    * mergeable sketch per group). Same bounded state and exact-
+    * selection guarantee as q85, with every window and join keyed by
+    * the group, so group count scales out, never up.
+    */
+  private val hdrGrouped: Q = (s, dir) =>
+    hdrReport(
+      s,
+      Tables(s, dir).lineitem
+        .select(
+          col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("v")
+        ),
+      Seq("l_returnflag")
+    )
 
   /** Target compaction output size for q86, in bytes of document
     * payload. Sized so the sf0.01 fixture yields multi-file bins;
@@ -228,10 +284,54 @@ object Relational10 {
   val queries: Map[String, Q] = Map(
     "q85_hdr_quantiles" -> hdrQuantiles,
     "q86_compaction_plan" -> compactionPlan,
-    "q87_column_stats" -> columnStats
+    "q87_column_stats" -> columnStats,
+    "q88_grouped_quantiles" -> hdrGrouped
   )
 
   val oracle: Map[String, String] = Map(
+    "q88_grouped_quantiles" ->
+      s"""WITH v AS (SELECT l_returnflag,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+         |  FROM lineitem),
+         |rows_b AS (SELECT l_returnflag, v,
+         |    v - v % (CAST(1 AS BIGINT) << GREATEST(length(bin(v)) - 1 - $HDR_S, 0))
+         |      AS bucket,
+         |    (CAST(1 AS BIGINT) << GREATEST(length(bin(v)) - 1 - $HDR_S, 0))
+         |      AS pw
+         |  FROM v),
+         |c AS (SELECT l_returnflag, bucket, pw,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM rows_b GROUP BY 1, 2, 3),
+         |cum AS (SELECT l_returnflag, bucket, pw, cnt,
+         |    CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket)
+         |      - cnt AS BIGINT) AS cb
+         |  FROM c),
+         |n AS (SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM c GROUP BY 1),
+         |p(p) AS (VALUES (25), (50), (75), (90), (99)),
+         |r AS (SELECT n.l_returnflag, p.p,
+         |    CAST((n.n * p.p + 99) // 100 AS BIGINT) AS r
+         |  FROM p, n),
+         |tgt AS (SELECT r.l_returnflag, r.p, r.r,
+         |    MIN(cum.bucket) AS est,
+         |    arg_min(cum.cb, cum.bucket) AS cb,
+         |    arg_min(cum.pw, cum.bucket) AS width
+         |  FROM r JOIN cum ON cum.l_returnflag = r.l_returnflag
+         |    AND cum.cum >= r.r
+         |  GROUP BY 1, 2, 3),
+         |sel AS (SELECT t.l_returnflag, t.p, t.r, t.est, t.width,
+         |    rows_b.v, t.cb,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY t.l_returnflag, t.p
+         |      ORDER BY rows_b.v) AS BIGINT) AS rn
+         |  FROM tgt t JOIN rows_b
+         |    ON rows_b.l_returnflag = t.l_returnflag
+         |   AND rows_b.bucket = t.est)
+         |SELECT l_returnflag, p, r, est, v AS exact_cents,
+         |  (v >= est AND v < est + width) AS in_bound
+         |FROM sel WHERE cb + rn = r
+         |ORDER BY l_returnflag, p""".stripMargin,
     "q87_column_stats" ->
       STATS_COLS
         .map { c =>
