@@ -96,6 +96,58 @@ object DedupQueries {
   private val minhashLsh: Q = (s, dir) =>
     minhashVerified(s, dir).orderBy("id_a", "id_b")
 
+  /** Ground-truth Jaccard floor and id window for dedup27 — low
+    * enough (0.3) that the K=32/b=8/r=4 banding MISSES a healthy
+    * share (S-curve P ≈ 1−(1−j⁴)⁸ ≈ 6 % at j=0.3), so the measured
+    * recall exercises both outcomes.
+    */
+  private[ops] val RECALL_JAC_T = 0.3
+  private[ops] val RECALL_W = 10
+
+  /** dedup27: measured LSH recall against exhaustive ground truth —
+    * the EMPIRICAL companion to dedup23's analytic operating curve:
+    * every pair the banding SHOULD consider (exact shingle Jaccard ≥
+    * ${RECALL_JAC_T} inside a bounded id window, dedup03's truth
+    * discipline — exhaustive truth is quadratic, so it is windowed by
+    * construction; the candidates are NOT) is marked caught/missed
+    * against dedup04's actual candidate set. At scale this runs on a
+    * fixture slice as the calibration job that picks the (bands,
+    * rows) split dedup23 scores analytically.
+    *
+    * Cost: truth = the windowed self-join (W·n pairs); candidates =
+    * the one bucketed shuffle (restricted here to the same window by
+    * a map-side filter); outcome = one left join of two pair sets.
+    */
+  private val lshRecall: Q = (s, dir) => {
+    val base = docs(s, dir)
+    val d = Dedup
+      .withShingles(Dedup.withTokens(base, "text"))
+      .select(col("doc_id"), col("__sh"))
+    val a = d.select(col("doc_id").as("id_a"), col("__sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("__sh").as("sh_b"))
+    val truth = PairJoins
+      .bucketedWindowJoin(a, b, "id_a", "id_b", RECALL_W)
+      .select(
+        col("id_a"),
+        col("id_b"),
+        Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac")
+      )
+      .filter(col("jac") >= RECALL_JAC_T)
+    val caught = Dedup
+      .lshCandidatePairs(base, "doc_id", "text", K, BANDS)
+      .filter(col("id_b") <= col("id_a") + RECALL_W)
+      .withColumn("caught", lit(true))
+    truth
+      .join(caught, Seq("id_a", "id_b"), "left_outer")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("jac"),
+        coalesce(col("caught"), lit(false)).as("caught")
+      )
+      .orderBy("id_a", "id_b")
+  }
+
   /** dedup16: cross-source duplication matrix — Jaccard-confirmed
     * (≥ 0.5) near-dup pairs rolled up by the (unordered) source pair.
     * The corpus contamination report: how much of source A re-appears
@@ -799,6 +851,7 @@ object DedupQueries {
     "dedup02_exact_pairs" -> exactPairs,
     "dedup03_jaccard_nearby" -> jaccardNearby,
     "dedup04_minhash_lsh" -> minhashLsh,
+    "dedup27_lsh_recall" -> lshRecall,
     "dedup05_simhash" -> simhashPairs,
     "dedup06_clusters" -> clusters,
     "dedup07_simhash_bands" -> simhashBandPairs,
@@ -1061,6 +1114,28 @@ object DedupQueries {
          |WHERE $jacSql >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup04_minhash_lsh" -> minhashVerifiedOracle,
+    "dedup27_lsh_recall" ->
+      s"""WITH $prepCte,
+         |sig AS (SELECT doc_id, sh, $sigSql AS sig FROM shh),
+         |band AS (SELECT doc_id, r.b AS band, bands[r.b + 1] AS band_sig
+         |         FROM (SELECT doc_id, $bandsSql AS bands FROM sig) s
+         |         CROSS JOIN range(0, $BANDS) r(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM band a JOIN band b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id),
+         |truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    $jacSql AS jac
+         |  FROM sh a JOIN sh b
+         |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + $RECALL_W
+         |  WHERE $jacSql >= $RECALL_JAC_T)
+         |SELECT t.id_a, t.id_b, t.jac,
+         |  (p.id_a IS NOT NULL) AS caught
+         |FROM truth t
+         |LEFT JOIN (SELECT id_a, id_b FROM pairs
+         |           WHERE id_b <= id_a + $RECALL_W) p
+         |  ON p.id_a = t.id_a AND p.id_b = t.id_b
+         |ORDER BY t.id_a, t.id_b""".stripMargin,
     "dedup19_clustering_coeff" ->
       s"""WITH mh AS ($minhashVerifiedOracle),
          |e AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5),

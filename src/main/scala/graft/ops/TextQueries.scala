@@ -695,8 +695,16 @@ object TextQueries {
     * (N−df+0.5)/(df+0.5) — no logarithm, same libm-free discipline
     * as text08: the ranking is order-isomorphic and the arithmetic
     * (+,−,×,÷) is IEEE-exact on both engines. Per-term scores are
-    * rounded once and summed as DECIMAL so the per-doc total is
-    * independent of term arrival order.
+    * quantized ONCE to integer picounits — `floor(s·10¹² + 0.5)`,
+    * sim09's discipline, NOT `round(s, 12)`: Spark rounds through
+    * BigDecimal HALF_UP while DuckDB rounds doubles in float space,
+    * and at sf0.1 two term scores land exactly on the disagreement
+    * boundary (found by the three-SF sweep) — then summed as exact
+    * BIGINTs, so the per-doc total is independent of term arrival
+    * order and the single closing division is IEEE-identical.
+    * (Integer headroom: idf ≤ 2N+1, so the scaled term fits BIGINT
+    * while N·10¹² < 2⁶³ — beyond ~4·10⁶ docs, drop the scale to
+    * 10⁹, which this fixture-calibrated constant encodes.)
     *
     * Shape at scale: the tokenizer output is filtered to the query
     * terms BEFORE any shuffle (the explode feeds a pushed isin — the
@@ -735,12 +743,12 @@ object TextQueries {
       .crossJoin(broadcast(stats))
       .select(
         col("doc_id"),
-        round(termScore, 12).cast(DecimalType(24, 12)).as("__s")
+        floor(termScore * lit(1e12) + lit(0.5)).cast("long").as("__s")
       )
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_terms"),
-        round(sum(col("__s")).cast("double"), 10).as("bm25")
+        (sum(col("__s")).cast("double") / lit(1e12)).as("bm25")
       )
       .orderBy("doc_id")
   }
@@ -987,16 +995,16 @@ object TextQueries {
          |       WHERE tok IN ($termsIn) GROUP BY 1, 2),
          |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
          |sc AS (SELECT tf.doc_id,
-         |  CAST(round(
+         |  CAST(floor(
          |    ((CAST(st.n_docs AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5))
          |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
          |    / (CAST(tf.tf AS DOUBLE)
          |       + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE)
-         |           / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))),
-         |  12) AS DECIMAL(24,12)) AS s
+         |           / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
+         |    * 1000000000000.0 + 0.5) AS BIGINT) AS s
          |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
          |SELECT doc_id, COUNT(*) AS n_terms,
-         |  round(CAST(SUM(s) AS DOUBLE), 10) AS bm25
+         |  CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE) / 1000000000000.0 AS bm25
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "text19_lm_score" ->
