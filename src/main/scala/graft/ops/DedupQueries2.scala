@@ -219,11 +219,10 @@ object DedupQueries2 {
       .groupBy(col("config"))
       .agg(
         count(lit(1)).as("n_pairs"),
-        round(
-          sum(round(col("p"), 12).cast(DecimalType(24, 12))).cast("double") /
-            count(lit(1)),
-          10
-        ).as("expected_recall")
+        // pico-unit quantization, not round(x,12) — the text20 class
+        (sum(floor(col("p") * lit(1e12) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e12) / count(lit(1)))
+          .as("expected_recall")
       )
       .orderBy("config")
   }
@@ -536,8 +535,9 @@ object DedupQueries2 {
          |u AS (
          |  $branches)
          |SELECT config, COUNT(*) AS n_pairs,
-         |  round(CAST(SUM(CAST(round(p, 12) AS DECIMAL(24,12))) AS DOUBLE)
-         |    / COUNT(*), 10) AS expected_recall
+         |  CAST(CAST(SUM(CAST(floor(p * 1000000000000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS DOUBLE)
+         |    / 1000000000000.0 / COUNT(*) AS expected_recall
          |FROM u GROUP BY config ORDER BY config""".stripMargin
     }
   )

@@ -134,10 +134,12 @@ object Relational7 {
         col("n_view"),
         col("n_click"),
         col("n_purchase"),
-        round(col("n_click").cast("double") / col("n_view"), 10)
-          .as("click_rate"),
-        round(col("n_purchase").cast("double") / col("n_click"), 10)
-          .as("purchase_rate")
+        // floor-scale, not round(x,10): engines round doubles
+        // differently on the half boundary (the text20 class)
+        (floor(col("n_click").cast("double") / col("n_view") * lit(1e10)
+          + lit(0.5)).cast("double") / lit(1e10)).as("click_rate"),
+        (floor(col("n_purchase").cast("double") / col("n_click") * lit(1e10)
+          + lit(0.5)).cast("double") / lit(1e10)).as("purchase_rate")
       )
   }
 
@@ -274,7 +276,9 @@ object Relational7 {
     counts
       .withColumn(
         "prob",
-        round(col("n").cast("double") / sum(col("n")).over(byFrom), 10)
+        // floor-scale, not round(x,10) — the text20 class
+        floor(col("n").cast("double") / sum(col("n")).over(byFrom)
+          * lit(1e10) + lit(0.5)).cast("double") / lit(1e10)
       )
       .orderBy("from_type", "to_type")
   }
@@ -484,9 +488,9 @@ object Relational7 {
         |t AS (SELECT from_type, to_type, COUNT(*) AS n FROM seq
         |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
-        |  round(CAST(n AS DOUBLE)
-        |    / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT), 10)
-        |    AS prob
+        |  CAST(floor(CAST(n AS DOUBLE)
+        |    / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    * 10000000000.0 + 0.5) AS BIGINT) / 10000000000.0 AS prob
         |FROM t ORDER BY from_type, to_type""".stripMargin,
     // the same sort-based linear form (the quadratic NOT EXISTS mirror
     // is pinned separately in SkylineSpec against in-test brute force)
@@ -560,10 +564,12 @@ object Relational7 {
         |SELECT (SELECT COUNT(*) FROM v) AS n_view,
         |  (SELECT COUNT(*) FROM c) AS n_click,
         |  (SELECT COUNT(*) FROM p) AS n_purchase,
-        |  round(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
-        |    / (SELECT COUNT(*) FROM v), 10) AS click_rate,
-        |  round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
-        |    / (SELECT COUNT(*) FROM c), 10) AS purchase_rate""".stripMargin,
+        |  CAST(floor(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM v) * 10000000000.0 + 0.5) AS BIGINT)
+        |    / 10000000000.0 AS click_rate,
+        |  CAST(floor(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM c) * 10000000000.0 + 0.5) AS BIGINT)
+        |    / 10000000000.0 AS purchase_rate""".stripMargin,
     "q63_regression" ->
       """WITH m AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

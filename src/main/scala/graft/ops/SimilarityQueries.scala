@@ -556,8 +556,10 @@ object SimilarityQueries {
     * the complement of sim14's separability eval. Pair count is
     * bounded by the SAMPLE size squared (an eval-budget constant),
     * never the corpus. The mean is engine-exact: each cosine is
-    * rounded to 12 digits first and summed as DECIMAL — a raw double
-    * SUM would be partition-order-dependent and break the gate.
+    * quantized to pico-units (floor(x·10¹²+0.5), the text20/sim09
+    * rule) and summed as exact BIGINTs — a raw double SUM would be
+    * partition-order-dependent, and round(x,12) engine-divergent on
+    * the half boundary.
     */
   private val DIV_STRIDE = 10L
   private val diversity: Q = (s, dir) => {
@@ -578,18 +580,17 @@ object SimilarityQueries {
       .filter(col("id_a") < col("id_b"))
       .select(
         col("label"),
-        round(
-          graft.plans.CosineSimilarity(s, col("va"), col("vb")),
-          12
-        ).cast(DecimalType(16, 12)).as("__cos")
+        // pico-unit quantization, not round(x,12) — the text20 class
+        floor(
+          graft.plans.CosineSimilarity(s, col("va"), col("vb")) * lit(1e12)
+            + lit(0.5)
+        ).cast("long").as("__cos")
       )
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_pairs"),
-        round(
-          sum(col("__cos")).cast("double") / count(lit(1)),
-          10
-        ).as("mean_cos")
+        (sum(col("__cos")).cast("double") / lit(1e12) / count(lit(1)))
+          .as("mean_cos")
       )
       .orderBy("label")
   }
@@ -947,12 +948,13 @@ object SimilarityQueries {
       s"""WITH smp AS (SELECT vec_id, embedding, label FROM embeddings
          |             WHERE vec_id % $DIV_STRIDE = 0),
          |p AS (SELECT a.label,
-         |        CAST(round(${cosSql("a.embedding", "b.embedding")}, 12)
-         |          AS DECIMAL(16,12)) AS c
+         |        CAST(floor(${cosSql("a.embedding", "b.embedding")}
+         |          * 1000000000000.0 + 0.5) AS BIGINT) AS c
          |      FROM smp a JOIN smp b
          |        ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT label, COUNT(*) AS n_pairs,
-         |  round(CAST(SUM(c) AS DOUBLE) / COUNT(*), 10) AS mean_cos
+         |  CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / 1000000000000.0
+         |    / COUNT(*) AS mean_cos
          |FROM p GROUP BY label ORDER BY label""".stripMargin,
     "sim14_label_knn" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,

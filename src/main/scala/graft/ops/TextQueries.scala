@@ -759,8 +759,10 @@ object TextQueries {
     * χ² jumps between crawls changed its content; a source with
     * extreme χ² is an outlier domain). χ² instead of KL because it is
     * RATIONAL: sums of (p−q)²/q need only +,−,×,÷ — engine-exact
-    * under the decimal-sum discipline — where KL's log is libm
-    * territory (the text08/text16 rule).
+    * under pico-unit integer quantization (floor(x·10¹²+0.5), the
+    * text20/sim09 rule — never round(x,12), which engines disagree on
+    * at the half boundary) — where KL's log is libm territory (the
+    * text08/text16 rule).
     *
     * The identity Σ_t (p_t−q_t)²/q_t = 1 + Σ_{t∈source}((p_t−q_t)²/q_t
     * − q_t) lets the sum run over SOURCE-PRESENT tokens only — the
@@ -792,10 +794,12 @@ object TextQueries {
         col("source"),
         col("n_s"),
         col("n_types"),
-        round(term, 12).cast(DecimalType(28, 12)).as("__t")
+        // pico-unit quantization, NOT round(x,12): engines round
+        // doubles differently on the half boundary (the text20 class)
+        floor(term * lit(1e12) + lit(0.5)).cast("long").as("__t")
       )
       .groupBy(col("source"), col("n_s"), col("n_types"))
-      .agg(round(lit(1.0) + sum(col("__t")).cast("double"), 10).as("chi2"))
+      .agg((lit(1.0) + sum(col("__t")).cast("double") / lit(1e12)).as("chi2"))
       .select(col("source"), col("n_s").as("n_tokens"), col("n_types"), col("chi2"))
       .orderBy("source")
   }
@@ -971,17 +975,18 @@ object TextQueries {
          |       FROM cst GROUP BY source),
          |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_total FROM ct),
          |tm AS (SELECT cst.source, ns.n_s, ns.n_types,
-         |  CAST(round(
-         |    ((CAST(cst.c_st AS DOUBLE) / ns.n_s
+         |  CAST(floor(
+         |    (((CAST(cst.c_st AS DOUBLE) / ns.n_s
          |        - CAST(ct.c_t AS DOUBLE) / tot.n_total)
          |     * (CAST(cst.c_st AS DOUBLE) / ns.n_s
          |        - CAST(ct.c_t AS DOUBLE) / tot.n_total))
          |    / (CAST(ct.c_t AS DOUBLE) / tot.n_total)
-         |    - CAST(ct.c_t AS DOUBLE) / tot.n_total,
-         |  12) AS DECIMAL(28,12)) AS tv
+         |    - CAST(ct.c_t AS DOUBLE) / tot.n_total)
+         |    * 1000000000000.0 + 0.5) AS BIGINT) AS tv
          |  FROM cst JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN tot)
          |SELECT source, n_s AS n_tokens, n_types,
-         |  round(1.0 + CAST(SUM(tv) AS DOUBLE), 10) AS chi2
+         |  1.0 + CAST(CAST(SUM(tv) AS BIGINT) AS DOUBLE) / 1000000000000.0
+         |    AS chi2
          |FROM tm GROUP BY source, n_s, n_types
          |ORDER BY source""".stripMargin,
     "text20_bm25" -> {
