@@ -281,7 +281,37 @@ object Relational10 {
     reports.reduce(_ unionByName _).orderBy("column")
   }
 
+  /** q89: the VARIANT semi-structured surface (Spark 4) — `parse_json`
+    * once into the binary variant encoding, then typed `variant_get`
+    * extraction feeding a relational aggregate. Against q18's
+    * per-access `get_json_object` (which re-parses the JSON string at
+    * every path probe), VARIANT parses once and every subsequent
+    * access is a binary-offset read — the difference between O(paths)
+    * string parses and O(1) parse + cheap probes per row, which is
+    * what makes wide semi-structured scans viable at corpus scale.
+    * The oracle reads the same values through DuckDB's JSON reader,
+    * pinning that the encoding round-trips typed values exactly.
+    */
+  private val variantJson: Q = (s, dir) => {
+    Tables(s, dir).events
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(
+        col("event_type"),
+        variant_get(col("v"), "$.k", "bigint").as("k")
+      )
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k")
+      )
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q89_variant_json" -> variantJson,
     "q85_hdr_quantiles" -> hdrQuantiles,
     "q86_compaction_plan" -> compactionPlan,
     "q87_column_stats" -> columnStats,
@@ -289,6 +319,16 @@ object Relational10 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q89_variant_json" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS n_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q88_grouped_quantiles" ->
       s"""WITH v AS (SELECT l_returnflag,
          |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
