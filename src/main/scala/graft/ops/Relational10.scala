@@ -68,23 +68,36 @@ object Relational10 {
     * bounded bucket/quantile keys), so nothing here is ever a
     * data-sized single partition.
     */
-  private def hdrReport(
-      s: SparkSession,
-      values: DataFrame,
-      groupCols: Seq[String]
-  ): DataFrame = {
+  /** The per-row bucketing of the HDR construction — map-side only. */
+  private[graft] def hdrBucketRows(values: DataFrame, groupCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)
-    val rows = values
+    values
       .withColumn("m", length(bin(col("v"))) - lit(1))
       .withColumn("sh", greatest(col("m") - lit(HDR_S), lit(0)))
       .withColumn("pw", expr("shiftleft(CAST(1 AS BIGINT), sh)"))
       .withColumn("bucket", col("v") - col("v") % col("pw"))
       .select(g ++ Seq(col("v"), col("bucket"), col("pw")): _*)
-    val counts = rows
+  }
+
+  /** The sketch itself: per-(group, bucket) counts — bounded,
+    * mergeable by plain count addition (the streaming state shape,
+    * see `streaming.StreamHdrQuantiles`).
+    */
+  private[graft] def hdrBucketCounts(values: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    hdrBucketRows(values, groupCols)
       .groupBy(g ++ Seq(col("bucket"), col("pw")): _*)
       .agg(count(lit(1)).as("cnt"))
-    // bounded table (≤ ~1K rows per group by construction) — the
-    // ordered cum window here is over the SKETCH, not the data
+  }
+
+  /** Rank read over an accumulated sketch: per (group, quantile), the
+    * rank and the target bucket (= the estimate, with its cum_before
+    * and width for a subsequent exact-selection pass). Windows/joins
+    * touch only the bounded sketch.
+    */
+  private[graft] def hdrTargets(counts: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val s = counts.sparkSession
+    val g = groupCols.map(col)
     val wb = Window
       .partitionBy(g: _*)
       .orderBy("bucket")
@@ -102,7 +115,7 @@ object Relational10 {
     // post-filter when groups exist, a tiny sketch×5 BNLJ when not
     val rankSide = ranks
       .withColumnsRenamed(groupCols.map(c => c -> s"__r_$c").toMap)
-    val targets = broadcast(rankSide)
+    broadcast(rankSide)
       .join(
         cum,
         groupCols
@@ -120,6 +133,19 @@ object Relational10 {
           col("t.pw").as("width")
         ): _*
       )
+  }
+
+  private def hdrReport(
+      s: SparkSession,
+      values: DataFrame,
+      groupCols: Seq[String]
+  ): DataFrame = {
+    val g = groupCols.map(col)
+    val rows = hdrBucketRows(values, groupCols)
+    val counts = hdrBucketCounts(values, groupCols)
+    // bounded table (≤ ~1K rows per group by construction) — every
+    // window/join inside hdrTargets is over the SKETCH, not the data
+    val targets = hdrTargets(counts, groupCols)
     // second pass: broadcast the target buckets, window only the rows
     // that land in them (the value at group rank r is the
     // (r − cum_before)-th smallest within its bucket)

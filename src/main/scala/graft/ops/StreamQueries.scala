@@ -370,6 +370,30 @@ object StreamQueries {
       )
   }
 
+  /** stream16: streaming grouped quantiles — the HDR bucket-count
+    * sketch as additively-merged sink state
+    * ([[graft.streaming.StreamHdrQuantiles]]); replay the value feed
+    * in 5 event_id-sliced micro-batches, then read (group, p, rank,
+    * bucket-lower-bound estimate) off the accumulated sketch — must
+    * equal the same sketch read computed from all events at once
+    * (count addition is associative+commutative, so any slicing
+    * lands on the same sketch).
+    */
+  private val hdrIngest: Q = (s, dir) =>
+    graft.streaming.StreamHdrQuantiles
+      .replay(
+        Tables(s, dir).events
+          .filter(col("value") >= 0)
+          .select(
+            col("event_type"),
+            round(col("value") * 100).cast("long").as("v"),
+            col("event_id")
+          ),
+        groupCols = Seq("event_type"),
+        sliceCol = "event_id"
+      )
+      .orderBy("event_type", "p")
+
   /** stream14: streaming per-window HLL distinct users — replay the
     * feed in 5 event_id-sliced micro-batches through
     * [[graft.streaming.StreamWindowHll]]'s register state (O(windows
@@ -432,7 +456,8 @@ object StreamQueries {
     "stream11_window_topk" -> windowTopk,
     "stream13_static_enrich" -> staticEnrich,
     "stream14_window_hll" -> windowHll,
-    "stream15_outer_join" -> outerJoin
+    "stream15_outer_join" -> outerJoin,
+    "stream16_hdr_ingest" -> hdrIngest
   )
 
   /** µs-precision epoch arithmetic mirrors of Spark's window():
@@ -440,6 +465,34 @@ object StreamQueries {
     * hops); make_timestamp keeps the naive-UTC type.
     */
   val oracle: Map[String, String] = Map(
+    // the one-pass sketch read the sliced additive merge must equal
+    "stream16_hdr_ingest" -> {
+      val S = Relational10.HDR_S
+      s"""WITH v AS (SELECT event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS v
+         |  FROM events WHERE value >= 0),
+         |rows_b AS (SELECT event_type, v,
+         |    v - v % (CAST(1 AS BIGINT) << GREATEST(length(bin(v)) - 1 - $S, 0))
+         |      AS bucket
+         |  FROM v),
+         |c AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM rows_b GROUP BY 1, 2),
+         |cum AS (SELECT event_type, bucket,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+         |      AS BIGINT) AS cum
+         |  FROM c),
+         |n AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM c GROUP BY 1),
+         |p(p) AS (VALUES (25), (50), (75), (90), (99)),
+         |r AS (SELECT n.event_type, p.p,
+         |    CAST((n.n * p.p + 99) // 100 AS BIGINT) AS r
+         |  FROM p, n)
+         |SELECT r.event_type, r.p, r.r, MIN(cum.bucket) AS est
+         |FROM r JOIN cum ON cum.event_type = r.event_type
+         |  AND cum.cum >= r.r
+         |GROUP BY 1, 2, 3
+         |ORDER BY r.event_type, r.p""".stripMargin
+    },
     "stream15_outer_join" ->
       s"""SELECT s.user_id AS uid, s.ts AS signup_ts,
          |  s.event_id AS signup_event,
