@@ -370,6 +370,46 @@ object StreamQueries {
       )
   }
 
+  /** stream17: stream-stream FULL OUTER interval join — both sides
+    * preserved (unmatched signups AND unattributed purchases emit
+    * null-padded at watermark-proven completeness); the batch face is
+    * the plain full join. Completes the join-mode matrix: inner
+    * stream05, left stream15, full here.
+    */
+  private val fullOuterJoin: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val pu = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_event"),
+        col("value")
+      )
+    val su = ev
+      .filter(col("event_type") === "signup")
+      .select(
+        col("user_id").as("s_user"),
+        col("ts").as("signup_ts"),
+        col("event_id").as("signup_event")
+      )
+    graft.streaming.StreamJoins
+      .purchaseAttributionFull(pu, su)
+      .select(
+        coalesce(col("s_user"), col("user_id")).as("uid"),
+        col("signup_ts"),
+        col("signup_event"),
+        col("purchase_ts"),
+        col("purchase_event"),
+        col("value")
+      )
+      .orderBy(
+        col("uid"),
+        col("signup_event").asc_nulls_last,
+        col("purchase_event").asc_nulls_last
+      )
+  }
+
   /** stream16: streaming grouped quantiles — the HDR bucket-count
     * sketch as additively-merged sink state
     * ([[graft.streaming.StreamHdrQuantiles]]); replay the value feed
@@ -457,7 +497,8 @@ object StreamQueries {
     "stream13_static_enrich" -> staticEnrich,
     "stream14_window_hll" -> windowHll,
     "stream15_outer_join" -> outerJoin,
-    "stream16_hdr_ingest" -> hdrIngest
+    "stream16_hdr_ingest" -> hdrIngest,
+    "stream17_full_outer" -> fullOuterJoin
   )
 
   /** µs-precision epoch arithmetic mirrors of Spark's window():
@@ -493,6 +534,17 @@ object StreamQueries {
          |GROUP BY 1, 2, 3
          |ORDER BY r.event_type, r.p""".stripMargin
     },
+    "stream17_full_outer" ->
+      s"""SELECT COALESCE(s.user_id, p.user_id) AS uid, s.ts AS signup_ts,
+         |  s.event_id AS signup_event,
+         |  p.ts AS purchase_ts, p.event_id AS purchase_event, p.value
+         |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+         |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         |  ON p.user_id = s.user_id
+         | AND epoch_us(p.ts) >= epoch_us(s.ts)
+         | AND epoch_us(p.ts) <= epoch_us(s.ts) + CAST(3600 AS BIGINT) * 1000000
+         |ORDER BY uid, signup_event NULLS LAST,
+         |  purchase_event NULLS LAST""".stripMargin,
     "stream15_outer_join" ->
       s"""SELECT s.user_id AS uid, s.ts AS signup_ts,
          |  s.event_id AS signup_event,

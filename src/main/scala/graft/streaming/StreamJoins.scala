@@ -81,4 +81,36 @@ object StreamJoins {
       "left_outer"
     )
   }
+
+  /** FULL OUTER flavor — both sides preserved: unmatched signups AND
+    * unattributed purchases each emit one null-padded row once their
+    * side's state eviction proves no match can arrive (the same
+    * watermark machinery as the left join, applied to both buffers).
+    * Completes the stream-stream join-mode matrix next to inner
+    * (stream05) and left (stream15).
+    */
+  def purchaseAttributionFull(
+      purchases: DataFrame,
+      signups: DataFrame,
+      boundSeconds: Long = 3600L,
+      slackSeconds: Long = 600L
+  ): DataFrame = {
+    // symmetric eviction: each side must outlive the other side's
+    // join bound, so both watermarks carry bound + slack
+    val p = purchases.withWatermark(
+      "purchase_ts",
+      s"${boundSeconds + slackSeconds} seconds"
+    )
+    val s = signups.withWatermark(
+      "signup_ts",
+      s"${boundSeconds + slackSeconds} seconds"
+    )
+    s.join(
+      p,
+      col("s_user") === col("user_id") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $boundSeconds SECONDS"),
+      "full_outer"
+    )
+  }
 }
