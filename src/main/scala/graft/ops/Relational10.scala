@@ -95,7 +95,11 @@ object Relational10 {
     * and width for a subsequent exact-selection pass). Windows/joins
     * touch only the bounded sketch.
     */
-  private[graft] def hdrTargets(counts: DataFrame, groupCols: Seq[String]): DataFrame = {
+  private[graft] def hdrTargets(
+      counts: DataFrame,
+      groupCols: Seq[String],
+      ps: Seq[Int] = HDR_PS
+  ): DataFrame = {
     val s = counts.sparkSession
     val g = groupCols.map(col)
     val wb = Window
@@ -108,7 +112,7 @@ object Relational10 {
     val total = counts.groupBy(g: _*).agg(sum("cnt").as("n"))
     import s.implicits._
     val ranks = total
-      .crossJoin(broadcast(HDR_PS.toDF("p")))
+      .crossJoin(broadcast(ps.toDF("p")))
       .withColumn("r", expr("CAST((n * p + 99) DIV 100 AS BIGINT)"))
       .select(g ++ Seq(col("p"), col("r")): _*)
     // group-equi keys + the non-equi rank bound: a hash join with a
@@ -336,7 +340,58 @@ object Relational10 {
       .orderBy("event_type")
   }
 
+  /** q90: equi-depth histogram — the CBO statistic q62's fixed-bin
+    * histogram cannot be (equal WIDTH tells the planner nothing about
+    * skewed mass; equal DEPTH puts the same row count in every bucket,
+    * which is what selectivity estimation needs). Boundaries are the
+    * nine exact deciles, located sketch-first (q85's machinery: HDR
+    * bucket counts → rank targets → one broadcast-pruned pass
+    * recovers the exact order statistics — never a global sort);
+    * bucket k then covers (boundary_{k−1}, boundary_k], assigned by a
+    * 10-row broadcast range join, and each bucket reports row count,
+    * NDV, and min/max — the histogram row a catalog stores. Heavy
+    * ties can collapse adjacent boundaries; the empty bucket simply
+    * emits no row (identically in both engines).
+    */
+  private val equiDepth: Q = (s, dir) => {
+    val v = Tables(s, dir).lineitem
+      .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val rows = hdrBucketRows(v, Nil)
+    val targets = hdrTargets(hdrBucketCounts(v, Nil), Nil, (10 to 90 by 10))
+    val wp = Window.partitionBy("p").orderBy("v")
+    val bounds = rows
+      .join(broadcast(targets), rows("bucket") === targets("est"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("cb") + col("rn") === col("r"))
+      .select(col("p"), col("v").as("b"))
+    val wOrd = Window.orderBy("p") // nine rows
+    val ranges = bounds
+      // prices are positive cents, so -1 is a safe open lower bound
+      .withColumn("lo", coalesce(lag(col("b"), 1).over(wOrd), lit(-1L)))
+      .select(
+        expr("CAST(p DIV 10 AS INT)").as("bucket_id"),
+        col("lo"),
+        col("b").as("hi")
+      )
+      .unionByName(
+        bounds
+          .agg(max(col("b")).as("lo"))
+          .select(lit(10).as("bucket_id"), col("lo"), lit(Long.MaxValue).as("hi"))
+      )
+    rows
+      .join(broadcast(ranges), col("v") > col("lo") && col("v") <= col("hi"))
+      .groupBy(col("bucket_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("v")).as("ndv"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v")
+      )
+      .orderBy("bucket_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q90_equi_depth" -> equiDepth,
     "q89_variant_json" -> variantJson,
     "q85_hdr_quantiles" -> hdrQuantiles,
     "q86_compaction_plan" -> compactionPlan,
@@ -345,6 +400,44 @@ object Relational10 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q90_equi_depth" ->
+      s"""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+         |  FROM lineitem),
+         |rows_b AS (SELECT v,
+         |    v - v % (CAST(1 AS BIGINT) << GREATEST(length(bin(v)) - 1 - $HDR_S, 0))
+         |      AS bucket
+         |  FROM v),
+         |c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM rows_b GROUP BY 1),
+         |cum AS (SELECT bucket, cnt,
+         |    CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (ORDER BY bucket) - cnt AS BIGINT) AS cb
+         |  FROM c),
+         |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+         |p(p) AS (VALUES (10), (20), (30), (40), (50), (60), (70), (80), (90)),
+         |r AS (SELECT p, CAST((n.n * p + 99) // 100 AS BIGINT) AS r FROM p, n),
+         |tgt AS (SELECT r.p, r.r, MIN(cum.bucket) AS est,
+         |    arg_min(cum.cb, cum.bucket) AS cb
+         |  FROM r JOIN cum ON cum.cum >= r.r GROUP BY r.p, r.r),
+         |sel AS (SELECT t.p, t.r, t.cb, rows_b.v,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY t.p ORDER BY rows_b.v)
+         |      AS BIGINT) AS rn
+         |  FROM tgt t JOIN rows_b ON rows_b.bucket = t.est),
+         |bounds AS (SELECT p, v AS b FROM sel WHERE cb + rn = r),
+         |ranges AS (
+         |  SELECT CAST(p // 10 AS INT) AS bucket_id,
+         |    COALESCE(LAG(b) OVER (ORDER BY p), CAST(-1 AS BIGINT)) AS lo,
+         |    b AS hi
+         |  FROM bounds
+         |  UNION ALL
+         |  SELECT 10, (SELECT MAX(b) FROM bounds),
+         |    CAST(9223372036854775807 AS BIGINT))
+         |SELECT bucket_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+         |  MIN(v) AS min_v, MAX(v) AS max_v
+         |FROM v JOIN ranges ON v.v > ranges.lo AND v.v <= ranges.hi
+         |GROUP BY bucket_id ORDER BY bucket_id""".stripMargin,
     "q89_variant_json" ->
       """SELECT event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,
