@@ -556,7 +556,42 @@ object TextQueries2 {
       .orderBy("pos")
   }
 
+  /** text31: tokenizer fertility report — characters per token and
+    * tokens per document by (source, lang), the signal that says how
+    * well a tokenizer compresses each corpus slice (a lang whose
+    * chars/token collapses toward 1 is being shredded into bytes —
+    * the classic under-trained-tokenizer symptom — and its docs cost
+    * proportionally more sequence budget per unit of text). Counts
+    * are exact BIGINTs off one dense (source, lang) aggregate; the
+    * two ratios are single closing IEEE divisions.
+    */
+  private val fertility: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+      .select(
+        col("source"),
+        col("lang"),
+        col("n_chars"),
+        tokenCountOf(tokens(col("text"))).cast("long").as("n_toks")
+      )
+    d.groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_toks")).as("sum_tokens")
+      )
+      .withColumn(
+        "chars_per_token",
+        col("sum_chars").cast("double") / col("sum_tokens")
+      )
+      .withColumn(
+        "tokens_per_doc",
+        col("sum_tokens").cast("double") / col("n_docs")
+      )
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text31_fertility" -> fertility,
     "text30_interleave" -> interleave,
     "text29_water_fill" -> waterFill,
     "text28_quality_classifier" -> qualityClassifier,
@@ -570,6 +605,18 @@ object TextQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "text31_fertility" ->
+      s"""SELECT source, lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(len($toksSql)) AS BIGINT) AS sum_tokens,
+         |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)
+         |    / CAST(SUM(len($toksSql)) AS BIGINT) AS chars_per_token,
+         |  CAST(CAST(SUM(len($toksSql)) AS BIGINT) AS DOUBLE)
+         |    / COUNT(*) AS tokens_per_doc
+         |FROM documents
+         |GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin,
     "text30_interleave" -> {
       val h = PortableHash.sqlH32("concat('il:', CAST(doc_id AS VARCHAR))")
       s"""WITH si AS (SELECT source,
