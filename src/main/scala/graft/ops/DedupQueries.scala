@@ -191,6 +191,34 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** dedup28: near-dup cluster-size distribution — the dedup SAVINGS
+    * report read off dedup06's components: how many clusters of each
+    * size exist, how many docs they hold, and how many are droppable
+    * (size − 1 per cluster, keeping one canonical survivor). This is
+    * the one-page answer to "what does near-dedup buy on this
+    * corpus" — and its shape over time is the crawl-health signal
+    * (a growing heavy tail means a template/boilerplate source
+    * slipped in). Cost on top of the CC pass: two dense aggregates
+    * over the (doc, cluster) table, nothing touches text.
+    */
+  private val clusterSizes: Q = (s, dir) => {
+    val edges = minhashVerified(s, dir).filter(col("jac") >= 0.5)
+    val nodes = docs(s, dir).select(col("doc_id").as("id"))
+    val sz = graft.dedup.Clusters
+      .connectedComponents(nodes, edges)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    sz.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(
+        col("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_droppable")
+      )
+      .orderBy("cluster_size")
+  }
+
   private val simhashPairs: Q = (s, dir) => {
     // fused per-row sketch (no explode/groupBy shuffle) — value parity
     // with Dedup.simHashAgg checked in TextSketchesSpec
@@ -854,6 +882,7 @@ object DedupQueries {
     "dedup27_lsh_recall" -> lshRecall,
     "dedup05_simhash" -> simhashPairs,
     "dedup06_clusters" -> clusters,
+    "dedup28_cluster_sizes" -> clusterSizes,
     "dedup07_simhash_bands" -> simhashBandPairs,
     "dedup08_clusters_stars" -> clustersStars
   )
@@ -1251,6 +1280,16 @@ object DedupQueries {
     // must land on the same fixpoint, so it shares the oracle.
     "dedup06_clusters" -> clustersOracle,
     "dedup08_clusters_stars" -> clustersOracle,
+    "dedup28_cluster_sizes" ->
+      s"""$clusterCtes,
+         |cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM cl GROUP BY cluster_id)
+         |SELECT cluster_size,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_droppable
+         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "dedup13_survivors" -> survivorsOracle
   )
 
