@@ -281,7 +281,78 @@ object CdcQueries {
       .orderBy("seq")
   }
 
+  /** cdc14: Debezium-envelope JSON decode → materialized state. The
+    * wire format a real CDC pipeline ingests is not a typed change
+    * log but a Kafka topic of JSON envelopes
+    * (`{"op":"c|u|d","before":…,"after":…,"source":{…},"ts_us":…}` —
+    * Debezium's event shape); this operator exercises the full
+    * decode contract: ENCODE the fixture log into envelope strings
+    * (deletes carry only `before` with the key, creates/updates only
+    * `after` — `to_json` omits the null side, as Debezium does),
+    * DECODE with an explicit schema (`from_json` — schema-on-read,
+    * no inference pass), map c/u/d back to I/U/D, recover the key
+    * from whichever side is present, and run latest-wins
+    * materialization on the envelope's own (ts_us, lsn) ordering.
+    * Result ≡ cdc01 on the same fixture by construction — which is
+    * exactly the property a decode stage must preserve.
+    *
+    * Scale shape: encode+decode are map-side row expressions (one
+    * Jackson parse per row against a fixed schema — no sampling/
+    * inference job); the only shuffle is the materializer's hash
+    * partition on the key. ts_us (micros), not Debezium's classic
+    * ts_ms: the fixture carries sub-millisecond event times and
+    * truncation would re-order same-ms ties differently than the
+    * typed path.
+    */
+  private val envelopeDecode: Q = (s, dir) => {
+    val log = changeLog(s, dir)
+    val env = log.select(
+      to_json(
+        struct(
+          when(col("op") === "I", lit("c"))
+            .when(col("op") === "D", lit("d"))
+            .otherwise(lit("u"))
+            .as("op"),
+          when(col("op") === "D", struct(col("id"))).as("before"),
+          when(
+            col("op") =!= "D",
+            struct(col("id"), col("content"), col("value"))
+          ).as("after"),
+          struct(lit("events").as("table"), col("seq").as("lsn"))
+            .as("source"),
+          unix_micros(col("ts")).as("ts_us")
+        )
+      ).as("payload")
+    )
+    val envSchema =
+      "op STRING, before STRUCT<id: BIGINT>, " +
+        "after STRUCT<id: BIGINT, content: STRING, value: DOUBLE>, " +
+        "source STRUCT<table: STRING, lsn: BIGINT>, ts_us BIGINT"
+    val dec = env
+      .select(
+        from_json(
+          col("payload"),
+          org.apache.spark.sql.types.StructType.fromDDL(envSchema)
+        ).as("e")
+      )
+      .select(
+        when(col("e.op") === "c", lit("I"))
+          .when(col("e.op") === "d", lit("D"))
+          .otherwise(lit("U"))
+          .as("op"),
+        coalesce(col("e.after.id"), col("e.before.id")).as("id"),
+        col("e.after.content").as("content"),
+        col("e.after.value").as("value"),
+        col("e.ts_us").as("ts_us"),
+        col("e.source.lsn").as("seq")
+      )
+    Materializer
+      .materialize(dec, tsCol = "ts_us")
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cdc14_envelope" -> envelopeDecode,
     "cdc11_compaction" -> compaction,
     "cdc09_time_travel" -> timeTravel,
     "cdc10_state_diff" -> stateDiff,
@@ -317,6 +388,39 @@ object CdcQueries {
       |FROM events""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the oracle builds and parses ITS OWN envelopes (DuckDB json_*):
+    // each engine must round-trip the payload through real JSON —
+    // string-identical wire bytes are not required (key order/number
+    // repr differ), value-identical decode is
+    "cdc14_envelope" ->
+      s"""WITH log AS ($logSql),
+         |env AS (SELECT json_object(
+         |    'op', CASE op WHEN 'I' THEN 'c' WHEN 'D' THEN 'd'
+         |                  ELSE 'u' END,
+         |    'before', CASE WHEN op = 'D'
+         |      THEN json_object('id', id) END,
+         |    'after', CASE WHEN op <> 'D'
+         |      THEN json_object('id', id, 'content', content,
+         |                       'value', value) END,
+         |    'source', json_object('table', 'events', 'lsn', seq),
+         |    'ts_us', epoch_us(ts)) AS p
+         |  FROM log),
+         |dec AS (SELECT
+         |    CASE json_extract_string(p, '$$.op')
+         |      WHEN 'c' THEN 'I' WHEN 'd' THEN 'D' ELSE 'U' END AS op,
+         |    COALESCE(CAST(json_extract(p, '$$.after.id') AS BIGINT),
+         |             CAST(json_extract(p, '$$.before.id') AS BIGINT))
+         |      AS id,
+         |    json_extract_string(p, '$$.after.content') AS content,
+         |    CAST(json_extract(p, '$$.after.value') AS DOUBLE) AS value,
+         |    CAST(json_extract(p, '$$.ts_us') AS BIGINT) AS ts_us,
+         |    CAST(json_extract(p, '$$.source.lsn') AS BIGINT) AS seq
+         |  FROM env)
+         |SELECT id, content, value
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+         |        ORDER BY ts_us DESC, seq DESC) AS rn FROM dec)
+         |WHERE rn = 1 AND op <> 'D'
+         |ORDER BY id""".stripMargin,
     "cdc11_compaction" ->
       s"""WITH log AS ($logSql),
          |pre AS (SELECT op, id, content, value, ts, seq

@@ -93,6 +93,103 @@ object DedupQueries2 {
       .orderBy("doc_id")
   }
 
+  /** dedup29: ExactSubstr-style span scrub with text RECONSTRUCTION
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — the remove-all-but-one-occurrence discipline).
+    * dedup21 only REPORTS duplicated spans; this operator applies the
+    * cut: every duplicated gram keeps its first-owner occurrence
+    * (owner = min doc_id over the gram's holders — the text25
+    * attribution rule) and is scrubbed everywhere else, scrubbed
+    * positions merge into maximal spans, and each document's clean
+    * text is rebuilt from the surviving tokens in original order.
+    *
+    * Shape at scale: the published algorithm builds a corpus suffix
+    * array; this is the gram-hash dataframe form — instances are
+    * (doc_id, pos, int32 hash) map-side, ownership is ONE dense hash
+    * aggregation, spans need one doc_id window bounded by document
+    * length. Only the final reconstruction touches text again: the
+    * span table (a small fraction of the corpus — it holds only
+    * scrubbed RANGES, ~2 longs per span) joins back to the documents
+    * on doc_id, and the token filter is a per-row higher-order
+    * expression — the corpus shuffles at most once, carrying spans
+    * rather than copies of the text. Coverage semantics: token index
+    * i is cut when ANY scrubbed gram [p, p+GRAM-1] covers it, so
+    * overlap double-counting cannot occur (union-of-intervals, not
+    * sum).
+    */
+  private val spanScrub: Q = (s, dir) => {
+    val d = Dedup.withTokens(docs(s, dir), "text")
+    val inst = d
+      .select(
+        col("doc_id"),
+        posexplode(
+          when(
+            size(col("__toks")) >= GRAM,
+            transform(
+              sequence(lit(0), size(col("__toks")) - GRAM),
+              i =>
+                concat_ws(
+                  " ",
+                  (0 until GRAM).map(k => element_at(col("__toks"), i + (k + 1))): _*
+                )
+            )
+          ).otherwise(array().cast("array<string>"))
+        )
+      )
+      .select(
+        col("doc_id"),
+        col("pos"),
+        PortableHash.h32(col("col")).as("h")
+      )
+    // ownership: first holder (min doc_id) of each cross-doc gram
+    val own = inst
+      .groupBy(col("h"))
+      .agg(
+        countDistinct(col("doc_id")).as("__nd"),
+        min(col("doc_id")).as("owner")
+      )
+      .filter(col("__nd") >= 2)
+      .select("h", "owner")
+    // scrub hits: occurrences of a duplicated gram OUTSIDE its owner
+    val hits = inst
+      .join(own, Seq("h"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("__grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(
+        min(col("pos")).as("lo"),
+        (max(col("pos")) + GRAM - 1).as("hi")
+      )
+      .groupBy(col("doc_id"))
+      // collect order is partition-nondeterministic, but the spans
+      // only feed an order-independent coverage test (exists)
+      .agg(collect_list(struct(col("lo"), col("hi"))).as("__spans"))
+    val emptySpans = array().cast("array<struct<lo:int,hi:int>>")
+    d.join(spans, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tok"),
+        filter(
+          col("__toks"),
+          (_, i) =>
+            !exists(
+              coalesce(col("__spans"), emptySpans),
+              sp => i >= sp("lo") && i <= sp("hi")
+            )
+        ).as("__kept")
+      )
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("__kept")).as("clean_text")
+      )
+      .orderBy("doc_id")
+  }
+
   /** PageRank rounds for dedup22, unrolled identically in the oracle.
     * The fixture graph's mass distribution stabilizes (to the output's
     * integer resolution) well within 3; at real scale rounds grow to
@@ -382,6 +479,7 @@ object DedupQueries2 {
   val queries: Map[String, Q] = Map(
     "dedup26_khop_recursive" -> khopNeighborhood,
     "dedup21_substring_spans" -> substringSpans,
+    "dedup29_span_scrub" -> spanScrub,
     "dedup22_pagerank" -> pagerank,
     "dedup23_lsh_curve" -> lshCurve,
     "dedup24_simhash64" -> simhash64Bands,
@@ -458,6 +556,48 @@ object DedupQueries2 {
          |  CAST(MAX(span) AS BIGINT) AS max_span_tokens,
          |  CAST(SUM(span) AS BIGINT) AS dup_tokens
          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same gram/ownership pipeline; the reconstruction is expressed
+    // as a NOT-EXISTS range probe per token + ordered string_agg
+    // (the dataframe side's higher-order filter, in join form)
+    "dedup29_span_scrub" ->
+      s"""WITH prep AS (SELECT doc_id, $normSql AS norm,
+         |        string_split($normSql, ' ') AS toks FROM documents),
+         |i AS (SELECT doc_id, pos,
+         |        ${PortableHash.sqlH32(
+          (1 to GRAM).map(k => s"toks[pos+$k]").mkString(" || ' ' || ")
+        )} AS h
+         |      FROM (SELECT doc_id, toks,
+         |              unnest(range(0, len(toks) - ${GRAM - 1})) AS pos
+         |            FROM prep WHERE len(toks) >= $GRAM)),
+         |own AS (SELECT h, MIN(doc_id) AS owner FROM i GROUP BY h
+         |        HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT i.doc_id, i.pos FROM i
+         |         JOIN own ON i.h = own.h
+         |         WHERE i.doc_id <> own.owner),
+         |r AS (SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY pos) AS grp
+         |      FROM hits),
+         |sp AS (SELECT doc_id, MIN(pos) AS lo,
+         |         MAX(pos) + ${GRAM - 1} AS hi
+         |       FROM r GROUP BY doc_id, grp),
+         |tok AS (SELECT doc_id, toks,
+         |          unnest(range(0, len(toks))) AS ti
+         |        FROM prep),
+         |kept AS (SELECT t.doc_id, t.ti, t.toks[t.ti + 1] AS tk
+         |         FROM tok t
+         |         WHERE NOT EXISTS (SELECT 1 FROM sp
+         |           WHERE sp.doc_id = t.doc_id
+         |             AND t.ti BETWEEN sp.lo AND sp.hi)),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |          string_agg(tk, ' ' ORDER BY ti) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT prep.doc_id,
+         |  CAST(len(prep.toks) AS BIGINT) AS n_tok,
+         |  CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+         |  COALESCE(agg.clean_text, '') AS clean_text
+         |FROM prep LEFT JOIN agg USING (doc_id)
+         |ORDER BY prep.doc_id""".stripMargin,
     // rounds unrolled as MATERIALIZED CTEs (the dedup20 discipline:
     // inlined, each round would re-expand the MinHash pipeline)
     "dedup22_pagerank" -> {

@@ -464,7 +464,139 @@ object SimilarityQueries2 {
       .orderBy("vec_a")
   }
 
+  /** Lloyd iteration count for sim23, unrolled identically in the
+    * oracle (the dedup22 PageRank discipline). Real training runs
+    * 10-25 rounds to an inertia plateau; 3 shows the trajectory the
+    * plateau test reads (inertia strictly falling, shift collapsing)
+    * at fixture cost.
+    */
+  private[ops] val KM_ITERS = 3
+  private[ops] val KM_K = 8 // seed count — matches sim18
+  private[ops] val KM_STRIDE = 97 // seed sampling stride — matches sim18
+
+  /** sim23: Lloyd k-means run for [[KM_ITERS]] FULL iterations — the
+    * training loop whose single step is sim18, with the full-vector
+    * centroid update sim18's first-coordinate report elides. Each
+    * round: assign every vector to its nearest centroid (exact BIGINT
+    * micro-unit distances, struct-min argmin — the sim18/sim11
+    * bit-reproducibility discipline), then recompute each centroid as the
+    * per-dimension FLOOR-DIVIDED mean (`sum div n` in BIGINT — keeps
+    * centroids on the integer grid, so the next round's assignment is
+    * again exact and the whole trajectory is bit-identical on any
+    * engine/partitioning; the sub-micro-unit truncation is noise at
+    * 10⁻⁶ scale). Output per (iter, cluster): population, exact
+    * inertia contribution, and the squared centroid shift — the
+    * convergence report a training driver reads to stop (inertia
+    * falls monotonically, shifts collapse toward 0). Clusters that
+    * lose all members drop out (the standard Lloyd empty-cluster
+    * rule), deterministically on both engines.
+    *
+    * Shape at scale: per round, the K-row centroid table BROADCASTS
+    * into the same bandwidth-bound map-side scan as sim18 (K·D
+    * multiply-adds/row); assignment is one dense-key aggregation; the
+    * centroid update posexplodes assigned vectors to (cluster, dim)
+    * — hash partial aggregation reduces that map-side to
+    * partitions×K×D rows on the wire, so the explode costs CPU, not
+    * shuffle. The corpus is RE-SCANNED each round rather than
+    * checkpointed (quantization is a map-side expression; caching
+    * 100 TB to save it is a bad trade), while the K-row centroid
+    * frame IS checkpointed per round — lineage would otherwise
+    * double every iteration — and superseded checkpoints are
+    * released (the dedup06/dedup22 round discipline). Per-round
+    * reports (K rows) checkpoint eagerly so releasing old centroid
+    * rounds cannot orphan their plans.
+    */
+  private val kmeansIters: Q = (s, dir) => {
+    val quant = Tables(s, dir).embeddings
+      .select(
+        col("vec_id"),
+        transform(
+          col("embedding"),
+          x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")
+        ).as("qe")
+      )
+    val seeds = quant
+      .filter(col("vec_id") % KM_STRIDE === 0)
+      .orderBy("vec_id")
+      .limit(KM_K)
+      .withColumn(
+        "cluster_id",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long")
+      )
+      .select(col("cluster_id"), col("qe").as("qc"))
+    var cents = seeds.localCheckpoint(true)
+    val reports = Seq.newBuilder[DataFrame]
+    for (it <- 1 to KM_ITERS) {
+      val assigned = quant
+        .crossJoin(broadcast(cents))
+        // dims guard (sim11 discipline): fail closed on ragged vectors
+        .filter(size(col("qe")) === size(col("qc")))
+        .select(
+          col("vec_id"),
+          col("qe"),
+          col("cluster_id"),
+          aggregate(
+            zip_with(col("qe"), col("qc"), (a, b) => (a - b) * (a - b)),
+            lit(0L),
+            (acc, x) => acc + x
+          ).as("dist")
+        )
+        // carrying qe through the argmin groupBy (vs re-joining quant
+        // afterwards) moves the same bytes but saves a corpus shuffle
+        .groupBy(col("vec_id"), col("qe"))
+        .agg(min(struct(col("dist"), col("cluster_id"))).as("a"))
+        .select(
+          col("vec_id"),
+          col("qe"),
+          col("a.cluster_id").as("cluster_id"),
+          col("a.dist").as("dist")
+        )
+      val stats = assigned
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
+      val newCents = assigned
+        .select(col("cluster_id"), posexplode(col("qe")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(sum(col("col")).as("sd"), count(lit(1)).as("nd"))
+        .select(
+          col("cluster_id"),
+          struct(col("pos"), expr("sd div nd").as("v")).as("pv")
+        )
+        .groupBy(col("cluster_id"))
+        .agg(sort_array(collect_list(col("pv"))).as("pvs"))
+        .select(
+          col("cluster_id"),
+          expr("transform(pvs, p -> p.v)").as("qc")
+        )
+        .localCheckpoint(true)
+      val report = stats
+        .join(cents.select(col("cluster_id"), col("qc").as("qo")), Seq("cluster_id"))
+        .join(newCents.select(col("cluster_id"), col("qc").as("qn")), Seq("cluster_id"))
+        .select(
+          lit(it.toLong).as("iter"),
+          col("cluster_id"),
+          col("n"),
+          col("inertia"),
+          aggregate(
+            zip_with(col("qn"), col("qo"), (a, b) => (a - b) * (a - b)),
+            lit(0L),
+            (acc, x) => acc + x
+          ).as("shift_sq")
+        )
+        .localCheckpoint(true)
+      reports += report
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(cents)
+      cents = newCents
+    }
+    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(cents)
+    reports
+      .result()
+      .reduce(_.unionByName(_))
+      .orderBy("iter", "cluster_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim23_kmeans_iters" -> kmeansIters,
     "sim19_pq_adc" -> pqAdc,
     "sim20_ivf_pq" -> ivfPq,
     "sim21_residual_pq" -> residualPq,
@@ -474,6 +606,65 @@ object SimilarityQueries2 {
   private val qIdsSql = QUERY_IDS.mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // rounds unrolled as MATERIALIZED CTEs (the dedup22 discipline);
+    // centroid update is the same BIGINT floor-divided per-dim mean,
+    // so the full 3-round trajectory is bit-identical
+    "sim23_kmeans_iters" -> {
+      val rounds = (1 to KM_ITERS).map { i =>
+        val prev = s"c${i - 1}"
+        s"""d$i AS MATERIALIZED (
+           |  SELECT q.vec_id, $prev.cluster_id,
+           |    CAST(SUM((q.qe[t.i] - $prev.qc[t.i])
+           |           * (q.qe[t.i] - $prev.qc[t.i])) AS BIGINT) AS dist
+           |  FROM q, $prev, range(1, 1000) t(i)
+           |  WHERE t.i <= len(q.qe) AND len(q.qe) = len($prev.qc)
+           |  GROUP BY q.vec_id, $prev.cluster_id),
+           |a$i AS MATERIALIZED (
+           |  SELECT vec_id, cluster_id, dist FROM
+           |    (SELECT *, row_number() OVER (PARTITION BY vec_id
+           |       ORDER BY dist ASC, cluster_id ASC) AS r FROM d$i)
+           |  WHERE r = 1),
+           |s$i AS MATERIALIZED (
+           |  SELECT cluster_id, COUNT(*) AS n,
+           |    CAST(SUM(dist) AS BIGINT) AS inertia
+           |  FROM a$i GROUP BY cluster_id),
+           |u$i AS MATERIALIZED (
+           |  SELECT a.cluster_id, t.i AS pos,
+           |    CAST(SUM(q.qe[t.i]) AS BIGINT) AS sd, COUNT(*) AS nd
+           |  FROM a$i a JOIN q USING (vec_id), range(1, 1000) t(i)
+           |  WHERE t.i <= len(q.qe)
+           |  GROUP BY a.cluster_id, t.i),
+           |c$i AS MATERIALIZED (
+           |  SELECT cluster_id, list(sd // nd ORDER BY pos) AS qc
+           |  FROM u$i GROUP BY cluster_id),
+           |r$i AS MATERIALIZED (
+           |  SELECT CAST($i AS BIGINT) AS iter, s.cluster_id,
+           |    CAST(s.n AS BIGINT) AS n, s.inertia,
+           |    CAST(SUM((cn.qc[t.i] - cp.qc[t.i])
+           |           * (cn.qc[t.i] - cp.qc[t.i])) AS BIGINT) AS shift_sq
+           |  FROM s$i s JOIN $prev cp USING (cluster_id)
+           |    JOIN c$i cn USING (cluster_id), range(1, 1000) t(i)
+           |  WHERE t.i <= len(cn.qc)
+           |  GROUP BY s.cluster_id, s.n, s.inertia)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to KM_ITERS)
+        .map(i => s"SELECT * FROM r$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH q AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         |      AS qe
+         |  FROM embeddings),
+         |c0 AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT)
+         |      AS cluster_id,
+         |    qe AS qc
+         |  FROM q WHERE vec_id % $KM_STRIDE = 0
+         |  ORDER BY vec_id LIMIT $KM_K),
+         |$rounds
+         |$sel
+         |ORDER BY iter, cluster_id""".stripMargin
+    },
     "sim22_jl_project" ->
       s"""WITH m AS (SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS i,
          |    CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5)
