@@ -24,6 +24,7 @@ object SparkEntry {
       ops.BenchAggs.queries ++ cdc.CdcQueries.queries ++
       ops.TextQueries.queries ++ ops.TextQueries2.queries ++
       ops.DedupQueries.queries ++ ops.DedupQueries2.queries ++
+      ops.DedupQueries3.queries ++
       ops.SimilarityQueries.queries ++ ops.SimilarityQueries2.queries ++
       ops.StreamQueries.queries ++
       ops.MiscQueries.queries
@@ -37,6 +38,7 @@ object SparkEntry {
       ops.BenchAggs.oracle ++ cdc.CdcQueries.oracle ++
       ops.TextQueries.oracle ++ ops.TextQueries2.oracle ++
       ops.DedupQueries.oracle ++ ops.DedupQueries2.oracle ++
+      ops.DedupQueries3.oracle ++
       ops.SimilarityQueries.oracle ++ ops.SimilarityQueries2.oracle ++
       ops.StreamQueries.oracle ++
       ops.MiscQueries.oracle

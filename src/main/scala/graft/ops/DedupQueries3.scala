@@ -1,0 +1,272 @@
+package graft.ops
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.PortableHash
+import graft.sim.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third dedup batch: winnowed document fingerprints (the MOSS
+  * selection discipline) and embedding-space benchmark
+  * decontamination — the two nets still missing from the dedup
+  * inventory: a POSITION-ROBUST sub-linear fingerprint set with a
+  * published detection guarantee, and the SEMANTIC analogue of the
+  * n-gram eval-overlap scrub (dedup10/14 catch verbatim leakage;
+  * paraphrased eval items only show up in embedding space).
+  */
+object DedupQueries3 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Gram width in tokens — matches [[DedupQueries2.GRAM]]. */
+  private[ops] val GRAM = 3
+
+  /** Winnowing window in gram positions. Guarantee (Schleimer et al.
+    * 2003, "Winnowing: Local Algorithms for Document Fingerprinting"
+    * §3): any shared token run of ≥ W + GRAM − 1 tokens contributes at
+    * least one shared fingerprint; nothing shorter than GRAM tokens is
+    * ever matched. W=4 binds on the fixture's ~30-token docs; the
+    * published setting for real corpora is W≈50 with ~2/(W+1) density.
+    */
+  private[ops] val WINNOW_W = 4
+
+  /** Positions are packed below this into the hash word for the
+    * rightmost-min tie-break; caps document length at 2^20 tokens
+    * (a 1M-token ceiling — far above any training document; assert
+    * rather than silently mis-rank if a fixture ever exceeds it).
+    */
+  private val POS_BITS = 20
+  private val POS_CAP = 1L << POS_BITS
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism)
+
+  /** dedup30: winnowed fingerprint pairs. Every doc keeps ~2/(W+1) of
+    * its gram hashes — the min of each W-wide window of gram positions,
+    * rightmost occurrence on ties (the robust-winnowing rule, encoded
+    * arithmetically: key = hash·2^20 + (2^20−1−pos), so windowed MIN
+    * picks the smallest hash and, among equal hashes, the largest
+    * position — no argmin plumbing, one BIGINT column). Docs pair when
+    * they share ≥2 selected hashes; `overlap` is Jaccard over the
+    * winnowed hash sets — an estimate of copied-content fraction that
+    * costs |fingerprints| ≈ n/(W+1) per doc, not n.
+    *
+    * Shape at scale: gram hashes are map-side (text never shuffles);
+    * the winnow MIN is a doc_id-partitioned ROWS window (bounded by
+    * document length); pairing is the standard inverted-index form —
+    * one aggregation on the (sub-linear) fingerprint hash emits
+    * candidate pairs, one dense (id_a, id_b) count aggregates shared
+    * hashes. Compare dedup21/29: those index EVERY gram position; this
+    * is the same net at a W+1-fold cheaper index, trading span
+    * precision for the detection guarantee above.
+    */
+  private val winnowing: Q = (s, dir) => {
+    val fingerprints = winnowedFingerprints(docs(s, dir))
+    val counts = fingerprints.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val pairs = PairJoins
+      .bucketedPairsSingleMembership(fingerprints, Seq("h"), "doc_id")
+      // single-membership form is safe here because (doc_id, h) is
+      // DISTINCT: each shared hash emits a pair exactly once, so the
+      // count below IS the shared-fingerprint count (a distinct would
+      // destroy it)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    pairs
+      .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nfp", "fp_a"), "id_a")
+      .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nfp", "fp_b"), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("n_shared"),
+        col("fp_a"),
+        col("fp_b"),
+        (col("n_shared").cast("double") /
+          (col("fp_a") + col("fp_b") - col("n_shared")).cast("double"))
+          .as("overlap")
+      )
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The fingerprint stage of dedup30, exposed for composition and
+    * property tests: (doc_id, h) — the DISTINCT winnowed gram hashes
+    * of each document in `in` (any frame with `doc_id` and `text`).
+    */
+  def winnowedFingerprints(in: DataFrame): DataFrame = {
+    val d = Dedup.withTokens(in, "text")
+    val grams = d
+      .filter(size(col("__toks")) >= GRAM)
+      .select(
+        col("doc_id"),
+        (size(col("__toks")) - (GRAM - 1)).cast("long").as("ng"),
+        posexplode(
+          transform(
+            sequence(lit(0), size(col("__toks")) - GRAM),
+            i =>
+              concat_ws(
+                " ",
+                (0 until GRAM).map(k => element_at(col("__toks"), i + (k + 1))): _*
+              )
+          )
+        )
+      )
+      .select(
+        col("doc_id"),
+        col("ng"),
+        col("pos").cast("long").as("pos"),
+        (PortableHash.h32(col("col")) * POS_CAP +
+          (lit(POS_CAP - 1) -
+            when(col("pos") < POS_CAP, col("pos").cast("long"))
+              .otherwise(raise_error(lit(s"doc exceeds 2^$POS_BITS tokens")))))
+          .as("k")
+      )
+    val winWindow = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    // one selected key per window START (frame clamps at partition
+    // end, so a doc with fewer than W grams winnows its whole set)
+    grams
+      .withColumn("sk", min(col("k")).over(winWindow))
+      .filter(col("pos") <= greatest(col("ng") - WINNOW_W, lit(0L)))
+      // `div`: exact integer division (Column./ is double division)
+      .select(col("doc_id"), expr(s"sk div ${POS_CAP}L").as("h"))
+      .distinct()
+  }
+
+  /** Eval slice for dedup31: the held-out benchmark is the `label = 9`
+    * embedding rows (a data-derived split — no synthesized fixtures).
+    */
+  private[ops] val EVAL_LABEL = 9
+
+  /** Cosine threshold above which a training vector is "contaminated"
+    * by an eval item. 0.95 on real embeddings ≈ paraphrase-level
+    * similarity (SemDeDup uses 0.96-0.99 within clusters); the
+    * fixture's random vectors top out lower, so the report carries the
+    * full max-similarity column and the flag binds on whatever
+    * exceeds the line.
+    */
+  private[ops] val SEM_THRESHOLD = 0.35
+
+  /** dedup31: semantic benchmark decontamination. dedup10/14 remove
+    * docs sharing verbatim n-grams with the eval set; a paraphrased
+    * eval item shares none. This is the embedding-space net: every
+    * corpus vector scores its nearest eval vector by cosine, and rows
+    * with max-sim ≥ threshold are flagged for removal. Output is the
+    * full audit (one row per corpus vector, nearest eval id + score +
+    * verdict) — the artifact a curation run logs, not just the drop
+    * list.
+    *
+    * Shape at scale: the eval set is benchmark-sized (thousands of
+    * rows — MBs against a corpus of TBs), so it BROADCASTS and the
+    * corpus is scanned exactly once with zero shuffle before the
+    * per-vector top-1 (a map-side window over the broadcast-join
+    * output would still shuffle; instead the top-1 folds into a
+    * groupBy on the DENSE corpus id — one aggregation). Cosines run
+    * through [[Similarity.cosine]] (sequential-order double sums —
+    * bit-identical to the DuckDB mirror); ties on the float score
+    * break on the smaller eval id, so the argmax is deterministic
+    * under any partitioning.
+    */
+  private val semanticDecontaminate: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    val eval = emb
+      .filter(col("label") === EVAL_LABEL)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+    val corpus = emb
+      .filter(col("label") =!= EVAL_LABEL)
+      .select(col("vec_id"), col("embedding"))
+    val scored = corpus
+      .crossJoin(broadcast(eval))
+      .select(
+        col("vec_id"),
+        col("eval_id"),
+        Similarity.cosine(col("embedding"), col("ev")).as("cos_sim")
+      )
+    // deterministic argmax: max over (score, −eval_id) pairs — the
+    // greatest struct is the best score with the smallest eval id
+    scored
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_sim"), (-col("eval_id")).as("neg"))).as("best"))
+      .select(
+        col("vec_id"),
+        (-col("best.neg")).as("nearest_eval"),
+        col("best.cos_sim").as("max_sim"),
+        (col("best.cos_sim") >= SEM_THRESHOLD).as("contaminated")
+      )
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup30_winnowing" -> winnowing,
+    "dedup31_semantic_decontaminate" -> semanticDecontaminate
+  )
+
+  private val normSql = TextQueriesSqlFragments.normSql
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_aggregate(list_transform(range(1, len($a) + 1),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"""(CASE WHEN (${dotSql(a, a)}) = 0.0 OR (${dotSql(b, b)}) = 0.0
+       |  THEN 0.0
+       |  ELSE (${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))
+       |  END)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup30_winnowing" ->
+      s"""WITH prep AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+         |              FROM documents),
+         |g AS (SELECT doc_id,
+         |        CAST(len(toks) - ${GRAM - 1} AS BIGINT) AS ng, pos,
+         |        ${PortableHash.sqlH32(
+          (1 to GRAM).map(k => s"toks[pos+$k]").mkString(" || ' ' || ")
+        )} AS h
+         |      FROM (SELECT doc_id, toks,
+         |              unnest(range(0, len(toks) - ${GRAM - 1})) AS pos
+         |            FROM prep WHERE len(toks) >= $GRAM)),
+         |k AS (SELECT doc_id, ng, pos,
+         |        h * $POS_CAP + (${POS_CAP - 1} - pos) AS k FROM g),
+         |sel AS (SELECT doc_id, ng, pos,
+         |          min(k) OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN CURRENT ROW
+         |            AND ${WINNOW_W - 1} FOLLOWING) AS sk
+         |        FROM k),
+         |fph AS (SELECT DISTINCT doc_id, sk // $POS_CAP AS h FROM sel
+         |        WHERE pos <= greatest(ng - $WINNOW_W, 0)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS nfp FROM fph GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |            COUNT(*) AS n_shared
+         |          FROM fph a JOIN fph b
+         |            ON a.h = b.h AND b.doc_id > a.doc_id
+         |          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST(ca.nfp AS BIGINT) AS fp_a, CAST(cb.nfp AS BIGINT) AS fp_b,
+         |  CAST(n_shared AS DOUBLE)
+         |    / CAST(ca.nfp + cb.nfp - n_shared AS DOUBLE) AS overlap
+         |FROM pairs
+         |JOIN cnt ca ON pairs.id_a = ca.doc_id
+         |JOIN cnt cb ON pairs.id_b = cb.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup31_semantic_decontaminate" ->
+      s"""WITH eval AS (SELECT vec_id AS eval_id, embedding AS ev
+         |              FROM embeddings WHERE label = $EVAL_LABEL),
+         |corpus AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE label <> $EVAL_LABEL),
+         |scored AS (SELECT c.vec_id, e.eval_id,
+         |             ${cosSql("c.embedding", "e.ev")} AS cos_sim
+         |           FROM corpus c CROSS JOIN eval e),
+         |best AS (SELECT vec_id, eval_id, cos_sim,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY cos_sim DESC, eval_id ASC) AS rn
+         |         FROM scored)
+         |SELECT vec_id, CAST(eval_id AS BIGINT) AS nearest_eval,
+         |  cos_sim AS max_sim,
+         |  cos_sim >= $SEM_THRESHOLD AS contaminated
+         |FROM best WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+  )
+}
