@@ -27,6 +27,7 @@ object SparkEntry {
       ops.DedupQueries3.queries ++
       ops.SimilarityQueries.queries ++ ops.SimilarityQueries2.queries ++
       ops.StreamQueries.queries ++
+      ops.PrivacyQueries.queries ++
       ops.MiscQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -41,5 +42,6 @@ object SparkEntry {
       ops.DedupQueries3.oracle ++
       ops.SimilarityQueries.oracle ++ ops.SimilarityQueries2.oracle ++
       ops.StreamQueries.oracle ++
+      ops.PrivacyQueries.oracle ++
       ops.MiscQueries.oracle
 }

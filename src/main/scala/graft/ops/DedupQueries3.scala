@@ -172,18 +172,36 @@ object DedupQueries3 {
     */
   private val semanticDecontaminate: Q = (s, dir) => {
     val emb = Tables(s, dir).embeddings
+    // norms are per-VECTOR, so compute them once per side before the
+    // pair join — [[Similarity.cosine]] inline would re-derive both
+    // self-dot-products per PAIR (3 dot products instead of 1, the
+    // whole-query hot loop). Bit-parity with the oracle holds because
+    // the precomputed value is the identical sequential sum + sqrt.
     val eval = emb
       .filter(col("label") === EVAL_LABEL)
-      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+      .select(
+        col("vec_id").as("eval_id"),
+        col("embedding").as("ev"),
+        Similarity.norm(col("embedding")).as("ev_norm")
+      )
     val corpus = emb
       .filter(col("label") =!= EVAL_LABEL)
-      .select(col("vec_id"), col("embedding"))
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        Similarity.norm(col("embedding")).as("c_norm")
+      )
     val scored = corpus
       .crossJoin(broadcast(eval))
       .select(
         col("vec_id"),
         col("eval_id"),
-        Similarity.cosine(col("embedding"), col("ev")).as("cos_sim")
+        when(col("c_norm") === 0.0 || col("ev_norm") === 0.0, lit(0.0))
+          .otherwise(
+            Similarity.dot(col("embedding"), col("ev")) /
+              (col("c_norm") * col("ev_norm"))
+          )
+          .as("cos_sim")
       )
     // deterministic argmax: max over (score, −eval_id) pairs — the
     // greatest struct is the best score with the smallest eval id
