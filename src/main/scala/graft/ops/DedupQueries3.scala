@@ -63,10 +63,24 @@ object DedupQueries3 {
     * precision for the detection guarantee above.
     */
   private val winnowing: Q = (s, dir) => {
-    val fingerprints = winnowedFingerprints(docs(s, dir))
-    val counts = fingerprints.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
-    val pairs = PairJoins
-      .bucketedPairsSingleMembership(fingerprints, Seq("h"), "doc_id")
+    val fingerprints = rawWinnowed(docs(s, dir))
+    // carry each doc's fingerprint count INSIDE the pairing id (a
+    // (doc_id, nfp) struct): joining a separate `counts` table to
+    // both pair sides would re-derive the whole scan→window pipeline
+    // once per join (dataframe subtrees don't dedupe across joins) —
+    // this shape scans the corpus exactly once. Struct ids compare by
+    // doc_id first (nfp is a function of doc_id), so the id_b > id_a
+    // pair orientation is unchanged.
+    val tagged = fingerprints
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("nfp"), col("hs"))
+      .select(
+        struct(col("doc_id"), col("nfp")).as("idn"),
+        explode(col("hs")).as("h")
+      )
+    PairJoins
+      .bucketedPairsSingleMembership(tagged, Seq("h"), "idn")
       // single-membership form is safe here because (doc_id, h) is
       // DISTINCT: each shared hash emits a pair exactly once, so the
       // count below IS the shared-fingerprint count (a distinct would
@@ -74,17 +88,14 @@ object DedupQueries3 {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
-    pairs
-      .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nfp", "fp_a"), "id_a")
-      .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nfp", "fp_b"), "id_b")
       .select(
-        col("id_a"),
-        col("id_b"),
+        col("id_a.doc_id").as("id_a"),
+        col("id_b.doc_id").as("id_b"),
         col("n_shared"),
-        col("fp_a"),
-        col("fp_b"),
+        col("id_a.nfp").as("fp_a"),
+        col("id_b.nfp").as("fp_b"),
         (col("n_shared").cast("double") /
-          (col("fp_a") + col("fp_b") - col("n_shared")).cast("double"))
+          (col("id_a.nfp") + col("id_b.nfp") - col("n_shared")).cast("double"))
           .as("overlap")
       )
       .orderBy("id_a", "id_b")
@@ -94,7 +105,17 @@ object DedupQueries3 {
     * property tests: (doc_id, h) — the DISTINCT winnowed gram hashes
     * of each document in `in` (any frame with `doc_id` and `text`).
     */
-  def winnowedFingerprints(in: DataFrame): DataFrame = {
+  def winnowedFingerprints(in: DataFrame): DataFrame =
+    rawWinnowed(in).distinct()
+
+  /** [[winnowedFingerprints]] before the per-doc dedupe: one
+    * (doc_id, h) row per SELECTING WINDOW (a hash repeats when
+    * adjacent windows pick the same gram). The stream leaves the
+    * winnow window still hash-partitioned by doc_id, so callers that
+    * aggregate by doc_id (the pairing query) get their dedupe
+    * exchange-free via collect_set.
+    */
+  private def rawWinnowed(in: DataFrame): DataFrame = {
     val d = Dedup.withTokens(in, "text")
     val grams = d
       .filter(size(col("__toks")) >= GRAM)
@@ -133,7 +154,6 @@ object DedupQueries3 {
       .filter(col("pos") <= greatest(col("ng") - WINNOW_W, lit(0L)))
       // `div`: exact integer division (Column./ is double division)
       .select(col("doc_id"), expr(s"sk div ${POS_CAP}L").as("h"))
-      .distinct()
   }
 
   /** Eval slice for dedup31: the held-out benchmark is the `label = 9`

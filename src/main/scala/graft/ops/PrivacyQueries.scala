@@ -80,7 +80,10 @@ object PrivacyQueries {
     val g0 = cust
       .groupBy(col("c_nationkey"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n0"))
-    val g1 = cust.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n1"))
+    // level-1 sizes roll up from g0 (sum of segment-group counts per
+    // nation) — the hierarchy ladder needs ONE pass over the fact,
+    // not one per level
+    val g1 = g0.groupBy(col("c_nationkey")).agg(sum(col("n0")).as("n1"))
     cust
       .join(broadcast(g0), Seq("c_nationkey", "c_mktsegment"))
       .join(broadcast(g1), Seq("c_nationkey"))
