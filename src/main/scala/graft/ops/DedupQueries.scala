@@ -677,6 +677,11 @@ object DedupQueries {
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .filter(col("__cum") <= TextQueries.quotaTokens)
       .select("doc_id", "source", "n_tokens")
+      // materialize ONCE (packing-input scale: 3 scalars per doc):
+      // three consumers follow — packChunks' width probe, the pack
+      // scan, and the source join-back — and each would otherwise
+      // re-run the survivor + decontamination pipelines above
+      .localCheckpoint(true)
     TextQueries
       .packChunks(
         quotaed.select(col("doc_id"), col("n_tokens")),
