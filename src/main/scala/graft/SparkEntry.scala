@@ -28,6 +28,7 @@ object SparkEntry {
       ops.SimilarityQueries.queries ++ ops.SimilarityQueries2.queries ++
       ops.StreamQueries.queries ++
       ops.PrivacyQueries.queries ++
+      ops.TimeSeriesQueries.queries ++
       ops.MiscQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -43,5 +44,6 @@ object SparkEntry {
       ops.SimilarityQueries.oracle ++ ops.SimilarityQueries2.oracle ++
       ops.StreamQueries.oracle ++
       ops.PrivacyQueries.oracle ++
+      ops.TimeSeriesQueries.oracle ++
       ops.MiscQueries.oracle
 }
