@@ -26,6 +26,7 @@ object SparkEntry {
       ops.DedupQueries.queries ++ ops.DedupQueries2.queries ++
       ops.DedupQueries3.queries ++
       ops.SimilarityQueries.queries ++ ops.SimilarityQueries2.queries ++
+      ops.SimilarityQueries3.queries ++
       ops.StreamQueries.queries ++
       ops.PrivacyQueries.queries ++
       ops.TimeSeriesQueries.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       ops.DedupQueries.oracle ++ ops.DedupQueries2.oracle ++
       ops.DedupQueries3.oracle ++
       ops.SimilarityQueries.oracle ++ ops.SimilarityQueries2.oracle ++
+      ops.SimilarityQueries3.oracle ++
       ops.StreamQueries.oracle ++
       ops.PrivacyQueries.oracle ++
       ops.TimeSeriesQueries.oracle ++
