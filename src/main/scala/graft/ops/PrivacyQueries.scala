@@ -77,12 +77,16 @@ object PrivacyQueries {
   private val generalize: Q = (s, dir) => {
     val cust = Tables(s, dir).customer
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    // level-0 sizes materialize ONCE (bounded by the QI domain:
+    // nations × segments rows): two consumers follow — the broadcast
+    // join and the level-1 rollup — and the hierarchy ladder should
+    // cost ONE pass over the fact, not one per level
     val g0 = cust
       .groupBy(col("c_nationkey"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n0"))
+      .localCheckpoint(true)
     // level-1 sizes roll up from g0 (sum of segment-group counts per
-    // nation) — the hierarchy ladder needs ONE pass over the fact,
-    // not one per level
+    // nation)
     val g1 = g0.groupBy(col("c_nationkey")).agg(sum(col("n0")).as("n1"))
     cust
       .join(broadcast(g0), Seq("c_nationkey", "c_mktsegment"))

@@ -386,6 +386,54 @@ class PlanBudgetSpec extends SparkSpec {
     assert(s <= 6, s"q79 shuffles=$s")
   }
 
+  test("dedup30 winnowing: one scan, five budgeted shuffles, no broadcast re-derivation") {
+    val df = run("dedup30_winnowing")
+    val (s, _) = exchanges(df)
+    // deliberate repartition + winnow window + fingerprint-bucket agg
+    // + pair-count agg + output sort; the nfp-in-struct design means
+    // NO counts-table joins (each would re-run the gram pipeline)
+    assert(s <= 5, s"dedup30 shuffles=$s")
+    val scans = df.queryExecution.executedPlan.collectLeaves().size
+    assert(scans == 1, s"dedup30 must scan documents exactly once, saw $scans leaves")
+  }
+
+  test("dedup31 semantic decontamination: broadcast eval side, one dense argmax shuffle") {
+    val (s, b) = exchanges(run("dedup31_semantic_decontaminate"))
+    assert(s <= 2, s"dedup31 shuffles=$s")
+    assert(b >= 1, "dedup31 eval set must broadcast")
+  }
+
+  test("q91 k-anonymity: one aggregation chain on the bounded QI key") {
+    val (s, _) = exchanges(run("q91_kanonymity"))
+    // distinct-band two-phase + presentation sort
+    assert(s <= 3, s"q91 shuffles=$s")
+  }
+
+  test("q92 generalization ladder: level tables broadcast, records never shuffle") {
+    val (s, b) = exchanges(run("q92_generalize"))
+    // g0 agg + g1 rollup-from-g0 + presentation sort
+    assert(s <= 3, s"q92 shuffles=$s")
+    assert(b >= 2, "q92 level-size tables must broadcast")
+  }
+
+  test("q93 drift: one per-series window partition + presentation sort") {
+    val (s, _) = exchanges(run("q93_drift"))
+    assert(s <= 2, s"q93 shuffles=$s")
+  }
+
+  test("q94 autocorr: lead window + moment aggregation share the series key") {
+    val (s, _) = exchanges(run("q94_autocorr"))
+    // event_type window + (possibly unelided) agg + presentation sort
+    assert(s <= 3, s"q94 shuffles=$s")
+  }
+
+  test("sim24 binary top-k: skinny shortlist shuffles only; vectors ride broadcasts") {
+    val (s, b) = exchanges(run("sim24_binary_topk"))
+    // Hamming shortlist window + rerank window + presentation sort
+    assert(s <= 3, s"sim24 shuffles=$s")
+    assert(b >= 3, s"sim24 query/shortlist sides must broadcast, saw $b")
+  }
+
   test("dedup17 triangle legs reuse one MinHash pipeline (ReusedExchange)") {
     val df = run("dedup17_triangles")
     df.collect()
