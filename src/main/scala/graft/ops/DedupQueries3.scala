@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.dedup.Dedup
-import graft.functions.PortableHash
+import graft.functions.{PortableHash, TextFunctions}
 import graft.sim.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -237,9 +237,146 @@ object DedupQueries3 {
       .orderBy("vec_id")
   }
 
+  /** Modulus for the simulated right-to-be-forgotten delete batch:
+    * hash("del:" ++ doc_id) % 29 == 0 marks ~3.4 % of the corpus as
+    * deletion requests — a deterministic, portable predicate both
+    * engines evaluate identically.
+    */
+  private[graft] val DEL_MOD = 29L
+
+  /** dedup32: leakage-free train/eval split — the CONSTRUCTIVE
+    * complement of dedup18's leakage REPORT. q54 hashes doc_id, so two
+    * near-duplicate docs can land on opposite sides of the cut and the
+    * eval set silently overlaps training data; here the split key is
+    * the near-dup CLUSTER id (connected components of the Jaccard-
+    * confirmed MinHash graph), so every near-dup family lands wholly
+    * in train or wholly in eval — cross-split leakage is zero by
+    * construction, not by audit (ClusterSplitDeleteSpec pins this
+    * against the dedup04 verified pairs).
+    *
+    * Shape at scale: one CC pass over the (sliver-sized) dup graph,
+    * then the split is a map-side pure function of cluster_id —
+    * singleton docs (their own cluster) degenerate to exactly q54's
+    * per-doc hash cut, so the 90/10 proportions hold corpus-wide.
+    */
+  private val clusterSplit: Q = (s, dir) => {
+    val edges = DedupQueries
+      .minhashVerified(s, dir)
+      .filter(col("jac") >= 0.5)
+      .select("id_a", "id_b")
+    val nodes = docs(s, dir).select(col("doc_id").as("id"))
+    val bucket = pmod(
+      PortableHash.h32(concat(lit("split:"), col("cluster_id").cast("string"))),
+      lit(100L)
+    )
+    graft.dedup.Clusters
+      .connectedComponents(nodes, edges)
+      .select(
+        col("id").as("doc_id"),
+        col("cluster_id"),
+        when(bucket < 90, lit("train")).otherwise(lit("eval")).as("split")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** dedup33: delete propagation through the dedup chain — the
+    * right-to-be-forgotten path. A batch of deletion requests (the
+    * deterministic ~3.4 % DEL_MOD predicate standing in for the real
+    * request table) invalidates the docs themselves AND any survivor
+    * verdict their clusters produced; the naive response re-runs
+    * clustering + survivor selection corpus-wide per delete batch.
+    *
+    * The incremental identity this query implements and the oracle
+    * proves: deletions only REMOVE edges, so post-delete components
+    * are a refinement of pre-delete ones — no new doc pair can become
+    * connected. Re-running CC inside the touched clusters alone is
+    * therefore exact:
+    *   - touched = clusters containing ≥1 deleted doc (broadcast-
+    *     small: bounded by the delete batch, not the corpus);
+    *   - untouched clusters pass their (cluster_id, survivor, keep)
+    *     rows through VERBATIM — zero recompute, anti-join only;
+    *   - inside touched clusters, CC + struct-max survivor re-run on
+    *     the surviving members' sliver subgraph.
+    * Output = dedup13's verdict table over the post-delete corpus;
+    * the DuckDB oracle recomputes it FROM SCRATCH on the filtered
+    * corpus, so gate equality is the incremental ≡ full proof.
+    */
+  private val deleteProp: Q = (s, dir) => {
+    val delPred = pmod(
+      PortableHash.h32(concat(lit("del:"), col("doc_id").cast("string"))),
+      lit(DEL_MOD)
+    ) === 0
+    // confirmed dup edges: two longs per pair — checkpointed once,
+    // consumed by the full CC pass and the touched-subgraph re-pass
+    val edges = DedupQueries
+      .minhashVerified(s, dir)
+      .filter(col("jac") >= 0.5)
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    val nodes = docs(s, dir).select(col("doc_id").as("id"))
+    // the maintained state at scale: dedup13's (doc, cluster, tokens)
+    // membership table (3 scalars/doc — checkpointed once; consumed by
+    // the pre-delete argmax, the touched probe, and both output arms)
+    val members = graft.dedup.Clusters
+      .connectedComponents(nodes, edges)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .join(
+        docs(s, dir).select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")
+        ),
+        Seq("doc_id")
+      )
+      .localCheckpoint(true)
+    val touched = members
+      .filter(delPred)
+      .select("cluster_id")
+      .distinct()
+    val best = members
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_tokens"), (-col("doc_id")).as("__negid"))).as("__m"))
+      .select(col("cluster_id"), (-col("__m.__negid")).as("survivor_id"))
+    val untouched = members
+      .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+      .join(best, Seq("cluster_id"))
+    // touched sliver: surviving members of touched clusters, edges
+    // restricted to them (clusters are edge-closed, so two semi-joins
+    // on the live-member set capture exactly the touched subgraph)
+    val liveTouched = members
+      .join(broadcast(touched), Seq("cluster_id"))
+      .filter(!delPred)
+      .select("doc_id", "n_tokens")
+      .localCheckpoint(true)
+    val subNodes = liveTouched.select(col("doc_id").as("id"))
+    val subEdges = edges
+      .join(subNodes.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(subNodes.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    val reclustered = graft.dedup.Clusters
+      .connectedComponents(subNodes, subEdges)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .join(liveTouched, Seq("doc_id"))
+    val rebest = reclustered
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_tokens"), (-col("doc_id")).as("__negid"))).as("__m"))
+      .select(col("cluster_id"), (-col("__m.__negid")).as("survivor_id"))
+    val recomputed = reclustered.join(rebest, Seq("cluster_id"))
+    untouched
+      .unionByName(recomputed)
+      .select(
+        col("doc_id"),
+        col("cluster_id"),
+        col("n_tokens"),
+        col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("keep")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup30_winnowing" -> winnowing,
-    "dedup31_semantic_decontaminate" -> semanticDecontaminate
+    "dedup31_semantic_decontaminate" -> semanticDecontaminate,
+    "dedup32_cluster_split" -> clusterSplit,
+    "dedup33_delete_propagation" -> deleteProp
   )
 
   private val normSql = TextQueriesSqlFragments.normSql
@@ -305,6 +442,66 @@ object DedupQueries3 {
          |  cos_sim AS max_sim,
          |  cos_sim >= $SEM_THRESHOLD AS contaminated
          |FROM best WHERE rn = 1
-         |ORDER BY vec_id""".stripMargin
+         |ORDER BY vec_id""".stripMargin,
+    // both cluster-level mirrors wrap the dedup04 verified-pairs
+    // oracle verbatim as a CTE and rebuild components by recursive
+    // reachability (same fixpoint as dedup06's oracle)
+    "dedup32_cluster_split" ->
+      s"""WITH RECURSIVE mv AS (
+         |${DedupQueries.minhashVerifiedOracle}
+         |),
+         |v AS (SELECT id_a, id_b FROM mv WHERE jac >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM v
+         |          UNION ALL SELECT id_b, id_a FROM v),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+         |       FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ${PortableHash.sqlH32(
+          "concat('split:', CAST(cluster_id AS VARCHAR))"
+        )} % 100 < 90
+         |    THEN 'train' ELSE 'eval' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin,
+    // full-recompute mirror on the post-delete corpus: equality with
+    // the Spark side's touched-clusters-only recompute IS the
+    // incremental ≡ full identity
+    "dedup33_delete_propagation" ->
+      s"""WITH RECURSIVE mv AS (
+         |${DedupQueries.minhashVerifiedOracle}
+         |),
+         |live AS (SELECT doc_id FROM documents
+         |         WHERE NOT (${PortableHash.sqlH32(
+          "concat('del:', CAST(doc_id AS VARCHAR))"
+        )} % $DEL_MOD = 0)),
+         |v AS (SELECT id_a, id_b FROM mv WHERE jac >= 0.5),
+         |vl AS (SELECT v.id_a, v.id_b FROM v
+         |       JOIN live la ON la.doc_id = v.id_a
+         |       JOIN live lb ON lb.doc_id = v.id_b),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM vl
+         |          UNION ALL SELECT id_b, id_a FROM vl),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM live
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |tok AS (SELECT doc_id,
+         |          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |            AS n_tokens
+         |        FROM documents),
+         |t AS (SELECT c.doc_id, c.cluster_id, tok.n_tokens
+         |      FROM cl c JOIN tok USING (doc_id)),
+         |b AS (SELECT cluster_id, doc_id AS survivor_id FROM
+         |        (SELECT cluster_id, doc_id,
+         |           ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |             ORDER BY n_tokens DESC, doc_id) AS rn
+         |         FROM t)
+         |      WHERE rn = 1)
+         |SELECT t.doc_id, t.cluster_id, t.n_tokens, b.survivor_id,
+         |  (t.doc_id = b.survivor_id) AS keep
+         |FROM t JOIN b USING (cluster_id) ORDER BY t.doc_id""".stripMargin
   )
 }
