@@ -434,6 +434,19 @@ class PlanBudgetSpec extends SparkSpec {
     assert(b >= 3, s"sim24 query/shortlist sides must broadcast, saw $b")
   }
 
+  test("dedup33 delete propagation: touched-cluster set rides broadcasts") {
+    // the whole point of the incremental path: the delete-batch-sized
+    // touched set broadcasts (anti-join for pass-through, semi for the
+    // recompute sliver); the corpus-wide membership table never
+    // re-shuffles to find out whether a cluster was touched
+    // (the recompute arm's broadcast executes inside the eagerly
+    // checkpointed liveTouched sub-plan, so the returned plan shows
+    // only the pass-through arm's anti-join broadcast)
+    val df = run("dedup33_delete_propagation")
+    val (_, b) = exchanges(df)
+    assert(b >= 1, s"dedup33 touched set must broadcast, saw $b")
+  }
+
   test("dedup17 triangle legs reuse one MinHash pipeline (ReusedExchange)") {
     val df = run("dedup17_triangles")
     df.collect()
