@@ -23,6 +23,7 @@ object SparkEntry {
       ops.Relational9.queries ++ ops.Relational10.queries ++
       ops.BenchAggs.queries ++ cdc.CdcQueries.queries ++
       ops.TextQueries.queries ++ ops.TextQueries2.queries ++
+      ops.TextQueries3.queries ++
       ops.DedupQueries.queries ++ ops.DedupQueries2.queries ++
       ops.DedupQueries3.queries ++
       ops.SimilarityQueries.queries ++ ops.SimilarityQueries2.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       ops.Relational9.oracle ++ ops.Relational10.oracle ++
       ops.BenchAggs.oracle ++ cdc.CdcQueries.oracle ++
       ops.TextQueries.oracle ++ ops.TextQueries2.oracle ++
+      ops.TextQueries3.oracle ++
       ops.DedupQueries.oracle ++ ops.DedupQueries2.oracle ++
       ops.DedupQueries3.oracle ++
       ops.SimilarityQueries.oracle ++ ops.SimilarityQueries2.oracle ++

@@ -1,0 +1,233 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.PortableHash
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Third text batch: batch-shape economics (length bucketing),
+  * self-supervised objective preparation (deterministic MLM masking),
+  * and temperature-scaled mixture weighting — the remaining
+  * training-run-facing transforms between a curated corpus and an
+  * actual training job.
+  */
+object TextQueries3 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // keep in lockstep with TextQueries.toksSql (whitespace tokenizer)
+  private val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism)
+
+  /** text32: length-bucket padding-waste audit — the batch-economics
+    * report behind bucketed batching (group sequences of similar
+    * length so a batch pads to its bucket ceiling, not the corpus
+    * max). Buckets are powers of two (the shapes a compiled trainer
+    * caches kernels for); per bucket: docs, real tokens, padded
+    * tokens at the bucket ceiling, and the padding-waste fraction —
+    * the number a pipeline watches to decide whether packing
+    * (text10) is worth its complexity over simple bucketing.
+    *
+    * pow2-ceiling is computed libm-free as `1 << bits(n-1)` (the
+    * text16/text22 floor-log2 idiom): integer-exact on both engines.
+    * Shape at scale: token counts are map-side; the only shuffle is
+    * ONE aggregation on a ~log(max_len)-value dense key.
+    */
+  private val lengthBuckets: Q = (s, dir) => {
+    docs(s, dir)
+      .select(tokenCountOf(tokens(col("text"))).cast("long").as("__n"))
+      // Column-typed shift distance needs the SQL form (the Scala
+      // shiftleft binding pins numBits to a literal Int)
+      .select(
+        when(col("__n") <= 1, lit(1L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(__n - 1)))"))
+          .as("bucket"),
+        col("__n")
+      )
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("sum_tokens")
+      )
+      .select(
+        col("bucket"),
+        col("n_docs"),
+        col("sum_tokens"),
+        (col("bucket") * col("n_docs")).as("padded_tokens"),
+        (col("bucket") * col("n_docs") - col("sum_tokens")).as("waste_tokens"),
+        ((col("bucket") * col("n_docs") - col("sum_tokens")).cast("double") /
+          (col("bucket") * col("n_docs")).cast("double")).as("waste_frac")
+      )
+      .orderBy("bucket")
+  }
+
+  /** Per-position mask rate (percent) for text33. */
+  private[ops] val MASK_PCT = 15L
+
+  /** text33: deterministic MLM masking (BERT-style span preparation) —
+    * turn every doc into a masked-input example: position i is masked
+    * iff hash(doc_id:i:token) % 100 < 15. Hash-selected, not random:
+    * the same corpus always yields the same examples (resumable
+    * preprocessing, reproducible ablations — the same property q54
+    * gives the train/eval split), and the mask depends on the token
+    * AND its position, so repeated tokens mask independently.
+    *
+    * Shape at scale: pure per-row array transforms (tokenize → mask →
+    * rejoin), zero shuffles beyond the presentation sort; the masked
+    * corpus streams straight to a sharded writer (pipe02's path).
+    */
+  private val mlmMask: Q = (s, dir) => {
+    val toks = tokens(col("text"))
+    val maskedFlags = transform(
+      col("__toks"),
+      (t, i) =>
+        pmod(
+          PortableHash.h32(
+            concat(
+              col("doc_id").cast("string"),
+              lit(":"),
+              i.cast("string"),
+              lit(":"),
+              t
+            )
+          ),
+          lit(100L)
+        ) < MASK_PCT
+    )
+    docs(s, dir)
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(
+        col("doc_id"),
+        col("__toks"),
+        maskedFlags.as("__m")
+      )
+      .select(
+        col("doc_id"),
+        tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
+        aggregate(
+          col("__m"),
+          lit(0L),
+          (acc, m) => acc + when(m, 1L).otherwise(0L)
+        ).as("n_masked"),
+        concat_ws(
+          " ",
+          zip_with(
+            col("__toks"),
+            col("__m"),
+            (t, m) => when(m, lit("[MASK]")).otherwise(t)
+          )
+        ).as("masked_text")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** text34: temperature-scaled mixture weights over languages
+    * (α = 0.5, the multilingual-pretraining standard — Conneau et al.
+    * 2020 §3.1 sample languages ∝ p^α to keep low-resource languages
+    * from vanishing): per language, the natural token share and the
+    * temperature-flattened sampling weight sqrt(tokens)/Σ sqrt(tokens),
+    * plus the resulting up/down-sampling factor.
+    *
+    * α = 0.5 is exactly sqrt — IEEE-exact per element on both
+    * engines; the one cross-row float sum (Σ sqrt) folds a
+    * lang-sorted list sequentially on both sides (the README
+    * "sequential-order float math" rule), so the output is
+    * bit-identical. Shape at scale: ONE dense groupBy(lang); the
+    * normalizer is a one-row broadcast.
+    */
+  private val temperatureMix: Q = (s, dir) => {
+    val perLang = docs(s, dir)
+      .select(
+        col("lang"),
+        tokenCountOf(tokens(col("text"))).cast("long").as("__n")
+      )
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens")
+      )
+      .withColumn("__w", sqrt(col("n_tokens").cast("double")))
+    val totals = perLang
+      .agg(
+        sum(col("n_tokens")).as("__tot_toks"),
+        aggregate(
+          array_sort(collect_list(struct(col("lang"), col("__w").as("w")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("w")
+        ).as("__tot_w")
+      )
+    perLang
+      .crossJoin(broadcast(totals))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_tokens"),
+        (col("n_tokens").cast("double") / col("__tot_toks").cast("double"))
+          .as("nat_share"),
+        (col("__w") / col("__tot_w")).as("temp_weight"),
+        ((col("__w") / col("__tot_w")) /
+          (col("n_tokens").cast("double") / col("__tot_toks").cast("double")))
+          .as("upsample_factor")
+      )
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text32_length_buckets" -> lengthBuckets,
+    "text33_mlm_mask" -> mlmMask,
+    "text34_temperature_mix" -> temperatureMix
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text32_length_buckets" ->
+      s"""WITH n AS (SELECT CAST(len($toksSql) AS BIGINT) AS n
+         |           FROM documents),
+         |b AS (SELECT CASE WHEN n <= 1 THEN 1
+         |               ELSE (1::BIGINT << len(bin(n - 1))) END AS bucket, n
+         |      FROM n)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+         |  CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+         |  CAST(bucket * COUNT(*) - SUM(n) AS BIGINT) AS waste_tokens,
+         |  CAST(bucket * COUNT(*) - SUM(n) AS DOUBLE)
+         |    / CAST(bucket * COUNT(*) AS DOUBLE) AS waste_frac
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "text33_mlm_mask" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id, toks,
+         |        list_transform(range(0, len(toks)),
+         |          i -> ${PortableHash.sqlH32(
+          "concat(CAST(doc_id AS VARCHAR), ':', CAST(i AS VARCHAR), ':', toks[i+1])"
+        )} % 100 < $MASK_PCT) AS mf
+         |      FROM t)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(list_aggregate(list_transform(mf,
+         |    x -> CASE WHEN x THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT)
+         |    AS n_masked,
+         |  array_to_string(list_transform(range(0, len(toks)),
+         |    i -> CASE WHEN mf[i+1] THEN '[MASK]' ELSE toks[i+1] END), ' ')
+         |    AS masked_text
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "text34_temperature_mix" ->
+      s"""WITH l AS (SELECT lang, COUNT(*) AS n_docs,
+         |             CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT)
+         |               AS n_tokens
+         |           FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_toks,
+         |        list_aggregate(
+         |          list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY lang),
+         |          'sum') AS tot_w
+         |      FROM l)
+         |SELECT lang, n_docs, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(tot_toks AS DOUBLE) AS nat_share,
+         |  sqrt(CAST(n_tokens AS DOUBLE)) / tot_w AS temp_weight,
+         |  (sqrt(CAST(n_tokens AS DOUBLE)) / tot_w)
+         |    / (CAST(n_tokens AS DOUBLE) / CAST(tot_toks AS DOUBLE))
+         |    AS upsample_factor
+         |FROM l, t ORDER BY lang""".stripMargin
+  )
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** text32/33/34 invariants beyond the DuckDB value check. */
+class TextBatch3Spec extends SparkSpec {
+
+  test("text32: buckets are pow2 ceilings and token accounting balances") {
+    val rows = TextQueries3
+      .queries("text32_length_buckets")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bucket = r.getLong(0)
+      assert((bucket & (bucket - 1)) == 0L, s"bucket $bucket not a power of 2")
+      val nDocs = r.getLong(1)
+      val sumTok = r.getLong(2)
+      assert(r.getLong(3) === bucket * nDocs)
+      assert(r.getLong(4) === bucket * nDocs - sumTok)
+      // every doc fits its bucket: waste < nDocs * half the bucket
+      // (each doc is > bucket/2 tokens, else it'd be a lower bucket)
+      assert(sumTok > nDocs * (bucket / 2), s"doc below bucket floor in $bucket")
+      assert(sumTok <= bucket * nDocs)
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val docs = graft.Tables(spark, sfDir).documents.count()
+    assert(total === docs, "every doc lands in exactly one bucket")
+  }
+
+  test("text33: mask flags are deterministic and positional") {
+    val df = TextQueries3.queries("text33_mlm_mask")(spark, sfDir)
+    val again = TextQueries3.queries("text33_mlm_mask")(spark, sfDir)
+    assert(df.collect().toSeq === again.collect().toSeq, "masking must be replayable")
+    val agg = df
+      .agg(
+        sum(col("n_masked")).as("m"),
+        sum(col("n_tokens")).as("n")
+      )
+      .head()
+    val rate = agg.getLong(0).toDouble / agg.getLong(1).toDouble
+    assert(rate > 0.10 && rate < 0.20, s"mask rate $rate far from 15%")
+    // masked text preserves token count
+    val bad = df
+      .filter(size(split(col("masked_text"), " ")) =!= col("n_tokens"))
+      .count()
+    assert(bad === 0L, "masking must not change token positions")
+  }
+
+  test("text34: temperature weights normalize and flatten the mixture") {
+    val rows = TextQueries3
+      .queries("text34_temperature_mix")(spark, sfDir)
+      .collect()
+    assert(rows.length > 1, "fixture needs >1 language")
+    val natSum = rows.map(_.getDouble(3)).sum
+    val tempSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(natSum - 1.0) < 1e-9)
+    assert(math.abs(tempSum - 1.0) < 1e-9)
+    // α = 0.5 flattens: the smallest language gains, the largest loses
+    val bySize = rows.sortBy(_.getLong(2))
+    assert(bySize.head.getDouble(5) > 1.0, "low-resource lang must upsample")
+    assert(bySize.last.getDouble(5) < 1.0, "high-resource lang must downsample")
+  }
+}
