@@ -21,6 +21,7 @@ object SparkEntry {
       ops.Relational5.queries ++ ops.Relational6.queries ++
       ops.Relational7.queries ++ ops.Relational8.queries ++
       ops.Relational9.queries ++ ops.Relational10.queries ++
+      ops.Relational11.queries ++
       ops.BenchAggs.queries ++ cdc.CdcQueries.queries ++
       ops.TextQueries.queries ++ ops.TextQueries2.queries ++
       ops.TextQueries3.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       ops.Relational5.oracle ++ ops.Relational6.oracle ++
       ops.Relational7.oracle ++ ops.Relational8.oracle ++
       ops.Relational9.oracle ++ ops.Relational10.oracle ++
+      ops.Relational11.oracle ++
       ops.BenchAggs.oracle ++ cdc.CdcQueries.oracle ++
       ops.TextQueries.oracle ++ ops.TextQueries2.oracle ++
       ops.TextQueries3.oracle ++
