@@ -175,10 +175,62 @@ object TextQueries3 {
       .orderBy("lang")
   }
 
+  /** text35: fill-in-the-middle transform (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle") —
+    * rewrite each doc into the PSM form
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` with a
+    * hash-selected middle span, so a causal LM learns infilling from
+    * plain left-to-right training. Cut points are deterministic
+    * functions of doc_id (the text33/q54 reproducibility discipline):
+    * c1 = h(fim1:id) mod n, span = h(fim2:id) mod (n−c1+1) — every
+    * rebuild of the corpus yields byte-identical training examples.
+    *
+    * Shape at scale: pure per-row array slicing — zero shuffles
+    * beyond the presentation sort, streams straight to the sharded
+    * writer like text33.
+    */
+  private val fimTransform: Q = (s, dir) => {
+    val h1 = PortableHash.h32(concat(lit("fim1:"), col("doc_id").cast("string")))
+    val h2 = PortableHash.h32(concat(lit("fim2:"), col("doc_id").cast("string")))
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        tokens(col("text")).as("__toks")
+      )
+      .withColumn("__n", tokenCountOf(col("__toks")).cast("long"))
+      .withColumn(
+        "__c1",
+        when(col("__n") === 0, lit(0L)).otherwise(pmod(h1, col("__n")))
+      )
+      .withColumn("__c2", col("__c1") + pmod(h2, col("__n") - col("__c1") + 1))
+      .select(
+        col("doc_id"),
+        col("__n").as("n_tokens"),
+        col("__c1").as("prefix_len"),
+        (col("__c2") - col("__c1")).as("middle_len"),
+        concat(
+          lit("<fim_prefix> "),
+          array_join(slice(col("__toks"), lit(1), col("__c1")), " "),
+          lit(" <fim_suffix> "),
+          array_join(
+            slice(col("__toks"), col("__c2") + 1, col("__n") - col("__c2")),
+            " "
+          ),
+          lit(" <fim_middle> "),
+          array_join(
+            slice(col("__toks"), col("__c1") + 1, col("__c2") - col("__c1")),
+            " "
+          )
+        ).as("psm_text")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text32_length_buckets" -> lengthBuckets,
     "text33_mlm_mask" -> mlmMask,
-    "text34_temperature_mix" -> temperatureMix
+    "text34_temperature_mix" -> temperatureMix,
+    "text35_fim_transform" -> fimTransform
   )
 
   val oracle: Map[String, String] = Map(
@@ -212,6 +264,29 @@ object TextQueries3 {
          |    i -> CASE WHEN mf[i+1] THEN '[MASK]' ELSE toks[i+1] END), ' ')
          |    AS masked_text
          |FROM m ORDER BY doc_id""".stripMargin,
+    "text35_fim_transform" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+         |c AS (SELECT doc_id, toks, n,
+         |        CASE WHEN n = 0 THEN 0
+         |          ELSE ${PortableHash.sqlH32(
+          "concat('fim1:', CAST(doc_id AS VARCHAR))"
+        )} % n END AS c1
+         |      FROM n),
+         |c2 AS (SELECT doc_id, toks, n, c1,
+         |         c1 + ${PortableHash.sqlH32(
+          "concat('fim2:', CAST(doc_id AS VARCHAR))"
+        )} % (n - c1 + 1) AS c2
+         |       FROM c)
+         |SELECT doc_id, n AS n_tokens, c1 AS prefix_len,
+         |  (c2 - c1) AS middle_len,
+         |  concat('<fim_prefix> ',
+         |    array_to_string(list_slice(toks, 1, c1), ' '),
+         |    ' <fim_suffix> ',
+         |    array_to_string(list_slice(toks, c2 + 1, n), ' '),
+         |    ' <fim_middle> ',
+         |    array_to_string(list_slice(toks, c1 + 1, c2), ' ')) AS psm_text
+         |FROM c2 ORDER BY doc_id""".stripMargin,
     "text34_temperature_mix" ->
       s"""WITH l AS (SELECT lang, COUNT(*) AS n_docs,
          |             CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT)

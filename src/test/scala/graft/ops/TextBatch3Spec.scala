@@ -47,6 +47,34 @@ class TextBatch3Spec extends SparkSpec {
     assert(bad === 0L, "masking must not change token positions")
   }
 
+  test("text35: PSM reassembles to the original doc") {
+    val df = TextQueries3.queries("text35_fim_transform")(spark, sfDir)
+    val bad = df
+      .select(
+        col("n_tokens"),
+        col("prefix_len"),
+        col("middle_len"),
+        // strip sentinels, restore P+M+S token order, compare counts
+        size(
+          filter(
+            split(col("psm_text"), " "),
+            t => !t.isin("<fim_prefix>", "<fim_suffix>", "<fim_middle>") &&
+              t =!= ""
+          )
+        ).cast("long").as("n_reassembled")
+      )
+      .filter(
+        col("n_reassembled") =!= col("n_tokens") ||
+          col("prefix_len") + col("middle_len") > col("n_tokens") ||
+          col("prefix_len") < 0 || col("middle_len") < 0
+      )
+      .count()
+    assert(bad === 0L, "every PSM example must conserve its tokens")
+    // spans vary across docs (the hash actually selects)
+    val distinctSpans = df.select("prefix_len", "middle_len").distinct().count()
+    assert(distinctSpans > 10, "cut points must vary per doc")
+  }
+
   test("text34: temperature weights normalize and flatten the mixture") {
     val rows = TextQueries3
       .queries("text34_temperature_mix")(spark, sfDir)
