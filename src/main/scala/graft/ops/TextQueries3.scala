@@ -139,7 +139,17 @@ object TextQueries3 {
     * normalizer is a one-row broadcast.
     */
   private val temperatureMix: Q = (s, dir) => {
-    val perLang = docs(s, dir)
+    // the normalizer runs as an unpartitioned window over the
+    // POST-AGGREGATION rows (one per language — bounded by the lang
+    // domain, not the corpus), which keeps the query single-scan: a
+    // totals crossJoin would re-read documents for the second branch
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lang"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing
+      )
+    docs(s, dir)
       .select(
         col("lang"),
         tokenCountOf(tokens(col("text"))).cast("long").as("__n")
@@ -150,17 +160,17 @@ object TextQueries3 {
         sum(col("__n")).as("n_tokens")
       )
       .withColumn("__w", sqrt(col("n_tokens").cast("double")))
-    val totals = perLang
-      .agg(
-        sum(col("n_tokens")).as("__tot_toks"),
+      .withColumn("__tot_toks", sum(col("n_tokens")).over(w))
+      .withColumn(
+        "__tot_w",
         aggregate(
-          array_sort(collect_list(struct(col("lang"), col("__w").as("w")))),
+          array_sort(
+            collect_list(struct(col("lang"), col("__w").as("w"))).over(w)
+          ),
           lit(0.0),
           (acc, x) => acc + x.getField("w")
-        ).as("__tot_w")
+        )
       )
-    perLang
-      .crossJoin(broadcast(totals))
       .select(
         col("lang"),
         col("n_docs"),
