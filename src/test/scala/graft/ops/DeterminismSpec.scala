@@ -76,7 +76,18 @@ class DeterminismSpec extends SparkSpec {
     "cdc13_join_maintain",
     "q83_interpolate",
     "text29_water_fill",
-    "q84_neyman_sample"
+    "q84_neyman_sample",
+    // round-9: hash-keyed masking/spans, sorted-fold normalizer,
+    // count histograms, and the cluster-keyed split/delete verdicts
+    // are all pure functions of the data
+    "text32_length_buckets",
+    "text33_mlm_mask",
+    "text34_temperature_mix",
+    "text35_fim_transform",
+    "q95_join_key_profile",
+    "q96_segment_overlap",
+    "dedup32_cluster_split",
+    "dedup33_delete_propagation"
   )
 
   test("partitioning never changes the result rows") {
