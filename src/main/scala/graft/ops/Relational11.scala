@@ -75,9 +75,63 @@ object Relational11 {
       .orderBy("did_click", "did_purchase", "did_error")
   }
 
+  /** q97: event-type co-occurrence with lift — the association-rule /
+    * PMI shape behind "users who do A also do B": for every unordered
+    * type pair, how many users did both, and the lift
+    * n_ab·N / (n_a·n_b) (>1 = positively associated). Lift rather
+    * than log-PMI keeps the arithmetic libm-free: exact BIGINT counts
+    * and ONE closing IEEE division per row, bit-identical across
+    * engines.
+    *
+    * Shape at scale: the per-user distinct collapses events to
+    * ≤ |type domain| rows per user (ONE dense shuffle); the pair
+    * self-join fans out ≤ C(types,2) per user — bounded by the
+    * DOMAIN, not activity; marginals and the pair counts are
+    * tiny-key aggregates, and N rides a one-row broadcast.
+    */
+  private val cooccurrence: Q = (s, dir) => {
+    val u = Tables(s, dir).events
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+    val n = u.select(col("user_id")).distinct().agg(count(lit(1)).as("__n"))
+    val singles = u
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__cnt"))
+    val pairs = u
+      .select(col("user_id"), col("event_type").as("type_a"))
+      .join(
+        u.select(col("user_id"), col("event_type").as("type_b")),
+        "user_id"
+      )
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(
+        broadcast(singles.select(col("event_type").as("type_a"), col("__cnt").as("n_a"))),
+        "type_a"
+      )
+      .join(
+        broadcast(singles.select(col("event_type").as("type_b"), col("__cnt").as("n_b"))),
+        "type_b"
+      )
+      .crossJoin(broadcast(n))
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("n_a"),
+        col("n_b"),
+        col("n_ab"),
+        ((col("n_ab") * col("__n")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift")
+      )
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q95_join_key_profile" -> joinKeyProfile,
-    "q96_segment_overlap" -> segmentOverlap
+    "q96_segment_overlap" -> segmentOverlap,
+    "q97_cooccurrence_lift" -> cooccurrence
   )
 
   val oracle: Map[String, String] = Map(
@@ -97,6 +151,25 @@ object Relational11 {
         |SELECT did_click, did_purchase, did_error,
         |  CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM u GROUP BY 1, 2, 3
-        |ORDER BY did_click, did_purchase, did_error""".stripMargin
+        |ORDER BY did_click, did_purchase, did_error""".stripMargin,
+    "q97_cooccurrence_lift" ->
+      """WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+        |      FROM u),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM u GROUP BY event_type),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_ab
+        |      FROM u a JOIN u b
+        |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, sa.cnt AS n_a, sb.cnt AS n_b, p.n_ab,
+        |  CAST(p.n_ab * n.n AS DOUBLE) / CAST(sa.cnt * sb.cnt AS DOUBLE)
+        |    AS lift
+        |FROM p
+        |JOIN s sa ON sa.event_type = p.type_a
+        |JOIN s sb ON sb.event_type = p.type_b
+        |CROSS JOIN n
+        |ORDER BY type_a, type_b""".stripMargin
   )
 }
