@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => plans.EditDistancePrefilter)
     ext.injectFunction(
       binaryOf(
         plans.CosineSimilarity.FUNC_NAME,

@@ -33,6 +33,11 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     registerSketchUdafs(spark)
+    // optimizer extension (idempotent): bounded-levenshtein predicates
+    // gain the automatic length-band prefilter
+    if (!spark.experimental.extraOptimizations.contains(plans.EditDistancePrefilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.EditDistancePrefilter
     spark
   }
 
