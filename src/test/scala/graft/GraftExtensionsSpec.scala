@@ -49,6 +49,17 @@ class GraftExtensionsSpec extends SparkSpec {
         )
         .count()
       assert(nShingles === 2L) // 4 tokens -> 2 distinct 3-shingles
+      // the injected optimizer rule fires through this path too:
+      // bounded levenshtein over a non-foldable source gains the
+      // length-band guard in the optimized plan
+      val ruled = s2
+        .range(5)
+        .selectExpr("CAST(id AS STRING) AS a", "repeat('x', CAST(id AS INT)) AS b")
+        .where("levenshtein(a, b) <= 2")
+      assert(
+        ruled.queryExecution.optimizedPlan.toString.contains("abs((length("),
+        "EditDistancePrefilter not active in the extensions-built session"
+      )
       // do NOT s2.stop(): it shares the JVM-wide SparkContext
     } finally {
       ClassicSession.setDefaultSession(shared)
