@@ -498,7 +498,11 @@ object StreamQueries {
     "stream14_window_hll" -> windowHll,
     "stream15_outer_join" -> outerJoin,
     "stream16_hdr_ingest" -> hdrIngest,
-    "stream17_full_outer" -> fullOuterJoin
+    "stream17_full_outer" -> fullOuterJoin,
+    // CRDT segment flags: OR-merged per-user state — order-free,
+    // duplicate-tolerant; final cells ≡ batch q96
+    "stream18_segments" -> ((s, dir) =>
+      graft.streaming.StreamSegments.replay(Tables(s, dir).events))
   )
 
   /** µs-precision epoch arithmetic mirrors of Spark's window():
@@ -653,6 +657,7 @@ object StreamQueries {
       graft.cdc.CdcQueries.oracle("cdc08_agg_maintain"),
     // the state machine must land on batch q64's funnel exactly
     "stream09_funnel" -> Relational7.oracle("q64_funnel"),
+    "stream18_segments" -> Relational11.oracle("q96_segment_overlap"),
     "stream07_minhash_ingest" -> DedupQueries.candidatePairsOracle,
     "stream01_tumbling" ->
       s"""SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000)
