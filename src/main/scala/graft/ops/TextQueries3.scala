@@ -236,11 +236,60 @@ object TextQueries3 {
       .orderBy("doc_id")
   }
 
+  /** text36: unigram^0.75 negative-sampling table (Mikolov et al.
+    * 2013 §2.2 — noise words for NCE/negative sampling are drawn from
+    * the unigram distribution raised to 3/4, which up-weights rare
+    * words): per token, count, the ^0.75 weight, and its normalized
+    * sampling probability.
+    *
+    * The fractional power is computed libm-free as
+    * x^(3/4) = sqrt(x · sqrt(x)) — sqrt and multiply are IEEE-exact
+    * operations, so the weight is bit-identical on both engines where
+    * a pow()/exp/ln chain would drift in the last ulp. The normalizer
+    * folds a token-sorted list sequentially (the text34 discipline).
+    *
+    * Shape at scale: explode → ONE dense token aggregate; the
+    * normalizer is a broadcast-scale scalar over the (vocabulary-
+    * sized) aggregate, never the corpus.
+    */
+  private val negSamplingTable: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("token"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing
+      )
+    docs(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn(
+        "w34",
+        sqrt(col("cnt").cast("double") * sqrt(col("cnt").cast("double")))
+      )
+      .withColumn(
+        "__tot",
+        aggregate(
+          array_sort(collect_list(struct(col("token"), col("w34").as("w"))).over(w)),
+          lit(0.0),
+          (acc, x) => acc + x.getField("w")
+        )
+      )
+      .select(
+        col("token"),
+        col("cnt"),
+        col("w34"),
+        (col("w34") / col("__tot")).as("p_draw")
+      )
+      .orderBy("token")
+  }
+
   val queries: Map[String, Q] = Map(
     "text32_length_buckets" -> lengthBuckets,
     "text33_mlm_mask" -> mlmMask,
     "text34_temperature_mix" -> temperatureMix,
-    "text35_fim_transform" -> fimTransform
+    "text35_fim_transform" -> fimTransform,
+    "text36_neg_sampling" -> negSamplingTable
   )
 
   val oracle: Map[String, String] = Map(
@@ -297,6 +346,18 @@ object TextQueries3 {
          |    ' <fim_middle> ',
          |    array_to_string(list_slice(toks, c1 + 1, c2), ' ')) AS psm_text
          |FROM c2 ORDER BY doc_id""".stripMargin,
+    "text36_neg_sampling" ->
+      s"""WITH v AS (SELECT unnest($toksSql) AS token FROM documents),
+         |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM v GROUP BY token),
+         |wv AS (SELECT token, cnt,
+         |         sqrt(CAST(cnt AS DOUBLE) * sqrt(CAST(cnt AS DOUBLE)))
+         |           AS w34
+         |       FROM c),
+         |t AS (SELECT list_aggregate(list(w34 ORDER BY token), 'sum')
+         |        AS tot FROM wv)
+         |SELECT token, cnt, w34, w34 / tot AS p_draw
+         |FROM wv, t ORDER BY token""".stripMargin,
     "text34_temperature_mix" ->
       s"""WITH l AS (SELECT lang, COUNT(*) AS n_docs,
          |             CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT)

@@ -75,6 +75,28 @@ class TextBatch3Spec extends SparkSpec {
     assert(distinctSpans > 10, "cut points must vary per doc")
   }
 
+  test("text36: sampling table normalizes and up-weights rare tokens") {
+    val rows = TextQueries3
+      .queries("text36_neg_sampling")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    // ^0.75 compresses: rare tokens' draw share exceeds their count
+    // share, frequent tokens' falls below it
+    val totalCnt = rows.map(_._2).sum.toDouble
+    val rare = rows.minBy(_._2)
+    val freq = rows.maxBy(_._2)
+    assert(rare._4 > rare._2 / totalCnt, "rare token must be up-weighted")
+    assert(freq._4 < freq._2 / totalCnt, "frequent token must be down-weighted")
+    // the libm-free identity: w34^4 == cnt^3 exactly in the integers
+    rows.take(50).foreach { case (_, cnt, w34, _) =>
+      assert(
+        math.abs(math.pow(w34, 4.0 / 3.0) / cnt - 1.0) < 1e-9,
+        s"w34 $w34 is not cnt^0.75 of $cnt"
+      )
+    }
+  }
+
   test("text34: temperature weights normalize and flatten the mixture") {
     val rows = TextQueries3
       .queries("text34_temperature_mix")(spark, sfDir)
