@@ -173,6 +173,40 @@ class ApiUsageSpec extends SparkSpec {
       === Seq((1L, "a")))
   }
 
+  test("governance: column lineage of any DataFrame, edges or report") {
+    // which parquet columns feed each output column — driver-side
+    // plan analysis, no data read
+    val df = Tables(spark, sfDir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+    val rep = graft.info.ColumnLineage
+      .report(spark, df)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toMap
+    assert(rep("total_qty") === "lineitem.l_quantity")
+    assert(rep("l_returnflag") === "lineitem.l_returnflag")
+  }
+
+  test("optimizer: bounded levenshtein gets its length guard for free") {
+    // no manual abs(length-length) prefilter needed — the
+    // EditDistancePrefilter rule injects it where sound
+    val close = Tables(spark, sfDir).part
+      .select(col("p_name").as("a"), concat(col("p_name"), lit("zz")).as("b"))
+      .filter(levenshtein(col("a"), col("b")) <= 2)
+    assert(
+      close.queryExecution.optimizedPlan.toString.contains("abs((length(")
+    )
+    assert(close.count() > 0)
+  }
+
+  test("streaming: CRDT segment flags — ingest in any order, read cells") {
+    val st = streaming.StreamSegments.newState(spark)
+    streaming.StreamSegments.ingest(st, Tables(spark, sfDir).events)
+    val cells = streaming.StreamSegments.cells(st)
+    assert(cells.count() > 0)
+  }
+
   test("property: assignIds is dense and gapless across chained batches") {
     val genBatchSizes = Gen.listOfN(3, Gen.choose(0, 8))
     val prop = Prop.forAll(genBatchSizes, Gen.choose(0L, 50L)) { (sizes, base) =>
