@@ -88,7 +88,11 @@ object StreamSegments {
 
   def newState(spark: SparkSession): State = new State(spark)
 
-  /** Fold one micro-batch: one dense user_id aggregate, OR-merged. */
+  /** Fold one micro-batch: one dense user_id aggregate, OR-merged.
+    * The superseded state checkpoint is released once the new one is
+    * materialized (the Clusters.scala round discipline — otherwise a
+    * long-running ingest accumulates one dead block set per batch).
+    */
   def ingest(state: State, batch: DataFrame): Unit = {
     val b = batch
       .groupBy(col("user_id"))
@@ -97,7 +101,8 @@ object StreamSegments {
         max(col("event_type") === "purchase").as("did_purchase"),
         max(col("event_type") === "error").as("did_error")
       )
-    state.flags = state.flags
+    val prev = state.flags
+    state.flags = prev
       .unionByName(b)
       .groupBy(col("user_id"))
       .agg(
@@ -106,6 +111,7 @@ object StreamSegments {
         max(col("did_error")).as("did_error")
       )
       .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(prev)
   }
 
   /** The 2³ overlap cells of the current state — q96's output shape. */
