@@ -284,12 +284,89 @@ object TextQueries3 {
       .orderBy("token")
   }
 
+  /** text37: materialized training sequences — the step text10 PLANS
+    * and this query EXECUTES: every doc's tokens are laid head-to-tail
+    * in doc_id order and cut into budget-B sequences, docs SPLITTING
+    * across chunk boundaries exactly as concat-and-chunk training
+    * pipelines do (GPT-style pretraining batches). Per chunk: the
+    * assembled token text, its piece count, and its token count
+    * (= B everywhere except the final chunk — spec-pinned).
+    *
+    * Built on [[TextQueries.packChunks]]'s two-level prefix scan; each
+    * doc then explodes into only the 1 + ⌊(offset+n−1)/B⌋ −
+    * ⌊offset/B⌋ pieces it actually touches (never per-token rows),
+    * and chunk assembly is ONE dense groupBy(chunk_id) collecting
+    * (doc_id-ordered) token slices. Token text never shuffles until
+    * the final per-chunk assembly, and then exactly once.
+    */
+  private val packSequences: Q = (s, dir) => {
+    val b = TextQueries.packBudget // 512, in lockstep with text10
+    val withToks = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .withColumn("__n", tokenCountOf(col("__toks")).cast("long"))
+    val packed = TextQueries.packChunks(
+      withToks.select(col("doc_id"), col("__n").as("n_tokens")),
+      b
+    )
+    val pieces = withToks
+      .join(packed.select(col("doc_id"), col("chunk_id"), col("chunk_offset")), "doc_id")
+      .withColumn("__prefix", col("chunk_id") * b + col("chunk_offset"))
+      .select(
+        col("doc_id"),
+        col("__toks"),
+        col("__n"),
+        col("__prefix"),
+        explode(
+          sequence(
+            col("chunk_id"),
+            expr(s"(__prefix + greatest(__n, 1) - 1) div $b")
+          )
+        ).as("cid")
+      )
+      .withColumn("__start", greatest(lit(0L), col("cid") * b - col("__prefix")))
+      .withColumn(
+        "__end",
+        least(col("__n"), (col("cid") + 1) * b - col("__prefix"))
+      )
+      .filter(col("__end") > col("__start"))
+      .select(
+        col("cid").as("chunk_id"),
+        col("doc_id"),
+        slice(
+          col("__toks"),
+          (col("__start") + 1).cast("int"),
+          (col("__end") - col("__start")).cast("int")
+        ).as("__piece")
+      )
+    pieces
+      .groupBy(col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_pieces"),
+        aggregate(
+          array_sort(collect_list(struct(col("doc_id"), col("__piece").as("p")))),
+          lit(0L),
+          (acc, x) => acc + size(x.getField("p")).cast("long")
+        ).as("n_tokens"),
+        array_join(
+          flatten(
+            transform(
+              array_sort(collect_list(struct(col("doc_id"), col("__piece").as("p")))),
+              x => x.getField("p")
+            )
+          ),
+          " "
+        ).as("seq_text")
+      )
+      .orderBy("chunk_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text32_length_buckets" -> lengthBuckets,
     "text33_mlm_mask" -> mlmMask,
     "text34_temperature_mix" -> temperatureMix,
     "text35_fim_transform" -> fimTransform,
-    "text36_neg_sampling" -> negSamplingTable
+    "text36_neg_sampling" -> negSamplingTable,
+    "text37_pack_sequences" -> packSequences
   )
 
   val oracle: Map[String, String] = Map(
@@ -346,6 +423,34 @@ object TextQueries3 {
          |    ' <fim_middle> ',
          |    array_to_string(list_slice(toks, c1 + 1, c2), ' ')) AS psm_text
          |FROM c2 ORDER BY doc_id""".stripMargin,
+    "text37_pack_sequences" -> {
+      val b = TextQueries.packBudget
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+         |p AS (SELECT doc_id, toks, n,
+         |        CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS prefix
+         |      FROM n),
+         |pc AS (SELECT doc_id, toks, n, prefix,
+         |         unnest(generate_series(prefix // $b,
+         |           (prefix + greatest(n, 1) - 1) // $b)) AS cid
+         |       FROM p),
+         |pieces AS (SELECT cid AS chunk_id, doc_id,
+         |             list_slice(toks,
+         |               CAST(greatest(0, cid * $b - prefix) + 1 AS BIGINT),
+         |               CAST(least(n, (cid + 1) * $b - prefix) AS BIGINT))
+         |               AS piece
+         |           FROM pc
+         |           WHERE least(n, (cid + 1) * $b - prefix)
+         |             > greatest(0, cid * $b - prefix))
+         |SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+         |  CAST(list_aggregate(list_transform(list(piece ORDER BY doc_id),
+         |    x -> len(x)), 'sum') AS BIGINT) AS n_tokens,
+         |  array_to_string(flatten(list(piece ORDER BY doc_id)), ' ')
+         |    AS seq_text
+         |FROM pieces GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+    },
     "text36_neg_sampling" ->
       s"""WITH v AS (SELECT unnest($toksSql) AS token FROM documents),
          |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt

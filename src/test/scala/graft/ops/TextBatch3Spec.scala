@@ -75,6 +75,40 @@ class TextBatch3Spec extends SparkSpec {
     assert(distinctSpans > 10, "cut points must vary per doc")
   }
 
+  test("text37: packed sequences are exactly full and conserve tokens") {
+    val rows = TextQueries3
+      .queries("text37_pack_sequences")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // contiguous chunk ids from 0
+    assert(rows.map(_._1).toSeq === (0L until rows.length).toSeq)
+    // every chunk except the last holds exactly the budget
+    rows.init.foreach { case (cid, _, n, _) =>
+      assert(n === 512L, s"chunk $cid not full: $n")
+    }
+    assert(rows.last._3 <= 512L && rows.last._3 > 0L)
+    // token conservation vs the corpus
+    val total = graft
+      .Tables(spark, sfDir)
+      .documents
+      .select(
+        graft.functions.TextFunctions
+          .tokenCount(col("text"))
+          .cast("long")
+          .as("n")
+      )
+      .agg(sum("n"))
+      .head()
+      .getLong(0)
+    assert(rows.map(_._3).sum === total)
+    // the text itself matches its token count
+    rows.foreach { case (cid, _, n, txt) =>
+      assert(txt.split(" ").length.toLong === n, s"chunk $cid text drifts")
+    }
+  }
+
   test("text36: sampling table normalizes and up-weights rare tokens") {
     val rows = TextQueries3
       .queries("text36_neg_sampling")(spark, sfDir)
