@@ -101,9 +101,16 @@ private class SyntheticDocsTable(rows: Long, partitions: Int, seed: Int)
 
 private class SyntheticDocsScanBuilder(rows: Long, partitions: Int, seed: Int)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources._
 
   private var required: StructType = SyntheticDocsSource.SCHEMA
+  // id-range narrowed by pushed doc_id predicates: [lo, hi)
+  private var lo: Long = 0L
+  private var hi: Long = rows
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty projection (pure count) keeps one column so rows still flow
@@ -112,6 +119,38 @@ private class SyntheticDocsScanBuilder(rows: Long, partitions: Int, seed: Int)
         StructType(SyntheticDocsSource.SCHEMA.take(1))
       else requiredSchema
 
+  /** doc_id range predicates narrow [lo, hi) and are FULLY handled
+    * here (generation slices outside the range are never planned, let
+    * alone generated — the source's analogue of partition pruning);
+    * anything else stays with Spark's post-scan Filter.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (handled, rest) = filters.partition {
+      case EqualTo("doc_id", _: java.lang.Long | _: java.lang.Integer)            => true
+      case GreaterThan("doc_id", _: java.lang.Long | _: java.lang.Integer)        => true
+      case GreaterThanOrEqual("doc_id", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThan("doc_id", _: java.lang.Long | _: java.lang.Integer)           => true
+      case LessThanOrEqual("doc_id", _: java.lang.Long | _: java.lang.Integer)    => true
+      case _                                                                      => false
+    }
+    def num(v: Any): Long = v match {
+      case l: java.lang.Long    => l
+      case i: java.lang.Integer => i.toLong
+    }
+    handled.foreach {
+      case EqualTo(_, v)            => lo = math.max(lo, num(v)); hi = math.min(hi, num(v) + 1)
+      case GreaterThan(_, v)        => lo = math.max(lo, num(v) + 1)
+      case GreaterThanOrEqual(_, v) => lo = math.max(lo, num(v))
+      case LessThan(_, v)           => hi = math.min(hi, num(v))
+      case LessThanOrEqual(_, v)    => hi = math.min(hi, num(v) + 1)
+      case _                        => ()
+    }
+    pushed = handled
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
@@ -119,7 +158,12 @@ private class SyntheticDocsScanBuilder(rows: Long, partitions: Int, seed: Int)
     override def planInputPartitions(): Array[InputPartition] = {
       val per = (rows + partitions - 1) / partitions
       (0 until partitions).iterator
-        .map(i => DocsSlice(i * per, math.min(rows, (i + 1) * per), seed))
+        .map { i =>
+          // intersect each slice with the pushed id range
+          val from = math.max(i * per, lo)
+          val until = math.min(math.min(rows, (i + 1) * per), hi)
+          DocsSlice(from, until, seed)
+        }
         .filter(s => s.from < s.until)
         .toArray
     }

@@ -48,6 +48,28 @@ class SyntheticDocsSourceSpec extends SparkSpec {
     assert(pruned.count() === 100L)
   }
 
+  test("doc_id range filters prune generation slices at planning time") {
+    val df = gen(1000, 10).filter(col("doc_id") >= 250 && col("doc_id") < 450)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    // 10 slices of 100 ids; [250, 450) touches slices 2,3,4 only
+    assert(
+      scans.head.inputRDD.getNumPartitions === 3,
+      "pushed range must prune untouched slices"
+    )
+    val ids = df.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.head === 250L && ids.last === 449L && ids.length === 200)
+    // point lookup plans a single slice
+    val point = gen(1000, 10).filter(col("doc_id") === 777)
+    val pScan = point.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(pScan.inputRDD.getNumPartitions === 1)
+    assert(point.count() === 1L)
+  }
+
   test("generated corpus drives the real operators") {
     // the generator exists to feed the engine at arbitrary scale:
     // the text-quality query runs unchanged over it
