@@ -360,7 +360,128 @@ object TextQueries3 {
       .orderBy("chunk_id")
   }
 
+  /** BPE merge-round count for text38, unrolled identically in the
+    * oracle (the sim23/dedup22 round discipline). Real tokenizer
+    * training runs ~30k merges; 6 rounds exercise the full
+    * learn-and-apply loop — argmax selection AND the greedy rewrite
+    * are both value-checked via `corpus_tokens_after` — at fixture
+    * cost.
+    */
+  private[ops] val BPE_MERGES = 6
+
+  /** text38: distributed BPE vocabulary learning — the training half
+    * of the tokenizer story (text06 only *scores* with a fixed
+    * vocab; this LEARNS the merges). Classic Sennrich et al. BPE on
+    * the word-frequency dictionary: start from character symbols,
+    * then per round (a) count adjacent symbol pairs weighted by word
+    * frequency, (b) pick the most frequent pair (ties broken
+    * lexicographically — deterministic on any engine), (c) greedily
+    * merge that pair left-to-right inside every word. Output is the
+    * merge table — one row per round with the learned pair and the
+    * corpus token count after applying it, i.e. the compression
+    * curve a tokenizer trainer watches.
+    *
+    * The greedy rewrite is a pure array fold (`aggregate`): append
+    * each symbol unless the accumulator's last symbol + it form the
+    * learned pair, in which case replace the tail with the merged
+    * symbol — exactly the standard left-to-right scan ("aaaa" with
+    * (a,a) becomes [aa, aa]), with no UDF: symbol identity is its
+    * byte string, so the fold's equality check is the merge rule.
+    *
+    * Shape at scale: the word-frequency dict is the ONE corpus-wide
+    * shuffle (vocab ≪ corpus — Heaps' law, text18); every round
+    * after it touches vocab-sized data only: a pair aggregation over
+    * the dict, a 1-row argmax BROADCAST into a map-side rewrite
+    * (never collected — the merge pair rides the plan as a joined
+    * row, referenced from inside the fold lambda), and a 1-row
+    * token-count aggregate. Per-round frames are eagerly
+    * checkpointed and superseded checkpoints released (the
+    * dedup06/sim23 round discipline), so lineage stays flat across
+    * the ~30k rounds a real run would take.
+    */
+  private val bpeMerges: Q = (s, dir) => {
+    val w0 = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"),
+        col("cnt")
+      )
+    var words = w0.localCheckpoint(true)
+    val reports = Seq.newBuilder[DataFrame]
+    for (round <- 1 to BPE_MERGES) {
+      // (a) pair counts over the dict; (b) deterministic argmax
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(
+          explode(
+            zip_with(
+              slice(col("syms"), lit(1), size(col("syms")) - 1),
+              slice(col("syms"), lit(2), size(col("syms")) - 1),
+              (a, b) => struct(a.as("ml"), b.as("mr"))
+            )
+          ).as("p"),
+          col("cnt")
+        )
+        .groupBy(col("p.ml").as("ml"), col("p.mr").as("mr"))
+        .agg(sum(col("cnt")).as("mc"))
+        .orderBy(col("mc").desc, col("ml"), col("mr"))
+        .limit(1)
+        .select(
+          col("ml"),
+          col("mr"),
+          concat(col("ml"), col("mr")).as("mm"),
+          col("mc")
+        )
+        .localCheckpoint(true)
+      // (c) greedy left-to-right merge, map-side under the broadcast
+      val next = words
+        .crossJoin(broadcast(top))
+        .select(
+          aggregate(
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            slice(col("syms"), lit(1), lit(1)),
+            (acc, x) =>
+              when(
+                element_at(acc, -1) === col("ml") && x === col("mr"),
+                concat(slice(acc, lit(1), size(acc) - 1), array(col("mm")))
+              ).otherwise(concat(acc, array(x)))
+          ).as("syms"),
+          col("cnt")
+        )
+        .localCheckpoint(true)
+      val report = top
+        .crossJoin(
+          broadcast(
+            next.agg(
+              sum(col("cnt") * size(col("syms")))
+                .cast("long")
+                .as("corpus_tokens_after")
+            )
+          )
+        )
+        .select(
+          lit(round.toLong).as("round"),
+          col("ml").as("lhs"),
+          col("mr").as("rhs"),
+          col("mm").as("merged"),
+          col("mc").as("pair_count"),
+          col("corpus_tokens_after")
+        )
+        .localCheckpoint(true)
+      reports += report
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(top)
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(words)
+      words = next
+    }
+    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(words)
+    reports.result().reduce(_.unionByName(_)).orderBy("round")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text38_bpe_merges" -> bpeMerges,
     "text32_length_buckets" -> lengthBuckets,
     "text33_mlm_mask" -> mlmMask,
     "text34_temperature_mix" -> temperatureMix,
@@ -370,6 +491,51 @@ object TextQueries3 {
   )
 
   val oracle: Map[String, String] = Map(
+    // rounds unrolled as MATERIALIZED CTEs (the sim23/dedup22
+    // discipline); the greedy left-to-right merge is the same fold,
+    // expressed as list_reduce over single-element lists (DuckDB's
+    // reduce needs accumulator and element types to match)
+    "text38_bpe_merges" -> {
+      val rounds = (1 to BPE_MERGES).map { i =>
+        val p = i - 1
+        s"""p$i AS MATERIALIZED (
+           |  SELECT syms[j] AS lhs, syms[j+1] AS rhs,
+           |    CAST(SUM(cnt) AS BIGINT) AS pair_count
+           |  FROM w$p, range(1, 1000) t(j)
+           |  WHERE j <= len(syms) - 1
+           |  GROUP BY 1, 2),
+           |m$i AS MATERIALIZED (
+           |  SELECT lhs AS ml, rhs AS mr, lhs || rhs AS mm,
+           |    pair_count AS mc
+           |  FROM p$i ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+           |w$i AS MATERIALIZED (
+           |  SELECT list_reduce(
+           |      list_transform(syms, s -> [s]),
+           |      (acc, x) -> CASE WHEN acc[len(acc)] = ml AND x[1] = mr
+           |        THEN list_append(acc[1:len(acc)-1], mm)
+           |        ELSE list_append(acc, x[1]) END) AS syms,
+           |    cnt
+           |  FROM w$p, m$i),
+           |r$i AS MATERIALIZED (
+           |  SELECT CAST($i AS BIGINT) AS round, ml AS lhs, mr AS rhs,
+           |    mm AS merged, mc AS pair_count,
+           |    (SELECT CAST(SUM(cnt * len(syms)) AS BIGINT) FROM w$i)
+           |      AS corpus_tokens_after
+           |  FROM m$i)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to BPE_MERGES)
+        .map(i => s"SELECT * FROM r$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT regexp_extract_all(word, '.') AS syms, cnt FROM (
+         |    SELECT t.tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+         |    FROM documents, unnest($toksSql) AS t(tok)
+         |    WHERE length(t.tok) > 0
+         |    GROUP BY t.tok)),
+         |$rounds
+         |$sel
+         |ORDER BY round""".stripMargin
+    },
     "text32_length_buckets" ->
       s"""WITH n AS (SELECT CAST(len($toksSql) AS BIGINT) AS n
          |           FROM documents),

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** text38 checked against a sequential single-node BPE reference: the
+  * distributed pair-count → argmax → greedy-rewrite loop must produce
+  * the exact merge table (including tie-breaks and the post-merge
+  * corpus token counts) that the textbook in-memory algorithm does.
+  */
+class TextBpeSpec extends SparkSpec {
+
+  /** The fold's greedy left-to-right merge, in its imperative form. */
+  private def rewrite(
+      syms: Vector[String],
+      l: String,
+      r: String,
+      m: String
+  ): Vector[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    for (x <- syms) {
+      if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = m
+      else out += x
+    }
+    out.toVector
+  }
+
+  test("text38: merge table matches the sequential BPE reference") {
+    val wordCounts = graft
+      .Tables(spark, sfDir)
+      .documents
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+
+    var words: Map[Vector[String], Long] =
+      wordCounts.map { case (w, c) => w.split("").toVector -> c }
+    val expected = (1 to TextQueries3.BPE_MERGES).map { round =>
+      val pairs = mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; j <- 0 until syms.length - 1) {
+        val k = (syms(j), syms(j + 1))
+        pairs(k) = pairs.getOrElse(k, 0L) + c
+      }
+      val ((bl, br), bc) = pairs.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      val merged = bl + br
+      words = words
+        .groupMapReduce { case (syms, _) => rewrite(syms, bl, br, merged) }(
+          _._2
+        )(_ + _)
+      val corpusTokens = words.map { case (s, c) => s.length * c }.sum
+      (round.toLong, bl, br, merged, bc, corpusTokens)
+    }
+
+    val got = TextQueries3
+      .queries("text38_bpe_merges")(spark, sfDir)
+      .collect()
+      .map { r =>
+        (
+          r.getLong(0),
+          r.getString(1),
+          r.getString(2),
+          r.getString(3),
+          r.getLong(4),
+          r.getLong(5)
+        )
+      }
+      .toSeq
+    assert(got === expected)
+    // compression curve: every merge strictly shrinks the corpus
+    val curve = got.map(_._6)
+    assert(curve.zip(curve.tail).forall { case (a, b) => b < a })
+  }
+}
