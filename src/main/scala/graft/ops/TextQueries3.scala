@@ -399,13 +399,23 @@ object TextQueries3 {
     * dedup06/sim23 round discipline), so lineage stays flat across
     * the ~30k rounds a real run would take.
     */
-  private val bpeMerges: Q = (s, dir) => {
+  /** The shared learner loop behind text38/text39: returns the
+    * per-round merge reports (each eagerly checkpointed) and the
+    * final word→symbols dictionary (still checkpointed — text39
+    * reads it; text38 releases it). The `word` key is carried through
+    * every round so the dict stays joinable.
+    */
+  private def bpeLoop(
+      s: SparkSession,
+      dir: String
+  ): (Seq[DataFrame], DataFrame) = {
     val w0 = docs(s, dir)
       .select(explode(tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
       .select(
+        col("word"),
         regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"),
         col("cnt")
       )
@@ -440,6 +450,7 @@ object TextQueries3 {
       val next = words
         .crossJoin(broadcast(top))
         .select(
+          col("word"),
           aggregate(
             slice(col("syms"), lit(2), size(col("syms")) - 1),
             slice(col("syms"), lit(1), lit(1)),
@@ -476,12 +487,73 @@ object TextQueries3 {
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(words)
       words = next
     }
-    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(words)
-    reports.result().reduce(_.unionByName(_)).orderBy("round")
+    (reports.result(), words)
+  }
+
+  private val bpeMerges: Q = (s, dir) => {
+    val (reports, fin) = bpeLoop(s, dir)
+    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(fin)
+    reports.reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  /** text39: BPE corpus encoding with the text38 merges — the encode
+    * half of the tokenizer: apply the learned merge table to every
+    * document and report per-language tokenizer economics (BPE
+    * tokens per word, chars per BPE token — the fertility numbers a
+    * vocab-budget decision reads, here under the LEARNED vocab where
+    * text31's are under a fixed regex tokenizer).
+    *
+    * The scale-defining trick: the corpus is NEVER re-segmented
+    * per-document. Encoding is a property of the WORD, so the final
+    * dict (word → merged symbol count, vocab-sized by Heaps' law)
+    * joins back to the exploded token stream on the dense `word` key
+    * — one shuffle join, with the per-word piece count as the only
+    * payload; the fold rewrite ran once per DISTINCT word, not once
+    * per occurrence. AQE picks broadcast vs shuffle join by the
+    * dict's actual size.
+    *
+    * Integer sums throughout; the two ratios are single closing IEEE
+    * divisions (the text31 discipline).
+    */
+  private val bpeEncode: Q = (s, dir) => {
+    val (reports, dict) = bpeLoop(s, dir)
+    // the merge table is not this query's output; release the 1-row
+    // report checkpoints eagerly (the dict checkpoint must stay — the
+    // returned plan reads it)
+    reports.foreach(r =>
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(r)
+    )
+    val pieces = dict.select(
+      col("word"),
+      size(col("syms")).cast("long").as("n_pieces"),
+      length(col("word")).cast("long").as("n_chars")
+    )
+    docs(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(pieces, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_bpe_tokens"),
+        sum(col("n_chars")).as("n_chars")
+      )
+      .select(
+        col("lang"),
+        col("n_words"),
+        col("n_bpe_tokens"),
+        col("n_chars"),
+        (col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("tokens_per_word"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("chars_per_token")
+      )
+      .orderBy("lang")
   }
 
   val queries: Map[String, Q] = Map(
     "text38_bpe_merges" -> bpeMerges,
+    "text39_bpe_encode" -> bpeEncode,
     "text32_length_buckets" -> lengthBuckets,
     "text33_mlm_mask" -> mlmMask,
     "text34_temperature_mix" -> temperatureMix,
@@ -490,52 +562,78 @@ object TextQueries3 {
     "text37_pack_sequences" -> packSequences
   )
 
+  /** The learner loop's oracle form, shared by text38/text39: w0 is
+    * the word-frequency dict split to characters; each round's CTEs
+    * are (pair counts, argmax, fold rewrite, report row). `word` is
+    * carried through every w$i so text39 can join the final dict.
+    */
+  private lazy val bpeOracleCtes: String = {
+    val rounds = (1 to BPE_MERGES).map { i =>
+      val p = i - 1
+      s"""p$i AS MATERIALIZED (
+         |  SELECT syms[j] AS lhs, syms[j+1] AS rhs,
+         |    CAST(SUM(cnt) AS BIGINT) AS pair_count
+         |  FROM w$p, range(1, 1000) t(j)
+         |  WHERE j <= len(syms) - 1
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (
+         |  SELECT lhs AS ml, rhs AS mr, lhs || rhs AS mm,
+         |    pair_count AS mc
+         |  FROM p$i ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT word, list_reduce(
+         |      list_transform(syms, s -> [s]),
+         |      (acc, x) -> CASE WHEN acc[len(acc)] = ml AND x[1] = mr
+         |        THEN list_append(acc[1:len(acc)-1], mm)
+         |        ELSE list_append(acc, x[1]) END) AS syms,
+         |    cnt
+         |  FROM w$p, m$i),
+         |r$i AS MATERIALIZED (
+         |  SELECT CAST($i AS BIGINT) AS round, ml AS lhs, mr AS rhs,
+         |    mm AS merged, mc AS pair_count,
+         |    (SELECT CAST(SUM(cnt * len(syms)) AS BIGINT) FROM w$i)
+         |      AS corpus_tokens_after
+         |  FROM m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word, regexp_extract_all(word, '.') AS syms, cnt FROM (
+       |    SELECT t.tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |    FROM documents, unnest($toksSql) AS t(tok)
+       |    WHERE length(t.tok) > 0
+       |    GROUP BY t.tok)),
+       |$rounds""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // rounds unrolled as MATERIALIZED CTEs (the sim23/dedup22
     // discipline); the greedy left-to-right merge is the same fold,
     // expressed as list_reduce over single-element lists (DuckDB's
     // reduce needs accumulator and element types to match)
     "text38_bpe_merges" -> {
-      val rounds = (1 to BPE_MERGES).map { i =>
-        val p = i - 1
-        s"""p$i AS MATERIALIZED (
-           |  SELECT syms[j] AS lhs, syms[j+1] AS rhs,
-           |    CAST(SUM(cnt) AS BIGINT) AS pair_count
-           |  FROM w$p, range(1, 1000) t(j)
-           |  WHERE j <= len(syms) - 1
-           |  GROUP BY 1, 2),
-           |m$i AS MATERIALIZED (
-           |  SELECT lhs AS ml, rhs AS mr, lhs || rhs AS mm,
-           |    pair_count AS mc
-           |  FROM p$i ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
-           |w$i AS MATERIALIZED (
-           |  SELECT list_reduce(
-           |      list_transform(syms, s -> [s]),
-           |      (acc, x) -> CASE WHEN acc[len(acc)] = ml AND x[1] = mr
-           |        THEN list_append(acc[1:len(acc)-1], mm)
-           |        ELSE list_append(acc, x[1]) END) AS syms,
-           |    cnt
-           |  FROM w$p, m$i),
-           |r$i AS MATERIALIZED (
-           |  SELECT CAST($i AS BIGINT) AS round, ml AS lhs, mr AS rhs,
-           |    mm AS merged, mc AS pair_count,
-           |    (SELECT CAST(SUM(cnt * len(syms)) AS BIGINT) FROM w$i)
-           |      AS corpus_tokens_after
-           |  FROM m$i)""".stripMargin
-      }.mkString(",\n")
       val sel = (1 to BPE_MERGES)
         .map(i => s"SELECT * FROM r$i")
         .mkString("\nUNION ALL ")
-      s"""WITH w0 AS MATERIALIZED (
-         |  SELECT regexp_extract_all(word, '.') AS syms, cnt FROM (
-         |    SELECT t.tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
-         |    FROM documents, unnest($toksSql) AS t(tok)
-         |    WHERE length(t.tok) > 0
-         |    GROUP BY t.tok)),
-         |$rounds
+      s"""$bpeOracleCtes
          |$sel
          |ORDER BY round""".stripMargin
     },
+    "text39_bpe_encode" ->
+      s"""$bpeOracleCtes,
+         |pieces AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_pieces,
+         |    CAST(length(word) AS BIGINT) AS nc
+         |  FROM w$BPE_MERGES),
+         |occ AS (SELECT lang, t.tok AS word
+         |  FROM documents, unnest($toksSql) AS t(tok)
+         |  WHERE length(t.tok) > 0)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_pieces) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+         |  CAST(SUM(n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS tokens_per_word,
+         |  CAST(SUM(nc) AS DOUBLE) / CAST(SUM(n_pieces) AS DOUBLE)
+         |    AS chars_per_token
+         |FROM occ JOIN pieces USING (word)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "text32_length_buckets" ->
       s"""WITH n AS (SELECT CAST(len($toksSql) AS BIGINT) AS n
          |           FROM documents),

@@ -77,4 +77,32 @@ class TextBpeSpec extends SparkSpec {
     val curve = got.map(_._6)
     assert(curve.zip(curve.tail).forall { case (a, b) => b < a })
   }
+
+  test("text39: encode totals tie out to the corpus and to text38's curve") {
+    val enc = TextQueries3
+      .queries("text39_bpe_encode")(spark, sfDir)
+      .collect()
+    val merges = TextQueries3
+      .queries("text38_bpe_merges")(spark, sfDir)
+      .collect()
+    val corpusTokensAfterAll =
+      merges.maxBy(_.getLong(0)).getAs[Long]("corpus_tokens_after")
+    // Σ-lang BPE tokens must equal the corpus symbol count after the
+    // final merge — encode and learn agree on what the corpus costs
+    assert(enc.map(_.getAs[Long]("n_bpe_tokens")).sum === corpusTokensAfterAll)
+    // Σ-lang word occurrences = the raw whitespace token count
+    val rawTokens = graft
+      .Tables(spark, sfDir)
+      .documents
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .count()
+    assert(enc.map(_.getAs[Long]("n_words")).sum === rawTokens)
+    // merging never splits: every language compresses (>= 1 piece/word,
+    // strictly fewer pieces than characters once any merge applies)
+    enc.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("n_bpe_tokens") <= r.getAs[Long]("n_chars"))
+    }
+  }
 }
