@@ -509,8 +509,13 @@ object TextQueries3 {
     * joins back to the exploded token stream on the dense `word` key
     * — one shuffle join, with the per-word piece count as the only
     * payload; the fold rewrite ran once per DISTINCT word, not once
-    * per occurrence. AQE picks broadcast vs shuffle join by the
-    * dict's actual size.
+    * per occurrence. The join is pinned SHUFFLE_HASH building on the
+    * dict: the checkpointed dict carries no stats, so left alone the
+    * planner broadcasts whichever side's estimate is small — at the
+    * fixture that is the CORPUS token stream, exactly the side that
+    * can never be broadcast at scale. Shuffle-hash on the dense word
+    * key is the shape that holds at any corpus size (a user whose
+    * vocab fits memory can rebuild with a broadcast hint).
     *
     * Integer sums throughout; the two ratios are single closing IEEE
     * divisions (the text31 discipline).
@@ -531,7 +536,7 @@ object TextQueries3 {
     docs(s, dir)
       .select(col("lang"), explode(tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
-      .join(pieces, Seq("word"))
+      .join(pieces.hint("shuffle_hash"), Seq("word"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_words"),
