@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * Production builds amortize by learning on a hash-stratified sample
   * (q54's device) and batching non-overlapping merges per pass; both
   * compose from the pieces here.
+  *
+  * This is the WORD-level loop (merges fuse adjacent whitespace
+  * tokens — phrase/wordpiece induction, one corpus pass per round).
+  * The CHARACTER-level form — symbols within words, learned over the
+  * word-frequency dict so each round costs a vocab-sized pass
+  * instead of a corpus pass — is `text38_bpe_merges` /
+  * `text39_bpe_encode` in [[graft.ops.TextQueries3]], oracle-checked.
   */
 object BpeLearn {
 
@@ -50,14 +57,18 @@ object BpeLearn {
         ).otherwise(concat(acc, array(t)))
     )
 
-  /** One round's pair histogram: adjacent (a, b) counts. */
+  /** One round's pair histogram: adjacent (a, b) counts. The slice
+    * lengths are floored at 0: a 0- or 1-token row has no pairs and
+    * must contribute nothing, not crash the pass (slice throws on
+    * negative length).
+    */
   def pairCounts(docs: DataFrame, tokCol: String): DataFrame =
     docs
       .select(
         explode(
           zip_with(
-            slice(col(tokCol), lit(1), size(col(tokCol)) - 1),
-            slice(col(tokCol), lit(2), size(col(tokCol)) - 1),
+            slice(col(tokCol), lit(1), greatest(size(col(tokCol)) - 1, lit(0))),
+            slice(col(tokCol), lit(2), greatest(size(col(tokCol)) - 1, lit(0))),
             (x, y) => struct(x.as("a"), y.as("b"))
           )
         ).as("p")

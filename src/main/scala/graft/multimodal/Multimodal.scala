@@ -84,13 +84,16 @@ object Multimodal {
     * addition of disjoint powers is bitwise OR in both engines.
     */
   def dHash64(textOfPayload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val len = length(textOfPayload)
-    // ⌊i·(L−1)/64⌋ exactly: the operands are < 2⁵³ so the IEEE double
-    // division floors to the true integer quotient
+    val len = length(textOfPayload).cast("long")
+    // ⌊i·(L−1)/64⌋ exactly: the product is computed in LONG (a 32-bit
+    // multiply would wrap for payloads past ~2³¹/64 chars) and stays
+    // < 2⁵³, so the IEEE double division floors to the true integer
+    // quotient; the final position is ≤ L, which fits int again
     def at(i: Int): org.apache.spark.sql.Column =
       ascii(
         textOfPayload.substr(
-          (lit(1) + floor((lit(i) * (len - lit(1))) / lit(64))).cast("int"),
+          (lit(1L) + floor((lit(i.toLong) * (len - lit(1L))) / lit(64)))
+            .cast("int"),
           lit(1)
         )
       )

@@ -71,7 +71,10 @@ object TimeSeriesQueries {
       .select(
         col("event_type"),
         col("event_id"),
-        round(col("__shift"), 10).as("shift"),
+        // floor-scale, not round(x,10): engines round doubles
+        // differently on the half boundary (the text20 class)
+        (floor(col("__shift") * lit(1e10) + lit(0.5)).cast("double") /
+          lit(1e10)).as("shift"),
         (abs(col("__shift")) >= DRIFT_THRESHOLD).as("is_shift")
       )
       .orderBy("event_type", "event_id")
@@ -124,12 +127,12 @@ object TimeSeriesQueries {
       .select(
         col("event_type") +: col("n") +:
           ACF_LAGS.map { k =>
-            round(
+            // floor-scale, not round(x,10) — the text20 class
+            (floor(
               (col(s"c$k") - mu * col(s"hs$k") - mu * col(s"ts$k") +
                 col(s"m$k") * mu * mu) /
-                (col("ss") - col("n") * mu * mu),
-              10
-            ).as(s"r$k")
+                (col("ss") - col("n") * mu * mu) * lit(1e10) + lit(0.5)
+            ).cast("double") / lit(1e10)).as(s"r$k")
           }: _*
       )
       .orderBy("event_type")
@@ -163,7 +166,7 @@ object TimeSeriesQueries {
          |  ($afterMean - $beforeMean) / 100.0 AS sh
          |  FROM c)
          |SELECT event_type, event_id,
-         |  round(sh, 10) AS shift,
+         |  floor(sh * 1e10 + 0.5) / 1e10 AS shift,
          |  abs(sh) >= $DRIFT_THRESHOLD AS is_shift
          |FROM scored
          |WHERE nb = $DRIFT_W AND na = $DRIFT_W
@@ -183,8 +186,8 @@ object TimeSeriesQueries {
         .mkString(",\n|  ")
       val rCols = ACF_LAGS
         .map(k =>
-          s"""round((c$k - (s/n) * hs$k - (s/n) * ts$k + m$k * (s/n) * (s/n))
-             |    / (ss - n * (s/n) * (s/n)), 10) AS r$k""".stripMargin
+          s"""floor((c$k - (s/n) * hs$k - (s/n) * ts$k + m$k * (s/n) * (s/n))
+             |    / (ss - n * (s/n) * (s/n)) * 1e10 + 0.5) / 1e10 AS r$k""".stripMargin
         )
         .mkString(",\n|  ")
       s"""WITH c AS (SELECT event_type, ts, event_id,

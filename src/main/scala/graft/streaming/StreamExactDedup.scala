@@ -57,8 +57,11 @@ object StreamExactDedup {
     */
   def replay(docs: DataFrame, nBatches: Int = 5): DataFrame = {
     val withFp = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
-    val maxId =
-      withFp.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    // empty input: max() is one NULL row, not zero rows — return the
+    // empty result instead of NPEing on getLong (the heaps discipline)
+    val maxRow = withFp.agg(max(col("doc_id"))).collect()(0)
+    if (maxRow.isNullAt(0)) return withFp.limit(0)
+    val maxId = maxRow.getLong(0)
     val width = maxId / nBatches + 1L
     var seen: DataFrame = null
     var out: DataFrame = null

@@ -84,6 +84,13 @@ object StreamSegments {
     private[streaming] var flags: DataFrame =
       Seq.empty[(Long, Boolean, Boolean, Boolean)]
         .toDF("user_id", "did_click", "did_purchase", "did_error")
+
+    /** Release the live state checkpoint (call after the last read —
+      * the StreamWindowHll discipline; without it each run retains
+      * its final block set for the session lifetime).
+      */
+    def close(): Unit =
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(flags)
   }
 
   def newState(spark: SparkSession): State = new State(spark)
@@ -130,6 +137,10 @@ object StreamSegments {
     (0 until slices).foreach { i =>
       ingest(state, events.filter(pmod(col("event_id"), lit(slices)) === i))
     }
-    cells(state)
+    // materialize the (8-row) cells, then release the per-user state
+    // so the run leaves no live checkpoint behind
+    val out = cells(state).localCheckpoint(true)
+    state.close()
+    out
   }
 }
