@@ -44,9 +44,13 @@ object DedupQueries2 {
     * spans can share up to GRAM−1 tokens, so `dup_tokens` is an upper
     * estimate — deterministic and engine-identical.
     */
-  private val substringSpans: Q = (s, dir) => {
-    val d = Dedup.withTokens(docs(s, dir), "text")
-    val inst = d
+  /** The (doc_id, pos, int32 gram-hash) instance stream shared by
+    * dedup21/dedup29 — ONE definition so the span report and the
+    * scrub can never disagree on gram extraction or hashing.
+    */
+  private def gramInstances(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .withTokens(docs(s, dir), "text")
       .select(
         col("doc_id"),
         posexplode(
@@ -68,6 +72,9 @@ object DedupQueries2 {
         col("pos"),
         PortableHash.h32(col("col")).as("h")
       )
+
+  private val substringSpans: Q = (s, dir) => {
+    val inst = gramInstances(s, dir)
     val dup = inst
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("__nd"))
@@ -119,28 +126,7 @@ object DedupQueries2 {
     */
   private val spanScrub: Q = (s, dir) => {
     val d = Dedup.withTokens(docs(s, dir), "text")
-    val inst = d
-      .select(
-        col("doc_id"),
-        posexplode(
-          when(
-            size(col("__toks")) >= GRAM,
-            transform(
-              sequence(lit(0), size(col("__toks")) - GRAM),
-              i =>
-                concat_ws(
-                  " ",
-                  (0 until GRAM).map(k => element_at(col("__toks"), i + (k + 1))): _*
-                )
-            )
-          ).otherwise(array().cast("array<string>"))
-        )
-      )
-      .select(
-        col("doc_id"),
-        col("pos"),
-        PortableHash.h32(col("col")).as("h")
-      )
+    val inst = gramInstances(s, dir)
     // ownership: first holder (min doc_id) of each cross-doc gram
     val own = inst
       .groupBy(col("h"))

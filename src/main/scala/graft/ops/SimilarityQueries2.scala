@@ -507,23 +507,8 @@ object SimilarityQueries2 {
     * rounds cannot orphan their plans.
     */
   private val kmeansIters: Q = (s, dir) => {
-    val quant = Tables(s, dir).embeddings
-      .select(
-        col("vec_id"),
-        transform(
-          col("embedding"),
-          x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")
-        ).as("qe")
-      )
-    val seeds = quant
-      .filter(col("vec_id") % KM_STRIDE === 0)
-      .orderBy("vec_id")
-      .limit(KM_K)
-      .withColumn(
-        "cluster_id",
-        row_number().over(Window.orderBy(col("vec_id"))).cast("long")
-      )
-      .select(col("cluster_id"), col("qe").as("qc"))
+    val quant = quantized(s, dir)
+    val seeds = strideSeeds(quant, KM_STRIDE, KM_K, "cluster_id", "qc")
     var cents = seeds.localCheckpoint(true)
     val reports = Seq.newBuilder[DataFrame]
     for (it <- 1 to KM_ITERS) {
