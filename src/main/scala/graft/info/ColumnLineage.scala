@@ -23,9 +23,12 @@ import scala.collection.mutable
   * edges, one row per dependency.
   *
   * Scope: dependency edges flow through anything that exposes
-  * `NamedExpression`s (Project/Aggregate/Window), set operations map
-  * positionally, and leaves resolve to their file-relation path (the
-  * parquet "table"). Literal-only columns report no source rows.
+  * `NamedExpression`s (Project/Aggregate/Window), through generators
+  * (explode/posexplode/UDTFs — generated columns derive from the
+  * generator's inputs) and grouping-set expansions (positionally),
+  * set operations map positionally, and leaves resolve to their
+  * file-relation path (the parquet "table"). Literal-only columns
+  * report no source rows.
   * Filter/join CONDITIONS are deliberately out of scope — this is
   * value lineage (what feeds the column), not control lineage.
   */
@@ -70,6 +73,22 @@ object ColumnLineage {
             val srcs = u.children
               .flatMap(c => leaves.getOrElse(c.output(i).exprId, Set.empty))
               .toSet
+            leaves(out.exprId) = srcs
+          }
+        case g: Generate =>
+          // generator outputs (explode/posexplode/inline/UDTF results)
+          // are FRESH attributes, not NamedExpressions — without this
+          // branch they'd report no sources and be indistinguishable
+          // from literals. Every generated column derives from the
+          // generator's input references.
+          val srcs = sourcesOf(g.generator)
+          g.generatorOutput.foreach(a => leaves(a.exprId) = srcs)
+        case e: Expand =>
+          // rollup/cube/grouping-sets expansion: output attributes are
+          // fresh; each maps positionally to the union of its slot's
+          // expressions across all projections
+          e.output.zipWithIndex.foreach { case (out, i) =>
+            val srcs = e.projections.flatMap(pr => sourcesOf(pr(i))).toSet
             leaves(out.exprId) = srcs
           }
         case n =>

@@ -51,4 +51,32 @@ class ColumnLineageSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(rep("disc_price") === "lineitem.l_discount, lineitem.l_extendedprice")
   }
+
+  test("generator lineage: exploded tokens trace to the text column") {
+    val df = graft
+      .Tables(spark, sfDir)
+      .documents
+      .select(
+        col("doc_id"),
+        explode(split(col("text"), " ")).as("tok")
+      )
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val e = ColumnLineage.of(spark, df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // the generated column (and the count over it) must NOT read as
+    // literal-sourced — it derives from documents.text
+    assert(e.contains(("tok", "documents", "text")), e.toString)
+  }
+
+  test("grouping-set lineage: rollup outputs keep their sources") {
+    val df = graft
+      .Tables(spark, sfDir)
+      .orders
+      .rollup(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val e = ColumnLineage.of(spark, df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(e.contains(("o_orderstatus", "orders", "o_orderstatus")), e.toString)
+  }
 }
