@@ -80,28 +80,30 @@ object Relational4 {
         sum(dp * dp).cast(DoubleType).as("syy"),
         sum(dq * dp).cast(DoubleType).as("sxy")
       )
-    // round(·,10): the decimal→double casts of the big squared sums
-    // double-round differently across engines once the unscaled value
-    // exceeds 2^53 (int128→double→/10^s vs one correctly-rounded
-    // BigDecimal conversion), leaving ±1 ulp in the derived stats —
-    // 10-decimal rounding absorbs it identically on both sides
+    // 10-decimal truncation via floor-scale: the decimal→double casts
+    // of the big squared sums double-round differently across engines
+    // once the unscaled value exceeds 2^53 (int128→double→/10^s vs
+    // one correctly-rounded BigDecimal conversion), leaving ±1 ulp in
+    // the derived stats — the shared 10-decimal grid absorbs it.
+    // floor(x·1e10+0.5), not round(x,10): the engines' round()
+    // algorithms disagree on half boundaries (the text20 class),
+    // while floor is the same function everywhere.
+    def r10(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (floor(c * lit(1e10) + lit(0.5)).cast("double") / lit(1e10))
     agged
       .select(
         col("l_returnflag"),
         col("n"),
-        round(
-          (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1),
-          10
+        r10(
+          (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
         ).as("var_qty"),
-        round(
-          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)),
-          10
+        r10(
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
         ).as("stddev_qty"),
-        round(
+        r10(
           (col("sxy") - col("sx") * col("sy") / col("n")) /
             (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
-              sqrt(col("syy") - col("sy") * col("sy") / col("n"))),
-          10
+              sqrt(col("syy") - col("sy") * col("sy") / col("n")))
         ).as("corr_qty_price")
       )
       .orderBy("l_returnflag")
@@ -143,10 +145,13 @@ object Relational4 {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  round((sxx - sx * sx / n) / (n - 1), 10) AS var_qty,
-        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 10) AS stddev_qty,
-        |  round((sxy - sx * sy / n) /
-        |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 10)
+        |  floor((sxx - sx * sx / n) / (n - 1) * 1e10 + 0.5) / 1e10
+        |    AS var_qty,
+        |  floor(sqrt((sxx - sx * sx / n) / (n - 1)) * 1e10 + 0.5) / 1e10
+        |    AS stddev_qty,
+        |  floor((sxy - sx * sy / n) /
+        |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))
+        |    * 1e10 + 0.5) / 1e10
         |    AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin
   )

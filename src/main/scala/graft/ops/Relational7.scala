@@ -42,12 +42,14 @@ object Relational7 {
       .withColumn(
         "bin_lo",
         when(col("bucket").between(1, nb),
-          round(lit(lo) + (col("bucket") - 1) * lit(width), 2))
+          floor((lit(lo) + (col("bucket") - 1) * lit(width)) * lit(1e2)
+            + lit(0.5)).cast("double") / lit(1e2))
       )
       .withColumn(
         "bin_hi",
         when(col("bucket").between(1, nb),
-          round(lit(lo) + col("bucket") * lit(width), 2))
+          floor((lit(lo) + col("bucket") * lit(width)) * lit(1e2)
+            + lit(0.5)).cast("double") / lit(1e2))
       )
       .orderBy("bucket")
   }
@@ -76,26 +78,28 @@ object Relational7 {
         sum(x * y).cast(DoubleType).as("sxy")
       )
       .select(
-        col("l_returnflag"),
-        col("n"),
-        round(
-          (col("sxy") - col("sx") * col("sy") / col("n")) /
-            (col("sxx") - col("sx") * col("sx") / col("n")),
-          10
-        ).as("slope"),
-        round(
-          (col("sy") - ((col("sxy") - col("sx") * col("sy") / col("n")) /
-            (col("sxx") - col("sx") * col("sx") / col("n"))) * col("sx")) /
-            col("n"),
-          10
-        ).as("intercept"),
-        round(
-          ((col("sxy") - col("sx") * col("sy") / col("n")) *
-            (col("sxy") - col("sx") * col("sy") / col("n"))) /
-            ((col("sxx") - col("sx") * col("sx") / col("n")) *
-              (col("syy") - col("sy") * col("sy") / col("n"))),
-          10
-        ).as("r2")
+        col("l_returnflag") +: col("n") +: {
+          // floor-scale, not round(x,10) — the text20 class
+          def r10(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+            floor(c * lit(1e10) + lit(0.5)).cast("double") / lit(1e10)
+          Seq(
+            r10(
+              (col("sxy") - col("sx") * col("sy") / col("n")) /
+                (col("sxx") - col("sx") * col("sx") / col("n"))
+            ).as("slope"),
+            r10(
+              (col("sy") - ((col("sxy") - col("sx") * col("sy") / col("n")) /
+                (col("sxx") - col("sx") * col("sx") / col("n"))) * col("sx")) /
+                col("n")
+            ).as("intercept"),
+            r10(
+              ((col("sxy") - col("sx") * col("sy") / col("n")) *
+                (col("sxy") - col("sx") * col("sy") / col("n"))) /
+                ((col("sxx") - col("sx") * col("sx") / col("n")) *
+                  (col("syy") - col("sy") * col("sy") / col("n")))
+            ).as("r2")
+          )
+        }: _*
       )
       .orderBy("l_returnflag")
   }
@@ -546,9 +550,11 @@ object Relational7 {
          |  FROM orders)
          |SELECT bucket, COUNT(*) AS n,
          |  CASE WHEN bucket BETWEEN 1 AND $nb
-         |    THEN round($lo + (bucket - 1) * ((${hi} - $lo) / $nb), 2) END AS bin_lo,
+         |    THEN floor(($lo + (bucket - 1) * ((${hi} - $lo) / $nb)) * 1e2
+         |      + 0.5) / 1e2 END AS bin_lo,
          |  CASE WHEN bucket BETWEEN 1 AND $nb
-         |    THEN round($lo + bucket * ((${hi} - $lo) / $nb), 2) END AS bin_hi
+         |    THEN floor(($lo + bucket * ((${hi} - $lo) / $nb)) * 1e2
+         |      + 0.5) / 1e2 END AS bin_hi
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q64_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events
@@ -580,11 +586,13 @@ object Relational7 {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 10) AS slope,
-        |  round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 10)
-        |    AS intercept,
-        |  round(((sxy - sx * sy / n) * (sxy - sx * sy / n)) /
-        |    ((sxx - sx * sx / n) * (syy - sy * sy / n)), 10) AS r2
+        |  floor((sxy - sx * sy / n) / (sxx - sx * sx / n) * 1e10 + 0.5)
+        |    / 1e10 AS slope,
+        |  floor((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n
+        |    * 1e10 + 0.5) / 1e10 AS intercept,
+        |  floor(((sxy - sx * sy / n) * (sxy - sx * sy / n)) /
+        |    ((sxx - sx * sx / n) * (syy - sy * sy / n)) * 1e10 + 0.5)
+        |    / 1e10 AS r2
         |FROM m ORDER BY l_returnflag""".stripMargin
   )
 }
