@@ -1317,7 +1317,7 @@ object DedupQueries {
   /** The WITH body shared by the clustering oracles: candidate pairs →
     * Jaccard verify → undirected edges → recursive reachability.
     */
-  private lazy val clusterCtes: String =
+  private[ops] lazy val clusterCtes: String =
       s"""WITH RECURSIVE $prepCte,
          |sig AS (SELECT doc_id, sh, $sigSql AS sig FROM shh),
          |band AS (SELECT doc_id, r.b AS band, bands[r.b + 1] AS band_sig

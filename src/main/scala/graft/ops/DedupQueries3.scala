@@ -372,11 +372,44 @@ object DedupQueries3 {
       .orderBy("doc_id")
   }
 
+  /** dedup34: soft-dedup sampling weights — the down-weight-don't-drop
+    * alternative to dedup13's hard survivor cut: every document gets
+    * sampling weight 1/|its near-dup family|, so each family
+    * contributes expected ONE copy per training epoch while all its
+    * phrasings stay in the pool (the hard drop discards that
+    * diversity; recent curation work prefers the soft form for
+    * high-quality sources). Singletons keep weight 1; the
+    * expected-copies invariant Σ weight = #families is spec-pinned.
+    *
+    * Shape at scale: on top of the dedup06 CC pass this costs ONE
+    * shuffle — family size is a COUNT window over cluster_id, so the
+    * size attach and the weight ride the same exchange (no agg+join
+    * round trip). The weight is a single closing IEEE division of
+    * exact BIGINTs, identical on any engine.
+    */
+  private val softDedupWeights: Q = (s, dir) => {
+    val edges =
+      DedupQueries.minhashVerified(s, dir).filter(col("jac") >= 0.5)
+    val nodes = docs(s, dir).select(col("doc_id").as("id"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    graft.dedup.Clusters
+      .connectedComponents(nodes, edges)
+      .withColumn("cluster_size", count(lit(1)).over(byCluster).cast("long"))
+      .select(
+        col("id").as("doc_id"),
+        col("cluster_id"),
+        col("cluster_size"),
+        (lit(1.0) / col("cluster_size").cast("double")).as("weight")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup30_winnowing" -> winnowing,
     "dedup31_semantic_decontaminate" -> semanticDecontaminate,
     "dedup32_cluster_split" -> clusterSplit,
-    "dedup33_delete_propagation" -> deleteProp
+    "dedup33_delete_propagation" -> deleteProp,
+    "dedup34_softdedup_weights" -> softDedupWeights
   )
 
   private val normSql = TextQueriesSqlFragments.normSql
@@ -392,6 +425,15 @@ object DedupQueries3 {
        |  END)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup34_softdedup_weights" ->
+      s"""${DedupQueries.clusterCtes},
+         |cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM cl GROUP BY cluster_id)
+         |SELECT cl.id AS doc_id, cl.cluster_id, sz.cluster_size,
+         |  CAST(1 AS DOUBLE) / CAST(sz.cluster_size AS DOUBLE) AS weight
+         |FROM cl JOIN sz USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "dedup30_winnowing" ->
       s"""WITH prep AS (SELECT doc_id, string_split($normSql, ' ') AS toks
          |              FROM documents),
