@@ -95,9 +95,14 @@ object BpeLearn {
         val pair = top(0).getStruct(0)
         val (a, b) = (pair.getString(0), pair.getString(1))
         merges += ((a, b))
+        val prev = cur
         cur = cur
           .withColumn(tokCol, applyMerge(col(tokCol), a, b))
           .localCheckpoint(true)
+        // release the superseded round's checkpoint (the dedup06
+        // round discipline; a no-op for the caller's input frame)
+        if (prev ne docs)
+          org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(prev)
       }
     }
     (merges.result(), cur)

@@ -19,6 +19,7 @@ object TextQueries3 {
   // keep in lockstep with TextQueries.toksSql (whitespace tokenizer)
   private val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
 
+  // single-file fixture → spread the map side (see DedupQueries.docs)
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism)
 
