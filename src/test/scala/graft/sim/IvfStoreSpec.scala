@@ -1,0 +1,99 @@
+package graft.sim
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** IVF-as-storage-layout: cell pruning at the directory listing,
+  * exhaustive-probe exactness, and probed-subset semantics.
+  */
+class IvfStoreSpec extends SparkSpec {
+
+  private val K = 8
+  private val STRIDE = 97
+
+  private lazy val store: (String, org.apache.spark.sql.DataFrame) = {
+    val dir = Files.createTempDirectory("graft-ivf").toString
+    val emb = Tables(spark, sfDir).embeddings
+    val cents = IvfStore.centroids(emb, K, STRIDE).localCheckpoint(true)
+    IvfStore.build(emb, cents, dir)
+    (dir, cents)
+  }
+
+  private def queryVec: Seq[Float] = Tables(spark, sfDir).embeddings
+    .orderBy("vec_id")
+    .limit(1)
+    .collect()(0)
+    .getAs[scala.collection.Seq[Float]]("embedding")
+    .toSeq
+
+  test("exhaustive probe (nProbe = K) equals brute force over the store") {
+    val (dir, cents) = store
+    val got = IvfStore
+      .topK(spark, dir, cents, queryVec, 5, nProbe = K)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dist2")))
+    // brute force with the same exact-integer metric over ALL rows
+    val q = queryVec.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val brute = Tables(spark, sfDir).embeddings
+      .collect()
+      .map { r =>
+        val v = r
+          .getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+        val d =
+          q.iterator.zip(v.iterator).map { case (a, b) => val t = a - b; t * t }.sum
+        (r.getAs[Long]("vec_id"), d)
+      }
+      .sortBy { case (id, d) => (d, id) }
+      .take(5)
+      .map { case (id, d) => (id, d) }
+    assert(got.toSeq === brute.toSeq)
+  }
+
+  test("nProbe = 2 prunes partitions and is exact within probed cells") {
+    val (dir, cents) = store
+    val res = IvfStore.topK(spark, dir, cents, queryVec, 5, nProbe = 2)
+    val scan = res.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.contains("cell#") || scan.contains("cell IN"), scan)
+    val cells = IvfStore.probeCells(cents, queryVec, 2)
+    assert(cells.length === 2)
+    // results come only from probed cells and match a manual scan of
+    // those cells with the same metric
+    val got = res.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"), r.getAs[Long]("dist2"))
+    )
+    assert(got.forall(r => cells.contains(r._2)))
+    val manual = spark.read
+      .parquet(dir)
+      .filter(col("cell").isin(cells: _*))
+      .collect()
+      .map { r =>
+        val q = queryVec.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+        val v = r
+          .getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+        val d =
+          q.iterator.zip(v.iterator).map { case (a, b) => val t = a - b; t * t }.sum
+        (r.getAs[Long]("vec_id"), d)
+      }
+      .sortBy { case (id, d) => (d, id) }
+      .take(5)
+    assert(got.map(r => (r._1, r._3)).toSeq === manual.toSeq)
+  }
+
+  test("store upsert: re-embedding one cell rewrites only that cell") {
+    val (dir, cents) = store
+    val before = spark.read.parquet(dir)
+    val someCell = IvfStore.probeCells(cents, queryVec, 1).head
+    val batch = before.filter(col("cell") === someCell)
+    val otherCount = before.filter(col("cell") =!= someCell).count()
+    graft.sources.PartitionedStore
+      .overwritePartitions(batch, dir, Seq("cell"))
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("cell") =!= someCell).count() === otherCount)
+  }
+}
