@@ -24,6 +24,25 @@ object Qx {
   def dmean(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(c)
 
+  /** Pin a double to a 10^-digits grid via floor(x·10^d + 0.5) — the
+    * cross-engine form of round(x, d): the engines' round()
+    * implementations disagree on half boundaries (Spark HALF_UP over
+    * BigDecimal vs DuckDB's double path — the text20 class), while
+    * floor is the same function everywhere. NaN and ±Infinity pass
+    * through untouched: Spark's floor(double)→LONG would collapse
+    * NaN to 0 and clamp Inf (fabricating a plausible-looking
+    * statistic where DuckDB keeps NaN/Inf), so non-finite values skip
+    * the grid on both engines identically.
+    */
+  def floorScale(c: Column, digits: Int): Column = {
+    val p = lit(math.pow(10.0, digits.toDouble))
+    when(
+      isnan(c) || c === lit(Double.PositiveInfinity) ||
+        c === lit(Double.NegativeInfinity),
+      c
+    ).otherwise(floor(c * p + lit(0.5)).cast(DoubleType) / p)
+  }
+
   /** SQL fragment mirrors (keep in lockstep with the above). */
   def sqlDsum(e: String, scale: Int = 2): String =
     s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"

@@ -80,16 +80,12 @@ object Relational4 {
         sum(dp * dp).cast(DoubleType).as("syy"),
         sum(dq * dp).cast(DoubleType).as("sxy")
       )
-    // 10-decimal truncation via floor-scale: the decimal→double casts
-    // of the big squared sums double-round differently across engines
+    // 10-decimal grid (Qx.floorScale): the decimal→double casts of
+    // the big squared sums double-round differently across engines
     // once the unscaled value exceeds 2^53 (int128→double→/10^s vs
     // one correctly-rounded BigDecimal conversion), leaving ±1 ulp in
-    // the derived stats — the shared 10-decimal grid absorbs it.
-    // floor(x·1e10+0.5), not round(x,10): the engines' round()
-    // algorithms disagree on half boundaries (the text20 class),
-    // while floor is the same function everywhere.
-    def r10(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      (floor(c * lit(1e10) + lit(0.5)).cast("double") / lit(1e10))
+    // the derived stats — the shared grid absorbs it.
+    def r10(c: org.apache.spark.sql.Column) = floorScale(c, 10)
     agged
       .select(
         col("l_returnflag"),

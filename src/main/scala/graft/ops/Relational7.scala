@@ -42,14 +42,12 @@ object Relational7 {
       .withColumn(
         "bin_lo",
         when(col("bucket").between(1, nb),
-          floor((lit(lo) + (col("bucket") - 1) * lit(width)) * lit(1e2)
-            + lit(0.5)).cast("double") / lit(1e2))
+          floorScale(lit(lo) + (col("bucket") - 1) * lit(width), 2))
       )
       .withColumn(
         "bin_hi",
         when(col("bucket").between(1, nb),
-          floor((lit(lo) + col("bucket") * lit(width)) * lit(1e2)
-            + lit(0.5)).cast("double") / lit(1e2))
+          floorScale(lit(lo) + col("bucket") * lit(width), 2))
       )
       .orderBy("bucket")
   }
@@ -79,9 +77,7 @@ object Relational7 {
       )
       .select(
         col("l_returnflag") +: col("n") +: {
-          // floor-scale, not round(x,10) — the text20 class
-          def r10(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-            floor(c * lit(1e10) + lit(0.5)).cast("double") / lit(1e10)
+          def r10(c: org.apache.spark.sql.Column) = floorScale(c, 10)
           Seq(
             r10(
               (col("sxy") - col("sx") * col("sy") / col("n")) /
@@ -138,12 +134,10 @@ object Relational7 {
         col("n_view"),
         col("n_click"),
         col("n_purchase"),
-        // floor-scale, not round(x,10): engines round doubles
-        // differently on the half boundary (the text20 class)
-        (floor(col("n_click").cast("double") / col("n_view") * lit(1e10)
-          + lit(0.5)).cast("double") / lit(1e10)).as("click_rate"),
-        (floor(col("n_purchase").cast("double") / col("n_click") * lit(1e10)
-          + lit(0.5)).cast("double") / lit(1e10)).as("purchase_rate")
+        floorScale(col("n_click").cast("double") / col("n_view"), 10)
+          .as("click_rate"),
+        floorScale(col("n_purchase").cast("double") / col("n_click"), 10)
+          .as("purchase_rate")
       )
   }
 

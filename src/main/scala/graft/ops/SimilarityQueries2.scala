@@ -47,19 +47,13 @@ object SimilarityQueries2 {
     * (WindowGroupLimit pushes the heap below it). Encode once, serve
     * every query from the code table: the IVF-PQ serving shape.
     */
-  /** Integer micro-unit quantization of the embedding table (the
-    * sim18 discipline — the shared substrate of every exact-integer
-    * similarity op here).
+  /** Integer micro-unit quantization of the embedding table — the
+    * shared [[graft.sim.IntVec]] substrate (one grid definition for
+    * the whole sim family, incl. IvfStore).
     */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings
-      .select(
-        col("vec_id"),
-        transform(
-          col("embedding"),
-          x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")
-        ).as("qe")
-      )
+      .select(col("vec_id"), graft.sim.IntVec.quant(col("embedding")).as("qe"))
 
   /** Deterministic stride-sampled codebook/centroid table: the lowest
     * `k` quantized vectors with vec_id % stride == 0, numbered 1..k.
@@ -70,24 +64,11 @@ object SimilarityQueries2 {
       k: Int,
       idCol: String,
       vecCol: String
-  ): DataFrame =
-    quant
-      .filter(col("vec_id") % stride === 0)
-      .orderBy("vec_id")
-      .limit(k)
-      .withColumn(
-        idCol,
-        row_number().over(Window.orderBy(col("vec_id"))).cast("long")
-      )
-      .select(col(idCol), col("qe").as(vecCol))
+  ): DataFrame = graft.sim.IntVec.strideSeeds(quant, stride, k, idCol, vecCol)
 
   /** Whole-vector squared-L2 distance: one exact BIGINT. */
   private def dist2(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L),
-      (acc, x) => acc + x
-    )
+    graft.sim.IntVec.dist2(a, b)
 
   /** Per-subspace squared-L2 distances: array of PQ_M exact BIGINTs. */
   private def subDists(a: Column, b: Column): Column =

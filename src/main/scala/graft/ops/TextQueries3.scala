@@ -400,11 +400,30 @@ object TextQueries3 {
     * dedup06/sim23 round discipline), so lineage stays flat across
     * the ~30k rounds a real run would take.
     */
+  /** Longest word admitted to the BPE dictionary, in characters.
+    * Standard tokenizer-trainer hygiene (pathological whitespace
+    * tokens — URLs, hashes, DNA strings — blow up the pair table and
+    * carry no reusable subwords); it also makes the oracle's bounded
+    * `range(1, ${BPE_MAX_WORD + 1})` pair enumeration EXACT rather
+    * than a silent cap. Applied identically on both sides and in
+    * text39's occurrence stream.
+    */
+  private[ops] val BPE_MAX_WORD = 999
+
   /** The shared learner loop behind text38/text39: returns the
     * per-round merge reports (each eagerly checkpointed) and the
     * final word→symbols dictionary (still checkpointed — text39
     * reads it; text38 releases it). The `word` key is carried through
     * every round so the dict stays joinable.
+    *
+    * The per-round rewrite joins the 1-row argmax LEFT (on true), not
+    * cross: if a round finds no pair at all (corpus fully merged
+    * before the round budget runs out), the merge columns come back
+    * NULL, the fold's equality test is never true, and the rewrite is
+    * the identity — the dictionary passes through unchanged and the
+    * round simply emits no report row, instead of a cross join with
+    * an empty frame silently wiping the dict. The oracle's LEFT JOIN
+    * ON TRUE degrades identically.
     */
   private def bpeLoop(
       s: SparkSession,
@@ -412,12 +431,17 @@ object TextQueries3 {
   ): (Seq[DataFrame], DataFrame) = {
     val w0 = docs(s, dir)
       .select(explode(tokens(col("text"))).as("word"))
-      .filter(length(col("word")) > 0)
+      .filter(
+        length(col("word")) > 0 && length(col("word")) <= BPE_MAX_WORD
+      )
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
       .select(
         col("word"),
-        regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"),
+        // (?s): Java's '.' excludes U+0085/U+2028/U+2029 (which the
+        // \s+ tokenizer does NOT strip) while RE2's keeps them —
+        // DOTALL makes both engines keep every character
+        regexp_extract_all(col("word"), lit("(?s)."), lit(0)).as("syms"),
         col("cnt")
       )
     var words = w0.localCheckpoint(true)
@@ -448,8 +472,9 @@ object TextQueries3 {
         )
         .localCheckpoint(true)
       // (c) greedy left-to-right merge, map-side under the broadcast
+      // (LEFT on true: NULL merge columns = identity rewrite)
       val next = words
-        .crossJoin(broadcast(top))
+        .join(broadcast(top), lit(true), "left")
         .select(
           col("word"),
           aggregate(
@@ -536,7 +561,11 @@ object TextQueries3 {
     )
     docs(s, dir)
       .select(col("lang"), explode(tokens(col("text"))).as("word"))
-      .filter(length(col("word")) > 0)
+      // same admission rule as the dict (BPE_MAX_WORD): capped words
+      // are outside the tokenizer's vocabulary and outside its stats
+      .filter(
+        length(col("word")) > 0 && length(col("word")) <= BPE_MAX_WORD
+      )
       .join(pieces.hint("shuffle_hash"), Seq("word"))
       .groupBy(col("lang"))
       .agg(
@@ -579,7 +608,7 @@ object TextQueries3 {
       s"""p$i AS MATERIALIZED (
          |  SELECT syms[j] AS lhs, syms[j+1] AS rhs,
          |    CAST(SUM(cnt) AS BIGINT) AS pair_count
-         |  FROM w$p, range(1, 1000) t(j)
+         |  FROM w$p, range(1, ${BPE_MAX_WORD + 1}) t(j)
          |  WHERE j <= len(syms) - 1
          |  GROUP BY 1, 2),
          |m$i AS MATERIALIZED (
@@ -593,7 +622,7 @@ object TextQueries3 {
          |        THEN list_append(acc[1:len(acc)-1], mm)
          |        ELSE list_append(acc, x[1]) END) AS syms,
          |    cnt
-         |  FROM w$p, m$i),
+         |  FROM w$p LEFT JOIN m$i ON TRUE),
          |r$i AS MATERIALIZED (
          |  SELECT CAST($i AS BIGINT) AS round, ml AS lhs, mr AS rhs,
          |    mm AS merged, mc AS pair_count,
@@ -602,10 +631,10 @@ object TextQueries3 {
          |  FROM m$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH w0 AS MATERIALIZED (
-       |  SELECT word, regexp_extract_all(word, '.') AS syms, cnt FROM (
+       |  SELECT word, regexp_extract_all(word, '(?s).') AS syms, cnt FROM (
        |    SELECT t.tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
        |    FROM documents, unnest($toksSql) AS t(tok)
-       |    WHERE length(t.tok) > 0
+       |    WHERE length(t.tok) > 0 AND length(t.tok) <= $BPE_MAX_WORD
        |    GROUP BY t.tok)),
        |$rounds""".stripMargin
   }
@@ -630,7 +659,7 @@ object TextQueries3 {
          |  FROM w$BPE_MERGES),
          |occ AS (SELECT lang, t.tok AS word
          |  FROM documents, unnest($toksSql) AS t(tok)
-         |  WHERE length(t.tok) > 0)
+         |  WHERE length(t.tok) > 0 AND length(t.tok) <= $BPE_MAX_WORD)
          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
          |  CAST(SUM(n_pieces) AS BIGINT) AS n_bpe_tokens,
          |  CAST(SUM(nc) AS BIGINT) AS n_chars,

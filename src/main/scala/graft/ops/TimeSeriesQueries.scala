@@ -71,10 +71,7 @@ object TimeSeriesQueries {
       .select(
         col("event_type"),
         col("event_id"),
-        // floor-scale, not round(x,10): engines round doubles
-        // differently on the half boundary (the text20 class)
-        (floor(col("__shift") * lit(1e10) + lit(0.5)).cast("double") /
-          lit(1e10)).as("shift"),
+        Qx.floorScale(col("__shift"), 10).as("shift"),
         (abs(col("__shift")) >= DRIFT_THRESHOLD).as("is_shift")
       )
       .orderBy("event_type", "event_id")
@@ -127,12 +124,12 @@ object TimeSeriesQueries {
       .select(
         col("event_type") +: col("n") +:
           ACF_LAGS.map { k =>
-            // floor-scale, not round(x,10) — the text20 class
-            (floor(
+            Qx.floorScale(
               (col(s"c$k") - mu * col(s"hs$k") - mu * col(s"ts$k") +
                 col(s"m$k") * mu * mu) /
-                (col("ss") - col("n") * mu * mu) * lit(1e10) + lit(0.5)
-            ).cast("double") / lit(1e10)).as(s"r$k")
+                (col("ss") - col("n") * mu * mu),
+              10
+            ).as(s"r$k")
           }: _*
       )
       .orderBy("event_type")

@@ -29,35 +29,20 @@ import org.apache.spark.sql.functions._
   */
 object IvfStore {
 
-  /** Micro-unit quantization (1e-6 grid) — the shared exact-integer
-    * substrate of the sim family.
-    */
-  private def quant(c: Column): Column =
-    transform(c, x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long"))
-
-  private def dist2(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L),
-      (acc, x) => acc + x
-    )
+  private def quant(c: Column): Column = IntVec.quant(c)
+  private def dist2(a: Column, b: Column): Column = IntVec.dist2(a, b)
 
   /** Deterministic stride-sampled centroid table (cell 1..k), the
     * sim06/sim23 seeding: (cell, qc: array<long>).
     */
   def centroids(embeddings: DataFrame, k: Int, stride: Int): DataFrame =
-    embeddings
-      .select(col("vec_id"), quant(col("embedding")).as("qc"))
-      .filter(col("vec_id") % stride === 0)
-      .orderBy("vec_id")
-      .limit(k)
-      .withColumn(
-        "cell",
-        row_number()
-          .over(org.apache.spark.sql.expressions.Window.orderBy(col("vec_id")))
-          .cast("long")
-      )
-      .select(col("cell"), col("qc"))
+    IntVec.strideSeeds(
+      embeddings.select(col("vec_id"), IntVec.quant(col("embedding")).as("qe")),
+      stride,
+      k,
+      "cell",
+      "qc"
+    )
 
   /** Assign every vector to its nearest centroid and write the store
     * partitioned by cell (one directory per inverted list).
@@ -120,6 +105,9 @@ object IvfStore {
     PartitionedStore
       .read(spark, path)
       .filter(col("cell").isin(cells: _*))
+      // dims contract (the sim07/sim11 discipline): a ragged row would
+      // score NULL and NULLS-FIRST would rank it ABOVE every real hit
+      .filter(size(col("embedding")) === lit(query.length))
       .select(
         col("vec_id"),
         col("cell"),

@@ -33,7 +33,10 @@ class TextBpeSpec extends SparkSpec {
       .Tables(spark, sfDir)
       .documents
       .select(explode(TextFunctions.tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(
+        length(col("w")) > 0 &&
+          length(col("w")) <= TextQueries3.BPE_MAX_WORD
+      )
       .groupBy("w")
       .count()
       .collect()
@@ -95,7 +98,10 @@ class TextBpeSpec extends SparkSpec {
       .Tables(spark, sfDir)
       .documents
       .select(explode(TextFunctions.tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(
+        length(col("w")) > 0 &&
+          length(col("w")) <= TextQueries3.BPE_MAX_WORD
+      )
       .count()
     assert(enc.map(_.getAs[Long]("n_words")).sum === rawTokens)
     // merging never splits: every language compresses (>= 1 piece/word,
