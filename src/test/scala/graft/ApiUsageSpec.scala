@@ -68,6 +68,22 @@ class ApiUsageSpec extends SparkSpec {
     assert(top.toSeq === Seq(1L))
   }
 
+  test("similarity: IVF store — build cells once, serve top-k from probed directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-ivf").toString
+    val corpus = Seq(
+      (0L, Array(1f, 0f)), (97L, Array(0.9f, 0.1f)),
+      (194L, Array(0f, 1f)), (3L, Array(0.1f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val cents = sim.IvfStore.centroids(corpus, k = 2, stride = 97)
+    sim.IvfStore.build(corpus, cents, dir)
+    val hits = sim.IvfStore
+      .topK(spark, dir, cents, Seq(0f, 1f), k = 2, nProbe = 1)
+      .collect()
+      .map(_.getAs[Long]("vec_id"))
+    // the probed cell holds the y-axis vectors; both come back, best first
+    assert(hits.toSeq === Seq(194L, 3L))
+  }
+
   test("dedup: LSH candidates -> Jaccard verify -> clusters -> canonical keep list") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
