@@ -274,9 +274,7 @@ object Relational7 {
     counts
       .withColumn(
         "prob",
-        // floor-scale, not round(x,10) — the text20 class
-        floor(col("n").cast("double") / sum(col("n")).over(byFrom)
-          * lit(1e10) + lit(0.5)).cast("double") / lit(1e10)
+        floorScale(col("n").cast("double") / sum(col("n")).over(byFrom), 10)
       )
       .orderBy("from_type", "to_type")
   }

@@ -164,12 +164,13 @@ object StreamFunnel {
         col("n_view"),
         col("n_click"),
         col("n_purchase"),
-        // floor-scale, not round(x,10): keep in lockstep with q64
-        // (engines round doubles differently on the half boundary)
-        (floor(col("n_click").cast("double") / col("n_view") * lit(1e10)
-          + lit(0.5)).cast("double") / lit(1e10)).as("click_rate"),
-        (floor(col("n_purchase").cast("double") / col("n_click") * lit(1e10)
-          + lit(0.5)).cast("double") / lit(1e10)).as("purchase_rate")
+        // keep in lockstep with q64 (Qx.floorScale, the text20 class)
+        graft.ops.Qx
+          .floorScale(col("n_click").cast("double") / col("n_view"), 10)
+          .as("click_rate"),
+        graft.ops.Qx
+          .floorScale(col("n_purchase").cast("double") / col("n_click"), 10)
+          .as("purchase_rate")
       )
   }
 
