@@ -404,12 +404,80 @@ object DedupQueries3 {
       .orderBy("doc_id")
   }
 
+  /** dedup35: dedup-corrected corpus length profile — the "what does
+    * the corpus look like AFTER down-weighting" report: per source,
+    * the EXACT weighted median of document token counts under the
+    * dedup34 weights, next to the plain median. The gap between the
+    * two columns is the template-inflation bias: a source whose plain
+    * median sits far from its weighted median is dominated by
+    * near-dup families (boilerplate), and every corpus statistic
+    * computed without the weights inherits that bias.
+    *
+    * Engine-exactness: weights enter as integer ppm
+    * (`1000000 div cluster_size`) so every cumulative sum is a
+    * BIGINT and the median test `2·cum ≥ tot` is division-free — no
+    * float summation order anywhere (a double weight sum would hash-
+    * diverge between engines). Both medians are lower medians via the
+    * same ROWS-pinned window, ties broken on doc_id.
+    *
+    * Shape at scale: one dense doc_id join (weights onto token
+    * counts), then ONE source-partitioned window — bounded by source
+    * size. For mega-sources the same report comes from q85's HDR
+    * buckets with SUM(weight_ppm) in place of COUNT (mergeable,
+    * sketch-first); this query is the exact semantics that
+    * approximation is checked against.
+    */
+  private val weightedProfile: Q = (s, dir) => {
+    val edges =
+      DedupQueries.minhashVerified(s, dir).filter(col("jac") >= 0.5)
+    val nodes = docs(s, dir).select(col("doc_id").as("id"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val wts = graft.dedup.Clusters
+      .connectedComponents(nodes, edges)
+      .withColumn("__sz", count(lit(1)).over(byCluster))
+      .select(
+        col("id").as("doc_id"),
+        expr("1000000 div __sz").as("wppm")
+      )
+    val t = docs(s, dir).select(
+      col("doc_id"),
+      col("source"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens")
+    )
+    val bySrc = Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("source"))
+    t.join(wts, Seq("doc_id"))
+      .withColumn("__cum", sum(col("wppm")).over(bySrc))
+      .withColumn("__tot", sum(col("wppm")).over(whole))
+      .withColumn(
+        "__rn",
+        row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
+        )
+      )
+      .withColumn("__n", count(lit(1)).over(whole))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("__tot")).as("tot_weight_ppm"),
+        min(when(col("__cum") * 2 >= col("__tot"), col("n_tokens")))
+          .as("weighted_median_tokens"),
+        min(when(col("__rn") * 2 >= col("__n"), col("n_tokens")))
+          .as("plain_median_tokens")
+      )
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup30_winnowing" -> winnowing,
     "dedup31_semantic_decontaminate" -> semanticDecontaminate,
     "dedup32_cluster_split" -> clusterSplit,
     "dedup33_delete_propagation" -> deleteProp,
-    "dedup34_softdedup_weights" -> softDedupWeights
+    "dedup34_softdedup_weights" -> softDedupWeights,
+    "dedup35_weighted_profile" -> weightedProfile
   )
 
   private val normSql = TextQueriesSqlFragments.normSql
@@ -425,6 +493,33 @@ object DedupQueries3 {
        |  END)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup35_weighted_profile" ->
+      s"""${DedupQueries.clusterCtes},
+         |cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+         |       FROM cl GROUP BY cluster_id),
+         |w AS (SELECT cl.id AS doc_id, 1000000 // sz.cluster_size AS wppm
+         |      FROM cl JOIN sz USING (cluster_id)),
+         |t AS (SELECT doc_id, source,
+         |        CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+         |          AS BIGINT) AS n_tokens
+         |      FROM documents),
+         |c AS (SELECT t.source, t.n_tokens,
+         |        SUM(w.wppm) OVER (PARTITION BY t.source
+         |          ORDER BY t.n_tokens, t.doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |        SUM(w.wppm) OVER (PARTITION BY t.source) AS tot,
+         |        ROW_NUMBER() OVER (PARTITION BY t.source
+         |          ORDER BY t.n_tokens, t.doc_id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY t.source) AS n
+         |      FROM t JOIN w USING (doc_id))
+         |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+         |  CAST(MAX(tot) AS BIGINT) AS tot_weight_ppm,
+         |  CAST(MIN(CASE WHEN 2 * cum >= tot THEN n_tokens END) AS BIGINT)
+         |    AS weighted_median_tokens,
+         |  CAST(MIN(CASE WHEN 2 * rn >= n THEN n_tokens END) AS BIGINT)
+         |    AS plain_median_tokens
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "dedup34_softdedup_weights" ->
       s"""${DedupQueries.clusterCtes},
          |cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),

@@ -34,4 +34,42 @@ class SoftDedupSpec extends SparkSpec {
       else assert(r.getAs[Double]("weight") < 1.0)
     }
   }
+
+  test("dedup35: medians match a sequential reference per source") {
+    val wts = DedupQueries3
+      .queries("dedup34_softdedup_weights")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (1000000L / r.getAs[Long]("cluster_size")))
+      .toMap
+    val toks = graft
+      .Tables(spark, sfDir)
+      .documents
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n")
+      )
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getString(1), r.getAs[Long]("n")))
+    val bySource = toks.groupBy(_._2)
+    val got = DedupQueries3
+      .queries("dedup35_weighted_profile")(spark, sfDir)
+      .collect()
+      .map(r =>
+        r.getString(0) ->
+          (r.getAs[Long]("weighted_median_tokens"), r.getAs[Long]("plain_median_tokens"))
+      )
+      .toMap
+    bySource.foreach { case (src, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._1))
+      val tot = sorted.map(d => wts(d._1)).sum
+      var cum = 0L
+      val wmed = sorted
+        .find { d => cum += wts(d._1); 2 * cum >= tot }
+        .get
+        ._3
+      val pmed = sorted((sorted.length + 1) / 2 - 1)._3
+      assert(got(src) === ((wmed, pmed)), s"source $src")
+    }
+  }
 }
