@@ -422,10 +422,11 @@ object DedupQueries3 {
     *
     * Shape at scale: one dense doc_id join (weights onto token
     * counts), then ONE source-partitioned window — bounded by source
-    * size. For mega-sources the same report comes from q85's HDR
-    * buckets with SUM(weight_ppm) in place of COUNT (mergeable,
-    * sketch-first); this query is the exact semantics that
-    * approximation is checked against.
+    * size. For mega-sources the same report comes from
+    * [[WeightedHdr.weightedMedianBuckets]] — q85's HDR buckets with
+    * SUM(weight_ppm) in place of COUNT (mergeable, sketch-first);
+    * this query is the exact semantics that approximation is checked
+    * against (containment spec in SoftDedupSpec).
     */
   private val weightedProfile: Q = (s, dir) => {
     val edges =

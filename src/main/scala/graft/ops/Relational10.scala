@@ -69,14 +69,20 @@ object Relational10 {
     * data-sized single partition.
     */
   /** The per-row bucketing of the HDR construction — map-side only. */
-  private[graft] def hdrBucketRows(values: DataFrame, groupCols: Seq[String]): DataFrame = {
+  private[graft] def hdrBucketRows(
+      values: DataFrame,
+      groupCols: Seq[String],
+      extraCols: Seq[String] = Nil
+  ): DataFrame = {
     val g = groupCols.map(col)
     values
       .withColumn("m", length(bin(col("v"))) - lit(1))
       .withColumn("sh", greatest(col("m") - lit(HDR_S), lit(0)))
       .withColumn("pw", expr("shiftleft(CAST(1 AS BIGINT), sh)"))
       .withColumn("bucket", col("v") - col("v") % col("pw"))
-      .select(g ++ Seq(col("v"), col("bucket"), col("pw")): _*)
+      .select(
+        g ++ extraCols.map(col) ++ Seq(col("v"), col("bucket"), col("pw")): _*
+      )
   }
 
   /** The sketch itself: per-(group, bucket) counts — bounded,

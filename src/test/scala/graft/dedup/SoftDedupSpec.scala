@@ -72,4 +72,37 @@ class SoftDedupSpec extends SparkSpec {
       assert(got(src) === ((wmed, pmed)), s"source $src")
     }
   }
+
+  test("WeightedHdr: sketch bucket contains dedup35's exact weighted median") {
+    val wts = DedupQueries3
+      .queries("dedup34_softdedup_weights")(spark, sfDir)
+      .select(
+        col("doc_id"),
+        expr("1000000 div cluster_size").as("wppm")
+      )
+    val values = graft
+      .Tables(spark, sfDir)
+      .documents
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("v")
+      )
+      .join(wts, Seq("doc_id"))
+    val approx = graft.ops.WeightedHdr
+      .weightedMedianBuckets(values, Seq("source"), "wppm")
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("median_lo"), r.getAs[Long]("median_hi")))
+      .toMap
+    val exact = DedupQueries3
+      .queries("dedup35_weighted_profile")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("weighted_median_tokens"))
+      .toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (src, med) =>
+      val (lo, hi) = approx(src)
+      assert(lo <= med && med < hi, s"$src: exact $med outside [$lo, $hi)")
+    }
+  }
 }
