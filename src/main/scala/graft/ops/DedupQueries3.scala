@@ -429,22 +429,21 @@ object DedupQueries3 {
     * against (containment spec in SoftDedupSpec).
     */
   private val weightedProfile: Q = (s, dir) => {
-    val edges =
-      DedupQueries.minhashVerified(s, dir).filter(col("jac") >= 0.5)
-    val nodes = docs(s, dir).select(col("doc_id").as("id"))
-    val byCluster = Window.partitionBy(col("cluster_id"))
-    val wts = graft.dedup.Clusters
-      .connectedComponents(nodes, edges)
-      .withColumn("__sz", count(lit(1)).over(byCluster))
-      .select(
-        col("id").as("doc_id"),
-        expr("1000000 div __sz").as("wppm")
-      )
+    // Weights come FROM dedup34's query (not a re-statement of its
+    // pipeline): the report is defined as "under the dedup34 weights",
+    // so any future change to that query's threshold or clustering
+    // variant flows through here by construction.
+    val wts = softDedupWeights(s, dir)
+      .select(col("doc_id"), expr("1000000 div cluster_size").as("wppm"))
     val t = docs(s, dir).select(
       col("doc_id"),
       col("source"),
-      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens")
+      // null-guarded: size(NULL) is -1 in Spark vs NULL in DuckDB
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")
     )
+    // ONE ordering definition for both medians: bySrc's explicit frame
+    // is exactly row_number's required frame, so __cum and __rn share
+    // the same spec and cannot desynchronize on a tie-break edit.
     val bySrc = Window
       .partitionBy(col("source"))
       .orderBy(col("n_tokens"), col("doc_id"))
@@ -453,12 +452,7 @@ object DedupQueries3 {
     t.join(wts, Seq("doc_id"))
       .withColumn("__cum", sum(col("wppm")).over(bySrc))
       .withColumn("__tot", sum(col("wppm")).over(whole))
-      .withColumn(
-        "__rn",
-        row_number().over(
-          Window.partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
-        )
-      )
+      .withColumn("__rn", row_number().over(bySrc))
       .withColumn("__n", count(lit(1)).over(whole))
       .groupBy(col("source"))
       .agg(
