@@ -692,36 +692,49 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Confirmed-duplicate edge list, oriented for hub-safe triangle
+    * work ([[graft.dedup.Triangles]]) — shared by dedup17/19. Two
+    * eager checkpoints implement the iteration discipline: the first
+    * runs the MinHash-verify pipeline EXACTLY ONCE (its downstream
+    * consumers — degree pass, two orientation joins — read the
+    * materialized (long, long) edges, not the pipeline), the second
+    * materializes the oriented edges so the three triangle legs (two
+    * wedge sides + the closing semi-join) scan one LogicalRDD. The
+    * edge checkpoint is released as soon as the oriented form exists.
+    * This replaces the runtime-ReusedExchange reliance the r5 audit
+    * flagged (pre-AQE plans showed the pipeline triplicated);
+    * PlanBudgetSpec now pins "no file scan in the triangle plan" —
+    * single execution by construction, not by optimizer luck.
+    */
+  private[ops] def orientedDupEdges(s: SparkSession, dir: String): DataFrame = {
+    val e = minhashVerified(s, dir)
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val o = graft.dedup.Triangles.orient(e).localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(e)
+    o
+  }
+
   /** dedup17: triangle enumeration over the confirmed near-dup graph —
     * the cohesion QA for dedup clustering: a clique-ish component
     * (every pair confirmed) is a true duplicate group, while a long
     * triangle-free path is LSH chaining that cluster-survivor logic
-    * should treat with suspicion. Edges are canonical (id_a < id_b),
-    * so the two ordered joins enumerate each triangle a<b<c exactly
-    * once. The three legs are the SAME frame — Catalyst's exchange
-    * reuse dedups the underlying MinHash pipeline. At corpus scale a
-    * confirmed-duplicate graph is a union of small near-cliques
-    * (bounded degree), which keeps the join output linear in the
-    * clique mass; for general graphs the degree-ordered node-iterator
-    * form replaces the raw self-join.
+    * should treat with suspicion. Enumeration is the degree-ordered
+    * node-iterator form ([[graft.dedup.Triangles]]): each edge points
+    * at its higher-(degree, id) endpoint, so a hub's edges all point
+    * INTO it and it centers zero wedges — candidate count is
+    * arboricity-bounded (O(m^1.5) worst case) instead of degree²,
+    * exactly on the hub graphs (boilerplate shingles, hot LSH
+    * buckets) this diagnostic exists to catch. Output is identical
+    * to the raw canonical self-join (TrianglesSpec pins both the
+    * equivalence and the hub-graph candidate bound), so the
+    * sequential-SQL oracle is unchanged.
     */
-  private val triangles: Q = (s, dir) => {
-    val e = minhashVerified(s, dir)
-      .filter(col("jac") >= 0.5)
-      .select(col("id_a"), col("id_b"))
-    e.as("e1")
-      .join(e.as("e2"), col("e1.id_b") === col("e2.id_a"))
-      .join(
-        e.as("e3"),
-        col("e3.id_a") === col("e1.id_a") && col("e3.id_b") === col("e2.id_b")
-      )
-      .select(
-        col("e1.id_a").as("id_a"),
-        col("e1.id_b").as("id_b"),
-        col("e2.id_b").as("id_c")
-      )
+  private val triangles: Q = (s, dir) =>
+    graft.dedup.Triangles
+      .triangles(orientedDupEdges(s, dir))
       .orderBy("id_a", "id_b", "id_c")
-  }
 
   /** dedup18: eval-leakage report — train docs that are a CONFIRMED
     * near-duplicate of an eval doc under the library's own q54 hash
@@ -771,33 +784,29 @@ object DedupQueries {
     * boilerplate shingle, an LSH hot bucket) and a sign the
     * threshold, not the corpus, created the cluster.
     *
-    * coeff = 2·T(v) / (deg(v)·(deg(v)−1)): T(v) from the dedup17
-    * enumeration (each canonical a<b<c triangle credits all three
-    * corners), deg(v) from the edge list exploded both directions —
-    * integer counts, one double division at the end. The three legs
-    * and the degree pass all reuse the SAME verified-pairs pipeline
-    * (ReusedExchange, as dedup17 pins); everything that shuffles
-    * after candidate verification is (long, long) edges.
+    * coeff = 2·T(v) / (deg(v)·(deg(v)−1)): T(v) from the hub-safe
+    * dedup17 enumeration (each canonical a<b<c triangle credits all
+    * three corners), deg(v) from the oriented edge list's endpoints
+    * (each undirected edge appears exactly once, so src/dst
+    * occurrences ARE the degree) — integer counts, one double
+    * division at the end. The triangle legs AND the degree pass all
+    * read the one checkpointed oriented-edge frame
+    * ([[orientedDupEdges]]): the MinHash-verify pipeline executes
+    * once by construction, and everything that shuffles after
+    * candidate verification is (long, long) edges.
     */
   private val clusteringCoeff: Q = (s, dir) => {
-    val e = minhashVerified(s, dir)
-      .filter(col("jac") >= 0.5)
-      .select(col("id_a"), col("id_b"))
-    val deg = e
-      .select(col("id_a").as("node"))
-      .unionByName(e.select(col("id_b").as("node")))
+    val o = orientedDupEdges(s, dir)
+    val deg = o
+      .select(col("src").as("node"))
+      .unionByName(o.select(col("dst").as("node")))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("deg"))
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.id_b") === col("e2.id_a"))
-      .join(
-        e.as("e3"),
-        col("e3.id_a") === col("e1.id_a") && col("e3.id_b") === col("e2.id_b")
-      )
+    val tri = graft.dedup.Triangles
+      .triangles(o)
       .select(
-        array(col("e1.id_a"), col("e1.id_b"), col("e2.id_b")).as("__c")
+        explode(array(col("id_a"), col("id_b"), col("id_c"))).as("node")
       )
-      .select(explode(col("__c")).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_tri"))
     deg

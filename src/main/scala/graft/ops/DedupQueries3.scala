@@ -444,9 +444,13 @@ object DedupQueries3 {
     // ONE ordering definition for both medians: bySrc's explicit frame
     // is exactly row_number's required frame, so __cum and __rn share
     // the same spec and cannot desynchronize on a tie-break edit.
+    // NULLS LAST is pinned explicitly: Spark's ASC default is NULLS
+    // FIRST while DuckDB's is NULLS LAST, so a NULL token count (the
+    // case the null-guard above defends) would otherwise shift both
+    // medians between engines.
     val bySrc = Window
       .partitionBy(col("source"))
-      .orderBy(col("n_tokens"), col("doc_id"))
+      .orderBy(col("n_tokens").asc_nulls_last, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(col("source"))
     t.join(wts, Seq("doc_id"))
@@ -501,11 +505,11 @@ object DedupQueries3 {
          |      FROM documents),
          |c AS (SELECT t.source, t.n_tokens,
          |        SUM(w.wppm) OVER (PARTITION BY t.source
-         |          ORDER BY t.n_tokens, t.doc_id
+         |          ORDER BY t.n_tokens NULLS LAST, t.doc_id
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
          |        SUM(w.wppm) OVER (PARTITION BY t.source) AS tot,
          |        ROW_NUMBER() OVER (PARTITION BY t.source
-         |          ORDER BY t.n_tokens, t.doc_id) AS rn,
+         |          ORDER BY t.n_tokens NULLS LAST, t.doc_id) AS rn,
          |        COUNT(*) OVER (PARTITION BY t.source) AS n
          |      FROM t JOIN w USING (doc_id))
          |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,

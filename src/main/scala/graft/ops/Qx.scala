@@ -33,12 +33,22 @@ object Qx {
     * NaN to 0 and clamp Inf (fabricating a plausible-looking
     * statistic where DuckDB keeps NaN/Inf), so non-finite values skip
     * the grid on both engines identically.
+    *
+    * Domain: the grid is only meaningful while x·10^d fits a LONG —
+    * Spark's floor(double) returns LONG and CLAMPS beyond ±2^63,
+    * where DuckDB's floor stays in double. Values with
+    * |x·10^d| ≥ 2^63 therefore BYPASS the grid (returned untouched,
+    * like NaN/Inf); at those magnitudes a double's ulp exceeds 1, so
+    * there is no sub-unit rounding for the grid to pin anyway. Any
+    * oracle mirror whose column can reach that range must carry the
+    * same CASE guard — current call sites are all far inside it.
     */
   def floorScale(c: Column, digits: Int): Column = {
     val p = lit(math.pow(10.0, digits.toDouble))
     when(
       isnan(c) || c === lit(Double.PositiveInfinity) ||
-        c === lit(Double.NegativeInfinity),
+        c === lit(Double.NegativeInfinity) ||
+        abs(c * p) >= lit(9.223372036854776e18),
       c
     ).otherwise(floor(c * p + lit(0.5)).cast(DoubleType) / p)
   }

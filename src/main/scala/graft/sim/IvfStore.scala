@@ -51,7 +51,21 @@ object IvfStore {
     val assigned = embeddings
       .select(col("vec_id"), col("embedding"), quant(col("embedding")).as("qe"))
       .crossJoin(broadcast(cents))
-      .filter(size(col("qe")) === size(col("qc")))
+      // dims guard (the sim11 fail-loudly contract): a ragged vector
+      // must ABORT the build, not silently vanish from the index — a
+      // store built with a dropped row would serve from an incomplete
+      // corpus with no error anywhere. raise_error is non-foldable,
+      // so the optimizer keeps the check.
+      .filter(
+        when(size(col("qe")) === size(col("qc")), lit(true)).otherwise(
+          raise_error(
+            concat(
+              lit("IvfStore.build: embedding dimensionality mismatch at vec_id="),
+              col("vec_id").cast("string")
+            )
+          ).cast("boolean")
+        )
+      )
       .select(
         col("vec_id"),
         col("embedding"),

@@ -85,6 +85,32 @@ class IvfStoreSpec extends SparkSpec {
     assert(got.map(r => (r._1, r._3)).toSeq === manual.toSeq)
   }
 
+  test("build fails loudly on a ragged vector (no silent drop)") {
+    val (_, cents) = store
+    val dir2 = Files.createTempDirectory("graft-ivf-ragged").toString
+    import spark.implicits._
+    val ragged = Tables(spark, sfDir).embeddings
+      .orderBy("vec_id")
+      .limit(3)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(
+        Seq((999999L, Seq(1.0f, 2.0f, 3.0f)))
+          .toDF("vec_id", "embedding")
+          .select(col("vec_id"), col("embedding").cast("array<float>"))
+      )
+    val e = intercept[Exception] {
+      IvfStore.build(ragged, cents, dir2)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause)
+      )
+    assert(
+      messages(e).exists(_.contains("dimensionality mismatch")),
+      messages(e).mkString(" | ")
+    )
+  }
+
   test("store upsert: re-embedding one cell rewrites only that cell") {
     val (dir, cents) = store
     val before = spark.read.parquet(dir)
