@@ -26,7 +26,7 @@ object SparkEntry {
       ops.TextQueries.queries ++ ops.TextQueries2.queries ++
       ops.TextQueries3.queries ++
       ops.DedupQueries.queries ++ ops.DedupQueries2.queries ++
-      ops.DedupQueries3.queries ++
+      ops.DedupQueries3.queries ++ ops.DedupQueries4.queries ++
       ops.SimilarityQueries.queries ++ ops.SimilarityQueries2.queries ++
       ops.SimilarityQueries3.queries ++
       ops.StreamQueries.queries ++
@@ -45,7 +45,7 @@ object SparkEntry {
       ops.TextQueries.oracle ++ ops.TextQueries2.oracle ++
       ops.TextQueries3.oracle ++
       ops.DedupQueries.oracle ++ ops.DedupQueries2.oracle ++
-      ops.DedupQueries3.oracle ++
+      ops.DedupQueries3.oracle ++ ops.DedupQueries4.oracle ++
       ops.SimilarityQueries.oracle ++ ops.SimilarityQueries2.oracle ++
       ops.SimilarityQueries3.oracle ++
       ops.StreamQueries.oracle ++

@@ -189,6 +189,13 @@ object DedupQueries3 {
     * bit-identical to the DuckDB mirror); ties on the float score
     * break on the smaller eval id, so the argmax is deterministic
     * under any partitioning.
+    *
+    * This is the EXACT form: the N×M cosine sweep is the cost wall
+    * once the eval set itself is large. Its scale companion is
+    * `dedup36_semantic_decon_sketch` ([[DedupQueries4]]) — 288-bit
+    * sign-bit Hamming shortlist + exact rerank, flagged ⊆ this
+    * query's flagged by construction, recall pinned ≥ 0.9 against
+    * these verdicts in SemanticDeconSketchSpec.
     */
   private val semanticDecontaminate: Q = (s, dir) => {
     val emb = Tables(s, dir).embeddings

@@ -1,0 +1,210 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.PortableHash
+import graft.sim.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fourth dedup batch: scale companions for the newest exact members
+  * of the family — the exact↔sketch pairing discipline (dedup16→25,
+  * dedup35→WeightedHdr, q37→ApproxNtile) applied to semantic
+  * decontamination.
+  */
+object DedupQueries4 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sign-bit signature shape: SIG_WORDS BIGINT words × SIG_BITS
+    * hyperplanes each (global plane index g = word·SIG_BITS + bit —
+    * [[graft.plans.HyperplaneBands]] parity). 288 bits ≈ 36 bytes a
+    * vector against 256 bytes of float32 — and XOR+popcount instead
+    * of FMA on the N×M pass. Width is chosen for verdict recall: at
+    * 48 bits the cos≈0.35 contamination boundary sits ~1.5σ from
+    * orthogonal in Hamming space (recall ~0.6 on the fixture); at
+    * 288 bits it is ~3.7σ and measured fixture recall is 0.98
+    * (SemanticDeconSketchSpec pins ≥ 0.9).
+    */
+  private[ops] val SIG_WORDS = 6
+  private[ops] val SIG_BITS = 48
+
+  /** Embedding dimensionality (fixture contract, as sim01-24). */
+  private val DIMS = 64
+
+  /** Exact-rerank shortlist per corpus vector (of the eval set). */
+  private[ops] val SHORTLIST = 8
+
+  /** dedup36: semantic decontamination at scale — dedup31's verdict
+    * from a Hamming shortlist + exact rerank instead of the N×M
+    * cosine sweep. dedup31 is the exact semantics (sanctioned
+    * broadcast-BNLJ, fine while the eval set is benchmark-sized);
+    * once the eval side reaches millions of rows the full float
+    * sweep is the cost wall, and this is the form to run: stage 1
+    * scores every (corpus, eval) pair with SIG_WORDS XOR+popcounts
+    * over packed sign bits and keeps the SHORTLIST nearest eval
+    * candidates per corpus vector; stage 2 re-scores ONLY those with
+    * the exact cosine (same argmax fold, same threshold).
+    *
+    * Error structure is ONE-SIDED by construction: the rerank cosine
+    * is the TRUE cosine, so max over a shortlist can only
+    * under-reach — every flagged vector is genuinely contaminated
+    * (precision 1, structurally), and only recall is approximate
+    * (a contaminated vector whose eval twin fell off the Hamming
+    * shortlist). SemanticDeconSketchSpec pins both: flagged ⊆
+    * dedup31's flagged, and verdict recall ≥ 0.9 on the fixture
+    * (measured 0.98 at 288 bits / SHORTLIST 8 of ~60 evals).
+    *
+    * Shape at scale: signatures are one fused-codegen map-side
+    * expression per side; eval signatures broadcast (48-byte rows —
+    * broadcastable long past the float-vector limit); the shortlist
+    * window ships skinny (vec_id, eval_id, hamming) triples with
+    * WindowGroupLimit pruning to SHORTLIST per partition before the
+    * exchange; the rerank joins corpus embeddings ONCE on the dense
+    * vec_id key (the only shuffle that carries vectors) against the
+    * broadcast eval vectors. Exact arithmetic: integer Hamming, and
+    * the rerank is [[Similarity.dot]]'s sequential double sum —
+    * bit-identical to the DuckDB mirror, ties on the smaller
+    * eval_id.
+    */
+  private val semanticDeconSketch: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    def sig(c: org.apache.spark.sql.Column) =
+      graft.plans.HyperplaneBands(s, c, SIG_WORDS, SIG_BITS, DIMS)
+    val eval = emb
+      .filter(col("label") === DedupQueries3.EVAL_LABEL)
+      .select(
+        col("vec_id").as("eval_id"),
+        col("embedding").as("ev"),
+        Similarity.norm(col("embedding")).as("ev_norm"),
+        sig(col("embedding")).as("esig")
+      )
+    val corpus = emb
+      .filter(col("label") =!= DedupQueries3.EVAL_LABEL)
+      .select(col("vec_id"), sig(col("embedding")).as("csig"))
+    // per-word popcounts are widened BEFORE the sum on both engines
+    // (DuckDB's bit_count returns TINYINT; 288 bits overflows it)
+    val hamming = (0 until SIG_WORDS)
+      .map(t =>
+        expr(
+          s"CAST(bit_count(element_at(csig, ${t + 1}) ^ " +
+            s"element_at(esig, ${t + 1})) AS INT)"
+        )
+      )
+      .reduce(_ + _)
+    val wH = Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("hamming").asc, col("eval_id").asc)
+    val shortlist = corpus
+      .crossJoin(broadcast(eval.select(col("eval_id"), col("esig"))))
+      .select(col("vec_id"), col("eval_id"), hamming.as("hamming"))
+      .withColumn("__r", row_number().over(wH))
+      .filter(col("__r") <= SHORTLIST)
+      .select("vec_id", "eval_id")
+    val scored = shortlist
+      .join(
+        emb
+          .filter(col("label") =!= DedupQueries3.EVAL_LABEL)
+          .select(
+            col("vec_id"),
+            col("embedding"),
+            Similarity.norm(col("embedding")).as("c_norm")
+          ),
+        "vec_id"
+      )
+      .join(broadcast(eval.select(col("eval_id"), col("ev"), col("ev_norm"))),
+        "eval_id")
+      .select(
+        col("vec_id"),
+        col("eval_id"),
+        when(col("c_norm") === 0.0 || col("ev_norm") === 0.0, lit(0.0))
+          .otherwise(
+            Similarity.dot(col("embedding"), col("ev")) /
+              (col("c_norm") * col("ev_norm"))
+          )
+          .as("cos_sim")
+      )
+    scored
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_sim"), (-col("eval_id")).as("neg"))).as("best"))
+      .select(
+        col("vec_id"),
+        (-col("best.neg")).as("nearest_eval"),
+        col("best.cos_sim").as("max_sim"),
+        (col("best.cos_sim") >= DedupQueries3.SEM_THRESHOLD).as("contaminated")
+      )
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup36_semantic_decon_sketch" -> semanticDeconSketch
+  )
+
+  /** One signature word's SQL mirror: global plane g = t·SIG_BITS + p
+    * (keep in lockstep with [[graft.plans.HyperplaneBands]] /
+    * [[Similarity.planeWeight]]).
+    */
+  private def sigWordSql(v: String, t: Int): String =
+    (0 until SIG_BITS)
+      .map { p =>
+        val g = t * SIG_BITS + p
+        val w =
+          s"(CAST(${PortableHash.sqlH32(s"concat('${g}_', CAST(i AS VARCHAR))")} % 1000 AS DOUBLE) / 1000.0 - 0.5)"
+        s"""(CASE WHEN list_aggregate(list_transform(range(0, len($v)),
+           |  i -> CAST($v[i+1] AS DOUBLE) * $w), 'sum') >= 0.0
+           |  THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)""".stripMargin
+      }
+      .mkString("(", " + ", ")")
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_aggregate(list_transform(range(1, len($a) + 1),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"""(CASE WHEN (${dotSql(a, a)}) = 0.0 OR (${dotSql(b, b)}) = 0.0
+       |  THEN 0.0
+       |  ELSE (${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))
+       |  END)""".stripMargin
+
+  val oracle: Map[String, String] = {
+    val sigCols =
+      (0 until SIG_WORDS).map(t => s"${sigWordSql("embedding", t)} AS s$t")
+        .mkString(",\n")
+    val evCols = (0 until SIG_WORDS).map(t => s"s$t AS e$t").mkString(", ")
+    val cCols = (0 until SIG_WORDS).map(t => s"s$t").mkString(", ")
+    val ham = (0 until SIG_WORDS)
+      .map(t => s"CAST(bit_count(xor(c.s$t, ev.e$t)) AS INTEGER)")
+      .mkString(" + ")
+    Map(
+      "dedup36_semantic_decon_sketch" ->
+        s"""WITH sg AS (SELECT vec_id, embedding, label,
+           |$sigCols
+           |            FROM embeddings),
+           |ev AS (SELECT vec_id AS eval_id, embedding AS ev, $evCols
+           |       FROM sg WHERE label = ${DedupQueries3.EVAL_LABEL}),
+           |c AS (SELECT vec_id, embedding, $cCols
+           |      FROM sg WHERE label <> ${DedupQueries3.EVAL_LABEL}),
+           |h AS (SELECT c.vec_id, ev.eval_id,
+           |        CAST($ham AS INTEGER) AS hamming
+           |      FROM c CROSS JOIN ev),
+           |s AS (SELECT vec_id, eval_id,
+           |        row_number() OVER (PARTITION BY vec_id
+           |          ORDER BY hamming ASC, eval_id ASC) AS r
+           |      FROM h),
+           |r AS (SELECT s.vec_id, s.eval_id,
+           |        ${cosSql("c.embedding", "ev.ev")} AS cos_sim
+           |      FROM s JOIN c ON s.vec_id = c.vec_id
+           |      JOIN ev ON s.eval_id = ev.eval_id
+           |      WHERE s.r <= $SHORTLIST),
+           |best AS (SELECT vec_id, eval_id, cos_sim,
+           |           row_number() OVER (PARTITION BY vec_id
+           |             ORDER BY cos_sim DESC, eval_id ASC) AS rn
+           |         FROM r)
+           |SELECT vec_id, CAST(eval_id AS BIGINT) AS nearest_eval,
+           |  cos_sim AS max_sim,
+           |  cos_sim >= ${DedupQueries3.SEM_THRESHOLD} AS contaminated
+           |FROM best WHERE rn = 1
+           |ORDER BY vec_id""".stripMargin
+    )
+  }
+}
