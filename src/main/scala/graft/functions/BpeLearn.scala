@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * head keys combine map-side; the reduce moves one row per distinct
   * pair), and k rounds are k passes — the known cost of exact BPE.
   * Production builds amortize by learning on a hash-stratified sample
-  * (q54's device) and batching non-overlapping merges per pass; both
-  * compose from the pieces here.
+  * (q54's device) and batching non-overlapping merges per pass — the
+  * batched form is real code at the char level
+  * (`graft.ops.TextQueries3.bpeBatchedLearn`, gated as
+  * `text40_bpe_batch_learn`).
   *
   * This is the WORD-level loop (merges fuse adjacent whitespace
   * tokens — phrase/wordpiece induction, one corpus pass per round).

@@ -3,7 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.functions.PortableHash
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Third text batch: batch-shape economics (length bucketing),
@@ -398,7 +398,11 @@ object TextQueries3 {
     * token-count aggregate. Per-round frames are eagerly
     * checkpointed and superseded checkpoints released (the
     * dedup06/sim23 round discipline), so lineage stays flat across
-    * the ~30k rounds a real run would take.
+    * the ~30k rounds a real run would take. Rounds are sequential in
+    * merge count BY DEFINITION here (each report row snapshots the
+    * corpus between single merges); the batched form that cuts job
+    * count toward k/BPE_BATCH while learning the identical sequence
+    * is `text40_bpe_batch_learn` ([[bpeBatchedLearn]]).
     */
   /** Longest word admitted to the BPE dictionary, in characters.
     * Standard tokenizer-trainer hygiene (pathological whitespace
@@ -425,11 +429,12 @@ object TextQueries3 {
     * an empty frame silently wiping the dict. The oracle's LEFT JOIN
     * ON TRUE degrades identically.
     */
-  private def bpeLoop(
-      s: SparkSession,
-      dir: String
-  ): (Seq[DataFrame], DataFrame) = {
-    val w0 = docs(s, dir)
+  /** The word-frequency dictionary split to character symbols — the
+    * shared starting state of every BPE learner here (text38/39 and
+    * the batched text40).
+    */
+  private def bpeWordDict(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .select(explode(tokens(col("text"))).as("word"))
       .filter(
         length(col("word")) > 0 && length(col("word")) <= BPE_MAX_WORD
@@ -444,7 +449,12 @@ object TextQueries3 {
         regexp_extract_all(col("word"), lit("(?s)."), lit(0)).as("syms"),
         col("cnt")
       )
-    var words = w0.localCheckpoint(true)
+
+  private def bpeLoop(
+      s: SparkSession,
+      dir: String
+  ): (Seq[DataFrame], DataFrame) = {
+    var words = bpeWordDict(s, dir).localCheckpoint(true)
     val reports = Seq.newBuilder[DataFrame]
     for (round <- 1 to BPE_MERGES) {
       // (a) pair counts over the dict; (b) deterministic argmax
@@ -586,9 +596,207 @@ object TextQueries3 {
       .orderBy("lang")
   }
 
+  /** Batch-admission cap per round for text40 (merges applied per
+    * corpus pass; each is one extra non-collapsing Project over the
+    * dict, so the cap also bounds per-round plan depth).
+    */
+  private[ops] val BPE_BATCH = 4
+
+  /** One merge's greedy left-to-right rewrite with LITERAL symbols
+    * (the bpeLoop fold with the broadcast-row references replaced by
+    * the driver-known pair).
+    */
+  private def applyCharMerge(syms: Column, ml: String, mr: String): Column =
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      slice(syms, lit(1), lit(1)),
+      (acc, x) =>
+        when(
+          element_at(acc, -1) === lit(ml) && x === lit(mr),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(ml + mr)))
+        ).otherwise(concat(acc, array(x)))
+    )
+
+  /** The safe batch for one round: the longest prefix of the sorted
+    * pair histogram (count desc, pair asc — the sequential tie-break
+    * order) that provably commutes with running the merges one at a
+    * time. Admission stops at the FIRST violation (prefix rule, so
+    * every non-admitted pair ranks strictly below the whole batch):
+    *
+    *  - symbol-disjointness, including CONCATENATIONS: an admitted
+    *    pair may not mention another's symbols (its count would
+    *    change mid-batch) nor its merged symbol ml+mr (a pre-existing
+    *    symbol equal to a new merged symbol would let one batch
+    *    member create occurrences of another);
+    *  - no self-pairs beyond the head: merging (a,a) creates
+    *    (aa,aa)/(aa,a) pairs whose counts are bounded only by the
+    *    batch's OWN counts, so a self-pair runs alone (a lone argmax
+    *    is sequential by definition);
+    *  - a STRICT count drop after the batch: every skipped or
+    *    newly-created pair then counts ≤ count(next) < count(last
+    *    admitted) ≤ count(any admitted), so at each in-batch step j
+    *    the sequential argmax is exactly batch member j (ties among
+    *    admitted members resolve in sorted order, which IS the
+    *    tie-break order; outside contenders can no longer tie).
+    *
+    * Worst case the batch is the lone argmax and a round degrades to
+    * exactly one sequential merge — progress is never slower, only
+    * the round count shrinks.
+    */
+  private[ops] def bpeSafePrefix(
+      sorted: Seq[(String, String, Long)],
+      budget: Int
+  ): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val prefix =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var stopped = false
+    for (p <- sorted if !stopped) {
+      val (ml, mr, _) = p
+      if (prefix.length >= budget) stopped = true
+      else if (ml == mr) {
+        if (prefix.isEmpty) prefix += p
+        stopped = true
+      } else if (used(ml) || used(mr) || used(ml + mr)) stopped = true
+      else {
+        prefix += p
+        used += ml
+        used += mr
+        used += (ml + mr)
+      }
+    }
+    while (
+      prefix.length > 1 && prefix.length < sorted.length &&
+      sorted(prefix.length)._3 == prefix.last._3
+    ) prefix.remove(prefix.length - 1)
+    if (prefix.isEmpty && sorted.nonEmpty) prefix += sorted.head
+    prefix.toSeq
+  }
+
+  /** Batched BPE learner: the text38 loop with the top-BPE_BATCH
+    * provably-commuting merges applied per corpus pass instead of
+    * one — the standard distributed-training form, cutting the round
+    * count from k jobs toward k/BPE_BATCH while producing the
+    * IDENTICAL merge sequence (TextBpeSpec pins batched ≡ sequential
+    * at k=12; the text40 gate row pins each merge's pair and count
+    * against the sequentially-unrolled oracle).
+    *
+    * Per round: one vocab-sized pair aggregate, a (cap+1)-row sorted
+    * driver read (the sanctioned tiny collect — cap+1 because the
+    * strict-boundary rule needs the first NON-admitted count), then
+    * the admitted merges applied as a chain of separate Projects
+    * (non-cheap folds referenced 3×, so CollapseProject keeps them
+    * un-inlined — plan depth grows by cap, expression size does
+    * not). Returns (batch-round, lhs, rhs, pair_count) in learned
+    * order, the final dict (still checkpointed), and the number of
+    * rounds executed.
+    */
+  private[ops] def bpeBatchedLearn(
+      s: SparkSession,
+      dir: String,
+      k: Int,
+      cap: Int
+  ): (Seq[(Int, String, String, Long)], DataFrame, Int) = {
+    var words = bpeWordDict(s, dir).localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var learned = 0
+    var rounds = 0
+    var exhausted = false
+    while (learned < k && !exhausted) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(
+          explode(
+            zip_with(
+              slice(col("syms"), lit(1), size(col("syms")) - 1),
+              slice(col("syms"), lit(2), size(col("syms")) - 1),
+              (a, b) => struct(a.as("ml"), b.as("mr"))
+            )
+          ).as("p"),
+          col("cnt")
+        )
+        .groupBy(col("p.ml").as("ml"), col("p.mr").as("mr"))
+        .agg(sum(col("cnt")).as("mc"))
+        .orderBy(col("mc").desc, col("ml"), col("mr"))
+        .limit(cap + 1)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+      if (top.isEmpty) exhausted = true
+      else {
+        rounds += 1
+        val batch = bpeSafePrefix(top, math.min(cap, k - learned))
+        val next = batch
+          .foldLeft(words) { case (df, (ml, mr, _)) =>
+            df.select(
+              col("word"),
+              applyCharMerge(col("syms"), ml, mr).as("syms"),
+              col("cnt")
+            )
+          }
+          .localCheckpoint(true)
+        org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(words)
+        words = next
+        batch.foreach { case (ml, mr, mc) =>
+          merges += ((rounds, ml, mr, mc))
+        }
+        learned += batch.length
+      }
+    }
+    (merges.result(), words, rounds)
+  }
+
+  /** text40: the batched learner's merge table — same BPE_MERGES
+    * merges as text38 in the same order with the same pre-merge pair
+    * counts (the oracle is the same sequentially-unrolled CTE chain,
+    * minus the per-merge corpus snapshot, which only exists between
+    * SEQUENTIAL applications), learned in fewer corpus passes
+    * (fixture: 3 rounds for 6 merges; TextBpeSpec asserts the round
+    * compression at k=12).
+    */
+  private val bpeBatchMerges: Q = (s, dir) => {
+    val (merges, fin, _) = bpeBatchedLearn(s, dir, BPE_MERGES, BPE_BATCH)
+    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(fin)
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField(
+          "seq",
+          org.apache.spark.sql.types.LongType,
+          nullable = false
+        ),
+        org.apache.spark.sql.types.StructField(
+          "lhs",
+          org.apache.spark.sql.types.StringType,
+          nullable = false
+        ),
+        org.apache.spark.sql.types.StructField(
+          "rhs",
+          org.apache.spark.sql.types.StringType,
+          nullable = false
+        ),
+        org.apache.spark.sql.types.StructField(
+          "merged",
+          org.apache.spark.sql.types.StringType,
+          nullable = false
+        ),
+        org.apache.spark.sql.types.StructField(
+          "pair_count",
+          org.apache.spark.sql.types.LongType,
+          nullable = false
+        )
+      )
+    )
+    val rows = merges.zipWithIndex.map { case ((_, ml, mr, mc), i) =>
+      org.apache.spark.sql.Row((i + 1).toLong, ml, mr, ml + mr, mc)
+    }
+    s.createDataFrame(rows.asJava, schema).orderBy("seq")
+  }
+
   val queries: Map[String, Q] = Map(
     "text38_bpe_merges" -> bpeMerges,
     "text39_bpe_encode" -> bpeEncode,
+    "text40_bpe_batch_learn" -> bpeBatchMerges,
     "text32_length_buckets" -> lengthBuckets,
     "text33_mlm_mask" -> mlmMask,
     "text34_temperature_mix" -> temperatureMix,
@@ -651,6 +859,19 @@ object TextQueries3 {
       s"""$bpeOracleCtes
          |$sel
          |ORDER BY round""".stripMargin
+    },
+    // text40's oracle IS text38's sequential unroll (minus the
+    // per-merge corpus snapshot): the batched learner's whole claim
+    // is producing the sequential merge sequence in fewer passes
+    "text40_bpe_batch_learn" -> {
+      val sel = (1 to BPE_MERGES)
+        .map(i =>
+          s"SELECT round AS seq, lhs, rhs, merged, pair_count FROM r$i"
+        )
+        .mkString("\nUNION ALL ")
+      s"""$bpeOracleCtes
+         |$sel
+         |ORDER BY seq""".stripMargin
     },
     "text39_bpe_encode" ->
       s"""$bpeOracleCtes,

@@ -81,6 +81,52 @@ class TextBpeSpec extends SparkSpec {
     assert(curve.zip(curve.tail).forall { case (a, b) => b < a })
   }
 
+  test("text40: batched learner ≡ sequential at k=12, in fewer rounds") {
+    // sequential reference, extended past the gated BPE_MERGES so the
+    // equivalence is exercised across several batch boundaries
+    val k = 12
+    val wordCounts = graft
+      .Tables(spark, sfDir)
+      .documents
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(
+        length(col("w")) > 0 &&
+          length(col("w")) <= TextQueries3.BPE_MAX_WORD
+      )
+      .groupBy("w")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    var words: Map[Vector[String], Long] =
+      wordCounts.map { case (w, c) => w.split("").toVector -> c }
+    val expected = (1 to k).map { _ =>
+      val pairs = mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; j <- 0 until syms.length - 1) {
+        val key = (syms(j), syms(j + 1))
+        pairs(key) = pairs.getOrElse(key, 0L) + c
+      }
+      val ((bl, br), bc) = pairs.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      words = words
+        .groupMapReduce { case (syms, _) => rewrite(syms, bl, br, bl + br) }(
+          _._2
+        )(_ + _)
+      (bl, br, bc)
+    }
+
+    val (got, fin, rounds) =
+      TextQueries3.bpeBatchedLearn(spark, sfDir, k, TextQueries3.BPE_BATCH)
+    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(fin)
+    assert(got.map(m => (m._2, m._3, m._4)) === expected)
+    // the whole point: strictly fewer corpus passes than merges (the
+    // fixture runs 12 merges in 7 rounds; allow drift headroom)
+    assert(rounds < k, s"batching bought nothing: $rounds rounds for $k")
+    assert(rounds <= 9, s"round compression regressed: $rounds rounds")
+    // batch rounds are non-decreasing and start at 1
+    val rs = got.map(_._1)
+    assert(rs.head === 1 && rs.zip(rs.tail).forall { case (a, b) => b >= a })
+  }
+
   test("text39: encode totals tie out to the corpus and to text38's curve") {
     val enc = TextQueries3
       .queries("text39_bpe_encode")(spark, sfDir)
