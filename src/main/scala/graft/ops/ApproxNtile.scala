@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * and only for rows whose value lies at a cut boundary (ties at a cut
   * are indivisible by value, while ntile splits them by row order) or
   * within the sketch's rank-error window of one. ApproxNtileSpec pins
-  * exactly this contract against q37's exact-tile query.
+  * exactly this contract against q37's exact-tile query, and
+  * `q98_approx_ntile` gates the operator per-round (accuracy raised
+  * above fixture row counts, where the sketch read is the exact
+  * order statistic at rank ceil(p*n) and the oracle mirrors it).
   */
 object ApproxNtile {
 

@@ -136,8 +136,48 @@ object DedupQueries4 {
       .orderBy("vec_id")
   }
 
+  /** dedup37: the weighted HDR median PROFILE as a gated query —
+    * [[WeightedHdr.weightedMedianBuckets]] (dedup35's mergeable scale
+    * form) run under the same dedup34 weights as dedup35 itself, so
+    * the sketch sits under the per-round oracle gate instead of only
+    * the SoftDedupSpec containment pin. Per source: sketch size
+    * (buckets actually populated — the bounded state the sketch
+    * promises), exact total weight, and the median-holding bucket
+    * [median_lo, median_hi). The DuckDB mirror reconstructs the
+    * sketch itself (the CountMin/HLL oracle pattern): same log2-
+    * linear bucket formula, same SUM(weight) per bucket, same
+    * division-free 2·cum ≥ tot read — BIGINT-exact end to end, so
+    * the gate compares sketch STATE, not a float estimate.
+    *
+    * Shape at scale: weights ride the dedup34 CC pass; the sketch is
+    * one hash aggregate on (source, bucket); every window downstream
+    * is over ≤ ~1K buckets per source. SoftDedupSpec separately pins
+    * median_lo ≤ exact weighted median < median_hi vs dedup35.
+    */
+  private val weightedHdrMedian: Q = (s, dir) => {
+    val wts = DedupQueries3
+      .queries("dedup34_softdedup_weights")(s, dir)
+      .select(col("doc_id"), expr("1000000 div cluster_size").as("wppm"))
+    val t = Tables(s, dir).documents.select(
+      col("doc_id"),
+      col("source"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("v")
+    )
+    val joined = t.join(wts, Seq("doc_id")).select("source", "v", "wppm")
+    val med = WeightedHdr.weightedMedianBuckets(joined, Seq("source"), "wppm")
+    val stats = Relational10
+      .hdrBucketRows(joined, Seq("source"), Seq("wppm"))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("bucket")).as("n_buckets"),
+        sum(col("wppm")).as("tot_weight_ppm")
+      )
+    stats.join(med, Seq("source")).orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
-    "dedup36_semantic_decon_sketch" -> semanticDeconSketch
+    "dedup36_semantic_decon_sketch" -> semanticDeconSketch,
+    "dedup37_weighted_hdr_median" -> weightedHdrMedian
   )
 
   /** One signature word's SQL mirror: global plane g = t·SIG_BITS + p
@@ -175,7 +215,45 @@ object DedupQueries4 {
     val ham = (0 until SIG_WORDS)
       .map(t => s"CAST(bit_count(xor(c.s$t, ev.e$t)) AS INTEGER)")
       .mkString(" + ")
+    val pwSql =
+      s"(CAST(1 AS BIGINT) << GREATEST(length(bin(v)) - 1 - ${Relational10.HDR_S}, 0))"
     Map(
+      // the sketch reconstructed in SQL: same bucket formula as q90's
+      // mirror, SUM(weight_ppm) per bucket, 2*cum >= tot median read;
+      // buckets are unique per (source, bucket) so the DuckDB default
+      // RANGE cumulative frame equals the Spark ROWS frame
+      "dedup37_weighted_hdr_median" ->
+        s"""${graft.ops.DedupQueries.clusterCtes},
+           |cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+           |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+           |       FROM cl GROUP BY cluster_id),
+           |w AS (SELECT cl.id AS doc_id, 1000000 // sz.cluster_size AS wppm
+           |      FROM cl JOIN sz USING (cluster_id)),
+           |t AS (SELECT doc_id, source,
+           |        CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+           |          AS BIGINT) AS v
+           |      FROM documents),
+           |j AS (SELECT t.source, t.v, w.wppm FROM t JOIN w USING (doc_id)),
+           |b AS (SELECT source, wppm, $pwSql AS pw,
+           |        v - v % $pwSql AS bucket
+           |      FROM j),
+           |sk AS (SELECT source, bucket, pw, CAST(SUM(wppm) AS BIGINT) AS w
+           |       FROM b GROUP BY 1, 2, 3),
+           |c AS (SELECT source, bucket, pw, w,
+           |        CAST(SUM(w) OVER (PARTITION BY source ORDER BY bucket)
+           |          AS BIGINT) AS cumw,
+           |        CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT) AS totw
+           |      FROM sk),
+           |m AS (SELECT source, MIN(bucket) AS median_lo,
+           |        MIN(bucket) + arg_min(pw, bucket) AS median_hi
+           |      FROM c WHERE 2 * cumw >= totw GROUP BY source),
+           |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           |         CAST(SUM(w) AS BIGINT) AS tot_weight_ppm
+           |       FROM sk GROUP BY source)
+           |SELECT st.source, st.n_buckets, st.tot_weight_ppm,
+           |  m.median_lo, m.median_hi
+           |FROM st JOIN m USING (source)
+           |ORDER BY source""".stripMargin,
       "dedup36_semantic_decon_sketch" ->
         s"""WITH sg AS (SELECT vec_id, embedding, label,
            |$sigCols

@@ -128,10 +128,57 @@ object Relational11 {
       .orderBy("type_a", "type_b")
   }
 
+  /** Sketch accuracy for q98 — far above every fixture's row count
+    * (customer: 15K at sf0.1), so the Greenwald-Khanna summary never
+    * compresses and the cuts are EXACT order statistics: that is what
+    * makes the oracle reconstructible in SQL (the CountMin/HLL
+    * pattern — mirror the sketch's read rule, here degenerate-exact).
+    * At 100 TB the same knob simply stays a constant and the cuts
+    * become ±1/accuracy-rank approximate; q37's spec-pinned ±1-tile
+    * contract is the semantics statement for that regime.
+    */
+  private[ops] val NTILE_ACCURACY = 1000000
+
+  /** q98: approximate ntile — q37's scale companion as a GATED query
+    * (not only the ApproxNtileSpec contract). Same per-tile report as
+    * q37 (count, min, max, decimal-exact sum per tile) but the tiles
+    * come from [[ApproxNtile.bucketed]]: n−1 percentile_approx
+    * cut-points (one aggregate pass, mergeable sketch), broadcast,
+    * tile assigned map-side as 1 + |{cuts < v}| — no global-sort
+    * window anywhere.
+    *
+    * Oracle parity: percentile_approx's exact-mode read returns the
+    * sample at 1-based rank ⌈p·n⌉ (QuantileSummaries.query's
+    * rank = ceil(quantile·count); verified empirically at n = 149,
+    * 151, 997, 1499, 1500, 15000), and with NTILE_ACCURACY ≫ n the
+    * summary holds every sample, so the DuckDB mirror reads the same
+    * order statistic by row_number. p = i/4 is exact in binary, so
+    * ⌈p·n⌉ has no float hazard at fixture sizes.
+    */
+  private val approxNtile: Q = (s, dir) => {
+    import graft.ops.Qx.dsum
+    ApproxNtile
+      .bucketed(
+        Tables(s, dir).customer.select(col("c_custkey"), col("c_acctbal")),
+        col("c_acctbal"),
+        4,
+        NTILE_ACCURACY
+      )
+      .groupBy(col("tile"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        dsum(col("c_acctbal")).as("sum_bal")
+      )
+      .orderBy("tile")
+  }
+
   val queries: Map[String, Q] = Map(
     "q95_join_key_profile" -> joinKeyProfile,
     "q96_segment_overlap" -> segmentOverlap,
-    "q97_cooccurrence_lift" -> cooccurrence
+    "q97_cooccurrence_lift" -> cooccurrence,
+    "q98_approx_ntile" -> approxNtile
   )
 
   val oracle: Map[String, String] = Map(
@@ -170,6 +217,28 @@ object Relational11 {
         |JOIN s sa ON sa.event_type = p.type_a
         |JOIN s sb ON sb.event_type = p.type_b
         |CROSS JOIN n
-        |ORDER BY type_a, type_b""".stripMargin
+        |ORDER BY type_a, type_b""".stripMargin,
+    // mirror of the exact-mode sketch read: cut(p) = order statistic
+    // at 1-based rank ceil(p*n); ties collapse to the same VALUE, so
+    // row_number's order among equal c_acctbal rows is immaterial
+    "q98_approx_ntile" ->
+      """WITH v AS (SELECT c_custkey, c_acctbal FROM customer),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        |ranked AS (SELECT c_acctbal,
+        |    CAST(row_number() OVER (ORDER BY c_acctbal) AS BIGINT) AS rk
+        |  FROM v),
+        |p(i) AS (VALUES (1), (2), (3)),
+        |cuts AS (SELECT p.i, r.c_acctbal AS c
+        |  FROM p CROSS JOIN n
+        |  JOIN ranked r ON r.rk = CAST(ceil(p.i * n.n / 4.0) AS BIGINT)),
+        |t AS (SELECT v.c_custkey, v.c_acctbal,
+        |    CAST(1 + SUM(CASE WHEN v.c_acctbal > cuts.c THEN 1 ELSE 0 END)
+        |      AS INTEGER) AS tile
+        |  FROM v CROSS JOIN cuts
+        |  GROUP BY v.c_custkey, v.c_acctbal)
+        |SELECT tile, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM t GROUP BY tile ORDER BY tile""".stripMargin
   )
 }

@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * median — `median_lo ≤ exact < median_hi` — so the value-domain
   * error is one bucket width (~2^-HDR_S relative). dedup35 is the
   * exact semantics this approximation is checked against; at mega-
-  * source scale this is the form to run.
+  * source scale this is the form to run. Gated as
+  * `dedup37_weighted_hdr_median` (the oracle reconstructs the sketch
+  * in SQL), alongside the SoftDedupSpec containment pin.
   */
 object WeightedHdr {
 
