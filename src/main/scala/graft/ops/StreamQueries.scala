@@ -315,6 +315,89 @@ object StreamQueries {
       .replay(graft.cdc.CdcQueries.changeLog(s, dir))
       .orderBy("id")
 
+  /** Left-rotate an embedding by `n` (the deterministic "re-embedding"
+    * transform for cdc15's churn fixture: dims preserved, cell
+    * assignment plausibly moves).
+    */
+  private def rot(c: org.apache.spark.sql.Column, n: Int) =
+    concat(slice(c, lit(n + 1), size(c) - n), slice(c, lit(1), lit(n)))
+
+  /** cdc15: streaming IVF index maintenance under churn — the
+    * composition the r5 verdict named: [[graft.sim.IvfStore]]'s
+    * partition-granular upsert/delete driven by a deterministic CDC
+    * replay, with the gate pinning final cell state against the
+    * from-scratch assignment spec (and IvfMaintainSpec pinning
+    * incremental ≡ full-rebuild frame equality in Spark).
+    *
+    * Replay: build from the full snapshot; a re-embedding wave
+    * (vec_id ≡ 1 mod 7 drifts by one rotation) moves vectors BETWEEN
+    * cells — both each vector's old and new inverted list rewrite,
+    * nothing else; a deletion wave (vec_id ≡ 2 mod 5) rewrites only
+    * the holding cells; a second re-embedding (vec_id ≡ 1 mod 14,
+    * two rotations) overlaps the first (latest wins) AND intersects
+    * the deletes (upsert = insert-or-update, so those vectors
+    * resurrect with the newest embedding) — the full
+    * any-interleaving contract. The codebook stays fixed (standard
+    * IVF: lists churn, centroids retrain offline).
+    *
+    * Shape at scale: every batch costs O(touched cells) dynamic
+    * partition overwrites — the untouched lists keep their files
+    * byte-for-byte ([[graft.sources.PartitionedStore]]); the only
+    * driver state is the K-row centroid table and the ≤K touched-cell
+    * sets. The output materializes (localCheckpoint) before the
+    * temp store is removed.
+    */
+  private val ivfMaintain: Q = (s, dir) => {
+    import graft.sim.IvfStore
+    val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val cents = IvfStore.centroids(emb, 8, 97).localCheckpoint(true)
+    val path = java.nio.file.Files.createTempDirectory("graft-cdc15").toString
+    try {
+      IvfStore.build(emb, cents, path)
+      IvfStore.upsert(
+        s,
+        path,
+        cents,
+        emb
+          .filter(pmod(col("vec_id"), lit(7)) === 1)
+          .select(col("vec_id"), rot(col("embedding"), 1).as("embedding"))
+      )
+      IvfStore.delete(
+        s,
+        path,
+        emb.filter(pmod(col("vec_id"), lit(5)) === 2).select("vec_id")
+      )
+      IvfStore.upsert(
+        s,
+        path,
+        cents,
+        emb
+          .filter(pmod(col("vec_id"), lit(14)) === 1)
+          .select(col("vec_id"), rot(col("embedding"), 2).as("embedding"))
+      )
+      val out = graft.sources.PartitionedStore
+        .read(s, path)
+        .select(
+          col("vec_id"),
+          col("cell").cast("long").as("cell"),
+          element_at(graft.sim.IntVec.quant(col("embedding")), 1).as("q1")
+        )
+        .orderBy("vec_id")
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(cents)
+      out
+    } finally {
+      // the result is materialized; the on-disk store is scratch
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files
+        .walk(java.nio.file.Paths.get(path))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator()
+        .asScala
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** stream13: stream-static broadcast enrichment — the stateless
     * Structured Streaming join shape (each micro-batch joins the
     * arriving facts against the static dim snapshot; zero join
@@ -483,6 +566,7 @@ object StreamQueries {
     "stream12_late_quarantine" -> lateQuarantine,
     "cdc12_neardup_maintain" -> neardupMaintain,
     "cdc13_join_maintain" -> joinMaintain,
+    "cdc15_ivf_maintain" -> ivfMaintain,
     "stream10_exact_dedup" -> exactDedupIngest,
     "stream09_funnel" -> funnelIngest,
     "stream08_agg_maintain" -> aggMaintainIngest,
@@ -652,6 +736,41 @@ object StreamQueries {
          |FROM s JOIN (SELECT content, CAST(COUNT(*) AS BIGINT) AS group_n
          |             FROM s GROUP BY content) g USING (content)
          |ORDER BY s.id""".stripMargin,
+    // the from-scratch spec of the maintained store: final live set
+    // (deletes minus resurrections) with latest-wins embeddings,
+    // routed to the nearest fixed centroid by exact integer L2 (the
+    // sim18 oracle pattern); q1 pins the stored embedding VERSION
+    "cdc15_ivf_maintain" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |fin AS (SELECT vec_id,
+         |    CASE WHEN vec_id % 14 = 1
+         |           THEN list_concat(embedding[3:], embedding[1:2])
+         |         WHEN vec_id % 7 = 1
+         |           THEN list_concat(embedding[2:], embedding[1:1])
+         |         ELSE embedding END AS emb
+         |  FROM base
+         |  WHERE vec_id % 5 <> 2 OR vec_id % 14 = 1),
+         |q AS (SELECT vec_id, list_transform(emb, x ->
+         |    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+         |  FROM fin),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+         |        list_transform(embedding, x ->
+         |          CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         |          AS qc
+         |      FROM base WHERE vec_id % 97 = 0
+         |      ORDER BY vec_id LIMIT 8),
+         |d AS (SELECT q.vec_id, c.cell,
+         |        CAST(SUM((q.qe[i] - c.qc[i]) * (q.qe[i] - c.qc[i]))
+         |          AS BIGINT) AS dist
+         |      FROM q, c, range(1, 1000) t(i)
+         |      WHERE i <= len(q.qe) AND len(q.qe) = len(c.qc)
+         |      GROUP BY q.vec_id, c.cell),
+         |a AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist, cell) AS rn
+         |      FROM d)
+         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, q.qe[1] AS q1
+         |FROM a JOIN q USING (vec_id) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
     // the maintained view must land on the batch recompute exactly
     "stream08_agg_maintain" ->
       graft.cdc.CdcQueries.oracle("cdc08_agg_maintain"),

@@ -44,11 +44,13 @@ object IvfStore {
       "qc"
     )
 
-  /** Assign every vector to its nearest centroid and write the store
-    * partitioned by cell (one directory per inverted list).
+  /** Nearest-centroid assignment: (vec_id, embedding) → (vec_id,
+    * embedding, cell), exact integer L2, ties on the lower cell id.
+    * Shared by the initial build and the incremental upsert path so
+    * the routing rule cannot drift between them.
     */
-  def build(embeddings: DataFrame, cents: DataFrame, path: String): Unit = {
-    val assigned = embeddings
+  def assign(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    embeddings
       .select(col("vec_id"), col("embedding"), quant(col("embedding")).as("qe"))
       .crossJoin(broadcast(cents))
       // dims guard (the sim11 fail-loudly contract): a ragged vector
@@ -75,7 +77,106 @@ object IvfStore {
       .groupBy(col("vec_id"), col("embedding"))
       .agg(min(struct(col("__d"), col("cell"))).as("__a"))
       .select(col("vec_id"), col("embedding"), col("__a.cell").as("cell"))
-    PartitionedStore.write(assigned, path, Seq("cell"))
+
+  /** Assign every vector to its nearest centroid and write the store
+    * partitioned by cell (one directory per inverted list).
+    */
+  def build(embeddings: DataFrame, cents: DataFrame, path: String): Unit =
+    PartitionedStore.write(assign(embeddings, cents), path, Seq("cell"))
+
+  /** Cells currently holding any of `ids` — a ≤K-row driver read (the
+    * sanctioned tiny collect; the store has at most K cells).
+    */
+  private def cellsOf(current: DataFrame, ids: DataFrame): Seq[Long] =
+    current
+      .join(ids.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("cell").cast("long"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+
+  /** Rewrite exactly the `touched` cells with `rewritten` via dynamic
+    * partition overwrite, failing loudly if a touched cell would end
+    * EMPTY: an absent partition in the incoming frame is left
+    * untouched on disk (parquet has no partition-drop), so an emptied
+    * cell would silently resurrect its old files — stale rows after a
+    * move-away, deleted rows after a delete. At that point the store
+    * needs a partition-drop-capable table format (Delta/Iceberg
+    * replaceWhere) or a rebuild; the fixture never empties a cell.
+    * The `rewritten` frame is materialized first so the emptiness
+    * check and the write read one computation.
+    */
+  private def overwriteTouched(
+      rewritten: DataFrame,
+      touched: Seq[Long],
+      path: String
+  ): Unit = {
+    val frame = rewritten.localCheckpoint(true)
+    val kept = frame
+      .select(col("cell").cast("long"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val emptied = touched.filterNot(kept)
+    require(
+      emptied.isEmpty,
+      s"IvfStore: rewrite would empty cell(s) ${emptied.sorted.mkString(",")}: " +
+        "dynamic partition overwrite cannot drop a partition"
+    )
+    PartitionedStore.overwritePartitions(frame, path, Seq("cell"))
+    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(frame)
+  }
+
+  /** Incremental upsert: re-embedded (or newly inserted) vectors move
+    * to their new nearest cell; ONLY the touched partitions — each
+    * vector's old cell (if it was in the store) and its new cell —
+    * are rewritten. Cost is O(touched cells), never O(store): the
+    * untouched inverted lists keep their files byte-for-byte.
+    */
+  def upsert(
+      spark: SparkSession,
+      path: String,
+      cents: DataFrame,
+      batch: DataFrame
+  ): Unit = {
+    val assigned = assign(batch, cents).localCheckpoint(true)
+    // partition-column inference reads `cell=N` directories back as
+    // INT; normalize to the written LONG so unions and driver reads
+    // see one type
+    val current = PartitionedStore
+      .read(spark, path)
+      .withColumn("cell", col("cell").cast("long"))
+    val touched = (cellsOf(current, batch) ++
+      assigned.select("cell").distinct().collect().map(_.getLong(0))).distinct
+    val rewritten = current
+      .filter(col("cell").isin(touched: _*))
+      .join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(assigned)
+    overwriteTouched(rewritten, touched, path)
+    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(assigned)
+  }
+
+  /** Incremental delete: rewrite only the cells holding the deleted
+    * ids, without them (see [[overwriteTouched]] for the emptied-cell
+    * contract).
+    */
+  def delete(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame
+  ): Unit = {
+    val current = PartitionedStore
+      .read(spark, path)
+      .withColumn("cell", col("cell").cast("long"))
+    val touched = cellsOf(current, ids)
+    if (touched.nonEmpty) {
+      val rewritten = current
+        .filter(col("cell").isin(touched: _*))
+        .join(ids.select("vec_id"), Seq("vec_id"), "left_anti")
+      overwriteTouched(rewritten, touched, path)
+    }
   }
 
   /** The query's nProbe nearest cells, computed driver-side over the

@@ -1,0 +1,155 @@
+package graft.sim
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.Tables
+import graft.sources.PartitionedStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the cdc15 maintenance contract in Spark terms: after any
+  * upsert/delete/re-insert interleaving, the incrementally-maintained
+  * store equals a from-scratch [[IvfStore.build]] of the final
+  * logical state — and each batch physically rewrites ONLY its
+  * touched cells (untouched partition files keep their
+  * modification identity).
+  */
+class IvfMaintainSpec extends SparkSpec {
+
+  private val K = 8
+  private val STRIDE = 97
+
+  private def rot(c: org.apache.spark.sql.Column, n: Int) =
+    concat(slice(c, lit(n + 1), size(c) - n), slice(c, lit(1), lit(n)))
+
+  private def snapshot(dir: String): Map[Long, (Long, Seq[Long])] =
+    PartitionedStore
+      .read(spark, dir)
+      .select(
+        col("vec_id"),
+        col("cell").cast("long"),
+        IntVec.quant(col("embedding")).as("qe")
+      )
+      .collect()
+      .map(r =>
+        r.getLong(0) ->
+          ((r.getLong(1), r.getAs[scala.collection.Seq[Long]]("qe").toSeq))
+      )
+      .toMap
+
+  test("churn replay: incremental store == full rebuild of final state") {
+    val emb = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
+    val cents = IvfStore.centroids(emb, K, STRIDE).localCheckpoint(true)
+    val inc = Files.createTempDirectory("graft-ivf-inc").toString
+    val full = Files.createTempDirectory("graft-ivf-full").toString
+
+    IvfStore.build(emb, cents, inc)
+    IvfStore.upsert(
+      spark,
+      inc,
+      cents,
+      emb
+        .filter(pmod(col("vec_id"), lit(7)) === 1)
+        .select(col("vec_id"), rot(col("embedding"), 1).as("embedding"))
+    )
+    IvfStore.delete(
+      spark,
+      inc,
+      emb.filter(pmod(col("vec_id"), lit(5)) === 2).select("vec_id")
+    )
+    IvfStore.upsert(
+      spark,
+      inc,
+      cents,
+      emb
+        .filter(pmod(col("vec_id"), lit(14)) === 1)
+        .select(col("vec_id"), rot(col("embedding"), 2).as("embedding"))
+    )
+
+    // from-scratch build of the same final logical state
+    val finalState = emb
+      .filter(
+        pmod(col("vec_id"), lit(5)) =!= 2 || pmod(col("vec_id"), lit(14)) === 1
+      )
+      .select(
+        col("vec_id"),
+        when(pmod(col("vec_id"), lit(14)) === 1, rot(col("embedding"), 2))
+          .when(pmod(col("vec_id"), lit(7)) === 1, rot(col("embedding"), 1))
+          .otherwise(col("embedding"))
+          .as("embedding")
+      )
+    IvfStore.build(finalState, cents, full)
+
+    val a = snapshot(inc)
+    val b = snapshot(full)
+    assert(a.keySet === b.keySet)
+    a.foreach { case (v, st) => assert(st === b(v), s"vec $v diverged") }
+    // the churn actually moved vectors between cells (the fixture
+    // exercises the cross-partition path, not just in-place rewrite)
+    val before = IvfStore.assign(emb, cents)
+    val moved = before
+      .select(col("vec_id"), col("cell").as("cell0"))
+      .join(
+        PartitionedStore
+          .read(spark, inc)
+          .select(col("vec_id"), col("cell").cast("long").as("cell1")),
+        "vec_id"
+      )
+      .filter(col("cell0") =!= col("cell1"))
+      .count()
+    assert(moved > 0, "churn fixture never moved a vector across cells")
+  }
+
+  test("upsert rewrites only the touched cells' files") {
+    val emb = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
+    val cents = IvfStore.centroids(emb, K, STRIDE).localCheckpoint(true)
+    val dir = Files.createTempDirectory("graft-ivf-touch").toString
+    IvfStore.build(emb, cents, dir)
+
+    def files(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      Files
+        .walk(java.nio.file.Paths.get(dir))
+        .iterator()
+        .asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = files()
+
+    val batch = emb
+      .orderBy("vec_id")
+      .limit(1)
+      .select(col("vec_id"), rot(col("embedding"), 1).as("embedding"))
+    val touched = (IvfStore
+      .assign(batch, cents)
+      .select(col("cell"))
+      .collect()
+      .map(_.getLong(0))
+      .toSet ++
+      PartitionedStore
+        .read(spark, dir)
+        .join(batch.select("vec_id"), Seq("vec_id"), "left_semi")
+        .select(col("cell").cast("long"))
+        .collect()
+        .map(_.getLong(0))).map(c => s"cell=$c")
+    IvfStore.upsert(spark, dir, cents, batch)
+
+    val after = files()
+    // untouched cells: identical file paths with identical mtimes
+    val untouchedBefore =
+      before.filterNot { case (p, _) => touched.exists(p.contains) }
+    val untouchedAfter =
+      after.filterNot { case (p, _) => touched.exists(p.contains) }
+    assert(untouchedBefore === untouchedAfter, "untouched cells were rewritten")
+    // touched cells: actually rewritten (some file changed)
+    assert(
+      before.exists { case (p, t) =>
+        touched.exists(p.contains) && after.get(p).forall(_ != t)
+      } || before.keySet != after.keySet,
+      "touched cell shows no rewrite"
+    )
+  }
+}
