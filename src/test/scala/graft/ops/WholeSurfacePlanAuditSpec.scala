@@ -38,7 +38,8 @@ class WholeSurfacePlanAuditSpec extends SparkSpec {
     "sim06_ivf_topk",                 // probed-centroid set
     "sim11_quantized_topk",           // broadcast query vectors
     "sim17_hardneg",
-    "sim24_binary_topk"               // query + Hamming shortlist broadcasts
+    "sim24_binary_topk",              // query + Hamming shortlist broadcasts
+    "dedup36_semantic_decon_sketch"   // eval signatures vs one corpus scan
   )
 
   private def walk(p: SparkPlan): Seq[SparkPlan] =
@@ -65,26 +66,36 @@ class WholeSurfacePlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("no query plans a cartesian product; BNLJ only bounded-by-design") {
+  /** Every query planned once (AQE off so the tree is walkable — see
+    * PlanBudgetSpec), shared by all whole-surface audits below.
+    */
+  private lazy val planned: Seq[(String, Either[String, Seq[SparkPlan]])] = {
     val conf = spark.conf
     val orig = conf.get("spark.sql.adaptive.enabled")
-    val offenders = scala.collection.mutable.ListBuffer.empty[String]
     try {
       conf.set("spark.sql.adaptive.enabled", "false")
-      graft.SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-        val nodes =
-          try
+      graft.SparkEntry.queries.keys.toSeq.sorted.map { name =>
+        name -> (try
+          Right(
             walk(
               graft.SparkEntry
                 .queries(name)(spark, sfDir)
                 .queryExecution
                 .executedPlan
             )
-          catch {
-            case e: Throwable =>
-              offenders += s"$name: planning failed: ${e.getMessage}"
-              Seq.empty
-          }
+          )
+        catch {
+          case e: Throwable => Left(s"planning failed: ${e.getMessage}")
+        })
+      }
+    } finally conf.set("spark.sql.adaptive.enabled", orig)
+  }
+
+  test("no query plans a cartesian product; BNLJ only bounded-by-design") {
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    planned.foreach {
+      case (name, Left(err)) => offenders += s"$name: $err"
+      case (name, Right(nodes)) =>
         if (nodes.exists(_.isInstanceOf[CartesianProductExec]))
           offenders += s"$name: CartesianProduct"
         val loops = nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
@@ -92,8 +103,56 @@ class WholeSurfacePlanAuditSpec extends SparkSpec {
           loops.exists(!isScalarBroadcast(_)) && !bnljSanctioned.contains(name)
         )
           offenders += s"$name: unsanctioned BroadcastNestedLoopJoin"
-      }
-    } finally conf.set("spark.sql.adaptive.enabled", orig)
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  /** queries whose design runs a window WITHOUT partitioning over a
+    * frame that is bounded by construction (each documented in its
+    * scaladoc) — every other query must partition every window, so an
+    * accidental global sort-everything window fails here instead of
+    * warning invisibly in a log.
+    */
+  private val globalWindowSanctioned: Set[String] = Set(
+    "q37_ntile",               // the exact-tile SPEC anchor by definition (scale form: q98)
+    "pipe03_full_pipeline",    // pack level-2: ~sqrt(n) bucket-summary rows
+    "text10_pack",             // pack level-2 (PackPlanSpec pins the sqrt(n) width)
+    "text17_pack_spans",       // same two-level pack scan
+    "text37_pack_sequences",   // same two-level pack scan
+    "q67_skyline",             // running max over per-DATE maxima (dense date domain)
+    "q84_neyman_sample",       // allocation over per-stratum summary rows
+    "q85_hdr_quantiles",       // rank read over <=1K sketch buckets
+    "q90_equi_depth",          // same sketch-first bucket table
+    "sim18_kmeans",            // K-row stride-seed numbering
+    "sim19_pq_adc",            // codebook-sized windows
+    "sim20_ivf_pq",            // codebook + K-row centroid tables
+    "sim21_residual_pq",       // two codebook stages
+    "stream12_late_quarantine",// per-channel watermark rows
+    "text18_heaps",            // running totals over exactly heapsSlices rows
+    "text24_zipf",             // rank AFTER limit(zipfV) — bounded head
+    "text29_water_fill",       // budget walk over per-source rows
+    "text30_interleave",       // per-source cursor table
+    "text34_temperature_mix",  // per-source weight rows
+    "text36_neg_sampling"      // vocabulary-keyed sampling table (Heaps-bounded)
+  )
+
+  test("unpartitioned windows only where the frame is bounded by design") {
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    planned.foreach {
+      case (_, Left(_)) => () // reported by the BNLJ audit
+      case (name, Right(nodes)) =>
+        val global = nodes.exists {
+          case w: org.apache.spark.sql.execution.window.WindowExec =>
+            w.partitionSpec.isEmpty
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+            w.partitionSpec.isEmpty
+          case _ => false
+        }
+        if (global && !globalWindowSanctioned.contains(name))
+          offenders += s"$name: unpartitioned Window"
+        if (!global && globalWindowSanctioned.contains(name))
+          offenders += s"$name: sanctioned but plans no global window (stale list)"
+    }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 }
