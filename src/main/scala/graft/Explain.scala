@@ -25,10 +25,31 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXECUTED: comma-separated names whose section should
+    // show the EXECUTED final plan (run to completion, then print the
+    // AQE result with isFinalPlan=true) instead of the static
+    // formatted plan — the honest artifact for iterative/self-join
+    // queries, where runtime reuse/coalescing decisions ARE the audit
+    // (the r5 verdict flagged pre-AQE dumps contradicting docstrings).
+    val executed = sys.env
+      .get("SPARK_GRAFT_EXECUTED")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     names.foreach { n =>
       println(s"\n==== $n ====")
-      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-      catch { case e: Throwable => println(s"[explain] failed: ${e.getMessage}") }
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        if (executed.contains(n)) {
+          // collect() (not a noop write) so THIS QueryExecution runs —
+          // a write spawns its own execution and would leave df's
+          // plan un-finalized (isFinalPlan=false)
+          df.collect()
+          println("-- EXECUTED final plan (post-AQE) --")
+          println(df.queryExecution.executedPlan.toString)
+        } else df.explain("formatted")
+      } catch {
+        case e: Throwable => println(s"[explain] failed: ${e.getMessage}")
+      }
     }
     spark.stop()
   }
