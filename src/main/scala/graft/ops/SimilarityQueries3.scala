@@ -71,6 +71,12 @@ object SimilarityQueries3 {
       .orderBy(col("hamming").asc, col("neighbor_id").asc)
     val shortlist = sig
       .select(col("vec_id"), col("sig"))
+      // materialization barrier (the dedup36 lesson): HyperplaneBands
+      // codegens, so the fused nested-loop stage would re-derive the
+      // 48-plane signature per (corpus, query) PAIR without an
+      // exchange between the projection and the join; the shuffle
+      // ships only (vec_id, sig) — two longs a row
+      .repartition(col("vec_id"))
       .join(broadcast(queries.select(col("query_id"), col("qsig"))),
         col("vec_id") =!= col("query_id"))
       .select(

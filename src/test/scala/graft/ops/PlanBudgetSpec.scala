@@ -440,8 +440,10 @@ class PlanBudgetSpec extends SparkSpec {
 
   test("sim24 binary top-k: skinny shortlist shuffles only; vectors ride broadcasts") {
     val (s, b) = exchanges(run("sim24_binary_topk"))
-    // Hamming shortlist window + rerank window + presentation sort
-    assert(s <= 3, s"sim24 shuffles=$s")
+    // sig materialization barrier + Hamming shortlist window + rerank
+    // window + presentation sort (the barrier stops the fused BNLJ
+    // from re-deriving the signature per pair — the dedup36 lesson)
+    assert(s <= 4, s"sim24 shuffles=$s")
     assert(b >= 3, s"sim24 query/shortlist sides must broadcast, saw $b")
   }
 
