@@ -488,11 +488,11 @@ object DedupQueries3 {
 
   private val normSql = TextQueriesSqlFragments.normSql
 
-  private def dotSql(a: String, b: String): String =
+  private[ops] def dotSql(a: String, b: String): String =
     s"""list_aggregate(list_transform(range(1, len($a) + 1),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
 
-  private def cosSql(a: String, b: String): String =
+  private[ops] def cosSql(a: String, b: String): String =
     s"""(CASE WHEN (${dotSql(a, a)}) = 0.0 OR (${dotSql(b, b)}) = 0.0
        |  THEN 0.0
        |  ELSE (${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))

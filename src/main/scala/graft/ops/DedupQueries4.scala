@@ -144,8 +144,10 @@ object DedupQueries4 {
   }
 
   /** dedup37: the weighted HDR median PROFILE as a gated query —
-    * [[WeightedHdr.weightedMedianBuckets]] (dedup35's mergeable scale
-    * form) run under the same dedup34 weights as dedup35 itself, so
+    * [[WeightedHdr.weightedMedianFromSketch]] (dedup35's mergeable
+    * scale form) run under the same dedup34 weights as dedup35
+    * itself (NULL token counts excluded on both engines — a NULL
+    * bucket orders and counts differently between them), so
     * the sketch sits under the per-round oracle gate instead of only
     * the SoftDedupSpec containment pin. Per source: sketch size
     * (buckets actually populated — the bounded state the sketch
@@ -170,14 +172,27 @@ object DedupQueries4 {
       col("source"),
       graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("v")
     )
-    val joined = t.join(wts, Seq("doc_id")).select("source", "v", "wppm")
-    val med = WeightedHdr.weightedMedianBuckets(joined, Seq("source"), "wppm")
-    val stats = Relational10
-      .hdrBucketRows(joined, Seq("source"), Seq("wppm"))
+    // NULL token counts are excluded EXPLICITLY on both sides: a NULL
+    // v would make a NULL bucket, which the engines order differently
+    // in the cumulative read and count differently in the stats (the
+    // dedup35 NULLS hazard, eliminated here rather than pinned)
+    val joined = t
+      .filter(col("v").isNotNull)
+      .join(wts, Seq("doc_id"))
+      .select("source", "v", "wppm")
+    // the sketch is built ONCE and checkpointed (≤ ~1K rows per
+    // source — the ideal checkpoint): both consumers below — the
+    // median read and the stats — would otherwise re-run the
+    // documents scan + CC-weights join
+    val sketch = WeightedHdr
+      .sketch(joined, Seq("source"), "wppm")
+      .localCheckpoint(true)
+    val med = WeightedHdr.weightedMedianFromSketch(sketch, Seq("source"))
+    val stats = sketch
       .groupBy(col("source"))
       .agg(
-        countDistinct(col("bucket")).as("n_buckets"),
-        sum(col("wppm")).as("tot_weight_ppm")
+        count(lit(1)).as("n_buckets"),
+        sum(col("w")).as("tot_weight_ppm")
       )
     stats.join(med, Seq("source")).orderBy("source")
   }
@@ -202,16 +217,6 @@ object DedupQueries4 {
            |  THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)""".stripMargin
       }
       .mkString("(", " + ", ")")
-
-  private def dotSql(a: String, b: String): String =
-    s"""list_aggregate(list_transform(range(1, len($a) + 1),
-       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
-
-  private def cosSql(a: String, b: String): String =
-    s"""(CASE WHEN (${dotSql(a, a)}) = 0.0 OR (${dotSql(b, b)}) = 0.0
-       |  THEN 0.0
-       |  ELSE (${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))
-       |  END)""".stripMargin
 
   val oracle: Map[String, String] = {
     val sigCols =
@@ -240,7 +245,8 @@ object DedupQueries4 {
            |        CAST(len(regexp_split_to_array(trim(text), '\\s+'))
            |          AS BIGINT) AS v
            |      FROM documents),
-           |j AS (SELECT t.source, t.v, w.wppm FROM t JOIN w USING (doc_id)),
+           |j AS (SELECT t.source, t.v, w.wppm FROM t JOIN w USING (doc_id)
+           |      WHERE t.v IS NOT NULL),
            |b AS (SELECT source, wppm, $pwSql AS pw,
            |        v - v % $pwSql AS bucket
            |      FROM j),
@@ -277,7 +283,7 @@ object DedupQueries4 {
            |          ORDER BY hamming ASC, eval_id ASC) AS r
            |      FROM h),
            |r AS (SELECT s.vec_id, s.eval_id,
-           |        ${cosSql("c.embedding", "ev.ev")} AS cos_sim
+           |        ${DedupQueries3.cosSql("c.embedding", "ev.ev")} AS cos_sim
            |      FROM s JOIN c ON s.vec_id = c.vec_id
            |      JOIN ev ON s.eval_id = ev.eval_id
            |      WHERE s.r <= $SHORTLIST),

@@ -669,7 +669,12 @@ object TextQueries3 {
       prefix.length > 1 && prefix.length < sorted.length &&
       sorted(prefix.length)._3 == prefix.last._3
     ) prefix.remove(prefix.length - 1)
-    if (prefix.isEmpty && sorted.nonEmpty) prefix += sorted.head
+    // invariant, not a fallback: the admission loop always admits
+    // sorted.head (self-pair or not) and the tie-pop keeps length >= 1
+    require(
+      sorted.isEmpty || prefix.nonEmpty,
+      "bpeSafePrefix: admission must keep at least the argmax"
+    )
     prefix.toSeq
   }
 

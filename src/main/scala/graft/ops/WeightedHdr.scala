@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object WeightedHdr {
 
+  /** The sketch itself: per-(group, bucket) weight sums — bounded,
+    * mergeable by plain addition. Callers that need both the median
+    * read and sketch statistics should build this ONCE (it is
+    * bucket-count-sized — an ideal checkpoint) and pass it to
+    * [[weightedMedianFromSketch]]; values with a NULL `v` must be
+    * excluded by the caller (a NULL bucket would sort differently
+    * between engines — the dedup35 NULLS hazard).
+    */
+  def sketch(
+      values: DataFrame,
+      groupCols: Seq[String],
+      weightCol: String
+  ): DataFrame = {
+    val g = groupCols.map(col)
+    Relational10
+      .hdrBucketRows(values, groupCols, Seq(weightCol))
+      .groupBy(g ++ Seq(col("bucket"), col("pw")): _*)
+      .agg(sum(col(weightCol)).as("w"))
+  }
+
   /** Per group: the first HDR bucket whose cumulative weight reaches
     * half the total (`2·cumw ≥ totw`, division-free — weights should
     * be exact integers, e.g. dedup34's ppm). Windows run over the
@@ -32,15 +52,23 @@ object WeightedHdr {
       values: DataFrame,
       groupCols: Seq[String],
       weightCol: String
+  ): DataFrame =
+    weightedMedianFromSketch(sketch(values, groupCols, weightCol), groupCols)
+
+  /** Median read over an already-built `(group..., bucket, pw, w)`
+    * sketch frame.
+    */
+  def weightedMedianFromSketch(
+      sketch: DataFrame,
+      groupCols: Seq[String]
   ): DataFrame = {
     val g = groupCols.map(col)
-    val sketch = Relational10
-      .hdrBucketRows(values, groupCols, Seq(weightCol))
-      .groupBy(g ++ Seq(col("bucket"), col("pw")): _*)
-      .agg(sum(col(weightCol)).as("w"))
     val cumW = Window
       .partitionBy(g: _*)
-      .orderBy(col("bucket"))
+      // NULLS LAST pinned explicitly (Spark default is NULLS FIRST,
+      // DuckDB's is NULLS LAST) — callers exclude NULL buckets, this
+      // keeps the read deterministic even if one slips through
+      .orderBy(col("bucket").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(g: _*)
     sketch

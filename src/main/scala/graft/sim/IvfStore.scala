@@ -62,7 +62,7 @@ object IvfStore {
         when(size(col("qe")) === size(col("qc")), lit(true)).otherwise(
           raise_error(
             concat(
-              lit("IvfStore.build: embedding dimensionality mismatch at vec_id="),
+              lit("IvfStore.assign: embedding dimensionality mismatch at vec_id="),
               col("vec_id").cast("string")
             )
           ).cast("boolean")
@@ -85,7 +85,13 @@ object IvfStore {
     PartitionedStore.write(assign(embeddings, cents), path, Seq("cell"))
 
   /** Cells currently holding any of `ids` — a ≤K-row driver read (the
-    * sanctioned tiny collect; the store has at most K cells).
+    * sanctioned tiny collect; the store has at most K cells). The
+    * lookup scans the store's `vec_id` column across all cells
+    * (column-pruned — vectors are never read), so the LOOKUP is
+    * O(store ids) while the WRITES stay O(touched cells); a
+    * deployment where even the id-column scan is too much keeps an
+    * id→cell sidecar index (itself partition-updatable) and skips
+    * this probe.
     */
   private def cellsOf(current: DataFrame, ids: DataFrame): Seq[Long] =
     current
@@ -132,8 +138,10 @@ object IvfStore {
   /** Incremental upsert: re-embedded (or newly inserted) vectors move
     * to their new nearest cell; ONLY the touched partitions — each
     * vector's old cell (if it was in the store) and its new cell —
-    * are rewritten. Cost is O(touched cells), never O(store): the
-    * untouched inverted lists keep their files byte-for-byte.
+    * are rewritten — WRITE cost is O(touched cells), never O(store),
+    * and the untouched inverted lists keep their files byte-for-byte
+    * (the old-cell LOOKUP reads the store's id column; see
+    * [[cellsOf]]).
     */
   def upsert(
       spark: SparkSession,
