@@ -27,8 +27,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PartitionedStore {
 
+  /** Cluster rows by the partition columns before a partitioned
+    * write: without it every upstream task writes one file into every
+    * partition directory it touches — up to (tasks × partitions)
+    * small files per write, the exact pathology q86's compaction
+    * planner exists to diagnose. One hash shuffle on the partition
+    * key bounds it at ~1 file per directory per shuffle partition
+    * holding that key. (A size-aware writer — maxRecordsPerFile /
+    * a table format's OPTIMIZE — refines this for skewed partitions.)
+    */
+  private def clustered(df: DataFrame, partitionCols: Seq[String]): DataFrame =
+    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+
   def write(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write
+    clustered(df, partitionCols).write
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
       .parquet(path)
@@ -40,7 +52,7 @@ object PartitionedStore {
       path: String,
       partitionCols: Seq[String]
   ): Unit =
-    batch.write
+    clustered(batch, partitionCols).write
       .partitionBy(partitionCols: _*)
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")

@@ -118,6 +118,13 @@ class IvfMaintainSpec extends SparkSpec {
         .toMap
     }
     val before = files()
+    // the clustered write keeps inverted lists compact: each cell is
+    // one shuffle partition's output, so exactly one file per cell —
+    // not (upstream tasks × cells) small files
+    val perCell = before.keys
+      .groupBy(p => p.split("/").find(_.startsWith("cell=")).getOrElse(""))
+      .map { case (c, ps) => c -> ps.size }
+    assert(perCell.values.forall(_ == 1), s"files per cell: $perCell")
 
     val batch = emb
       .orderBy("vec_id")
