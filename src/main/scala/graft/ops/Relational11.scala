@@ -174,11 +174,45 @@ object Relational11 {
       .orderBy("tile")
   }
 
+  /** q99: the exact↔approx ntile DISAGREEMENT, gated — q37's exact
+    * tile next to q98's sketch tile per row, aggregated to the
+    * (exact_tile, approx_tile) confusion cells. ApproxNtileSpec pins
+    * the ±1-tile contract as a test; this row pins the measured
+    * disagreement itself under the oracle gate, so a sketch
+    * regression shows up as a changed confusion table, not only a
+    * failed inequality. Off-diagonal cells are exactly the cut-
+    * boundary ties the ApproxNtile scaladoc predicts (ntile splits
+    * equal values by row order; a value-based cut cannot).
+    *
+    * The exact side is q37's global-sort window — sanctioned here for
+    * the same reason as q37 itself: this query EXISTS to compare
+    * against the exact anchor. The approx side and the join are
+    * map-side + one dense key join.
+    */
+  private val ntileDisagreement: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables(s, dir).customer.select(col("c_custkey"), col("c_acctbal"))
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val exact = base.select(
+      col("c_custkey"),
+      ntile(4).over(w).as("exact_tile")
+    )
+    val approx = ApproxNtile
+      .bucketed(base, col("c_acctbal"), 4, NTILE_ACCURACY)
+      .select(col("c_custkey"), col("tile").as("approx_tile"))
+    exact
+      .join(approx, "c_custkey")
+      .groupBy(col("exact_tile"), col("approx_tile"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("exact_tile", "approx_tile")
+  }
+
   val queries: Map[String, Q] = Map(
     "q95_join_key_profile" -> joinKeyProfile,
     "q96_segment_overlap" -> segmentOverlap,
     "q97_cooccurrence_lift" -> cooccurrence,
-    "q98_approx_ntile" -> approxNtile
+    "q98_approx_ntile" -> approxNtile,
+    "q99_ntile_disagreement" -> ntileDisagreement
   )
 
   val oracle: Map[String, String] = Map(
@@ -239,6 +273,28 @@ object Relational11 {
         |SELECT tile, CAST(COUNT(*) AS BIGINT) AS n,
         |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-        |FROM t GROUP BY tile ORDER BY tile""".stripMargin
+        |FROM t GROUP BY tile ORDER BY tile""".stripMargin,
+    "q99_ntile_disagreement" ->
+      """WITH v AS (SELECT c_custkey, c_acctbal FROM customer),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        |ranked AS (SELECT c_acctbal,
+        |    CAST(row_number() OVER (ORDER BY c_acctbal) AS BIGINT) AS rk
+        |  FROM v),
+        |p(i) AS (VALUES (1), (2), (3)),
+        |cuts AS (SELECT p.i, r.c_acctbal AS c
+        |  FROM p CROSS JOIN n
+        |  JOIN ranked r ON r.rk = CAST(ceil(p.i * n.n / 4.0) AS BIGINT)),
+        |ap AS (SELECT v.c_custkey,
+        |    CAST(1 + SUM(CASE WHEN v.c_acctbal > cuts.c THEN 1 ELSE 0 END)
+        |      AS INTEGER) AS approx_tile
+        |  FROM v CROSS JOIN cuts
+        |  GROUP BY v.c_custkey, v.c_acctbal),
+        |ex AS (SELECT c_custkey,
+        |    CAST(ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC)
+        |      AS INTEGER) AS exact_tile
+        |  FROM v)
+        |SELECT ex.exact_tile, ap.approx_tile, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM ex JOIN ap USING (c_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

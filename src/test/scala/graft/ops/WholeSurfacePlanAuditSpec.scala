@@ -115,6 +115,7 @@ class WholeSurfacePlanAuditSpec extends SparkSpec {
     */
   private val globalWindowSanctioned: Set[String] = Set(
     "q37_ntile",               // the exact-tile SPEC anchor by definition (scale form: q98)
+    "q99_ntile_disagreement",  // compares AGAINST the exact anchor — inherits q37's window
     "pipe03_full_pipeline",    // pack level-2: ~sqrt(n) bucket-summary rows
     "text10_pack",             // pack level-2 (PackPlanSpec pins the sqrt(n) width)
     "text17_pack_spans",       // same two-level pack scan
