@@ -197,9 +197,69 @@ object DedupQueries4 {
     stats.join(med, Seq("source")).orderBy("source")
   }
 
+  /** dedup38: per-cluster transitivity — the dedup17/19 cohesion QA
+    * rolled up to the decision grain. Survivor logic (dedup13) keeps
+    * one doc per CLUSTER, so the verdict a pipeline needs is per
+    * cluster: nodes, edges, wedges (Σ deg·(deg−1)/2), triangles, and
+    * global transitivity 3T/W. A cluster with transitivity → 1 is a
+    * true duplicate family (every pair confirmed — safe to keep one
+    * survivor); → 0 with many nodes is LSH chaining or a boilerplate
+    * hub stitching unrelated docs, where keeping "one survivor" would
+    * silently drop distinct content. Triangle counts come from the
+    * hub-safe [[graft.dedup.Triangles]] enumeration — which is what
+    * makes this diagnostic runnable on exactly the pathological
+    * clusters it exists to flag. Integer counts end-to-end, one
+    * closing IEEE division; singleton clusters (no edges) are out of
+    * scope by construction.
+    */
+  private val clusterTransitivity: Q = (s, dir) => {
+    val o = DedupQueries.orientedDupEdges(s, dir)
+    val canon = o.select(
+      least(col("src"), col("dst")).as("id_a"),
+      greatest(col("src"), col("dst")).as("id_b")
+    )
+    val nodes = Tables(s, dir).documents.select(col("doc_id").as("id"))
+    val cc = graft.dedup.Clusters.connectedComponents(nodes, canon)
+    val deg = o
+      .select(col("src").as("node"))
+      .unionByName(o.select(col("dst").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+    val agg = deg
+      .join(cc.select(col("id").as("node"), col("cluster_id")), "node")
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        expr("sum(deg) div 2").as("n_edges"),
+        expr("sum((deg * (deg - 1)) div 2)").as("n_wedges")
+      )
+    val tri = graft.dedup.Triangles
+      .triangles(o)
+      .join(cc.select(col("id").as("id_a"), col("cluster_id")), "id_a")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+    agg
+      .join(tri, Seq("cluster_id"), "left")
+      .select(
+        col("cluster_id"),
+        col("n_nodes"),
+        col("n_edges"),
+        col("n_wedges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(
+            lit(3.0) * coalesce(col("n_triangles"), lit(0L)) /
+              col("n_wedges")
+          )
+          .as("transitivity")
+      )
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup36_semantic_decon_sketch" -> semanticDeconSketch,
-    "dedup37_weighted_hdr_median" -> weightedHdrMedian
+    "dedup37_weighted_hdr_median" -> weightedHdrMedian,
+    "dedup38_cluster_transitivity" -> clusterTransitivity
   )
 
   /** One signature word's SQL mirror: global plane g = t·SIG_BITS + p
@@ -230,6 +290,39 @@ object DedupQueries4 {
     val pwSql =
       s"(CAST(1 AS BIGINT) << GREATEST(length(bin(v)) - 1 - ${Relational10.HDR_S}, 0))"
     Map(
+      // per-cluster graph rollup over the clusterCtes' verified edges
+      // + recursive reachability; the triangle count is the raw
+      // 3-join form (the oracle states the SPEC — enumeration order
+      // is the Spark side's concern)
+      "dedup38_cluster_transitivity" ->
+        s"""${graft.ops.DedupQueries.clusterCtes},
+           |cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+           |e AS (SELECT id_a, id_b FROM verified),
+           |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+           |          (SELECT id_a AS node FROM e
+           |           UNION ALL SELECT id_b FROM e)
+           |        GROUP BY node),
+           |agg AS (SELECT cl.cluster_id,
+           |          CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           |          CAST(SUM(d.deg) // 2 AS BIGINT) AS n_edges,
+           |          CAST(SUM((d.deg * (d.deg - 1)) // 2) AS BIGINT)
+           |            AS n_wedges
+           |        FROM deg d JOIN cl ON cl.id = d.node
+           |        GROUP BY cl.cluster_id),
+           |tri AS (SELECT cl.cluster_id,
+           |          CAST(COUNT(*) AS BIGINT) AS n_triangles
+           |        FROM e e1
+           |        JOIN e e2 ON e1.id_b = e2.id_a
+           |        JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+           |        JOIN cl ON cl.id = e1.id_a
+           |        GROUP BY cl.cluster_id)
+           |SELECT a.cluster_id, a.n_nodes, a.n_edges, a.n_wedges,
+           |  COALESCE(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+           |  CASE WHEN a.n_wedges = 0 THEN 0.0
+           |       ELSE 3.0 * COALESCE(t.n_triangles, 0) / a.n_wedges
+           |  END AS transitivity
+           |FROM agg a LEFT JOIN tri t USING (cluster_id)
+           |ORDER BY cluster_id""".stripMargin,
       // the sketch reconstructed in SQL: same bucket formula as q90's
       // mirror, SUM(weight_ppm) per bucket, 2*cum >= tot median read;
       // buckets are unique per (source, bucket) so the DuckDB default
