@@ -78,29 +78,169 @@ object IvfStore {
       .agg(min(struct(col("__d"), col("cell"))).as("__a"))
       .select(col("vec_id"), col("embedding"), col("__a.cell").as("cell"))
 
-  /** Assign every vector to its nearest centroid and write the store
-    * partitioned by cell (one directory per inverted list).
+  /** Hash-bucket count for the id→cell sidecar index (a deployment
+    * sizes this so one bucket is a few hundred MB; the fixture keeps
+    * it small — each maintenance batch pays one file per touched
+    * bucket, so the constant is listing overhead at toy scale).
     */
-  def build(embeddings: DataFrame, cents: DataFrame, path: String): Unit =
-    PartitionedStore.write(assign(embeddings, cents), path, Seq("cell"))
+  private[sim] val INDEX_BUCKETS = 4
 
-  /** Cells currently holding any of `ids` — a ≤K-row driver read (the
-    * sanctioned tiny collect; the store has at most K cells). The
-    * lookup scans the store's `vec_id` column across all cells
-    * (column-pruned — vectors are never read), so the LOOKUP is
-    * O(store ids) while the WRITES stay O(touched cells); a
-    * deployment where even the id-column scan is too much keeps an
-    * id→cell sidecar index (itself partition-updatable) and skips
-    * this probe.
+  /** The sidecar lives INSIDE the store at `_index/` — names starting
+    * with `_` are invisible to Spark's file listing, so reads of the
+    * store's own parquet never see it.
     */
-  private def cellsOf(current: DataFrame, ids: DataFrame): Seq[Long] =
-    current
-      .join(ids.select("vec_id"), Seq("vec_id"), "left_semi")
-      .select(col("cell").cast("long"))
+  private[sim] def indexPath(path: String): String = path + "/_index"
+
+  private def ibucket(id: Column): Column =
+    pmod(graft.functions.PortableHash.h32(id.cast("string")),
+      lit(INDEX_BUCKETS.toLong))
+
+  private def readIndex(spark: SparkSession, path: String): DataFrame =
+    PartitionedStore
+      .read(spark, indexPath(path))
+      .select(
+        col("vec_id"),
+        col("cell").cast("long").as("cell"),
+        col("ibucket").cast("long").as("ibucket")
+      )
+
+  /** The index buckets `ids` hash into — a ≤INDEX_BUCKETS-row driver
+    * read (bucket domain, not batch size).
+    */
+  private def bucketsOf(ids: DataFrame): Seq[Long] =
+    ids
+      .select(ibucket(col("vec_id")).as("b"))
       .distinct()
       .collect()
       .map(_.getLong(0))
       .toSeq
+
+  /** Assign every vector to its nearest centroid and write the store
+    * partitioned by cell (one directory per inverted list) —
+    * optionally with the id→cell sidecar under `_index/`. The sidecar
+    * is a STORE property, auto-detected by the maintenance ops: with
+    * it, old-cell lookups prune to the batch's hash buckets (the
+    * shape for stores whose id column alone is too big to scan);
+    * without it, lookups fall back to the column-pruned store id
+    * scan, which is the cheaper choice until that crossover — at
+    * fixture scale the sidecar's extra write paths cost more than
+    * the scan they avoid, so cdc15 replays in scan mode while
+    * IvfMaintainSpec pins the indexed mode to the identical final
+    * state.
+    */
+  def build(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      path: String,
+      indexed: Boolean = false
+  ): Unit = {
+    if (!indexed) {
+      PartitionedStore.write(assign(embeddings, cents), path, Seq("cell"))
+    } else {
+      val assigned = assign(embeddings, cents).localCheckpoint(true)
+      PartitionedStore.write(assigned, path, Seq("cell"))
+      PartitionedStore.write(
+        assigned.select(
+          col("vec_id"),
+          col("cell"),
+          ibucket(col("vec_id")).as("ibucket")
+        ),
+        indexPath(path),
+        Seq("ibucket")
+      )
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(assigned)
+    }
+  }
+
+  /** Whether `path` carries the id→cell sidecar. */
+  private def hasIndex(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(indexPath(path)))
+
+  /** Old-cell probe without a sidecar: semi-join the batch against
+    * the store's id column (column-pruned — vectors never read).
+    * O(store ids); right below the sidecar crossover.
+    */
+  private def cellsByScan(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame
+  ): DataFrame =
+    PartitionedStore
+      .read(spark, path)
+      .join(ids.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("cell").cast("long").as("cell"))
+
+  /** Cells currently holding any of `ids` — a ≤K-row driver read over
+    * the sidecar index with the scan pruned to the ids' pre-computed
+    * hash buckets (`bkts`), so the lookup is O(touched index
+    * buckets), never O(store): the probe that makes upsert/delete
+    * maintenance partition-granular on BOTH the read and write side.
+    */
+  private def cellsOf(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame,
+      bkts: Seq[Long]
+  ): Seq[Long] =
+    readIndex(spark, path)
+      .filter(col("ibucket").isin(bkts: _*))
+      .join(ids.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select("cell")
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+
+  /** Rewrite the `ids`-touched index buckets: current entries of
+    * those buckets minus `ids`, plus `entries` (the batch's new
+    * (vec_id, cell) rows; empty for a delete). An upserted bucket can
+    * never empty (every batch id re-inserts a row into its own
+    * bucket); a delete that would empty one fails loudly — same
+    * resurrect hazard as [[overwriteTouched]], and a stale index
+    * entry would cost correctness of nothing but report cells for
+    * dead ids, so the guard keeps index ≡ store exact.
+    */
+  private def rewriteIndex(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame,
+      bkts: Seq[Long],
+      entries: DataFrame,
+      guardEmpty: Boolean
+  ): Unit =
+    if (bkts.nonEmpty) {
+      val rewritten = readIndex(spark, path)
+        .filter(col("ibucket").isin(bkts: _*))
+        .join(ids.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(
+          entries.select(
+            col("vec_id"),
+            col("cell"),
+            ibucket(col("vec_id")).as("ibucket")
+          )
+        )
+        .localCheckpoint(true)
+      // an UPSERT can never empty a bucket (every touched bucket is a
+      // bucket OF a batch id, whose fresh row lands right back in it),
+      // so only the delete path pays the guard job
+      if (guardEmpty) {
+        val kept = rewritten
+          .select(col("ibucket"))
+          .distinct()
+          .collect()
+          .map(_.getLong(0))
+          .toSet
+        val emptied = bkts.filterNot(kept)
+        require(
+          emptied.isEmpty,
+          s"IvfStore: index bucket(s) ${emptied.sorted.mkString(",")} would " +
+            "empty: dynamic partition overwrite cannot drop a partition"
+        )
+      }
+      PartitionedStore.overwritePartitions(rewritten, indexPath(path),
+        Seq("ibucket"))
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(rewritten)
+    }
 
   /** Rewrite exactly the `touched` cells with `rewritten` via dynamic
     * partition overwrite, failing loudly if a touched cell would end
@@ -137,11 +277,11 @@ object IvfStore {
 
   /** Incremental upsert: re-embedded (or newly inserted) vectors move
     * to their new nearest cell; ONLY the touched partitions — each
-    * vector's old cell (if it was in the store) and its new cell —
-    * are rewritten — WRITE cost is O(touched cells), never O(store),
-    * and the untouched inverted lists keep their files byte-for-byte
-    * (the old-cell LOOKUP reads the store's id column; see
-    * [[cellsOf]]).
+    * vector's old cell (from the sidecar index, O(touched index
+    * buckets)) and its new cell — are read and rewritten, so BOTH
+    * sides of the maintenance are O(touched), never O(store): the
+    * untouched inverted lists keep their files byte-for-byte, and the
+    * pruned store read never lists them (`PartitionFilters`).
     */
   def upsert(
       spark: SparkSession,
@@ -150,40 +290,69 @@ object IvfStore {
       batch: DataFrame
   ): Unit = {
     val assigned = assign(batch, cents).localCheckpoint(true)
+    val indexed = hasIndex(path)
+    val bkts = if (indexed) bucketsOf(batch) else Seq.empty[Long]
+    val oldCells =
+      if (indexed)
+        readIndex(spark, path)
+          .filter(col("ibucket").isin(bkts: _*))
+          .join(batch.select("vec_id"), Seq("vec_id"), "left_semi")
+          .select("cell")
+      else cellsByScan(spark, path, batch)
+    // old cells ∪ new cells (assigned), in ONE driver job
+    val touched = oldCells
+      .unionByName(assigned.select("cell"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
     // partition-column inference reads `cell=N` directories back as
     // INT; normalize to the written LONG so unions and driver reads
     // see one type
-    val current = PartitionedStore
+    val rewritten = PartitionedStore
       .read(spark, path)
       .withColumn("cell", col("cell").cast("long"))
-    val touched = (cellsOf(current, batch) ++
-      assigned.select("cell").distinct().collect().map(_.getLong(0))).distinct
-    val rewritten = current
       .filter(col("cell").isin(touched: _*))
       .join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
       .unionByName(assigned)
     overwriteTouched(rewritten, touched, path)
+    if (indexed)
+      rewriteIndex(spark, path, batch, bkts,
+        assigned.select("vec_id", "cell"), guardEmpty = false)
     org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(assigned)
   }
 
   /** Incremental delete: rewrite only the cells holding the deleted
     * ids, without them (see [[overwriteTouched]] for the emptied-cell
-    * contract).
+    * contract); the holding cells come from the index, pruned to the
+    * ids' hash buckets.
     */
   def delete(
       spark: SparkSession,
       path: String,
       ids: DataFrame
   ): Unit = {
-    val current = PartitionedStore
-      .read(spark, path)
-      .withColumn("cell", col("cell").cast("long"))
-    val touched = cellsOf(current, ids)
+    val indexed = hasIndex(path)
+    val bkts = if (indexed) bucketsOf(ids) else Seq.empty[Long]
+    val touched =
+      if (indexed) cellsOf(spark, path, ids, bkts)
+      else
+        cellsByScan(spark, path, ids)
+          .distinct()
+          .collect()
+          .map(_.getLong(0))
+          .toSeq
     if (touched.nonEmpty) {
-      val rewritten = current
+      val rewritten = PartitionedStore
+        .read(spark, path)
+        .withColumn("cell", col("cell").cast("long"))
         .filter(col("cell").isin(touched: _*))
         .join(ids.select("vec_id"), Seq("vec_id"), "left_anti")
       overwriteTouched(rewritten, touched, path)
+      if (indexed)
+        rewriteIndex(spark, path, ids, bkts,
+          readIndex(spark, path).select("vec_id", "cell").limit(0),
+          guardEmpty = true)
     }
   }
 

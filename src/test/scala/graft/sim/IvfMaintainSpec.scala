@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * upsert/delete/re-insert interleaving, the incrementally-maintained
   * store equals a from-scratch [[IvfStore.build]] of the final
   * logical state — and each batch physically rewrites ONLY its
-  * touched cells (untouched partition files keep their
-  * modification identity).
+  * touched cells (untouched partition files keep their modification
+  * identity). These tests run the INDEXED mode (id→cell sidecar kept
+  * in lockstep, bucket-pruned lookups); cdc15's gate replays the
+  * same churn in scan mode — both must land on the identical state.
   */
 class IvfMaintainSpec extends SparkSpec {
 
@@ -44,7 +46,7 @@ class IvfMaintainSpec extends SparkSpec {
     val inc = Files.createTempDirectory("graft-ivf-inc").toString
     val full = Files.createTempDirectory("graft-ivf-full").toString
 
-    IvfStore.build(emb, cents, inc)
+    IvfStore.build(emb, cents, inc, indexed = true)
     IvfStore.upsert(
       spark,
       inc,
@@ -85,6 +87,15 @@ class IvfMaintainSpec extends SparkSpec {
     val b = snapshot(full)
     assert(a.keySet === b.keySet)
     a.foreach { case (v, st) => assert(st === b(v), s"vec $v diverged") }
+    // the sidecar index tracked every move/delete/resurrect: its
+    // (vec_id -> cell) content equals the store's, exactly
+    val idx = spark.read
+      .parquet(IvfStore.indexPath(inc))
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(idx === a.map { case (v, (c, _)) => v -> c })
     // the churn actually moved vectors between cells (the fixture
     // exercises the cross-partition path, not just in-place rewrite)
     val before = IvfStore.assign(emb, cents)
@@ -105,7 +116,7 @@ class IvfMaintainSpec extends SparkSpec {
     val emb = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
     val cents = IvfStore.centroids(emb, K, STRIDE).localCheckpoint(true)
     val dir = Files.createTempDirectory("graft-ivf-touch").toString
-    IvfStore.build(emb, cents, dir)
+    IvfStore.build(emb, cents, dir, indexed = true)
 
     def files(): Map[String, Long] = {
       import scala.jdk.CollectionConverters._
@@ -113,7 +124,9 @@ class IvfMaintainSpec extends SparkSpec {
         .walk(java.nio.file.Paths.get(dir))
         .iterator()
         .asScala
-        .filter(p => p.toString.endsWith(".parquet"))
+        .filter(p =>
+          p.toString.endsWith(".parquet") && !p.toString.contains("_index")
+        )
         .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
         .toMap
     }
