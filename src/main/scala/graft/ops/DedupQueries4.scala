@@ -220,11 +220,9 @@ object DedupQueries4 {
     )
     val nodes = Tables(s, dir).documents.select(col("doc_id").as("id"))
     val cc = graft.dedup.Clusters.connectedComponents(nodes, canon)
-    val deg = o
-      .select(col("src").as("node"))
-      .unionByName(o.select(col("dst").as("node")))
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("deg"))
+    // the SAME degree definition the triangle orientation itself uses
+    // — 3T/W is only meaningful if wedges and triangles agree on deg
+    val deg = graft.dedup.Triangles.degrees(canon)
     val agg = deg
       .join(cc.select(col("id").as("node"), col("cluster_id")), "node")
       .groupBy(col("cluster_id"))

@@ -252,49 +252,44 @@ object Relational11 {
         |JOIN s sb ON sb.event_type = p.type_b
         |CROSS JOIN n
         |ORDER BY type_a, type_b""".stripMargin,
-    // mirror of the exact-mode sketch read: cut(p) = order statistic
-    // at 1-based rank ceil(p*n); ties collapse to the same VALUE, so
-    // row_number's order among equal c_acctbal rows is immaterial
     "q98_approx_ntile" ->
-      """WITH v AS (SELECT c_custkey, c_acctbal FROM customer),
-        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
-        |ranked AS (SELECT c_acctbal,
-        |    CAST(row_number() OVER (ORDER BY c_acctbal) AS BIGINT) AS rk
-        |  FROM v),
-        |p(i) AS (VALUES (1), (2), (3)),
-        |cuts AS (SELECT p.i, r.c_acctbal AS c
-        |  FROM p CROSS JOIN n
-        |  JOIN ranked r ON r.rk = CAST(ceil(p.i * n.n / 4.0) AS BIGINT)),
-        |t AS (SELECT v.c_custkey, v.c_acctbal,
-        |    CAST(1 + SUM(CASE WHEN v.c_acctbal > cuts.c THEN 1 ELSE 0 END)
-        |      AS INTEGER) AS tile
-        |  FROM v CROSS JOIN cuts
-        |  GROUP BY v.c_custkey, v.c_acctbal)
-        |SELECT tile, CAST(COUNT(*) AS BIGINT) AS n,
-        |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-        |FROM t GROUP BY tile ORDER BY tile""".stripMargin,
+      s"""$ntileSketchCtes
+         |SELECT tile, CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         |FROM ap GROUP BY tile ORDER BY tile""".stripMargin,
     "q99_ntile_disagreement" ->
-      """WITH v AS (SELECT c_custkey, c_acctbal FROM customer),
-        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
-        |ranked AS (SELECT c_acctbal,
-        |    CAST(row_number() OVER (ORDER BY c_acctbal) AS BIGINT) AS rk
-        |  FROM v),
-        |p(i) AS (VALUES (1), (2), (3)),
-        |cuts AS (SELECT p.i, r.c_acctbal AS c
-        |  FROM p CROSS JOIN n
-        |  JOIN ranked r ON r.rk = CAST(ceil(p.i * n.n / 4.0) AS BIGINT)),
-        |ap AS (SELECT v.c_custkey,
-        |    CAST(1 + SUM(CASE WHEN v.c_acctbal > cuts.c THEN 1 ELSE 0 END)
-        |      AS INTEGER) AS approx_tile
-        |  FROM v CROSS JOIN cuts
-        |  GROUP BY v.c_custkey, v.c_acctbal),
-        |ex AS (SELECT c_custkey,
-        |    CAST(ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC)
-        |      AS INTEGER) AS exact_tile
-        |  FROM v)
-        |SELECT ex.exact_tile, ap.approx_tile, CAST(COUNT(*) AS BIGINT) AS n
-        |FROM ex JOIN ap USING (c_custkey)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      s"""$ntileSketchCtes,
+         |ex AS (SELECT c_custkey,
+         |    CAST(ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC)
+         |      AS INTEGER) AS exact_tile
+         |  FROM v)
+         |SELECT ex.exact_tile, ap.tile AS approx_tile,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM ex JOIN ap USING (c_custkey)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
+
+  /** The ONE SQL mirror of the exact-mode sketch read, shared by q98
+    * and q99 (the clusterCtes pattern — a drift between the two gates
+    * would make them disagree about the same operator): cut(p) =
+    * order statistic at 1-based rank ceil(p·n/4); ties collapse to
+    * the same VALUE, so row_number's order among equal c_acctbal rows
+    * is immaterial; tile = 1 + count(cuts strictly below the value).
+    */
+  private def ntileSketchCtes: String =
+    """WITH v AS (SELECT c_custkey, c_acctbal FROM customer),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+      |ranked AS (SELECT c_acctbal,
+      |    CAST(row_number() OVER (ORDER BY c_acctbal) AS BIGINT) AS rk
+      |  FROM v),
+      |p(i) AS (VALUES (1), (2), (3)),
+      |cuts AS (SELECT p.i, r.c_acctbal AS c
+      |  FROM p CROSS JOIN n
+      |  JOIN ranked r ON r.rk = CAST(ceil(p.i * n.n / 4.0) AS BIGINT)),
+      |ap AS (SELECT v.c_custkey, v.c_acctbal,
+      |    CAST(1 + SUM(CASE WHEN v.c_acctbal > cuts.c THEN 1 ELSE 0 END)
+      |      AS INTEGER) AS tile
+      |  FROM v CROSS JOIN cuts
+      |  GROUP BY v.c_custkey, v.c_acctbal)""".stripMargin
 }

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *
   * Build: one broadcast-assign pass (K·D integer multiply-adds per
   * vector — the sim18/sim23 exact micro-unit discipline) and one
-  * partitioned write; per-cell file counts follow the cell
-  * populations. Serve: the query's nProbe nearest cells come from a
+  * partitioned write, clustered by cell so each inverted list lands
+  * as one file per holding shuffle partition (see
+  * [[graft.sources.PartitionedStore]]). Serve: the query's nProbe
+  * nearest cells come from a
   * K-row driver computation (the sanctioned tiny collect — the
   * centroid table is the index's only driver-resident state), and the
   * `cell IN (...)` filter prunes at the DIRECTORY listing —
@@ -152,9 +154,16 @@ object IvfStore {
     }
   }
 
-  /** Whether `path` carries the id→cell sidecar. */
-  private def hasIndex(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(indexPath(path)))
+  /** Whether `path` carries the id→cell sidecar — resolved through
+    * Hadoop's FileSystem (the same resolution the reads use), so
+    * URI-form and non-local paths detect the index the reads would
+    * see; a java.nio probe on the raw string would silently report
+    * "no index" for `file:/...` and skip maintenance.
+    */
+  private def hasIndex(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(indexPath(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Old-cell probe without a sidecar: semi-join the batch against
     * the store's id column (column-pruned — vectors never read).
@@ -170,47 +179,51 @@ object IvfStore {
       .join(ids.select("vec_id"), Seq("vec_id"), "left_semi")
       .select(col("cell").cast("long").as("cell"))
 
-  /** Cells currently holding any of `ids` — a ≤K-row driver read over
-    * the sidecar index with the scan pruned to the ids' pre-computed
-    * hash buckets (`bkts`), so the lookup is O(touched index
-    * buckets), never O(store): the probe that makes upsert/delete
-    * maintenance partition-granular on BOTH the read and write side.
+  /** Cells currently holding any of `ids`, from the sidecar index
+    * with the scan pruned to the ids' pre-computed hash buckets
+    * (`bkts`) — O(touched index buckets), never O(store): the probe
+    * that makes upsert/delete maintenance partition-granular on BOTH
+    * the read and write side. Shared by upsert (unions it with the
+    * new cells) and delete (distinct-collects it).
     */
-  private def cellsOf(
+  private def cellsByIndex(
       spark: SparkSession,
       path: String,
       ids: DataFrame,
       bkts: Seq[Long]
-  ): Seq[Long] =
+  ): DataFrame =
     readIndex(spark, path)
       .filter(col("ibucket").isin(bkts: _*))
       .join(ids.select("vec_id"), Seq("vec_id"), "left_semi")
       .select("cell")
-      .distinct()
-      .collect()
-      .map(_.getLong(0))
-      .toSeq
 
-  /** Rewrite the `ids`-touched index buckets: current entries of
-    * those buckets minus `ids`, plus `entries` (the batch's new
-    * (vec_id, cell) rows; empty for a delete). An upserted bucket can
-    * never empty (every batch id re-inserts a row into its own
-    * bucket); a delete that would empty one fails loudly — same
-    * resurrect hazard as [[overwriteTouched]], and a stale index
-    * entry would cost correctness of nothing but report cells for
-    * dead ids, so the guard keeps index ≡ store exact.
+  /** Validated rewrite of the `ids`-touched index buckets, NOT yet
+    * written: current entries of those buckets minus `ids`, plus
+    * `entries` (the batch's new (vec_id, cell) rows; empty for a
+    * delete), eagerly materialized. With `guardEmpty`, fails loudly
+    * if a bucket that HELD rows would end empty — the same resurrect
+    * hazard as [[overwriteTouched]] (a batch id hashing into a
+    * never-populated bucket is NOT a drop, so the guard compares
+    * against the buckets' pre-rewrite occupancy, not `bkts`). An
+    * upserted bucket can never empty (every batch id re-inserts a
+    * row into its own bucket), so only the delete path pays the
+    * guard jobs. Validation is split from the write so a caller can
+    * check BOTH the store and index rewrites before writing either —
+    * a guard abort must leave the pair consistent.
     */
-  private def rewriteIndex(
+  private def preparedIndexRewrite(
       spark: SparkSession,
       path: String,
       ids: DataFrame,
       bkts: Seq[Long],
       entries: DataFrame,
       guardEmpty: Boolean
-  ): Unit =
-    if (bkts.nonEmpty) {
-      val rewritten = readIndex(spark, path)
+  ): Option[DataFrame] =
+    if (bkts.isEmpty) None
+    else {
+      val current = readIndex(spark, path)
         .filter(col("ibucket").isin(bkts: _*))
+      val rewritten = current
         .join(ids.select("vec_id"), Seq("vec_id"), "left_anti")
         .unionByName(
           entries.select(
@@ -220,26 +233,34 @@ object IvfStore {
           )
         )
         .localCheckpoint(true)
-      // an UPSERT can never empty a bucket (every touched bucket is a
-      // bucket OF a batch id, whose fresh row lands right back in it),
-      // so only the delete path pays the guard job
       if (guardEmpty) {
+        val before = current
+          .select(col("ibucket"))
+          .distinct()
+          .collect()
+          .map(_.getLong(0))
+          .toSet
         val kept = rewritten
           .select(col("ibucket"))
           .distinct()
           .collect()
           .map(_.getLong(0))
           .toSet
-        val emptied = bkts.filterNot(kept)
+        val emptied = before.diff(kept)
         require(
           emptied.isEmpty,
-          s"IvfStore: index bucket(s) ${emptied.sorted.mkString(",")} would " +
-            "empty: dynamic partition overwrite cannot drop a partition"
+          s"IvfStore: index bucket(s) ${emptied.toSeq.sorted.mkString(",")} " +
+            "would empty: dynamic partition overwrite cannot drop a partition"
         )
       }
-      PartitionedStore.overwritePartitions(rewritten, indexPath(path),
-        Seq("ibucket"))
-      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(rewritten)
+      Some(rewritten)
+    }
+
+  /** Write a [[preparedIndexRewrite]] frame and release it. */
+  private def commitIndexRewrite(path: String, frame: Option[DataFrame]): Unit =
+    frame.foreach { f =>
+      PartitionedStore.overwritePartitions(f, indexPath(path), Seq("ibucket"))
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(f)
     }
 
   /** Rewrite exactly the `touched` cells with `rewritten` via dynamic
@@ -258,6 +279,20 @@ object IvfStore {
       touched: Seq[Long],
       path: String
   ): Unit = {
+    val frame = validatedCellRewrite(rewritten, touched)
+    PartitionedStore.overwritePartitions(frame, path, Seq("cell"))
+    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(frame)
+  }
+
+  /** The check half of [[overwriteTouched]]: eagerly materialize the
+    * rewrite and fail loudly if a touched cell would end empty —
+    * split out so the indexed maintenance paths can validate the
+    * store AND index rewrites before writing either.
+    */
+  private def validatedCellRewrite(
+      rewritten: DataFrame,
+      touched: Seq[Long]
+  ): DataFrame = {
     val frame = rewritten.localCheckpoint(true)
     val kept = frame
       .select(col("cell").cast("long"))
@@ -271,8 +306,7 @@ object IvfStore {
       s"IvfStore: rewrite would empty cell(s) ${emptied.sorted.mkString(",")}: " +
         "dynamic partition overwrite cannot drop a partition"
     )
-    PartitionedStore.overwritePartitions(frame, path, Seq("cell"))
-    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(frame)
+    frame
   }
 
   /** Incremental upsert: re-embedded (or newly inserted) vectors move
@@ -290,15 +324,15 @@ object IvfStore {
       batch: DataFrame
   ): Unit = {
     val assigned = assign(batch, cents).localCheckpoint(true)
-    val indexed = hasIndex(path)
-    val bkts = if (indexed) bucketsOf(batch) else Seq.empty[Long]
+    // every downstream id probe/join reads the CHECKPOINTED batch ids
+    // — the caller's batch lineage (possibly an expensive pipeline)
+    // runs exactly once, in assign
+    val ids = assigned.select("vec_id")
+    val indexed = hasIndex(spark, path)
+    val bkts = if (indexed) bucketsOf(ids) else Seq.empty[Long]
     val oldCells =
-      if (indexed)
-        readIndex(spark, path)
-          .filter(col("ibucket").isin(bkts: _*))
-          .join(batch.select("vec_id"), Seq("vec_id"), "left_semi")
-          .select("cell")
-      else cellsByScan(spark, path, batch)
+      if (indexed) cellsByIndex(spark, path, ids, bkts)
+      else cellsByScan(spark, path, ids)
     // old cells ∪ new cells (assigned), in ONE driver job
     val touched = oldCells
       .unionByName(assigned.select("cell"))
@@ -313,12 +347,19 @@ object IvfStore {
       .read(spark, path)
       .withColumn("cell", col("cell").cast("long"))
       .filter(col("cell").isin(touched: _*))
-      .join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+      .join(ids, Seq("vec_id"), "left_anti")
       .unionByName(assigned)
-    overwriteTouched(rewritten, touched, path)
-    if (indexed)
-      rewriteIndex(spark, path, batch, bkts,
-        assigned.select("vec_id", "cell"), guardEmpty = false)
+    // validate BOTH rewrites (each eagerly materialized) before
+    // writing either: an abort must leave store and index consistent
+    val storeFrame = validatedCellRewrite(rewritten, touched)
+    val idxFrame =
+      if (indexed)
+        preparedIndexRewrite(spark, path, ids, bkts,
+          assigned.select("vec_id", "cell"), guardEmpty = false)
+      else None
+    PartitionedStore.overwritePartitions(storeFrame, path, Seq("cell"))
+    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(storeFrame)
+    commitIndexRewrite(path, idxFrame)
     org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(assigned)
   }
 
@@ -330,30 +371,45 @@ object IvfStore {
   def delete(
       spark: SparkSession,
       path: String,
-      ids: DataFrame
+      delIds: DataFrame
   ): Unit = {
-    val indexed = hasIndex(path)
-    val bkts = if (indexed) bucketsOf(ids) else Seq.empty[Long]
-    val touched =
-      if (indexed) cellsOf(spark, path, ids, bkts)
-      else
-        cellsByScan(spark, path, ids)
+    // one materialization of the caller's id lineage for the 3-4
+    // probes/joins below
+    val ids = delIds.select("vec_id").localCheckpoint(true)
+    try {
+      val indexed = hasIndex(spark, path)
+      val bkts = if (indexed) bucketsOf(ids) else Seq.empty[Long]
+      val touched =
+        (if (indexed) cellsByIndex(spark, path, ids, bkts)
+         else cellsByScan(spark, path, ids))
           .distinct()
           .collect()
           .map(_.getLong(0))
           .toSeq
-    if (touched.nonEmpty) {
-      val rewritten = PartitionedStore
-        .read(spark, path)
-        .withColumn("cell", col("cell").cast("long"))
-        .filter(col("cell").isin(touched: _*))
-        .join(ids.select("vec_id"), Seq("vec_id"), "left_anti")
-      overwriteTouched(rewritten, touched, path)
-      if (indexed)
-        rewriteIndex(spark, path, ids, bkts,
-          readIndex(spark, path).select("vec_id", "cell").limit(0),
-          guardEmpty = true)
-    }
+      if (touched.nonEmpty) {
+        val rewritten = PartitionedStore
+          .read(spark, path)
+          .withColumn("cell", col("cell").cast("long"))
+          .filter(col("cell").isin(touched: _*))
+          .join(ids, Seq("vec_id"), "left_anti")
+        // validate BOTH rewrites before writing either — a delete that
+        // trips an empty-partition guard must leave index ≡ store
+        val storeFrame = validatedCellRewrite(rewritten, touched)
+        val idxFrame =
+          if (indexed)
+            preparedIndexRewrite(spark, path, ids, bkts,
+              // no new entries on a delete: an empty (vec_id, cell)
+              // frame, built without touching the index files
+              ids.select(col("vec_id"), lit(0L).as("cell")).limit(0),
+              guardEmpty = true)
+          else None
+        PartitionedStore.overwritePartitions(storeFrame, path, Seq("cell"))
+        org.apache.spark.sql.graftshim.GraftSqlShims
+          .unpersistCheckpoint(storeFrame)
+        commitIndexRewrite(path, idxFrame)
+      }
+    } finally
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(ids)
   }
 
   /** The query's nProbe nearest cells, computed driver-side over the

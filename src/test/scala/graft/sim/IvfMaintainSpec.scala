@@ -112,6 +112,47 @@ class IvfMaintainSpec extends SparkSpec {
     assert(moved > 0, "churn fixture never moved a vector across cells")
   }
 
+  test("delete with ids hashing into a never-populated index bucket succeeds") {
+    // guard regression: the empty-bucket check must compare against
+    // the buckets' PRE-rewrite occupancy — an absent id whose hash
+    // bucket never held a row is not a partition drop, and aborting
+    // on it would (worse) fire AFTER the store rewrite, desyncing
+    // index from store
+    val bucketOf = pmod(
+      graft.functions.PortableHash.h32(col("vec_id").cast("string")),
+      lit(IvfStore.INDEX_BUCKETS.toLong)
+    )
+    val emb = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"), bucketOf.as("__b"))
+      .localCheckpoint(true)
+    // store holds ONLY bucket-0/1/2 ids, so bucket 3 is never written
+    val inStore = emb.filter(col("__b") =!= 3)
+    val absent = emb.filter(col("__b") === 3).select("vec_id").limit(1)
+    assert(absent.count() == 1, "fixture has no bucket-3 id; resize fixture")
+    val cents = IvfStore
+      .centroids(inStore.select("vec_id", "embedding"), K, STRIDE)
+      .localCheckpoint(true)
+    val dir = Files.createTempDirectory("graft-ivf-guard").toString
+    IvfStore.build(inStore.select("vec_id", "embedding"), cents, dir,
+      indexed = true)
+
+    val present = inStore.select("vec_id").orderBy("vec_id").limit(1)
+    IvfStore.delete(spark, dir, present.unionByName(absent))
+
+    // the present id is gone from BOTH store and index; the absent
+    // id's phantom bucket aborted nothing
+    val left = PartitionedStore
+      .read(spark, dir)
+      .join(present, Seq("vec_id"), "left_semi")
+      .count()
+    assert(left == 0, "present id survived the delete")
+    val idxLeft = spark.read
+      .parquet(IvfStore.indexPath(dir))
+      .join(present, Seq("vec_id"), "left_semi")
+      .count()
+    assert(idxLeft == 0, "present id survived in the sidecar index")
+  }
+
   test("upsert rewrites only the touched cells' files") {
     val emb = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
     val cents = IvfStore.centroids(emb, K, STRIDE).localCheckpoint(true)
