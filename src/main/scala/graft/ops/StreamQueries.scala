@@ -324,36 +324,76 @@ object StreamQueries {
 
   /** cdc15: streaming IVF index maintenance under churn — the
     * composition the r5 verdict named: [[graft.sim.IvfStore]]'s
-    * partition-granular upsert/delete driven by a deterministic CDC
-    * replay, with the gate pinning final cell state against the
-    * from-scratch assignment spec (and IvfMaintainSpec pinning
-    * incremental ≡ full-rebuild frame equality in Spark).
-    *
-    * Replay: build from the full snapshot; a re-embedding wave
-    * (vec_id ≡ 1 mod 7 drifts by one rotation) moves vectors BETWEEN
-    * cells — both each vector's old and new inverted list rewrite,
-    * nothing else; a deletion wave (vec_id ≡ 2 mod 5) rewrites only
-    * the holding cells; a second re-embedding (vec_id ≡ 1 mod 14,
-    * two rotations) overlaps the first (latest wins) AND intersects
-    * the deletes (upsert = insert-or-update, so those vectors
-    * resurrect with the newest embedding) — the full
-    * any-interleaving contract. The codebook stays fixed (standard
-    * IVF: lists churn, centroids retrain offline).
+    * partition-granular upsert/delete driven by the deterministic
+    * [[withIvfChurn]] replay, with the gate pinning the STORE's final
+    * cell state against the from-scratch assignment spec (and
+    * IvfMaintainSpec pinning incremental ≡ full-rebuild frame
+    * equality in Spark; cdc16 gates the sidecar index the same way).
     *
     * Shape at scale: every batch costs O(touched cells) dynamic
     * partition overwrites — the untouched lists keep their files
     * byte-for-byte ([[graft.sources.PartitionedStore]]); the only
     * driver state is the K-row centroid table and the ≤K touched-cell
-    * sets. The output materializes (localCheckpoint) before the
-    * temp store is removed.
+    * sets.
     */
-  private val ivfMaintain: Q = (s, dir) => {
+  private val ivfMaintain: Q = (s, dir) =>
+    withIvfChurn(s, dir, indexed = false) { path =>
+      graft.sources.PartitionedStore
+        .read(s, path)
+        .select(
+          col("vec_id"),
+          col("cell").cast("long").as("cell"),
+          element_at(graft.sim.IntVec.quant(col("embedding")), 1).as("q1")
+        )
+        .orderBy("vec_id")
+    }
+
+  /** cdc16: the same churn replay in INDEXED mode, with the result
+    * read from the id→cell SIDECAR itself — the index that makes the
+    * old-cell probe O(touched buckets) is oracle-checked as content,
+    * not only spec-pinned: after any interleaving it must equal the
+    * from-scratch assignment of the final live state (cdc15's spec)
+    * plus each id's hash bucket. A stale or dropped index entry is a
+    * changed gated row, the same exact↔companion discipline as
+    * q37/q98 and dedup35/dedup37.
+    */
+  private val ivfIndexMaintain: Q = (s, dir) =>
+    withIvfChurn(s, dir, indexed = true) { path =>
+      s.read
+        .parquet(graft.sim.IvfStore.indexPath(path))
+        .select(
+          col("vec_id"),
+          col("cell").cast("long").as("cell"),
+          col("ibucket").cast("long").as("ibucket")
+        )
+        .orderBy("vec_id")
+    }
+
+  /** The cdc15/cdc16 churn fixture (one shared replay so the store
+    * gate and the index gate cannot drift): build from the full
+    * snapshot; a re-embedding wave (vec_id ≡ 1 mod 7, one rotation)
+    * moves vectors BETWEEN cells; a deletion wave (vec_id ≡ 2 mod 5)
+    * rewrites only the holding cells; a second re-embedding
+    * (vec_id ≡ 1 mod 14, two rotations) overlaps the first (latest
+    * wins) AND intersects the deletes (upsert = insert-or-update, so
+    * those vectors resurrect with the newest embedding) — the full
+    * any-interleaving contract. The codebook stays fixed (standard
+    * IVF: lists churn, centroids retrain offline). `read` runs
+    * against the scratch store path and is materialized
+    * (localCheckpoint) before the directory is removed.
+    */
+  private def withIvfChurn(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      indexed: Boolean
+  )(read: String => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import graft.sim.IvfStore
     val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
     val cents = IvfStore.centroids(emb, 8, 97).localCheckpoint(true)
-    val path = java.nio.file.Files.createTempDirectory("graft-cdc15").toString
+    val path = java.nio.file.Files.createTempDirectory("graft-cdc-ivf").toString
     try {
-      IvfStore.build(emb, cents, path)
+      IvfStore.build(emb, cents, path, indexed)
       IvfStore.upsert(
         s,
         path,
@@ -375,15 +415,7 @@ object StreamQueries {
           .filter(pmod(col("vec_id"), lit(14)) === 1)
           .select(col("vec_id"), rot(col("embedding"), 2).as("embedding"))
       )
-      val out = graft.sources.PartitionedStore
-        .read(s, path)
-        .select(
-          col("vec_id"),
-          col("cell").cast("long").as("cell"),
-          element_at(graft.sim.IntVec.quant(col("embedding")), 1).as("q1")
-        )
-        .orderBy("vec_id")
-        .localCheckpoint(true)
+      val out = read(path).localCheckpoint(true)
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(cents)
       out
     } finally {
@@ -567,6 +599,7 @@ object StreamQueries {
     "cdc12_neardup_maintain" -> neardupMaintain,
     "cdc13_join_maintain" -> joinMaintain,
     "cdc15_ivf_maintain" -> ivfMaintain,
+    "cdc16_ivf_index_maintain" -> ivfIndexMaintain,
     "stream10_exact_dedup" -> exactDedupIngest,
     "stream09_funnel" -> funnelIngest,
     "stream08_agg_maintain" -> aggMaintainIngest,
@@ -741,35 +774,19 @@ object StreamQueries {
     // routed to the nearest fixed centroid by exact integer L2 (the
     // sim18 oracle pattern); q1 pins the stored embedding VERSION
     "cdc15_ivf_maintain" ->
-      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
-         |fin AS (SELECT vec_id,
-         |    CASE WHEN vec_id % 14 = 1
-         |           THEN list_concat(embedding[3:], embedding[1:2])
-         |         WHEN vec_id % 7 = 1
-         |           THEN list_concat(embedding[2:], embedding[1:1])
-         |         ELSE embedding END AS emb
-         |  FROM base
-         |  WHERE vec_id % 5 <> 2 OR vec_id % 14 = 1),
-         |q AS (SELECT vec_id, list_transform(emb, x ->
-         |    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
-         |  FROM fin),
-         |c AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell,
-         |        list_transform(embedding, x ->
-         |          CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
-         |          AS qc
-         |      FROM base WHERE vec_id % 97 = 0
-         |      ORDER BY vec_id LIMIT 8),
-         |d AS (SELECT q.vec_id, c.cell,
-         |        CAST(SUM((q.qe[i] - c.qc[i]) * (q.qe[i] - c.qc[i]))
-         |          AS BIGINT) AS dist
-         |      FROM q, c, range(1, 1000) t(i)
-         |      WHERE i <= len(q.qe) AND len(q.qe) = len(c.qc)
-         |      GROUP BY q.vec_id, c.cell),
-         |a AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY dist, cell) AS rn
-         |      FROM d)
+      s"""$ivfFinalStateCtes
          |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, q.qe[1] AS q1
          |FROM a JOIN q USING (vec_id) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+    // the SIDECAR's from-scratch spec: same final assignment plus
+    // each id's hash bucket (the portable-md5 h32 mod INDEX_BUCKETS)
+    "cdc16_ivf_index_maintain" ->
+      s"""$ivfFinalStateCtes
+         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+         |  CAST(${graft.functions.PortableHash
+              .sqlH32("CAST(a.vec_id AS VARCHAR)")} %
+         |    ${graft.sim.IvfStore.INDEX_BUCKETS} AS BIGINT) AS ibucket
+         |FROM a WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
     // the maintained view must land on the batch recompute exactly
     "stream08_agg_maintain" ->
@@ -867,4 +884,41 @@ object StreamQueries {
         |WHERE event_type = 'purchase'
         |ORDER BY purchase_event""".stripMargin
   )
+
+  /** The ONE SQL spec of [[withIvfChurn]]'s final state, shared by
+    * the cdc15 (store) and cdc16 (sidecar index) gates so the two
+    * cannot drift: final live set (deletes minus resurrections) with
+    * latest-wins embeddings (`fin`), integer-quantized (`q`), the
+    * fixed stride-97 codebook (`c`), exact integer L2 distances
+    * (`d`), and the nearest-cell assignment with the lower-cell
+    * tie-break (`a`, rn = 1).
+    */
+  private def ivfFinalStateCtes: String =
+    """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      |fin AS (SELECT vec_id,
+      |    CASE WHEN vec_id % 14 = 1
+      |           THEN list_concat(embedding[3:], embedding[1:2])
+      |         WHEN vec_id % 7 = 1
+      |           THEN list_concat(embedding[2:], embedding[1:1])
+      |         ELSE embedding END AS emb
+      |  FROM base
+      |  WHERE vec_id % 5 <> 2 OR vec_id % 14 = 1),
+      |q AS (SELECT vec_id, list_transform(emb, x ->
+      |    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+      |  FROM fin),
+      |c AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+      |        list_transform(embedding, x ->
+      |          CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+      |          AS qc
+      |      FROM base WHERE vec_id % 97 = 0
+      |      ORDER BY vec_id LIMIT 8),
+      |d AS (SELECT q.vec_id, c.cell,
+      |        CAST(SUM((q.qe[i] - c.qc[i]) * (q.qe[i] - c.qc[i]))
+      |          AS BIGINT) AS dist
+      |      FROM q, c, range(1, 1000) t(i)
+      |      WHERE i <= len(q.qe) AND len(q.qe) = len(c.qc)
+      |      GROUP BY q.vec_id, c.cell),
+      |a AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY dist, cell) AS rn
+      |      FROM d)""".stripMargin
 }

@@ -85,13 +85,13 @@ object IvfStore {
     * it small — each maintenance batch pays one file per touched
     * bucket, so the constant is listing overhead at toy scale).
     */
-  private[sim] val INDEX_BUCKETS = 4
+  private[graft] val INDEX_BUCKETS = 4
 
   /** The sidecar lives INSIDE the store at `_index/` — names starting
     * with `_` are invisible to Spark's file listing, so reads of the
     * store's own parquet never see it.
     */
-  private[sim] def indexPath(path: String): String = path + "/_index"
+  private[graft] def indexPath(path: String): String = path + "/_index"
 
   private def ibucket(id: Column): Column =
     pmod(graft.functions.PortableHash.h32(id.cast("string")),
@@ -126,9 +126,10 @@ object IvfStore {
     * without it, lookups fall back to the column-pruned store id
     * scan, which is the cheaper choice until that crossover — at
     * fixture scale the sidecar's extra write paths cost more than
-    * the scan they avoid, so cdc15 replays in scan mode while
-    * IvfMaintainSpec pins the indexed mode to the identical final
-    * state.
+    * the scan they avoid, so cdc15 replays in scan mode and cdc16
+    * replays the SAME churn indexed (gating the sidecar's content);
+    * IvfMaintainSpec additionally pins indexed incremental ≡ full
+    * rebuild frame equality.
     */
   def build(
       embeddings: DataFrame,
