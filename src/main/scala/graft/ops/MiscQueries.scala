@@ -578,6 +578,84 @@ object MiscQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** mm07: media near-dup CLUSTERING + survivor selection — the
+    * image-dedup decision mm05/mm06 build toward, closed out: banded
+    * dHash candidates → Hamming-verified edges → connected components
+    * ([[graft.dedup.Clusters]], the dedup06 propagation) → one report
+    * row per cluster with member/format counts and the kept copy
+    * (most bytes wins — "keep the highest-resolution copy" — ties to
+    * the smaller id, the A4 argmin pattern in one struct-min).
+    *
+    * Unlike mm06 (whose fixture yields only chance candidates, all
+    * is_near = false), the input plants a deterministic re-encode
+    * wave so the gate exercises REAL multi-member clusters: every
+    * doc_id ≡ 0 (mod 5) re-enters under id + 10⁹ with its first
+    * character replaced — same length, so only the one dHash sample
+    * anchored at position 1 can flip → Hamming ≤ 1 ≤ ${PHASH_HAM_T},
+    * and each planted copy lands in its original's cluster (survivor
+    * = the original: equal bytes, smaller id). Formats may differ
+    * across the pair ((id + 10⁹) mod 3 ≠ id mod 3 in general) —
+    * exactly the re-encoded-copy shape, surfaced by n_formats.
+    *
+    * Scale: the sketch is map-side; candidates are banded
+    * (never all-pairs); components propagate over edge-incident nodes
+    * only; the report is one dense groupBy on cluster_id.
+    */
+  private val mediaPhashClusters: Q = (s, dir) => {
+    val base = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    val dup = base
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(
+        (col("doc_id") + lit(1000000000L)).as("doc_id"),
+        concat(lit("A"), substring(col("text"), 2, Int.MaxValue)).as("text")
+      )
+    val media = Multimodal.asMediaTable(base.unionByName(dup))
+    val sk = media
+      .select(
+        col("media_id"),
+        col("format"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        Multimodal.dHash64(decode(col("payload"), "UTF-8")).as("phash")
+      )
+      .select(
+        Seq(col("media_id"), col("format"), col("n_bytes"), col("phash")) ++
+          (0 until 4).map(b =>
+            shiftright(col("phash"), 16 * b)
+              .bitwiseAND(lit(65535L))
+              .as(s"band$b")
+          ): _*
+      )
+    val long = sk.select(
+      struct(col("media_id"), col("phash")).as("m"),
+      posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
+        .as(Seq("b", "key"))
+    )
+    val near = PairJoins
+      .bucketedPairs(long, Seq("b", "key"), "m")
+      .filter(
+        bit_count(col("id_a.phash").bitwiseXOR(col("id_b.phash")))
+          <= PHASH_HAM_T
+      )
+      .select(col("id_a.media_id").as("id_a"), col("id_b.media_id").as("id_b"))
+    val cc = graft.dedup.Clusters
+      .connectedComponents(sk.select(col("media_id").as("id")), near)
+    cc.join(sk, col("id") === col("media_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        countDistinct(col("format")).as("n_formats"),
+        min(struct((-col("n_bytes")).as("nb"), col("media_id").as("mid")))
+          .as("__s")
+      )
+      .select(
+        col("cluster_id"),
+        col("n_members"),
+        col("n_formats"),
+        col("__s.mid").as("survivor_id")
+      )
+      .orderBy("cluster_id")
+  }
+
   /** q80: the UDTF surface (SURVEY.md §2.10) under the oracle gate —
     * per-document shingle profile computed entirely through the native
     * Generator [[graft.plans.ShingleExplode]] on the SQL surface
@@ -699,11 +777,13 @@ object MiscQueries {
     reports.reduce(_ unionByName _).orderBy("edge")
   }
 
-  /** Shared mm05/mm06 oracle CTE: the dHash sketch + band keys
-    * reconstructed in SQL (keep in lockstep with
-    * [[Multimodal.dHash64]] and [[mediaSketch]]).
+  /** Shared mm05/mm06/mm07 oracle CTEs: the dHash sketch + band keys
+    * reconstructed in SQL over an arbitrary `(doc_id, text)` source
+    * (keep in lockstep with [[Multimodal.dHash64]] and
+    * [[mediaSketch]]); `n_bytes` rides along for mm07's survivor
+    * rule.
     */
-  private def mm05SketchSql: String = {
+  private def mmSketchSql(src: String): String = {
     val bit = (0 until 64)
       .map { i =>
         s"""(CASE WHEN ascii(substr(text, 1 + ($i*(L-1))//64, 1))
@@ -712,18 +792,33 @@ object MiscQueries {
       }
       .mkString("(", " + ", ")")
     s"""WITH t AS (SELECT doc_id, text, length(text) AS L
-       |           FROM documents),
+       |           FROM ($src)),
        |p AS (SELECT doc_id AS media_id,
        |        ['jpeg','png','webp'][CAST(doc_id % 3 AS INT) + 1] AS format,
+       |        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        |        $bit AS phash
        |      FROM t),
-       |sk AS (SELECT media_id, format, phash,
+       |sk AS (SELECT media_id, format, n_bytes, phash,
        |  (phash >> 0) & 65535 AS band0,
        |  (phash >> 16) & 65535 AS band1,
        |  (phash >> 32) & 65535 AS band2,
        |  (phash >> 48) & 65535 AS band3
        |FROM p)""".stripMargin
   }
+
+  private def mm05SketchSql: String =
+    mmSketchSql("SELECT doc_id, text FROM documents")
+
+  /** mm07's corpus: documents plus a deterministic "re-encode wave" —
+    * every doc_id ≡ 0 (mod 5) re-enters under id + 10⁹ with its first
+    * character replaced (same length, so the dHash grid shifts by at
+    * most the one sample touching position 1 → Hamming ≤ 1).
+    */
+  private def mm07CorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000000, 'A' || substr(text, 2)
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
 
   private def integrityOracleSql: String =
     fkEdges
@@ -757,6 +852,7 @@ object MiscQueries {
     "mm03_decode_stats" -> decodeStats,
     "mm05_media_phash" -> mediaPhash,
     "mm06_phash_pairs" -> mediaPhashPairs,
+    "mm07_phash_clusters" -> mediaPhashClusters,
     "q80_udtf_shingles" -> udtfShingles,
     "q53_sql_exists" -> sqlExists,
     "q54_hash_split" -> hashSplit
@@ -916,6 +1012,32 @@ object MiscQueries {
          |  CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming,
          |  bit_count(xor(pa, pb)) <= $PHASH_HAM_T AS is_near
          |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    // the sketch over the planted-copy corpus, near edges, recursive
+    // reachability (the dedup06 oracle pattern), and the max-bytes/
+    // min-id survivor via a per-cluster row_number
+    "mm07_phash_clusters" ->
+      s"""${mmSketchSql(mm07CorpusSql).replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |near AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+         |  FROM sk a JOIN sk b ON a.media_id < b.media_id
+         |   AND (a.band0 = b.band0 OR a.band1 = b.band1
+         |     OR a.band2 = b.band2 OR a.band3 = b.band3)
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= $PHASH_HAM_T),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM near
+         |          UNION ALL SELECT id_b, id_a FROM near),
+         |reach(id, lbl) AS (
+         |  SELECT media_id, media_id FROM sk
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+         |rk AS (SELECT cl.cluster_id, cl.id, sk.format, sk.n_bytes,
+         |         row_number() OVER (PARTITION BY cl.cluster_id
+         |           ORDER BY sk.n_bytes DESC, cl.id) AS rn
+         |       FROM cl JOIN sk ON sk.media_id = cl.id)
+         |SELECT cluster_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(COUNT(DISTINCT format) AS BIGINT) AS n_formats,
+         |  MIN(CASE WHEN rn = 1 THEN id END) AS survivor_id
+         |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "mm03_decode_stats" ->
       """WITH h AS (SELECT doc_id AS media_id,
         |             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
