@@ -798,10 +798,95 @@ object TextQueries3 {
     s.createDataFrame(rows.asJava, schema).orderBy("seq")
   }
 
+  /** Line-boilerplate drop threshold: a line appearing in at least
+    * this many DISTINCT docs is stripped (RefinedWeb/CCNet line-dedup
+    * grain — headers, footers, nav chrome).
+    */
+  private val LINE_DF_T = 5
+
+  /** Words per pseudo-line for text41 (the fixture corpus has no
+    * newlines, so "lines" are deterministic 8-word windows — both
+    * engines derive the identical segmentation).
+    */
+  private val LINE_W = 8
+
+  /** text41: line-level boilerplate removal with text reconstruction
+    * — the RefinedWeb/CCNet line-dedup shape, complementing dedup29's
+    * gram-level scrub at the grain real web pipelines use (strip any
+    * LINE present in ≥ [[LINE_DF_T]] distinct docs; keep the rest in
+    * order). The fixture plants the structure the operator exists to
+    * strip (the mm07 discipline): every doc gets a per-source header
+    * line and a corpus-wide footer line, and the body is chunked into
+    * [[LINE_W]]-word pseudo-lines — so the gate shows headers/footers
+    * dropped (df = docs-per-source / corpus size) AND, beyond the
+    * plants, the fixture's own ≥5-copy exact-dup families losing
+    * their body lines, while unique body text survives verbatim.
+    *
+    * Scale: one shuffle counts per-line distinct docs, then ONLY the
+    * ≥T survivors — the boilerplate set, tiny by definition — come
+    * back as a BROADCAST lookup (the verdict needs the threshold bit,
+    * not each line's df, so the corpus-sized distinct-line table
+    * never joins back), and the doc-keyed reassembly is the second
+    * and last shuffle. Never all-pairs, no full-freq join.
+    */
+  private val lineBoilerplate: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+    val nChunks =
+      floor((size(col("w")) + lit(LINE_W - 1)) / lit(LINE_W)).cast("int")
+    val body = d
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), nChunks - 1),
+            i => array_join(slice(col("w"), i * LINE_W + 1, lit(LINE_W)), " ")
+          )
+        ).as(Seq("p", "line"))
+      )
+      .select(col("doc_id"), (col("p") + 1).as("pos"), col("line"))
+    val lines = d
+      .select(
+        col("doc_id"),
+        lit(0).as("pos"),
+        concat(lit("HDR "), col("source")).as("line")
+      )
+      .unionByName(body)
+      .unionByName(
+        d.select(col("doc_id"), lit(1000000).as("pos"),
+          lit("FTR common").as("line"))
+      )
+    val boiler = lines
+      .groupBy("line")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= LINE_DF_T)
+      .select(col("line"), lit(true).as("__boiler"))
+    lines
+      .join(broadcast(boiler), Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(
+              collect_list(
+                when(col("__boiler").isNull, struct(col("pos"), col("line")))
+              )
+            ),
+            x => x.getField("line")
+          ),
+          "\n"
+        ).as("clean_text")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text38_bpe_merges" -> bpeMerges,
     "text39_bpe_encode" -> bpeEncode,
     "text40_bpe_batch_learn" -> bpeBatchMerges,
+    "text41_line_boilerplate" -> lineBoilerplate,
     "text32_length_buckets" -> lengthBuckets,
     "text33_mlm_mask" -> mlmMask,
     "text34_temperature_mix" -> temperatureMix,
@@ -853,6 +938,34 @@ object TextQueries3 {
   }
 
   val oracle: Map[String, String] = Map(
+    // same planted lines (header/body-chunks/footer), same ≥T distinct-
+    // doc drop rule, reconstruction via ordered string_agg; the body
+    // chunk fan-out uses the constant-range + WHERE pattern (cdc15's)
+    // because DuckDB's range() takes no lateral column args — 1024
+    // bounds chunks at 8·1024 words/doc, far above the corpus max
+    "text41_line_boilerplate" ->
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+         |           FROM documents),
+         |body AS (SELECT doc_id, CAST(r.i + 1 AS INT) AS pos,
+         |    array_to_string(
+         |      w[CAST(r.i*$LINE_W+1 AS INT) : CAST(r.i*$LINE_W+$LINE_W AS INT)],
+         |      ' ') AS line
+         |  FROM d CROSS JOIN range(0, 1024) r(i)
+         |  WHERE r.i < (len(w) + ${LINE_W - 1}) // $LINE_W),
+         |lines AS (
+         |  SELECT doc_id, 0 AS pos, 'HDR ' || source AS line FROM d
+         |  UNION ALL SELECT doc_id, pos, line FROM body
+         |  UNION ALL SELECT doc_id, 1000000, 'FTR common' FROM d),
+         |freq AS (SELECT line, COUNT(DISTINCT doc_id) AS df
+         |         FROM lines GROUP BY line)
+         |SELECT l.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(SUM(CASE WHEN f.df >= $LINE_DF_T THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped,
+         |  COALESCE(string_agg(CASE WHEN f.df < $LINE_DF_T THEN l.line END,
+         |    chr(10) ORDER BY l.pos), '') AS clean_text
+         |FROM lines l JOIN freq f USING (line)
+         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
     // rounds unrolled as MATERIALIZED CTEs (the sim23/dedup22
     // discipline); the greedy left-to-right merge is the same fold,
     // expressed as list_reduce over single-element lists (DuckDB's
