@@ -413,6 +413,50 @@ object IvfStore {
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(ids)
   }
 
+  /** Point-fetch stored vectors BY ID — the "get embedding for this
+    * doc" serving path. On an indexed store the ids' hash buckets
+    * prune the sidecar read and the resolved cells prune the store
+    * read (both at the directory listing — `PartitionFilters`), so a
+    * B-id fetch costs O(B index buckets + holding cells), never
+    * O(store); without the sidecar it falls back to the column-pruned
+    * full id scan. Returns (vec_id, cell, embedding) for the ids
+    * present; absent ids are simply absent (a point lookup, not a
+    * validation — callers needing fail-on-missing anti-join the
+    * result against their request).
+    */
+  def fetch(spark: SparkSession, path: String, ids: DataFrame): DataFrame =
+    if (!hasIndex(spark, path))
+      PartitionedStore
+        .read(spark, path)
+        .join(ids.select("vec_id"), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("embedding"))
+    else {
+      val bkts = bucketsOf(ids)
+      val cells = cellsOf(spark, path, ids, bkts)
+      PartitionedStore
+        .read(spark, path)
+        .filter(col("cell").isin(cells: _*))
+        .join(ids.select("vec_id"), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("embedding"))
+    }
+
+  /** Cells currently holding any of `ids` — [[cellsByIndex]] as the
+    * ≤K-row driver read the write paths and [[fetch]] share.
+    */
+  private def cellsOf(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame,
+      bkts: Seq[Long]
+  ): Seq[Long] =
+    cellsByIndex(spark, path, ids, bkts)
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+
   /** The query's nProbe nearest cells, computed driver-side over the
     * K-row centroid table (deterministic tie-break on cell id).
     */

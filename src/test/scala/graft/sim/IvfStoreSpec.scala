@@ -111,6 +111,45 @@ class IvfStoreSpec extends SparkSpec {
     )
   }
 
+  test("fetch by id: sidecar prunes both reads; content is exact") {
+    val dir = Files.createTempDirectory("graft-ivf-fetch").toString
+    val emb = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
+    val cents = IvfStore.centroids(emb, K, STRIDE).localCheckpoint(true)
+    IvfStore.build(emb, cents, dir, indexed = true)
+
+    val ids = emb
+      .filter(pmod(col("vec_id"), lit(97)) === 3)
+      .select("vec_id")
+      .localCheckpoint(true)
+    val nIds = ids.count()
+    assert(nIds > 0)
+    val res = IvfStore.fetch(spark, dir, ids)
+    // the STORE read is cell-pruned at the listing (the fetch's whole
+    // point: B ids touch their holding cells, not the store)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("cell#") || plan.contains("cell IN"), plan)
+    // content: exactly the requested rows, each with its assigned cell
+    val got = res
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell")))
+      .toMap
+    assert(got.keySet === ids.collect().map(_.getLong(0)).toSet)
+    val expect = IvfStore
+      .assign(emb, cents)
+      .join(ids, Seq("vec_id"), "left_semi")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell"))
+      .toMap
+    assert(got === expect)
+    // absent ids are absent, not an error
+    import spark.implicits._
+    val none = IvfStore
+      .fetch(spark, dir, Seq(-12345L).toDF("vec_id"))
+      .count()
+    assert(none === 0)
+  }
+
   test("store upsert: re-embedding one cell rewrites only that cell") {
     val (dir, cents) = store
     val before = spark.read.parquet(dir)
