@@ -254,10 +254,148 @@ object DedupQueries4 {
       .orderBy("cluster_id")
   }
 
+  /** Boundary modulus for dedup39's content-defined chunking: a
+    * 3-word gram whose portable hash ≡ 0 (mod CDC_D) ends a chunk —
+    * expected chunk length CDC_D words (the LBFS/FastCDC rule at word
+    * grain).
+    */
+  private val CDC_D = 8L
+
+  /** Fixed-width comparison chunker for dedup39: every FIX_W words. */
+  private val FIX_W = 8
+
+  /** dedup39: content-defined chunking vs fixed-width chunking — the
+    * storage-dedup primitive (LBFS/FastCDC) the fixed-offset frame
+    * family (mm02/mm03) cannot provide: chunk boundaries derive from
+    * CONTENT (a 3-word gram hashing ≡ 0 mod [[CDC_D]]), so an
+    * insertion shifts only the chunk it lands in and boundaries
+    * re-synchronize immediately after, while every fixed-width chunk
+    * downstream of the insertion changes. The gate input plants
+    * exactly that hazard (the mm07/text41 discipline): every doc_id ≡
+    * 3 (mod 7) re-enters with one word PREPENDED — per source, the
+    * report's distinct-chunk counts then show CDC recovering the
+    * copies' storage (n_distinct_cdc ≪ n_chunks_cdc) while the fixed
+    * chunker recovers almost nothing (only untouched exact dups), the
+    * celebrated property as a checked table.
+    *
+    * One corpus pass: per-doc windows (lag gram + boundary prefix
+    * sum, both on the same (doc_id, i) sort, bounded by doc length),
+    * then each word fans out to its (chunker, chunk_idx) pair — both
+    * chunkings reassemble from ONE pipeline instead of re-deriving
+    * the scan per chunker — one chunk-assembly shuffle, and a
+    * sources-sized conditional rollup.
+    */
+  private val cdcChunks: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), col("text"))
+    val base = docs.unionByName(
+      docs
+        .filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select(
+          (col("doc_id") + lit(2000000000L)).as("doc_id"),
+          col("source"),
+          concat(lit("zzz "), col("text")).as("text")
+        )
+    )
+    val words = base.select(
+      col("doc_id"),
+      col("source"),
+      posexplode(split(col("text"), " ")).as(Seq("i", "word"))
+    )
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val g = words.withColumn(
+      "boundary",
+      when(
+        col("i") >= 2,
+        pmod(
+          PortableHash.h32(
+            concat_ws(
+              " ",
+              lag(col("word"), 2).over(w),
+              lag(col("word"), 1).over(w),
+              col("word")
+            )
+          ),
+          lit(CDC_D)
+        ) === 0
+      ).otherwise(lit(false))
+    )
+    val c = g.select(
+      col("doc_id"),
+      col("source"),
+      col("word"),
+      col("i"),
+      coalesce(
+        sum(when(col("boundary"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)
+      ).as("cdc_idx"),
+      floor(col("i") / FIX_W).as("fix_idx")
+    )
+    val tagged = c
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("word"),
+        col("i"),
+        explode(
+          array(
+            struct(lit("cdc").as("chunker"), col("cdc_idx").as("idx")),
+            struct(lit("fix").as("chunker"), col("fix_idx").as("idx"))
+          )
+        ).as("t")
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("word"),
+        col("i"),
+        col("t.chunker").as("chunker"),
+        col("t.idx").as("idx")
+      )
+    val chunks = tagged
+      .groupBy(col("doc_id"), col("source"), col("chunker"), col("idx"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("i"), col("word")))),
+            x => x.getField("word")
+          ),
+          " "
+        ).as("chunk")
+      )
+    val rollup = chunks
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("chunker") === "cdc", 1L).otherwise(0L))
+          .as("n_chunks_cdc"),
+        countDistinct(when(col("chunker") === "cdc", col("chunk")))
+          .as("n_distinct_cdc"),
+        sum(when(col("chunker") === "fix", 1L).otherwise(0L))
+          .as("n_chunks_fix"),
+        countDistinct(when(col("chunker") === "fix", col("chunk")))
+          .as("n_distinct_fix")
+      )
+    base
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(rollup, "source")
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_chunks_cdc"),
+        col("n_distinct_cdc"),
+        col("n_chunks_fix"),
+        col("n_distinct_fix")
+      )
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup36_semantic_decon_sketch" -> semanticDeconSketch,
     "dedup37_weighted_hdr_median" -> weightedHdrMedian,
-    "dedup38_cluster_transitivity" -> clusterTransitivity
+    "dedup38_cluster_transitivity" -> clusterTransitivity,
+    "dedup39_cdc_chunks" -> cdcChunks
   )
 
   /** One signature word's SQL mirror: global plane g = t·SIG_BITS + p
@@ -288,6 +426,57 @@ object DedupQueries4 {
     val pwSql =
       s"(CAST(1 AS BIGINT) << GREATEST(length(bin(v)) - 1 - ${Relational10.HDR_S}, 0))"
     Map(
+      // same planted corpus, same boundary rule (portable h32 of the
+      // lag-2..0 gram mod CDC_D), same prefix-sum chunk ids; word
+      // indexing via DuckDB's lambda-with-index (no WITH ORDINALITY)
+      "dedup39_cdc_chunks" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, source, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 2000000000, source, 'zzz ' || text
+           |  FROM documents WHERE doc_id % 7 = 3),
+           |words AS (
+           |  SELECT doc_id, source, u.word AS word,
+           |    CAST(u.i - 1 AS BIGINT) AS i
+           |  FROM (SELECT doc_id, source, unnest(
+           |          list_transform(string_split(text, ' '),
+           |            (x, j) -> {'i': j, 'word': x})) AS u
+           |        FROM base)),
+           |g AS (
+           |  SELECT doc_id, source, word, i,
+           |    CASE WHEN i >= 2 THEN
+           |      ${PortableHash.sqlH32(
+                  "lag(word, 2) OVER w || ' ' || lag(word, 1) OVER w" +
+                    " || ' ' || word")} % $CDC_D = 0
+           |    ELSE FALSE END AS boundary
+           |  FROM words
+           |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+           |c AS (
+           |  SELECT doc_id, source, word, i,
+           |    COALESCE(SUM(CASE WHEN boundary THEN 1 ELSE 0 END) OVER (
+           |      PARTITION BY doc_id ORDER BY i
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS cdc_idx,
+           |    i // $FIX_W AS fix_idx
+           |  FROM g),
+           |cdc_chunks AS (
+           |  SELECT doc_id, source, string_agg(word, ' ' ORDER BY i) AS chunk
+           |  FROM c GROUP BY doc_id, source, cdc_idx),
+           |fix_chunks AS (
+           |  SELECT doc_id, source, string_agg(word, ' ' ORDER BY i) AS chunk
+           |  FROM c GROUP BY doc_id, source, fix_idx),
+           |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks_cdc,
+           |        CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_distinct_cdc
+           |      FROM cdc_chunks GROUP BY source),
+           |b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks_fix,
+           |        CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_distinct_fix
+           |      FROM fix_chunks GROUP BY source),
+           |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           |      FROM base GROUP BY source)
+           |SELECT n.source, n.n_docs, a.n_chunks_cdc, a.n_distinct_cdc,
+           |  b.n_chunks_fix, b.n_distinct_fix
+           |FROM n JOIN a USING (source) JOIN b USING (source)
+           |ORDER BY n.source""".stripMargin,
       // per-cluster graph rollup over the clusterCtes' verified edges
       // + recursive reachability; the triangle count is the raw
       // 3-join form (the oracle states the SPEC — enumeration order

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Eleventh batch: pre-flight join economics and audience
@@ -207,12 +207,273 @@ object Relational11 {
       .orderBy("exact_tile", "approx_tile")
   }
 
+  /** q100: OHLC downsampling bars — the telemetry/market-data
+    * compaction every time-series store runs (candlesticks, metric
+    * rollups): per (event_type, hour), the bucket's OPEN and CLOSE
+    * values (earliest/latest under the total (ts, event_id) order —
+    * the A4 argmin/argmax, no window, no second scan), HIGH/LOW
+    * extremes, row count, and the decimal-exact value sum
+    * ([[Qx.dsum]]).
+    *
+    * The (ts, event_id) tiebreak is PACKED into one BIGINT —
+    * within-bucket micros (< 2³²) · 2³¹ + event_id — because
+    * min_by/max_by over a primitive key keeps the whole aggregation
+    * in HashAggregate with map-side partials, where a struct ordering
+    * key falls back to SortAggregate (a per-partition sort of the raw
+    * ticks). Domain: event_id < 2³¹ rides the pack; a wider id space
+    * packs into DECIMAL(38) the same way. The pack is order-isomorphic
+    * to (ts, event_id), so the oracle's `first(value ORDER BY ts,
+    * event_id)` states the same spec.
+    *
+    * Scale: one hash aggregation on (type, bucket) — downsampling
+    * 100 TB of raw ticks to bars is exactly one shuffle of the
+    * partially-aggregated bar table.
+    */
+  private val ohlcBars: Q = (s, dir) => {
+    graft.Tables(s, dir).events
+      .filter(col("value").isNotNull)
+      .select(
+        col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"),
+        (
+          (unix_micros(col("ts")) -
+            unix_micros(date_trunc("hour", col("ts")))) *
+            lit(2147483648L) + col("event_id")
+        ).as("ord"),
+        col("value")
+      )
+      .groupBy(col("event_type"), col("bucket_us"))
+      .agg(
+        min_by(col("value"), col("ord")).as("open"),
+        max_by(col("value"), col("ord")).as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n"),
+        Qx.dsum(col("value")).as("sum_value")
+      )
+      .orderBy("event_type", "bucket_us")
+  }
+
+  /** Bits per dimension for q101's Z-order curve (z spans 24 bits).
+    * Keys wider than 12 bits simply don't contribute their high bits
+    * — mod-4096 tiling, identical arithmetic in both engines, so the
+    * gate is exact at every SF; aliased keys merely SHARE buckets
+    * (zone-map soundness never depends on the curve), which degrades
+    * pruning exactly the way an undersized ZORDER column budget does
+    * in production — sizing Z_BITS to the real domain is the
+    * deployment knob.
+    */
+  private val Z_BITS = 12
+
+  /** Bucket count for both layouts: top 6 bits of the 24-bit key
+    * space → 64 equal-width buckets (a stand-in for "files" whose
+    * min/max footers are the zone maps).
+    */
+  private val Z_BUCKET_SHIFT = 2 * Z_BITS - 6
+
+  /** Morton interleave — [[graft.functions.Morton]] holds the shared
+    * arithmetic (q101 report + ZorderStore writer, one definition).
+    */
+  private def zInterleave(x: Column, y: Column): Column =
+    graft.functions.Morton.zValue(x, y, Z_BITS)
+
+  private def sqlZInterleave(x: String, y: String): String =
+    graft.functions.Morton.sqlZValue(x, y, Z_BITS)
+
+  /** q101's probe boxes: an x-selective band (the case linear
+    * layouts win), a y-selective band (the case they catastrophically
+    * lose — every file must be read), and a 2-D box (the Z-order
+    * sweet spot). Bounds chosen on bucket-width (64) boundaries so
+    * both engines face identical edge cases.
+    */
+  private val zProbes: Seq[(String, Long, Long, Long, Long)] = Seq(
+    ("x_band", 512L, 575L, 0L, 4095L),
+    ("y_band", 0L, 4095L, 512L, 575L),
+    ("xy_box", 512L, 767L, 512L, 767L)
+  )
+
+  /** q101: Z-order (Morton) clustering vs linear sort order, measured
+    * by the zone maps it produces — the data-layout decision behind
+    * Delta/Iceberg `OPTIMIZE ZORDER BY`: interleaving the bits of
+    * (custkey, order-day) gives every file a bounded box in BOTH
+    * dimensions, so a min/max footer check prunes 2-D probes, while
+    * the linear (custkey, day) sort gives tight custkey ranges but
+    * every file spans all days — a day-selective query reads 100% of
+    * a 100 TB table. Each row of the report is one (layout, probe)
+    * pair: bucket count, buckets whose zone map intersects the probe,
+    * rows inside those buckets (what a reader would SCAN), and the
+    * true match count (what it actually WANTS) — scan/match is the
+    * read amplification the layout choice controls.
+    *
+    * One corpus pass (the dedup39 tagged fan-out): each row computes
+    * its z-value map-side and fans out to its (layout, bucket) pair;
+    * per-probe match flags ride the same aggregation as the zone
+    * bounds, so the exact answer costs no second scan. The zone-map
+    * table is 64 rows/layout — the probe evaluation is driver-trivial
+    * but stays a relational rollup.
+    */
+  private val zorderLayout: Q = (s, dir) => {
+    val base = Tables(s, dir).orders.select(
+      col("o_custkey").cast("long").as("x"),
+      datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+        .cast("long")
+        .as("y")
+    )
+    val keyed = base.select(
+      col("x"),
+      col("y"),
+      explode(
+        array(
+          struct(
+            lit("zorder").as("layout"),
+            (zInterleave(col("x"), col("y")) / lit(1L << Z_BUCKET_SHIFT))
+              .cast("long")
+              .as("bucket")
+          ),
+          struct(
+            lit("linear").as("layout"),
+            ((col("x") * lit(1L << Z_BITS) + col("y")) /
+              lit(1L << Z_BUCKET_SHIFT)).cast("long").as("bucket")
+          )
+        )
+      ).as("t")
+    )
+    val probeCols = zProbes.map { case (nm, x0, x1, y0, y1) =>
+      sum(
+        when(
+          col("x").between(x0, x1) && col("y").between(y0, y1),
+          1L
+        ).otherwise(0L)
+      ).as(s"m_$nm")
+    }
+    val zoneAggs = Seq(
+      min(col("x")).as("min_x"),
+      max(col("x")).as("max_x"),
+      min(col("y")).as("min_y"),
+      max(col("y")).as("max_y"),
+      count(lit(1)).as("n")
+    ) ++ probeCols
+    val zones = keyed
+      .groupBy(col("t.layout").as("layout"), col("t.bucket").as("bucket"))
+      .agg(zoneAggs.head, zoneAggs.tail: _*)
+    // one broadcast cross join against the 3-row probe table instead
+    // of one groupBy per probe — the zone-map pipeline exists ONCE in
+    // the plan, not once per probe
+    val probes = s
+      .createDataFrame(
+        s.sparkContext.parallelize(zProbes.map {
+          case (nm, x0, x1, y0, y1) => org.apache.spark.sql.Row(nm, x0, x1, y0, y1)
+        }, 1),
+        org.apache.spark.sql.types.StructType(
+          Seq("probe", "px0", "px1", "py0", "py1").map { f =>
+            if (f == "probe")
+              org.apache.spark.sql.types
+                .StructField(f, org.apache.spark.sql.types.StringType, false)
+            else
+              org.apache.spark.sql.types
+                .StructField(f, org.apache.spark.sql.types.LongType, false)
+          }
+        )
+      )
+    val hit = col("min_x") <= col("px1") && col("max_x") >= col("px0") &&
+      col("min_y") <= col("py1") && col("max_y") >= col("py0")
+    val matched = coalesce(zProbes.map { case (nm, _, _, _, _) =>
+      when(col("probe") === nm, col(s"m_$nm"))
+    }: _*)
+    zones
+      .crossJoin(broadcast(probes))
+      .groupBy(col("layout"), col("probe"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(hit, 1L).otherwise(0L)).as("buckets_hit"),
+        sum(when(hit, col("n")).otherwise(0L)).as("rows_scanned"),
+        sum(matched).as("rows_matched")
+      )
+      .orderBy("layout", "probe")
+  }
+
+  /** q102's curve parameters: 14 bits per dimension covers the key
+    * domain at every fixture SF (o_custkey < 16384, order-day < 4096)
+    * — ZorderStore.write fails loudly rather than alias, so the store
+    * query must size the curve to the REAL domain, unlike q101's
+    * report which may tile.
+    */
+  private val ZS_BITS = 14
+  private val ZS_BUCKET_BITS = 6
+
+  /** q102: the Z-order store round-trip, gated — q101 reports WHY the
+    * layout wins; this query performs the ACTION and proves the
+    * pruned read is sound: build a [[graft.sources.ZorderStore]] from
+    * orders (one z_bucket-clustered partitioned write, the cdc15
+    * scratch-store pattern), run each q101 probe through
+    * `readBox` — partition-filter directory pruning + exact residual
+    * — and emit (probe, buckets the driver selected, rows the pruned
+    * read returned). The oracle re-derives the bucket selection with
+    * the same tile arithmetic over `range(0, 2^bucketBits)` and counts
+    * the box rows with a plain filter: a pruning bug that drops a
+    * directory shows up as a row-count mismatch, not a silent miss.
+    *
+    * Scale: the write is one hash shuffle on z_bucket; each probe
+    * read lists only the surviving directories (PartitionFilters —
+    * pinned in ZorderStoreSpec); the driver holds 2^bucketBits bucket
+    * ids and K probe counts, nothing data-sized.
+    */
+  private val zorderStore: Q = (s, dir) => {
+    val base = Tables(s, dir).orders.select(
+      col("o_custkey").cast("long").as("x"),
+      datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+        .cast("long")
+        .as("y")
+    )
+    val path =
+      java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    try {
+      graft.sources.ZorderStore
+        .write(base, path, "x", "y", ZS_BITS, ZS_BUCKET_BITS)
+      val rows = zProbes.map { case (nm, x0, x1, y0, y1) =>
+        val selected = graft.functions.Morton
+          .selectBuckets(ZS_BITS, ZS_BUCKET_BITS, x0, x1, y0, y1)
+        val n = graft.sources.ZorderStore
+          .readBox(s, path, "x", "y", ZS_BITS, ZS_BUCKET_BITS, x0, x1, y0, y1)
+          .count()
+        org.apache.spark.sql.Row(nm, selected.size.toLong, n)
+      }
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(
+          Seq(
+            org.apache.spark.sql.types
+              .StructField("probe", org.apache.spark.sql.types.StringType, false),
+            org.apache.spark.sql.types.StructField(
+              "n_buckets_selected",
+              org.apache.spark.sql.types.LongType,
+              false
+            ),
+            org.apache.spark.sql.types
+              .StructField("n_rows", org.apache.spark.sql.types.LongType, false)
+          )
+        )
+      ).orderBy("probe")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files
+        .walk(java.nio.file.Paths.get(path))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator()
+        .asScala
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q95_join_key_profile" -> joinKeyProfile,
     "q96_segment_overlap" -> segmentOverlap,
     "q97_cooccurrence_lift" -> cooccurrence,
     "q98_approx_ntile" -> approxNtile,
-    "q99_ntile_disagreement" -> ntileDisagreement
+    "q99_ntile_disagreement" -> ntileDisagreement,
+    "q100_ohlc_bars" -> ohlcBars,
+    "q101_zorder_layout" -> zorderLayout,
+    "q102_zorder_store" -> zorderStore
   )
 
   val oracle: Map[String, String] = Map(
@@ -267,7 +528,111 @@ object Relational11 {
          |SELECT ex.exact_tile, ap.tile AS approx_tile,
          |  CAST(COUNT(*) AS BIGINT) AS n
          |FROM ex JOIN ap USING (c_custkey)
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // open/close via DuckDB's ordered-aggregate first/last under the
+    // same total (ts, event_id) order as the Spark struct-extremes;
+    // bucket rendered in epoch-µs (the stream01/cdc07 convention)
+    "q100_ohlc_bars" ->
+      s"""SELECT event_type,
+         |  CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000
+         |    AS bucket_us,
+         |  first(value ORDER BY ts, event_id) AS open,
+         |  last(value ORDER BY ts, event_id) AS close,
+         |  MAX(value) AS high, MIN(value) AS low,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${Qx.sqlDsum("value")} AS sum_value
+         |FROM events WHERE value IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY event_type, bucket_us""".stripMargin,
+    // same Morton arithmetic (integer // and %, no bit builtins), the
+    // layout fan-out as UNION ALL, probes as a VALUES table; every
+    // SUM cast to BIGINT (DuckDB sums integers into HUGEINT)
+    "q101_zorder_layout" -> {
+      val probeValues = zProbes
+        .map { case (nm, x0, x1, y0, y1) => s"('$nm', $x0, $x1, $y0, $y1)" }
+        .mkString(", ")
+      val mCols = zProbes
+        .map { case (nm, x0, x1, y0, y1) =>
+          s"""CAST(SUM(CASE WHEN x BETWEEN $x0 AND $x1
+             |      AND y BETWEEN $y0 AND $y1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS m_$nm""".stripMargin
+        }
+        .mkString(",\n    ")
+      val mPick = zProbes
+        .map { case (nm, _, _, _, _) => s"WHEN '$nm' THEN m_$nm" }
+        .mkString(" ")
+      s"""WITH base AS (
+         |  SELECT CAST(o_custkey AS BIGINT) AS x,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01'
+         |      AS BIGINT) AS y
+         |  FROM orders),
+         |k AS (
+         |  SELECT x, y, 'zorder' AS layout,
+         |    (${sqlZInterleave("x", "y")}) // ${1L << Z_BUCKET_SHIFT}
+         |      AS bucket
+         |  FROM base
+         |  UNION ALL
+         |  SELECT x, y, 'linear' AS layout,
+         |    (x * ${1L << Z_BITS} + y) // ${1L << Z_BUCKET_SHIFT}
+         |      AS bucket
+         |  FROM base),
+         |zones AS (
+         |  SELECT layout, bucket,
+         |    MIN(x) AS min_x, MAX(x) AS max_x,
+         |    MIN(y) AS min_y, MAX(y) AS max_y,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    $mCols
+         |  FROM k GROUP BY 1, 2),
+         |p(probe, px0, px1, py0, py1) AS (VALUES $probeValues)
+         |SELECT layout, probe,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(SUM(CASE WHEN min_x <= px1 AND max_x >= px0
+         |    AND min_y <= py1 AND max_y >= py0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS buckets_hit,
+         |  CAST(SUM(CASE WHEN min_x <= px1 AND max_x >= px0
+         |    AND min_y <= py1 AND max_y >= py0 THEN n ELSE 0 END)
+         |    AS BIGINT) AS rows_scanned,
+         |  CAST(SUM(CASE probe $mPick END) AS BIGINT) AS rows_matched
+         |FROM zones CROSS JOIN p
+         |GROUP BY 1, 2 ORDER BY layout, probe""".stripMargin
+    },
+    // the pruning decision re-derived from first principles: every
+    // bucket id's tile corners via the same //-and-% deinterleave,
+    // intersected with each probe box; row counts from a plain filter
+    // — if readBox's partition pruning dropped a live directory, the
+    // n_rows columns would disagree
+    "q102_zorder_store" -> {
+      import graft.functions.Morton
+      val probeValues = zProbes
+        .map { case (nm, x0, x1, y0, y1) => s"('$nm', $x0, $x1, $y0, $y1)" }
+        .mkString(", ")
+      s"""WITH base AS (
+         |  SELECT CAST(o_custkey AS BIGINT) AS x,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01'
+         |      AS BIGINT) AS y
+         |  FROM orders),
+         |p(probe, px0, px1, py0, py1) AS (VALUES $probeValues),
+         |tiles AS (
+         |  SELECT g.b AS b,
+         |    ${Morton.sqlTileXmin("g.b", ZS_BITS, ZS_BUCKET_BITS)} AS xmin,
+         |    ${Morton.sqlTileYmin("g.b", ZS_BITS, ZS_BUCKET_BITS)} AS ymin
+         |  FROM range(0, ${1L << ZS_BUCKET_BITS}) g(b)),
+         |sel AS (
+         |  SELECT probe, CAST(COUNT(*) AS BIGINT) AS n_buckets_selected
+         |  FROM p JOIN tiles
+         |    ON xmin <= px1
+         |    AND xmin + ${Morton.tileXSpan(ZS_BITS, ZS_BUCKET_BITS)} >= px0
+         |    AND ymin <= py1
+         |    AND ymin + ${Morton.tileYSpan(ZS_BITS, ZS_BUCKET_BITS)} >= py0
+         |  GROUP BY 1),
+         |hits AS (
+         |  SELECT probe, CAST(COUNT(base.x) AS BIGINT) AS n_rows
+         |  FROM p LEFT JOIN base
+         |    ON x BETWEEN px0 AND px1 AND y BETWEEN py0 AND py1
+         |  GROUP BY 1)
+         |SELECT probe, n_buckets_selected, n_rows
+         |FROM sel JOIN hits USING (probe)
+         |ORDER BY probe""".stripMargin
+    }
   )
 
   /** The ONE SQL mirror of the exact-mode sketch read, shared by q98

@@ -882,7 +882,90 @@ object TextQueries3 {
       .orderBy("doc_id")
   }
 
+  /** text42's threshold grid: 21 margins t/20 of full scale for
+    * t ∈ [−10, 10] — brackets text28's production cut (qcTau = −0.1 =
+    * −2/20) so the swept curve contains the deployed operating point.
+    */
+  private val PR_T_MIN = -10
+  private val PR_T_MAX = 10
+
+  /** text42: classifier threshold sweep — the precision/recall curve
+    * every quality-filter deployment reads before picking its cut:
+    * text28's hashed-linear margin scored once per document, then a
+    * confusion row (tp/fp/fn/tn + precision/recall) per candidate
+    * threshold, with lang='en' as the fixture's ground-truth class
+    * (in production: the held-out labeled eval set). The sweep shows
+    * where the curve bends — the knee text28's single qcTau freezes.
+    *
+    * Exactness: the keep decision at threshold t/20 is the INTEGER
+    * comparison 20·margin_num > t·n_tokens·2³¹ (margin_num is
+    * text28's integer dot product), so no float crosses an engine
+    * boundary; precision/recall are floor-divided ppm integers.
+    *
+    * Shape at scale: one corpus scan computes (truth, margin_num,
+    * n_tokens) map-side; the 21-way threshold fan-out happens on the
+    * 3-column doc row and collapses to 21 partial rows per partition
+    * (map-side combine) — the shuffle carries 21·partitions rows, not
+    * 21·corpus.
+    */
+  private val prSweep: Q = (s, dir) => {
+    val w = typedLit(TextQueries2.qcWeights)
+    val scored = docs(s, dir).select(
+      (col("lang") === "en").as("truth"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      aggregate(
+        tokens(col("text")),
+        lit(0L),
+        (acc, t) =>
+          acc + element_at(
+            w,
+            (pmod(PortableHash.h32(t), lit(TextQueries2.qcDim)) + 1)
+              .cast("int")
+          )
+      ).as("margin_num")
+    )
+    val conf = scored
+      .select(
+        col("truth"),
+        col("n_tokens"),
+        col("margin_num"),
+        explode(
+          typedLit((PR_T_MIN to PR_T_MAX).toList)
+        ).as("t")
+      )
+      .withColumn(
+        "keep",
+        col("margin_num") * 20L >
+          col("t").cast("long") * col("n_tokens") * lit(2147483648L)
+      )
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("truth") && col("keep"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("truth") && col("keep"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("truth") && !col("keep"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("truth") && !col("keep"), 1L).otherwise(0L)).as("tn")
+      )
+    conf
+      .select(
+        col("t"),
+        col("tp"),
+        col("fp"),
+        col("fn"),
+        col("tn"),
+        when(
+          col("tp") + col("fp") > 0L,
+          expr("(tp * 1000000) div (tp + fp)")
+        ).as("precision_ppm"),
+        when(
+          col("tp") + col("fn") > 0L,
+          expr("(tp * 1000000) div (tp + fn)")
+        ).as("recall_ppm")
+      )
+      .orderBy("t")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text42_pr_sweep" -> prSweep,
     "text38_bpe_merges" -> bpeMerges,
     "text39_bpe_encode" -> bpeEncode,
     "text40_bpe_batch_learn" -> bpeBatchMerges,
@@ -938,6 +1021,41 @@ object TextQueries3 {
   }
 
   val oracle: Map[String, String] = Map(
+    // text28's margin mirror (same weights literal, same hashed
+    // buckets), the integer keep comparison at each grid threshold,
+    // ppm ratios via floor integer division on both engines
+    "text42_pr_sweep" -> {
+      val wlit = TextQueries2.qcWeights.mkString("[", ",", "]")
+      s"""WITH s AS (
+         |  SELECT lang = 'en' AS truth,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform($toksSql,
+         |      t -> ($wlit)[CAST(${PortableHash.sqlH32("t")}
+         |             % ${TextQueries2.qcDim} AS INT) + 1]))
+         |      AS BIGINT) AS margin_num
+         |  FROM documents),
+         |k AS (
+         |  SELECT truth, CAST(g.t AS INT) AS t,
+         |    margin_num * 20 > g.t * n_tokens * 2147483648 AS keep
+         |  FROM s, range($PR_T_MIN, ${PR_T_MAX + 1}) g(t)),
+         |conf AS (
+         |  SELECT t,
+         |    CAST(SUM(CASE WHEN truth AND keep THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN NOT truth AND keep THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN truth AND NOT keep THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN NOT truth AND NOT keep THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tn
+         |  FROM k GROUP BY 1)
+         |SELECT t, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) END
+         |    AS precision_ppm,
+         |  CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) END
+         |    AS recall_ppm
+         |FROM conf ORDER BY t""".stripMargin
+    },
     // same planted lines (header/body-chunks/footer), same ≥T distinct-
     // doc drop rule, reconstruction via ordered string_agg; the body
     // chunk fan-out uses the constant-range + WHERE pattern (cdc15's)

@@ -39,7 +39,8 @@ class WholeSurfacePlanAuditSpec extends SparkSpec {
     "sim11_quantized_topk",           // broadcast query vectors
     "sim17_hardneg",
     "sim24_binary_topk",              // query + Hamming shortlist broadcasts
-    "dedup36_semantic_decon_sketch"   // eval signatures vs one corpus scan
+    "dedup36_semantic_decon_sketch",  // eval signatures vs one corpus scan
+    "q101_zorder_layout"              // 3-row probe table vs 64-row zone maps
   )
 
   private def walk(p: SparkPlan): Seq[SparkPlan] =
