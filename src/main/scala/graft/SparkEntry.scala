@@ -32,6 +32,7 @@ object SparkEntry {
       ops.StreamQueries.queries ++
       ops.PrivacyQueries.queries ++
       ops.TimeSeriesQueries.queries ++
+      ops.MediaQueries.queries ++
       ops.MiscQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -51,5 +52,6 @@ object SparkEntry {
       ops.StreamQueries.oracle ++
       ops.PrivacyQueries.oracle ++
       ops.TimeSeriesQueries.oracle ++
+      ops.MediaQueries.oracle ++
       ops.MiscQueries.oracle
 }

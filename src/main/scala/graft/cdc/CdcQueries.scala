@@ -351,7 +351,71 @@ object CdcQueries {
       .orderBy("id")
   }
 
+  /** cdc17: per-key hash chain over the change log — the tamper-
+    * evidence a replicated CDC pipeline carries so a replica can prove
+    * it applied exactly the source's op sequence (a blockchain-shaped
+    * fold, Debezium-to-audit-log shape): for each key, fold
+    * [[graft.functions.PortableHash]] over the (ts, seq)-ordered ops —
+    * chain = h32(...h32(r₁ ‖ r₂) ‖ r₃...) where rᵢ renders
+    * (op, content, seq) — so any dropped, duplicated, reordered, or
+    * altered op changes the key's final chain value. The gate compares
+    * chains computed by two INDEPENDENT engines from the same log: the
+    * strongest possible replay-integrity statement the harness can
+    * make. `value` stays out of the render (float formatting is not
+    * cross-engine stable); `ts` orders but does not render (timestamp
+    * formatting likewise).
+    *
+    * Shape at scale: one hash shuffle on the key; each key's fold is a
+    * bounded array HOF (ops-per-key, the materializer's own bound) —
+    * no iteration, no driver state. Verifying a replica = running the
+    * same one-aggregation query there and diffing two chain columns.
+    */
+  private val hashChain: Q = (s, dir) => {
+    val log = changeLog(s, dir)
+    val rendered = log.select(
+      col("id"),
+      struct(col("ts"), col("seq"), col("op"), col("content")).as("r")
+    )
+    val chained = rendered
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_ops"),
+        sort_array(collect_list(col("r"))).as("ops")
+      )
+      .select(
+        col("id"),
+        col("n_ops"),
+        aggregate(
+          transform(
+            col("ops"),
+            x =>
+              concat_ws(
+                "|",
+                x.getField("op"),
+                x.getField("content"),
+                x.getField("seq").cast("string")
+              )
+          ),
+          lit(""),
+          (acc, x) =>
+            when(acc === "", x).otherwise(
+              graft.functions.PortableHash
+                .h32(concat(acc, lit(" "), x))
+                .cast("string")
+            )
+        ).as("tail")
+      )
+    chained
+      .select(
+        col("id"),
+        col("n_ops"),
+        graft.functions.PortableHash.h32(col("tail")).as("chain")
+      )
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cdc17_hash_chain" -> hashChain,
     "cdc14_envelope" -> envelopeDecode,
     "cdc11_compaction" -> compaction,
     "cdc09_time_travel" -> timeTravel,
@@ -388,6 +452,28 @@ object CdcQueries {
       |FROM events""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the same fold from first principles: structs sort by (ts, seq)
+    // in both engines, renders drop ts/value (format-unstable), the
+    // chain folds left with the first render as the seed
+    "cdc17_hash_chain" -> {
+      val h = (e: String) => graft.functions.PortableHash.sqlH32(e)
+      s"""WITH log AS ($logSql),
+         |g AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_ops,
+         |    list_transform(
+         |      list_sort(list(struct_pack(ts := ts, seq := seq,
+         |                                 op := op, content := content))),
+         |      x -> concat_ws('|', x.op, x.content,
+         |                     CAST(x.seq AS VARCHAR))) AS rs
+         |  FROM log GROUP BY id),
+         |t AS (
+         |  SELECT id, n_ops,
+         |    list_reduce(rs, (acc, x) ->
+         |      CAST(${h("concat(acc, ' ', x)")} AS VARCHAR)) AS tail
+         |  FROM g)
+         |SELECT id, n_ops, ${h("tail")} AS chain
+         |FROM t ORDER BY id""".stripMargin
+    },
     // the oracle builds and parses ITS OWN envelopes (DuckDB json_*):
     // each engine must round-trip the payload through real JSON —
     // string-identical wire bytes are not required (key order/number

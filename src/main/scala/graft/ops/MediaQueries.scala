@@ -1,0 +1,185 @@
+package graft.ops
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second multimodal batch: temporal segmentation — the video/audio
+  * structure pass (shot-boundary detection, VAD-style segmenting)
+  * that turns a flat frame sequence into editable units.
+  */
+object MediaQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** mm08 frame width in bytes (payloads are ASCII, so char = byte). */
+  private val SEG_CHUNK = 64
+
+  /** mm08 boundary threshold: a cut is declared when consecutive
+    * frames' mean byte values differ by more than this (integer
+    * mean-shift units; the planted scene block shifts the mean by
+    * ~20).
+    */
+  private val SEG_T = 8L
+
+  /** mm08: shot-boundary detection over per-frame features — the
+    * temporal-segmentation pass of a video/audio pipeline (PySceneDetect's
+    * content detector, VAD segmentation): frame f's feature here is its
+    * mean byte value (the decode stub per the multimodal contract — a
+    * real build computes a frame histogram/embedding at the
+    * [[Multimodal.decodeFeatures]] codec seam and NOTHING downstream
+    * changes), and a cut is declared where the feature jumps. The gate
+    * input plants a scene change (media_id ≡ 1 mod 6 gets a high-byte
+    * block appended), so the report shows REAL multi-shot media, not
+    * detector noise. Per medium: frame count, shot count, and the
+    * longest shot's length — the units a frame-sampler or clip
+    * extractor consumes.
+    *
+    * Exactness: the cut test is the cross-multiplied integer compare
+    * |sum_f·len_prev − sum_prev·len_f| > T·len_f·len_prev (no float
+    * means), and every per-frame sum is a bounded HOF over ≤64 chars.
+    *
+    * Shape at scale: frames fan out map-side (posexplode of in-payload
+    * offsets); the lag/cumsum windows partition by media_id — bounded
+    * by payload length, never global; one groupBy(media_id) rollup
+    * ends the pipeline. 100 TB of video segments with one shuffle of
+    * the frame table (and the frame table itself never carries payload
+    * bytes — only offsets and 2 integers per frame).
+    */
+  private val shotBounds: Q = (s, dir) => {
+    val media = Multimodal
+      .asMediaTable(Tables(s, dir).documents)
+      .select(
+        col("media_id"),
+        // decode stub: features come from the payload text (ASCII)
+        decode(col("payload"), "UTF-8").as("text")
+      )
+      .withColumn(
+        "text",
+        when(
+          pmod(col("media_id"), lit(6)) === 1,
+          concat(col("text"), lit(" "), repeat(lit("~~~~"), 40))
+        ).otherwise(col("text"))
+      )
+    // per-frame features computed INSIDE the offsets array (nested
+    // HOF), so the exploded frame table carries two integers per
+    // frame — never the payload
+    val frames = media
+      .select(
+        col("media_id"),
+        posexplode(
+          transform(
+            Multimodal.frameOffsets(encode(col("text"), "UTF-8"), SEG_CHUNK),
+            off =>
+              struct(
+                least(
+                  lit(SEG_CHUNK.toLong),
+                  length(col("text")).cast("long") - off
+                ).as("flen"),
+                aggregate(
+                  sequence(
+                    lit(1),
+                    least(lit(SEG_CHUNK), length(col("text")) - off)
+                  ),
+                  lit(0L),
+                  (acc, i) =>
+                    acc + ascii(substr(col("text"), off + i, lit(1)))
+                      .cast("long")
+                ).as("fsum")
+              )
+          )
+        ).as(Seq("frame_idx", "fr"))
+      )
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        col("fr.flen").as("flen"),
+        col("fr.fsum").as("fsum")
+      )
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    val cuts = frames
+      .withColumn("prev_sum", lag(col("fsum"), 1).over(w))
+      .withColumn("prev_len", lag(col("flen"), 1).over(w))
+      .withColumn(
+        "cut",
+        coalesce(
+          abs(
+            col("fsum") * col("prev_len") - col("prev_sum") * col("flen")
+          ) > lit(SEG_T) * col("flen") * col("prev_len"),
+          lit(false)
+        )
+      )
+      .withColumn(
+        "shot_id",
+        sum(when(col("cut"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+      )
+    cuts
+      .groupBy(col("media_id"), col("shot_id"))
+      .agg(count(lit(1)).as("shot_frames"))
+      .groupBy(col("media_id"))
+      .agg(
+        sum(col("shot_frames")).as("n_frames"),
+        count(lit(1)).as("n_shots"),
+        max(col("shot_frames")).as("longest_shot")
+      )
+      .orderBy("media_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mm08_shot_bounds" -> shotBounds
+  )
+
+  val oracle: Map[String, String] = Map(
+    // same plant, same 64-byte frames, same integer cross-multiplied
+    // cut test; frame sums via list_transform over the in-frame
+    // offsets (payloads are ASCII so ascii(substr) = byte value)
+    "mm08_shot_bounds" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |    CASE WHEN doc_id % 6 = 1
+         |      THEN text || ' ' || repeat('~~~~', 40)
+         |      ELSE text END AS text
+         |  FROM documents),
+         |f AS (
+         |  SELECT media_id, CAST(g.i AS INT) AS frame_idx,
+         |    CAST(least($SEG_CHUNK, length(text) - g.i * $SEG_CHUNK)
+         |      AS BIGINT) AS flen,
+         |    CAST(list_sum(list_transform(
+         |      range(1, CAST(least($SEG_CHUNK,
+         |        length(text) - g.i * $SEG_CHUNK) AS BIGINT) + 1),
+         |      j -> ascii(substr(text,
+         |        CAST(g.i * $SEG_CHUNK + j AS INT), 1))))
+         |      AS BIGINT) AS fsum
+         |  FROM m, range(0, 100000) g(i)
+         |  WHERE g.i * $SEG_CHUNK < length(text)),
+         |c AS (
+         |  SELECT media_id, frame_idx, flen, fsum,
+         |    lag(fsum) OVER w AS prev_sum,
+         |    lag(flen) OVER w AS prev_len
+         |  FROM f WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+         |k AS (
+         |  SELECT media_id, frame_idx,
+         |    COALESCE(
+         |      abs(fsum * prev_len - prev_sum * flen)
+         |        > $SEG_T * flen * prev_len,
+         |      FALSE) AS cut
+         |  FROM c),
+         |sh AS (
+         |  SELECT media_id, frame_idx,
+         |    SUM(CASE WHEN cut THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY media_id ORDER BY frame_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS shot_id
+         |  FROM k),
+         |per AS (
+         |  SELECT media_id, shot_id, CAST(COUNT(*) AS BIGINT) AS shot_frames
+         |  FROM sh GROUP BY 1, 2)
+         |SELECT media_id, CAST(SUM(shot_frames) AS BIGINT) AS n_frames,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shots,
+         |  CAST(MAX(shot_frames) AS BIGINT) AS longest_shot
+         |FROM per GROUP BY 1 ORDER BY media_id""".stripMargin
+  )
+}
