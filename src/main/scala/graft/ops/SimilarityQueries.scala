@@ -781,7 +781,109 @@ object SimilarityQueries {
       .orderBy("cluster_id")
   }
 
+  /** sim25's probe-budget grid (saturates harmlessly past the label
+    * count — the curve's flat tail IS the "stop paying" signal).
+    */
+  private val NPROBES = Seq(1, 2, 3, 5, 8, 10)
+
+  /** sim25: the IVF operating curve — recall@K vs nprobe, the
+    * calibration table every IVF deployment reads to pick its probe
+    * budget (FAISS's nprobe sweep; the dedup27 LSH-curve discipline
+    * applied to sim06's index): for each budget p, rank candidates
+    * within the p best-probing lists only and measure the overlap
+    * with the exact top-K. Because list eligibility is MONOTONE in p,
+    * the whole sweep reuses ONE scoring pass: every (query, neighbor)
+    * carries its list's probe rank `pr` and its exact rank, the
+    * budget grid fans out on those 4-integer rows (map-side, text42's
+    * shape), and rank-within-budget is a per-(query, p) window.
+    *
+    * Output per nprobe: candidates scanned (the COST — rows an IVF
+    * reader touches), hits (exact-top-K members the budget retains in
+    * its own top-K), and floor-divided recall ppm. Exactly integer:
+    * ranks tie-break on neighbor_id, hits/candidates are counts.
+    *
+    * Scale: the sweep is offline calibration over a query SAMPLE
+    * (queries broadcast; one corpus scan scores all lists — the same
+    * pass serving at nprobe = max would do); the per-(query, p)
+    * windows are bounded by the sampled candidates, never the corpus.
+    */
+  private val nprobeCurve: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    val reps = emb
+      .groupBy(col("label"))
+      .agg(min(col("vec_id")).as("rep_id"))
+      .join(
+        emb.select(col("vec_id").as("rep_id"), col("embedding").as("rep_vec")),
+        "rep_id"
+      )
+    val q = queriesDf(s, dir)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    import org.apache.spark.sql.expressions.Window
+    val wProbe = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rep_sim").desc, col("label").asc)
+    val lists = q
+      .crossJoin(broadcast(reps))
+      .select(
+        col("query_id"),
+        col("qv"),
+        col("label"),
+        graft.plans.CosineSimilarity(s, col("qv"), col("rep_vec")).as("rep_sim")
+      )
+      .withColumn("pr", row_number().over(wProbe))
+      .select("query_id", "qv", "label", "pr")
+    val wExact = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val cand = lists
+      .join(emb, Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("pr"),
+        col("vec_id").as("neighbor_id"),
+        graft.plans
+          .CosineSimilarity(s, col("qv"), col("embedding"))
+          .as("cos_sim")
+      )
+      .withColumn("exact_rank", row_number().over(wExact))
+    val wBudget = Window
+      .partitionBy(col("query_id"), col("nprobe"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val swept = cand
+      .select(
+        col("query_id"),
+        col("pr"),
+        col("neighbor_id"),
+        col("cos_sim"),
+        col("exact_rank"),
+        explode(typedLit(NPROBES.toList)).as("nprobe")
+      )
+      .filter(col("pr") <= col("nprobe"))
+      .withColumn("budget_rank", row_number().over(wBudget))
+    swept
+      .groupBy(col("nprobe"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(
+          when(
+            col("budget_rank") <= TOPK && col("exact_rank") <= TOPK,
+            1L
+          ).otherwise(0L)
+        ).as("hits")
+      )
+      .select(
+        col("nprobe"),
+        col("n_candidates"),
+        col("hits"),
+        expr(s"(hits * 1000000) div (${TOPK.toLong} * ${QUERY_IDS.size.toLong})")
+          .as("recall_ppm")
+      )
+      .orderBy("nprobe")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim25_nprobe_curve" -> nprobeCurve,
     "sim18_kmeans" -> kmeansStep,
     "sim17_hardneg" -> hardNegatives,
     "sim16_semdedup" -> semDedup,
@@ -887,6 +989,49 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
 
   private val baseOracle: Map[String, String] = Map(
+    // one scored pass, probe ranks and exact ranks as integers, the
+    // budget grid as a VALUES join, rank-within-budget per (query, p)
+    "sim25_nprobe_curve" -> {
+      val grid = NPROBES.map(p => s"($p)").mkString(", ")
+      s"""WITH reps AS (
+         |  SELECT l.label, e.embedding AS rep_vec
+         |  FROM (SELECT label, min(vec_id) AS rep_id FROM embeddings
+         |        GROUP BY label) l
+         |  JOIN embeddings e ON e.vec_id = l.rep_id),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id IN $qIdsSql),
+         |lists AS (
+         |  SELECT query_id, qv, label, pr FROM (
+         |    SELECT q.query_id, q.qv, r.label,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosSql("q.qv", "r.rep_vec")} DESC, r.label ASC)
+         |        AS pr
+         |    FROM q CROSS JOIN reps r)),
+         |cand AS (
+         |  SELECT l.query_id, l.pr, e.vec_id AS neighbor_id,
+         |         ${cosSql("l.qv", "e.embedding")} AS cos_sim
+         |  FROM lists l JOIN embeddings e ON e.label = l.label
+         |  WHERE e.vec_id <> l.query_id),
+         |er AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY cos_sim DESC, neighbor_id ASC) AS exact_rank
+         |       FROM cand),
+         |sw AS (
+         |  SELECT er.*, CAST(g.p AS INT) AS nprobe
+         |  FROM er JOIN (VALUES $grid) g(p) ON er.pr <= g.p),
+         |br AS (SELECT *, ROW_NUMBER() OVER (
+         |         PARTITION BY query_id, nprobe
+         |         ORDER BY cos_sim DESC, neighbor_id ASC) AS budget_rank
+         |       FROM sw),
+         |agg AS (
+         |  SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |    CAST(SUM(CASE WHEN budget_rank <= $TOPK
+         |      AND exact_rank <= $TOPK THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS hits
+         |  FROM br GROUP BY 1)
+         |SELECT nprobe, n_candidates, hits,
+         |  (hits * 1000000) // ${TOPK.toLong * QUERY_IDS.size} AS recall_ppm
+         |FROM agg ORDER BY nprobe""".stripMargin
+    },
     // the oracle states the SPEC (nearest seed by exact integer
     // squared-L2); the Spark side's broadcast scoring must land on
     // the identical assignment

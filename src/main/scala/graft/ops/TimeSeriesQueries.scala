@@ -135,14 +135,106 @@ object TimeSeriesQueries {
       .orderBy("event_type")
   }
 
+  /** Seasonal period for q103, in hour buckets (daily seasonality). */
+  private val SEASON_H = 24L
+
+  /** q103: seasonal-naive forecast-error audit (MASE's integer core)
+    * — the "is this series forecastable, and does seasonality help"
+    * check a capacity planner runs before trusting any model: per
+    * (event_type, hour) the series is the hour's exact value total in
+    * cents; the seasonal-naive forecast for hour t is the value at
+    * t−24h, the benchmark naive forecast is t−1h, and the report per
+    * series is Σ|y−ŷ| for both plus their floor-divided ppm ratio —
+    * MASE < 1e6 means daily seasonality genuinely predicts the
+    * series. Only hours with BOTH references present score (gaps
+    * produce no phantom zero-forecasts); both reference lookups ride
+    * one lag window over lag-(1) and lag-(24) structs carrying their
+    * bucket, validated by bucket arithmetic, so a gap disqualifies
+    * rather than silently shifting the season.
+    *
+    * Exactness: hourly totals are BIGINT cents (one hash aggregation
+    * with map-side partials), absolute errors and their sums stay
+    * BIGINT, the ratio is floor-divided ppm. Shape at scale: the
+    * window partitions by series over hour-bucket ROWS (8,760
+    * rows/series-year — bounded), not raw events.
+    */
+  private val seasonalError: Q = (s, dir) => {
+    val hourly = Tables(s, dir).events
+      .filter(col("value").isNotNull)
+      .groupBy(
+        col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("bucket_us")
+      )
+      .agg(sum(centi(col("value"))).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+    val hourUs = 3600L * 1000000L
+    val scored = hourly
+      .withColumn("p1", lag(struct(col("bucket_us"), col("cents")), 1).over(w))
+      .withColumn(
+        "p24",
+        lag(struct(col("bucket_us"), col("cents")), SEASON_H.toInt).over(w)
+      )
+      .filter(
+        col("p1.bucket_us") === col("bucket_us") - hourUs &&
+          col("p24.bucket_us") === col("bucket_us") - lit(SEASON_H * hourUs)
+      )
+    scored
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_scored"),
+        sum(abs(col("cents") - col("p24.cents"))).as("sae_seasonal"),
+        sum(abs(col("cents") - col("p1.cents"))).as("sae_naive")
+      )
+      .select(
+        col("event_type"),
+        col("n_scored"),
+        col("sae_seasonal"),
+        col("sae_naive"),
+        when(
+          col("sae_naive") > 0L,
+          expr("(sae_seasonal * 1000000) div sae_naive")
+        ).as("mase_ppm")
+      )
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q93_drift" -> drift,
-    "q94_autocorr" -> autocorr
+    "q94_autocorr" -> autocorr,
+    "q103_seasonal_error" -> seasonalError
   )
 
   private val centiSql = "CAST(round(value * 100) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // hourly BIGINT-cent totals, lag structs carrying their bucket so
+    // gaps disqualify instead of shifting the season, ppm floor div
+    "q103_seasonal_error" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000
+         |      AS bucket_us,
+         |    CAST(SUM($centiSql) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |l AS (
+         |  SELECT event_type, bucket_us, cents,
+         |    lag(bucket_us, 1) OVER w AS b1, lag(cents, 1) OVER w AS c1,
+         |    lag(bucket_us, 24) OVER w AS b24, lag(cents, 24) OVER w AS c24
+         |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us)),
+         |sc AS (
+         |  SELECT event_type, cents, c1, c24 FROM l
+         |  WHERE b1 = bucket_us - 3600000000
+         |    AND b24 = bucket_us - ${24L * 3600000000L}),
+         |a AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         |    CAST(SUM(abs(cents - c24)) AS BIGINT) AS sae_seasonal,
+         |    CAST(SUM(abs(cents - c1)) AS BIGINT) AS sae_naive
+         |  FROM sc GROUP BY 1)
+         |SELECT event_type, n_scored, sae_seasonal, sae_naive,
+         |  CASE WHEN sae_naive > 0
+         |    THEN (sae_seasonal * 1000000) // sae_naive END AS mase_ppm
+         |FROM a ORDER BY event_type""".stripMargin,
     "q93_drift" -> {
       val frame = (a: String, b: String) =>
         s"""OVER (PARTITION BY event_type ORDER BY ts, event_id

@@ -40,7 +40,8 @@ class WholeSurfacePlanAuditSpec extends SparkSpec {
     "sim17_hardneg",
     "sim24_binary_topk",              // query + Hamming shortlist broadcasts
     "dedup36_semantic_decon_sketch",  // eval signatures vs one corpus scan
-    "q101_zorder_layout"              // 3-row probe table vs 64-row zone maps
+    "q101_zorder_layout",             // 3-row probe table vs 64-row zone maps
+    "sim25_nprobe_curve"              // sim06's probed-centroid set, swept
   )
 
   private def walk(p: SparkPlan): Seq[SparkPlan] =
