@@ -128,11 +128,133 @@ object MediaQueries {
       .orderBy("media_id")
   }
 
+  /** mm09's resolution ladder: the (width, height) training shapes a
+    * compiled image trainer caches kernels for (the SDXL bucketing
+    * ladder's shape — square plus portrait/landscape pairs around the
+    * same pixel budget).
+    */
+  private val AR_LADDER: Seq[(Int, Int, Int)] = Seq(
+    (1, 512, 512),
+    (2, 448, 576),
+    (3, 576, 448),
+    (4, 384, 640),
+    (5, 640, 384)
+  )
+
+  /** LCM of the ladder heights — makes mm09's closest-aspect score an
+    * exact integer (num·(LCM/th)) instead of a float ratio.
+    */
+  private val AR_LCM: Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    AR_LADDER.map(_._3.toLong).reduce((a, b) => a / gcd(a, b) * b)
+  }
+
+  /** mm09: aspect-ratio bucketing — the image-batching assignment
+    * (SDXL-style resolution ladders, any multi-aspect trainer): each
+    * image goes to the ladder shape whose aspect is CLOSEST to its
+    * own, so a batch pads/crops minimally instead of squashing every
+    * image square. Closest is decided in exact integer arithmetic:
+    * |w/h − tw/th| comparisons cross-multiply to
+    * |w·th₁ − h·tw₁|·th₂ < |w·th₂ − h·tw₂|·th₁ (denominators
+    * positive), ties to the lower ladder index — no float ratio ever
+    * exists, so the assignment is bit-identical in both engines. Per
+    * bucket: image count, the aspect range it absorbed (ppm), and the
+    * summed |w·th − h·tw| mismatch — the crop/pad budget the ladder
+    * choice controls.
+    *
+    * Shape at scale: the ladder is a plan literal, the argmin is a
+    * bounded fold over 5 candidates per row (map-side, no shuffle),
+    * and the report is one ladder-sized hash aggregation.
+    */
+  private val aspectBuckets: Q = (s, dir) => {
+    val media = Multimodal
+      .asMediaTable(Tables(s, dir).documents)
+      .select(col("media_id"), col("width").cast("long").as("w"),
+        col("height").cast("long").as("h"))
+    val ladder = typedLit(AR_LADDER.map { case (i, tw, th) => (i, tw, th) })
+    val best = media.select(
+      col("media_id"),
+      col("w"),
+      col("h"),
+      aggregate(
+        ladder,
+        struct(
+          lit(0).as("idx"),
+          lit(0L).as("tw"),
+          lit(0L).as("th"),
+          lit(0L).as("num"),
+          lit(-1L).as("score")
+        ),
+        (acc, t) => {
+          val num =
+            abs(col("w") * t.getField("_3") - col("h") * t.getField("_2"))
+          // |w/h − tw/th| ranks as num·(LCM/th): every ladder height
+          // divides AR_LCM, so the score is an exact integer and the
+          // comparison never touches a float ratio
+          val score = num * (lit(AR_LCM) / t.getField("_3")).cast("long")
+          val better =
+            acc.getField("score") === -1L || score < acc.getField("score")
+          when(
+            better,
+            struct(
+              t.getField("_1").as("idx"),
+              t.getField("_2").cast("long").as("tw"),
+              t.getField("_3").cast("long").as("th"),
+              num.as("num"),
+              score.as("score")
+            )
+          ).otherwise(acc)
+        }
+      ).as("b")
+    )
+    best
+      .groupBy(col("b.idx").as("bucket"), col("b.tw").as("target_w"),
+        col("b.th").as("target_h"))
+      .agg(
+        count(lit(1)).as("n_images"),
+        min(expr("(w * 1000000) div h")).as("min_aspect_ppm"),
+        max(expr("(w * 1000000) div h")).as("max_aspect_ppm"),
+        sum(col("b.num")).as("sum_mismatch")
+      )
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
-    "mm08_shot_bounds" -> shotBounds
+    "mm08_shot_bounds" -> shotBounds,
+    "mm09_aspect_buckets" -> aspectBuckets
   )
 
   val oracle: Map[String, String] = Map(
+    // the same ladder as a VALUES table, the same integer score
+    // (num · LCM/th), argmin via row_number with the same (score, idx)
+    // tie-break; width/height mirror mm01's metadata derivation
+    "mm09_aspect_buckets" -> {
+      val lad = AR_LADDER
+        .map { case (i, tw, th) => s"($i, $tw, $th)" }
+        .mkString(", ")
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(64 + (doc_id * 7) % 448 AS BIGINT) AS w,
+         |    CAST(64 + (doc_id * 13) % 448 AS BIGINT) AS h
+         |  FROM documents),
+         |lad(idx, tw, th) AS (VALUES $lad),
+         |sc AS (
+         |  SELECT media_id, w, h, idx, tw, th,
+         |    abs(w * th - h * tw) AS num,
+         |    abs(w * th - h * tw) * ($AR_LCM // th) AS score
+         |  FROM m CROSS JOIN lad),
+         |best AS (
+         |  SELECT * FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY media_id
+         |    ORDER BY score, idx) = 1)
+         |SELECT CAST(idx AS INT) AS bucket,
+         |  CAST(tw AS BIGINT) AS target_w, CAST(th AS BIGINT) AS target_h,
+         |  CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  MIN((w * 1000000) // h) AS min_aspect_ppm,
+         |  MAX((w * 1000000) // h) AS max_aspect_ppm,
+         |  CAST(SUM(num) AS BIGINT) AS sum_mismatch
+         |FROM best GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin
+    },
     // same plant, same 64-byte frames, same integer cross-multiplied
     // cut test; frame sums via list_transform over the in-frame
     // offsets (payloads are ASCII so ascii(substr) = byte value)
