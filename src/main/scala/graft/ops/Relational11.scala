@@ -265,9 +265,12 @@ object Relational11 {
     */
   private val Z_BITS = 12
 
-  /** Bucket count for both layouts: top 6 bits of the 24-bit key
-    * space → 64 equal-width buckets (a stand-in for "files" whose
-    * min/max footers are the zone maps).
+  /** Bucket width for both layouts: keys shift right by this, so a
+    * bucket covers 2^18 consecutive key values — 64 buckets over the
+    * z-curve's 24-bit space; the linear key (x·2^12 + y) is as wide
+    * as x demands, so its bucket COUNT floats with the x domain
+    * (~x_max/64) while the per-bucket width stays identical. Buckets
+    * stand in for "files" whose min/max footers are the zone maps.
     */
   private val Z_BUCKET_SHIFT = 2 * Z_BITS - 6
 
@@ -359,22 +362,10 @@ object Relational11 {
     // one broadcast cross join against the 3-row probe table instead
     // of one groupBy per probe — the zone-map pipeline exists ONCE in
     // the plan, not once per probe
-    val probes = s
-      .createDataFrame(
-        s.sparkContext.parallelize(zProbes.map {
-          case (nm, x0, x1, y0, y1) => org.apache.spark.sql.Row(nm, x0, x1, y0, y1)
-        }, 1),
-        org.apache.spark.sql.types.StructType(
-          Seq("probe", "px0", "px1", "py0", "py1").map { f =>
-            if (f == "probe")
-              org.apache.spark.sql.types
-                .StructField(f, org.apache.spark.sql.types.StringType, false)
-            else
-              org.apache.spark.sql.types
-                .StructField(f, org.apache.spark.sql.types.LongType, false)
-          }
-        )
-      )
+    val probes = {
+      import s.implicits._
+      zProbes.toDF("probe", "px0", "px1", "py0", "py1")
+    }
     val hit = col("min_x") <= col("px1") && col("max_x") >= col("px0") &&
       col("min_y") <= col("py1") && col("max_y") >= col("py0")
     val matched = coalesce(zProbes.map { case (nm, _, _, _, _) =>
@@ -425,9 +416,7 @@ object Relational11 {
         .cast("long")
         .as("y")
     )
-    val path =
-      java.nio.file.Files.createTempDirectory("graft-zorder").toString
-    try {
+    graft.sources.Scratch.withTempDir("graft-zorder") { path =>
       graft.sources.ZorderStore
         .write(base, path, "x", "y", ZS_BITS, ZS_BUCKET_BITS)
       val rows = zProbes.map { case (nm, x0, x1, y0, y1) =>
@@ -436,32 +425,10 @@ object Relational11 {
         val n = graft.sources.ZorderStore
           .readBox(s, path, "x", "y", ZS_BITS, ZS_BUCKET_BITS, x0, x1, y0, y1)
           .count()
-        org.apache.spark.sql.Row(nm, selected.size.toLong, n)
+        (nm, selected.size.toLong, n)
       }
-      s.createDataFrame(
-        s.sparkContext.parallelize(rows, 1),
-        org.apache.spark.sql.types.StructType(
-          Seq(
-            org.apache.spark.sql.types
-              .StructField("probe", org.apache.spark.sql.types.StringType, false),
-            org.apache.spark.sql.types.StructField(
-              "n_buckets_selected",
-              org.apache.spark.sql.types.LongType,
-              false
-            ),
-            org.apache.spark.sql.types
-              .StructField("n_rows", org.apache.spark.sql.types.LongType, false)
-          )
-        )
-      ).orderBy("probe")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files
-        .walk(java.nio.file.Paths.get(path))
-        .sorted(java.util.Comparator.reverseOrder())
-        .iterator()
-        .asScala
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      import s.implicits._
+      rows.toDF("probe", "n_buckets_selected", "n_rows").orderBy("probe")
     }
   }
 

@@ -391,7 +391,7 @@ object StreamQueries {
     import graft.sim.IvfStore
     val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
     val cents = IvfStore.centroids(emb, 8, 97).localCheckpoint(true)
-    val path = java.nio.file.Files.createTempDirectory("graft-cdc-ivf").toString
+    val path = graft.sources.Scratch.tempDir("graft-cdc-ivf")
     try {
       IvfStore.build(emb, cents, path, indexed)
       IvfStore.upsert(
@@ -420,13 +420,7 @@ object StreamQueries {
       out
     } finally {
       // the result is materialized; the on-disk store is scratch
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files
-        .walk(java.nio.file.Paths.get(path))
-        .sorted(java.util.Comparator.reverseOrder())
-        .iterator()
-        .asScala
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.sources.Scratch.deleteRecursively(path)
     }
   }
 

@@ -31,8 +31,14 @@ import org.apache.spark.sql.functions._
 object ZorderStore {
 
   /** Write `df` clustered by the Morton bucket of (xCol, yCol). Fails
-    * if any key falls outside [0, 2^bits) — aliased keys would break
-    * readBox soundness.
+    * if any key is NULL or falls outside [0, 2^bits): an aliased key
+    * would be stored under a tile that doesn't contain it, and a NULL
+    * key would land in the hive default partition — both unreachable
+    * by `readBox`'s pruned predicates, i.e. silently incomplete
+    * reads. The guard rides the z_bucket projection itself
+    * (raise_error inside the write job — one pass over the source,
+    * not a separate validation scan); a failed job never commits, so
+    * the store is untouched on rejection.
     */
   def write(
       df: DataFrame,
@@ -43,23 +49,30 @@ object ZorderStore {
       bucketBits: Int
   ): Unit = {
     val lim = 1L << bits
-    val bad = df
-      .filter(
-        col(xCol) < 0 || col(xCol) >= lim ||
-          col(yCol) < 0 || col(yCol) >= lim
-      )
-      .limit(1)
-      .count()
-    require(
-      bad == 0,
-      s"ZorderStore.write: keys outside [0, 2^$bits) would alias mod " +
-        s"2^$bits and make box reads silently incomplete — widen `bits` " +
-        "or pre-scale the keys"
-    )
+    val inDomain = col(xCol).isNotNull && col(yCol).isNotNull &&
+      col(xCol) >= 0 && col(xCol) < lim &&
+      col(yCol) >= 0 && col(yCol) < lim
     val bucketed = df.withColumn(
       "z_bucket",
-      (Morton.zValue(col(xCol), col(yCol), bits) /
-        lit(1L << (2 * bits - bucketBits))).cast("long")
+      when(
+        inDomain,
+        (Morton.zValue(col(xCol), col(yCol), bits) /
+          lit(1L << (2 * bits - bucketBits))).cast("long")
+      ).otherwise(
+        raise_error(
+          concat(
+            lit(
+              s"ZorderStore.write: NULL or out-of-[0, 2^$bits) key would " +
+                "alias and make box reads silently incomplete — widen " +
+                s"`bits` or pre-scale the keys; got ($xCol, $yCol) = ("
+            ),
+            coalesce(col(xCol).cast("string"), lit("NULL")),
+            lit(", "),
+            coalesce(col(yCol).cast("string"), lit("NULL")),
+            lit(")")
+          )
+        ).cast("long")
+      )
     )
     PartitionedStore.write(bucketed, path, Seq("z_bucket"))
   }

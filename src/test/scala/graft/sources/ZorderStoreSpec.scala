@@ -42,9 +42,7 @@ class ZorderStoreSpec extends SparkSpec {
   }
 
   test("pruned box read ≡ unpruned filter, with PartitionFilters in the plan") {
-    val path =
-      java.nio.file.Files.createTempDirectory("graft-zorder-spec").toString
-    try {
+    Scratch.withTempDir("graft-zorder-spec") { path =>
       ZorderStore.write(base, path, "x", "y", bits, bucketBits)
       val (x0, x1, y0, y1) = (0L, 127L, 512L, 1023L)
       val pruned =
@@ -66,35 +64,36 @@ class ZorderStoreSpec extends SparkSpec {
         selected.size < (1 << bucketBits),
         s"probe must prune some of the ${1 << bucketBits} buckets"
       )
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files
-        .walk(java.nio.file.Paths.get(path))
-        .sorted(java.util.Comparator.reverseOrder())
-        .iterator()
-        .asScala
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** The write job must abort (nothing committed) on a bad key; the
+    * raise_error surfaces wrapped in Spark's job-failure chain, so
+    * match on the message anywhere in the cause chain.
+    */
+  private def assertWriteRejects(rows: Seq[(java.lang.Long, java.lang.Long)]): Unit = {
+    import spark.implicits._
+    val bad = rows.toDF("x", "y")
+    Scratch.withTempDir("graft-zorder-bad") { path =>
+      val e = intercept[Exception] {
+        ZorderStore.write(bad, path, "x", "y", bits, bucketBits)
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(
+        chain(e).exists(t => Option(t.getMessage).exists(_.contains("alias"))),
+        e.toString
+      )
     }
   }
 
   test("out-of-domain keys fail the write loudly (no silent aliasing)") {
-    import spark.implicits._
-    val bad = Seq((1L << bits, 5L), (3L, 4L)).toDF("x", "y")
-    val path =
-      java.nio.file.Files.createTempDirectory("graft-zorder-bad").toString
-    try {
-      val e = intercept[IllegalArgumentException] {
-        ZorderStore.write(bad, path, "x", "y", bits, bucketBits)
-      }
-      assert(e.getMessage.contains("alias"))
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files
-        .walk(java.nio.file.Paths.get(path))
-        .sorted(java.util.Comparator.reverseOrder())
-        .iterator()
-        .asScala
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    assertWriteRejects(Seq((java.lang.Long.valueOf(1L << bits), java.lang.Long.valueOf(5L)),
+      (java.lang.Long.valueOf(3L), java.lang.Long.valueOf(4L))))
+  }
+
+  test("NULL keys fail the write loudly (no hive-default-partition black hole)") {
+    assertWriteRejects(Seq((null, java.lang.Long.valueOf(5L)),
+      (java.lang.Long.valueOf(3L), java.lang.Long.valueOf(4L))))
   }
 }
