@@ -432,7 +432,69 @@ object Relational11 {
     }
   }
 
+  /** q104's attribution lookback window, in microseconds (7 days). */
+  private val ATTR_WINDOW_US = 7L * 24 * 3600 * 1000000L
+
+  /** q104: last-touch purchase attribution — the marketing/causal
+    * report every event pipeline ships (which touchpoint gets credit
+    * for a conversion): each purchase is attributed to the user's
+    * LATEST preceding click/view within a 7-day lookback, else
+    * "none". The preceding touch comes from ignore-nulls `last()`
+    * over the per-user (ts, event_id) order — two aligned columns
+    * (touch type + touch time) picked by the same frame, so they
+    * cannot desynchronize — and the lookback check is integer micros.
+    * Per attributed channel: conversion count and decimal-exact
+    * revenue ([[Qx.dsum]]).
+    *
+    * Shape at scale: one hash shuffle on user_id for the window
+    * (frames are per-user event history, never global), then a
+    * channel-sized aggregation with map-side partials. The as-of-join
+    * formulation (touch stream ⟕ purchase stream) shards further if
+    * one user's history is itself too long.
+    */
+  private val lastTouch: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir).events.select(
+      col("user_id"),
+      col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("event_id"),
+      col("value")
+    )
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("click", "view")
+    val attributed = ev
+      .withColumn(
+        "touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w)
+      )
+      .withColumn(
+        "touch_ts_us",
+        last(when(isTouch, col("ts_us")), ignoreNulls = true).over(w)
+      )
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(
+          col("touch_ts_us").isNotNull &&
+            col("touch_ts_us") >= col("ts_us") - ATTR_WINDOW_US,
+          col("touch_type")
+        ).otherwise(lit("none")).as("channel"),
+        col("value")
+      )
+    attributed
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        Qx.dsum(col("value")).as("revenue")
+      )
+      .orderBy("channel")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q104_last_touch" -> lastTouch,
     "q95_join_key_profile" -> joinKeyProfile,
     "q96_segment_overlap" -> segmentOverlap,
     "q97_cooccurrence_lift" -> cooccurrence,
@@ -510,6 +572,30 @@ object Relational11 {
          |  ${Qx.sqlDsum("value")} AS sum_value
          |FROM events WHERE value IS NOT NULL
          |GROUP BY 1, 2 ORDER BY event_type, bucket_us""".stripMargin,
+    // ignore-nulls last_value over the same per-user frame, micros
+    // arithmetic for the lookback, dsum for revenue
+    "q104_last_touch" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         |    event_id, value
+         |  FROM events),
+         |t AS (
+         |  SELECT user_id, event_type, ts_us, value,
+         |    last_value(CASE WHEN event_type IN ('click', 'view')
+         |      THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+         |    last_value(CASE WHEN event_type IN ('click', 'view')
+         |      THEN ts_us END IGNORE NULLS) OVER w AS touch_ts_us
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |a AS (
+         |  SELECT CASE WHEN touch_ts_us IS NOT NULL
+         |      AND touch_ts_us >= ts_us - $ATTR_WINDOW_US
+         |    THEN touch_type ELSE 'none' END AS channel, value
+         |  FROM t WHERE event_type = 'purchase')
+         |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         |  ${Qx.sqlDsum("value")} AS revenue
+         |FROM a GROUP BY 1 ORDER BY channel""".stripMargin,
     // same Morton arithmetic (integer // and %, no bit builtins), the
     // layout fan-out as UNION ALL, probes as a VALUES table; every
     // SUM cast to BIGINT (DuckDB sums integers into HUGEINT)

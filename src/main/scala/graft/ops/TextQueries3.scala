@@ -964,7 +964,73 @@ object TextQueries3 {
       .orderBy("t")
   }
 
+  /** text43's query workload: (query_id, conjunctive terms). Terms
+    * overlap across queries on purpose — the posting fan-out must
+    * route one matched token to every query that wants it.
+    */
+  private val BOOL_QUERIES: Seq[(Int, Seq[String])] = Seq(
+    (1, Seq("spark", "merge")),
+    (2, Seq("window", "batch")),
+    (3, Seq("table", "join", "batch"))
+  )
+
+  /** Results per query for text43. */
+  private val BOOL_TOPK = 5
+
+  /** text43: conjunctive boolean retrieval — the inverted-index AND
+    * query every search/RAG stack runs before ranking: for each
+    * (query, term-set), the documents containing ALL terms, top-K by
+    * total matched term frequency (exact integer score; ties to the
+    * lower doc_id). The relational form of posting-list intersection:
+    * tokens explode and are filtered to the UNION of query terms
+    * BEFORE any shuffle (O(matches) survives, not O(corpus tokens)),
+    * each posting fans out to the queries wanting its term via a
+    * broadcast term→query map, and a doc qualifies when its distinct
+    * matched terms equal the query's arity — intersection as a
+    * count, no N-way self-join.
+    *
+    * Shape at scale: one shuffle on (query, doc) for the qualify
+    * count, then a per-query top-K window over qualified docs only.
+    * The term→query map is a plan-literal broadcast; df-ordered
+    * skipping (WAND) refines the candidate count, not the shape.
+    */
+  private val boolRetrieval: Q = (s, dir) => {
+    val termMap = BOOL_QUERIES.flatMap { case (q, ts) =>
+      ts.map(t => (q, t, ts.size))
+    }
+    import s.implicits._
+    val tq = termMap.toDF("query_id", "term", "arity")
+    val allTerms = BOOL_QUERIES.flatMap(_._2).distinct
+    val postings = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val qualified = postings
+      .join(broadcast(tq), "term")
+      .groupBy(col("query_id"), col("doc_id"), col("arity"))
+      .agg(
+        countDistinct(col("term")).as("n_matched"),
+        sum(col("tf")).as("score")
+      )
+      .filter(col("n_matched") === col("arity"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    qualified
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= BOOL_TOPK)
+      .select(
+        col("query_id"),
+        col("rank").cast("int").as("rank"),
+        col("doc_id"),
+        col("score")
+      )
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text43_bool_retrieval" -> boolRetrieval,
     "text42_pr_sweep" -> prSweep,
     "text38_bpe_merges" -> bpeMerges,
     "text39_bpe_encode" -> bpeEncode,
@@ -1021,6 +1087,37 @@ object TextQueries3 {
   }
 
   val oracle: Map[String, String] = Map(
+    // same posting filter, same fan-out via a VALUES term map, the
+    // same arity-count intersection and (score DESC, doc ASC) top-K
+    "text43_bool_retrieval" -> {
+      val termValues = BOOL_QUERIES
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t', ${ts.size})") }
+        .mkString(", ")
+      val allTerms =
+        BOOL_QUERIES.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+      s"""WITH tq(query_id, term, arity) AS (VALUES $termValues),
+         |p AS (
+         |  SELECT doc_id, u.t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents) u(doc_id, t)
+         |  WHERE u.t IN ($allTerms)
+         |  GROUP BY 1, 2),
+         |qual AS (
+         |  SELECT tq.query_id, p.doc_id, tq.arity,
+         |    COUNT(DISTINCT p.term) AS n_matched,
+         |    CAST(SUM(p.tf) AS BIGINT) AS score
+         |  FROM p JOIN tq USING (term)
+         |  GROUP BY 1, 2, 3
+         |  HAVING COUNT(DISTINCT p.term) = tq.arity),
+         |r AS (
+         |  SELECT query_id, doc_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM qual)
+         |SELECT CAST(query_id AS INT) AS query_id, CAST(rank AS INT) AS rank,
+         |  doc_id, score
+         |FROM r WHERE rank <= $BOOL_TOPK
+         |ORDER BY query_id, rank""".stripMargin
+    },
     // text28's margin mirror (same weights literal, same hashed
     // buckets), the integer keep comparison at each grid threshold,
     // ppm ratios via floor integer division on both engines
