@@ -595,6 +595,10 @@ object StreamQueries {
     "cdc15_ivf_maintain" -> ivfMaintain,
     "cdc16_ivf_index_maintain" -> ivfIndexMaintain,
     "stream10_exact_dedup" -> exactDedupIngest,
+    // per-user O(1) latest-touch state; accumulated attribution ≡
+    // batch q104 (same oracle)
+    "stream19_last_touch" -> ((s, dir) =>
+      graft.streaming.StreamLastTouch.replay(Tables(s, dir).events)),
     "stream09_funnel" -> funnelIngest,
     "stream08_agg_maintain" -> aggMaintainIngest,
     "stream07_minhash_ingest" -> minhashIngest,
@@ -787,6 +791,8 @@ object StreamQueries {
       graft.cdc.CdcQueries.oracle("cdc08_agg_maintain"),
     // the state machine must land on batch q64's funnel exactly
     "stream09_funnel" -> Relational7.oracle("q64_funnel"),
+    // replay ≡ batch: the streaming fold must land on q104's table
+    "stream19_last_touch" -> Relational11.oracle("q104_last_touch"),
     "stream18_segments" -> Relational11.oracle("q96_segment_overlap"),
     "stream07_minhash_ingest" -> DedupQueries.candidatePairsOracle,
     "stream01_tumbling" ->
