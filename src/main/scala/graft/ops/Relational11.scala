@@ -493,7 +493,68 @@ object Relational11 {
       .orderBy("channel")
   }
 
+  /** q105's clip fractions, in basis points (p1 / p99). */
+  private val WINSOR_LO_BP = 100L
+  private val WINSOR_HI_BP = 9900L
+
+  /** q105: percentile winsorization audit — the outlier-clipping pass
+    * a feature pipeline runs before statistics that outliers would
+    * dominate (sensor spikes, price fat tails): per event_type, the
+    * exact p1/p99 cut values as order statistics (value at 1-based
+    * rank ⌈f·n⌉ under the total (value, event_id) order — the q98
+    * exact-mode sketch read, reused), every value clamped into
+    * [lo, hi], and the audit row per series: cuts, rows clipped on
+    * each side, and the exact cent sums before/after (the clipping
+    * BIAS, stated as integers, not summarized away).
+    *
+    * Exactness: centi-unit BIGINTs end-to-end; rank ties collapse to
+    * the same VALUE so row_number's order among equal values is
+    * immaterial (q98's argument). Shape at scale: one per-series sort
+    * for ranks (same shuffle the clip itself needs), the K cut rows
+    * broadcast back, one aggregation; at petabyte scale the q85 HDR
+    * sketch replaces the exact ranks — q90/q98 document that swap.
+    */
+  private val winsorize: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables(s, dir).events
+      .filter(col("value").isNotNull)
+      .select(
+        col("event_type"),
+        col("event_id"),
+        round(col("value") * 100).cast("long").as("cents")
+      )
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    val ranked = v
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val cuts = ranked
+      .filter(
+        col("rk") === ceil(col("n") * WINSOR_LO_BP / 10000.0).cast("long") ||
+          col("rk") === ceil(col("n") * WINSOR_HI_BP / 10000.0).cast("long")
+      )
+      .groupBy(col("event_type"))
+      .agg(min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+    v.join(broadcast(cuts), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("lo_cents")).as("lo_cents"),
+        min(col("hi_cents")).as("hi_cents"),
+        sum(when(col("cents") < col("lo_cents"), 1L).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("cents") > col("hi_cents"), 1L).otherwise(0L))
+          .as("n_clipped_high"),
+        sum(col("cents")).as("sum_cents_raw"),
+        sum(greatest(least(col("cents"), col("hi_cents")), col("lo_cents")))
+          .as("sum_cents_clipped")
+      )
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q105_winsorize" -> winsorize,
     "q104_last_touch" -> lastTouch,
     "q95_join_key_profile" -> joinKeyProfile,
     "q96_segment_overlap" -> segmentOverlap,
@@ -572,6 +633,38 @@ object Relational11 {
          |  ${Qx.sqlDsum("value")} AS sum_value
          |FROM events WHERE value IS NOT NULL
          |GROUP BY 1, 2 ORDER BY event_type, bucket_us""".stripMargin,
+    // same order statistics (rank ⌈f·n⌉ under (cents, event_id)),
+    // same clamp, BIGINT cent sums; HUGEINT sums cast down
+    "q105_winsorize" ->
+      s"""WITH v AS (
+         |  SELECT event_type, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (
+         |  SELECT event_type, cents,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY cents, event_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM v),
+         |cuts AS (
+         |  SELECT event_type,
+         |    CAST(MIN(cents) AS BIGINT) AS lo_cents,
+         |    CAST(MAX(cents) AS BIGINT) AS hi_cents
+         |  FROM r
+         |  WHERE rk = CAST(ceil(n * $WINSOR_LO_BP / 10000.0) AS BIGINT)
+         |     OR rk = CAST(ceil(n * $WINSOR_HI_BP / 10000.0) AS BIGINT)
+         |  GROUP BY 1)
+         |SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN(lo_cents) AS lo_cents, MIN(hi_cents) AS hi_cents,
+         |  CAST(SUM(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_clipped_low,
+         |  CAST(SUM(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_clipped_high,
+         |  CAST(SUM(cents) AS BIGINT) AS sum_cents_raw,
+         |  CAST(SUM(greatest(least(cents, hi_cents), lo_cents))
+         |    AS BIGINT) AS sum_cents_clipped
+         |FROM v JOIN cuts USING (event_type)
+         |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // ignore-nulls last_value over the same per-user frame, micros
     // arithmetic for the lookback, dsum for revenue
     "q104_last_touch" ->
