@@ -35,35 +35,186 @@ object DedupQueries4 {
   /** Exact-rerank shortlist per corpus vector (of the eval set). */
   private[ops] val SHORTLIST = 8
 
-  /** dedup36: semantic decontamination at scale — dedup31's verdict
-    * from a Hamming shortlist + exact rerank instead of the N×M
-    * cosine sweep. dedup31 is the exact semantics (sanctioned
-    * broadcast-BNLJ, fine while the eval set is benchmark-sized);
-    * once the eval side reaches millions of rows the full float
-    * sweep is the cost wall, and this is the form to run: stage 1
-    * scores every (corpus, eval) pair with SIG_WORDS XOR+popcounts
-    * over packed sign bits and keeps the SHORTLIST nearest eval
-    * candidates per corpus vector; stage 2 re-scores ONLY those with
-    * the exact cosine (same argmax fold, same threshold).
+  /** Candidate-band width for dedup36: 6-bit bands (48 of them, 8
+    * per signature word). At the fixture's contamination regime the
+    * sign-LSH contrast is thin — a contaminated pair at the
+    * cos ≈ 0.35 boundary disagrees on p₁ = acos(0.35)/π ≈ 0.38 of
+    * the planes vs p₂ = 0.5 for background, so a b-bit band matches
+    * with prob 0.62^b vs 0.5^b and the amplification exponent
+    * ρ = ln p_match1 / ln p_match2 leaves no width that is both
+    * high-recall and sparse (dedup40 gates the measured curve:
+    * b=6 keeps verdict recall ≥ 0.96 at ~0.53·N·M candidates; b=16
+    * drops to ~0.001·N·M candidates but recall ~0). 6 is the widest
+    * band that holds the family's ≥ 0.9 recall floor; production
+    * near-dup contamination (cos ≥ 0.9, p₁ ≤ 0.15) runs the same
+    * generator at b=12..16 where candidates collapse to ≪ N·M.
+    */
+  private[ops] val BAND_BITS = 6
+
+  /** Widths on dedup40's measured operating curve (each divides
+    * SIG_BITS so bands never straddle signature words).
+    */
+  private[ops] val CURVE_WIDTHS = Seq(6, 8, 12, 16)
+
+  /** Band-key array over a packed-sign signature column: entry k is
+    * (band = k, bval = signature bits [k·w, (k+1)·w)) — the
+    * pigeonhole keys a banded equi-join matches on (dedup24/mm06
+    * discipline applied to sign sketches). Requires w | SIG_BITS.
+    */
+  private def bandKeys(sig: String, w: Int): org.apache.spark.sql.Column = {
+    require(SIG_BITS % w == 0, s"band width $w must divide $SIG_BITS")
+    val bpw = SIG_BITS / w
+    val mask = (1L << w) - 1
+    array((0 until SIG_WORDS * bpw).map { k =>
+      struct(
+        lit(k).as("band"),
+        shiftright(element_at(col(sig), k / bpw + 1), w * (k % bpw))
+          .bitwiseAND(lit(mask))
+          .as("bval")
+      )
+    }: _*)
+  }
+
+  /** Banded candidate generator: corpus×eval pairs sharing at least
+    * one w-bit signature band. The eval band table broadcasts (≤
+    * SIG_WORDS·SIG_BITS/w skinny rows per eval vector), so the band
+    * explode + equi-join + per-pair dedupe all run map-side on the
+    * corpus partitioning — candidates leave this function still
+    * hash-partitioned on vec_id (the explode, broadcast join, and
+    * (vec_id, eval_id) aggregate all preserve it), which is exactly
+    * what the downstream shortlist window needs.
+    */
+  private def bandedCandidates(
+      corpus: DataFrame,
+      eval: DataFrame,
+      w: Int
+  ): DataFrame = {
+    val cb = corpus
+      .select(col("vec_id"), col("csig"), explode(bandKeys("csig", w)).as("b"))
+      .select(
+        col("vec_id"),
+        col("csig"),
+        col("b.band").as("band"),
+        col("b.bval").as("bval")
+      )
+    val eb = eval
+      .select(col("eval_id"), explode(bandKeys("esig", w)).as("b"))
+      .select(col("eval_id"), col("b.band").as("band"), col("b.bval").as("bval"))
+    cb.join(broadcast(eb), Seq("band", "bval"))
+      .dropDuplicates("vec_id", "eval_id")
+      .select(col("vec_id"), col("eval_id"), col("csig"))
+  }
+
+  /** Per-word Hamming popcounts, widened BEFORE the sum on both
+    * engines (DuckDB's bit_count returns TINYINT; 288 bits overflows
+    * it).
+    */
+  private def hammingExpr: org.apache.spark.sql.Column =
+    (0 until SIG_WORDS)
+      .map(t =>
+        expr(
+          s"CAST(bit_count(element_at(csig, ${t + 1}) ^ " +
+            s"element_at(esig, ${t + 1})) AS INT)"
+        )
+      )
+      .reduce(_ + _)
+
+  /** Hamming-shortlist + exact-cosine verdict over a candidate pair
+    * set (vec_id, eval_id, csig): keep the SHORTLIST Hamming-nearest
+    * eval candidates per corpus vector, re-score ONLY those with the
+    * exact cosine, and fold to the per-vector argmax verdict. Corpus
+    * vectors with no candidate at all stay in the output (the left
+    * joins) with NULL nearest/max_sim and contaminated = false.
     *
     * Error structure is ONE-SIDED by construction: the rerank cosine
-    * is the TRUE cosine, so max over a shortlist can only
+    * is the TRUE cosine, so a max over a candidate subset can only
     * under-reach — every flagged vector is genuinely contaminated
-    * (precision 1, structurally), and only recall is approximate
-    * (a contaminated vector whose eval twin fell off the Hamming
-    * shortlist). SemanticDeconSketchSpec pins both: flagged ⊆
-    * dedup31's flagged, and verdict recall ≥ 0.9 on the fixture
-    * (measured 0.98 at 288 bits / SHORTLIST 8 of ~60 evals).
+    * (precision 1, structurally) and only recall is approximate.
+    */
+  private def shortlistVerdicts(
+      cand: DataFrame,
+      eval: DataFrame,
+      corpusVecs: DataFrame
+  ): DataFrame = {
+    val wH = Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("hamming").asc, col("eval_id").asc)
+    val shortlist = cand
+      .join(broadcast(eval.select(col("eval_id"), col("esig"))), "eval_id")
+      .select(col("vec_id"), col("eval_id"), hammingExpr.as("hamming"))
+      .withColumn("__r", row_number().over(wH))
+      .filter(col("__r") <= SHORTLIST)
+      .select("vec_id", "eval_id")
+    corpusVecs
+      .join(shortlist, Seq("vec_id"), "left")
+      .join(
+        broadcast(eval.select(col("eval_id"), col("ev"), col("ev_norm"))),
+        Seq("eval_id"),
+        "left"
+      )
+      .select(
+        col("vec_id"),
+        col("eval_id"),
+        when(col("eval_id").isNull, lit(null).cast("double"))
+          .when(col("c_norm") === 0.0 || col("ev_norm") === 0.0, lit(0.0))
+          .otherwise(
+            Similarity.dot(col("embedding"), col("ev")) /
+              (col("c_norm") * col("ev_norm"))
+          )
+          .as("cos_sim")
+      )
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_sim"), (-col("eval_id")).as("neg"))).as("best"))
+      .select(
+        col("vec_id"),
+        (-col("best.neg")).as("nearest_eval"),
+        col("best.cos_sim").as("max_sim"),
+        coalesce(
+          col("best.cos_sim") >= DedupQueries3.SEM_THRESHOLD,
+          lit(false)
+        ).as("contaminated")
+      )
+  }
+
+  /** dedup36: semantic decontamination at scale — dedup31's verdict
+    * from a BANDED candidate generator + Hamming shortlist + exact
+    * rerank instead of the N×M cosine sweep. dedup31 is the exact
+    * semantics (sanctioned broadcast-BNLJ, fine while the eval set
+    * is benchmark-sized); once the eval side reaches millions of
+    * rows any per-pair pass is the cost wall, and this is the form
+    * to run: stage 0 generates candidates with a banded equi-join on
+    * [[BAND_BITS]]-bit signature bands (pairs sharing no band are
+    * never scored at all — the dedup24/mm06 pigeonhole applied to
+    * sign sketches); stage 1 scores ONLY candidates with SIG_WORDS
+    * XOR+popcounts over packed sign bits and keeps the SHORTLIST
+    * nearest per corpus vector; stage 2 re-scores only those with
+    * the exact cosine (same argmax fold, same threshold).
+    *
+    * Error structure stays ONE-SIDED (see [[shortlistVerdicts]]):
+    * precision 1 structurally; recall is approximate — a
+    * contaminated vector can lose its eval twin to the band filter
+    * as well as to the shortlist. SemanticDeconSketchSpec pins
+    * flagged ⊆ dedup31's flagged and verdict recall ≥ 0.9 on the
+    * fixture (measured 0.96 at b=6); BandedDeconSpec +
+    * the gated dedup40 row pin the full width curve (see
+    * [[BAND_BITS]] for why 6 — the regime's LSH contrast is thin,
+    * so 6 is the widest band holding the recall floor, and it buys
+    * ~2× fewer scored pairs rather than orders of magnitude; at
+    * production near-dup regimes the SAME generator at b=12..16
+    * collapses candidates by 100-1000×).
     *
     * Shape at scale: signatures are one fused-codegen map-side
-    * expression per side; eval signatures broadcast (48-byte rows —
-    * broadcastable long past the float-vector limit); the shortlist
-    * window ships skinny (vec_id, eval_id, hamming) triples with
-    * WindowGroupLimit pruning to SHORTLIST per partition before the
-    * exchange; the rerank joins corpus embeddings ONCE on the dense
-    * vec_id key (the only shuffle that carries vectors) against the
-    * broadcast eval vectors. Exact arithmetic: integer Hamming, and
-    * the rerank is [[Similarity.dot]]'s sequential double sum —
+    * expression per side; eval band keys and signatures broadcast
+    * (48-byte sig rows — broadcastable long past the float-vector
+    * limit); the band explode, candidate equi-join, per-pair dedupe,
+    * Hamming scoring, and shortlist window ALL run on the one
+    * vec_id partitioning the signature barrier lands (zero added
+    * exchanges vs the sweep form); the rerank joins corpus
+    * embeddings ONCE on the dense vec_id key (the only shuffle that
+    * carries vectors) against the broadcast eval vectors, LEFT so
+    * band-orphaned corpus rows keep their (un)contaminated verdict
+    * row. Exact arithmetic: integer band keys and Hamming, and the
+    * rerank is [[Similarity.dot]]'s sequential double sum —
     * bit-identical to the DuckDB mirror, ties on the smaller
     * eval_id.
     */
@@ -83,65 +234,123 @@ object DedupQueries4 {
       .filter(col("label") =!= DedupQueries3.EVAL_LABEL)
       .select(col("vec_id"), sig(col("embedding")).as("csig"))
       // materialization barrier: HyperplaneBands codegens, so without
-      // an exchange the fused BNLJ stage re-evaluates the 288-plane
-      // signature PER PAIR (measured 20× at sf0.1: 21 s → 0.9 s).
-      // The shuffle ships only (vec_id, 6 longs), and it lands the
-      // frame hash-partitioned on vec_id — exactly the partitioning
-      // the shortlist window needs, so no exchange is added net.
+      // an exchange the band explode re-evaluates the 288-plane
+      // signature PER BAND ROW (the dedup36-r5 hazard, measured 20×
+      // at sf0.1 in its fused-BNLJ form). The shuffle ships only
+      // (vec_id, 6 longs), and it lands the frame hash-partitioned
+      // on vec_id — the partitioning every downstream stage of the
+      // candidate pipeline preserves, so no exchange is added net.
       .repartition(col("vec_id"))
-    // per-word popcounts are widened BEFORE the sum on both engines
-    // (DuckDB's bit_count returns TINYINT; 288 bits overflows it)
-    val hamming = (0 until SIG_WORDS)
-      .map(t =>
-        expr(
-          s"CAST(bit_count(element_at(csig, ${t + 1}) ^ " +
-            s"element_at(esig, ${t + 1})) AS INT)"
-        )
-      )
-      .reduce(_ + _)
-    val wH = Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("hamming").asc, col("eval_id").asc)
-    val shortlist = corpus
-      .crossJoin(broadcast(eval.select(col("eval_id"), col("esig"))))
-      .select(col("vec_id"), col("eval_id"), hamming.as("hamming"))
-      .withColumn("__r", row_number().over(wH))
-      .filter(col("__r") <= SHORTLIST)
-      .select("vec_id", "eval_id")
-    val scored = shortlist
-      .join(
-        emb
-          .filter(col("label") =!= DedupQueries3.EVAL_LABEL)
-          .select(
-            col("vec_id"),
-            col("embedding"),
-            Similarity.norm(col("embedding")).as("c_norm")
-          ),
-        "vec_id"
-      )
-      .join(broadcast(eval.select(col("eval_id"), col("ev"), col("ev_norm"))),
-        "eval_id")
+    val corpusVecs = emb
+      .filter(col("label") =!= DedupQueries3.EVAL_LABEL)
       .select(
         col("vec_id"),
-        col("eval_id"),
-        when(col("c_norm") === 0.0 || col("ev_norm") === 0.0, lit(0.0))
-          .otherwise(
-            Similarity.dot(col("embedding"), col("ev")) /
-              (col("c_norm") * col("ev_norm"))
-          )
-          .as("cos_sim")
+        col("embedding"),
+        Similarity.norm(col("embedding")).as("c_norm")
       )
-    scored
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos_sim"), (-col("eval_id")).as("neg"))).as("best"))
-      .select(
-        col("vec_id"),
-        (-col("best.neg")).as("nearest_eval"),
-        col("best.cos_sim").as("max_sim"),
-        (col("best.cos_sim") >= DedupQueries3.SEM_THRESHOLD).as("contaminated")
-      )
+    shortlistVerdicts(bandedCandidates(corpus, eval, BAND_BITS), eval, corpusVecs)
       .orderBy("vec_id")
   }
+
+  /** dedup40: the banded generator's measured operating curve as a
+    * gated row (the sim25 nprobe discipline applied to dedup36's
+    * band width): for each width on [[CURVE_WIDTHS]], the candidate
+    * pair count against the full N·M, and the banded verdict's
+    * flagged set against the exhaustive-shortlist flagged set (the
+    * pre-banding dedup36 semantics, recomputed here as the
+    * baseline arm). This is the table that justifies BAND_BITS = 6:
+    * at the fixture's cos ≈ 0.35 boundary the width curve has no
+    * point that is both sparse and high-recall (the ρ math on
+    * [[BAND_BITS]]), so the family's ≥ 0.9 recall floor picks b=6 —
+    * and the same row shows what a production near-dup regime gets
+    * from b=12/16 (≤ 1% of N·M candidates). Counts are BIGINT
+    * end-to-end; recall is one closing IEEE division of two BIGINTs.
+    */
+  private val bandedDeconCurve: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    def sig(c: org.apache.spark.sql.Column) =
+      graft.plans.HyperplaneBands(s, c, SIG_WORDS, SIG_BITS, DIMS)
+    val eval = emb
+      .filter(col("label") === DedupQueries3.EVAL_LABEL)
+      .select(
+        col("vec_id").as("eval_id"),
+        col("embedding").as("ev"),
+        Similarity.norm(col("embedding")).as("ev_norm"),
+        sig(col("embedding")).as("esig")
+      )
+      .localCheckpoint(true)
+    val corpus = emb
+      .filter(col("label") =!= DedupQueries3.EVAL_LABEL)
+      .select(col("vec_id"), sig(col("embedding")).as("csig"))
+      .repartition(col("vec_id"))
+      // five arms (four widths + the exhaustive baseline) reuse the
+      // signatures; checkpoint so the 288-plane projection runs once
+      .localCheckpoint(true)
+    val corpusVecs = emb
+      .filter(col("label") =!= DedupQueries3.EVAL_LABEL)
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        Similarity.norm(col("embedding")).as("c_norm")
+      )
+    // exhaustive baseline arm = the pre-banding dedup36 semantics
+    // (every pair Hamming-scored; sanctioned broadcast-BNLJ)
+    val allCand = corpus
+      .crossJoin(broadcast(eval.select(col("eval_id"))))
+      .select(col("vec_id"), col("eval_id"), col("csig"))
+    val flaggedEx = shortlistVerdicts(allCand, eval, corpusVecs)
+      .filter(col("contaminated"))
+      .select(col("vec_id"))
+      .localCheckpoint(true)
+    val nEx = flaggedEx.agg(count(lit(1)).as("flagged_exhaustive"))
+    val nAll = corpus
+      .agg(count(lit(1)).as("nc"))
+      .crossJoin(eval.agg(count(lit(1)).as("ne")))
+      .select((col("nc") * col("ne")).as("all_pairs"))
+    val rows = CURVE_WIDTHS
+      .map { w =>
+        val cand = bandedCandidates(corpus, eval, w).localCheckpoint(true)
+        val fl = shortlistVerdicts(cand, eval, corpusVecs)
+          .filter(col("contaminated"))
+          .select(col("vec_id"))
+          .localCheckpoint(true)
+        cand
+          .agg(count(lit(1)).as("cand_pairs"))
+          .crossJoin(fl.agg(count(lit(1)).as("flagged_banded")))
+          .crossJoin(
+            fl.join(flaggedEx, "vec_id")
+              .agg(count(lit(1)).as("flagged_common"))
+          )
+          .select(
+            lit(w.toLong).as("band_bits"),
+            lit((SIG_WORDS * SIG_BITS / w).toLong).as("n_bands"),
+            col("cand_pairs"),
+            col("flagged_banded"),
+            col("flagged_common")
+          )
+      }
+      .reduce(_.unionByName(_))
+    rows
+      .crossJoin(nAll)
+      .crossJoin(nEx)
+      .select(
+        col("band_bits"),
+        col("n_bands"),
+        col("cand_pairs"),
+        col("all_pairs"),
+        col("flagged_banded"),
+        col("flagged_exhaustive"),
+        col("flagged_common"),
+        when(col("flagged_exhaustive") === 0, lit(null).cast("double"))
+          .otherwise(
+            col("flagged_common").cast("double") /
+              col("flagged_exhaustive").cast("double")
+          )
+          .as("recall")
+      )
+      .orderBy("band_bits")
+  }
+
 
   /** dedup37: the weighted HDR median PROFILE as a gated query —
     * [[WeightedHdr.weightedMedianFromSketch]] (dedup35's mergeable
@@ -395,7 +604,8 @@ object DedupQueries4 {
     "dedup36_semantic_decon_sketch" -> semanticDeconSketch,
     "dedup37_weighted_hdr_median" -> weightedHdrMedian,
     "dedup38_cluster_transitivity" -> clusterTransitivity,
-    "dedup39_cdc_chunks" -> cdcChunks
+    "dedup39_cdc_chunks" -> cdcChunks,
+    "dedup40_banded_decon_curve" -> bandedDeconCurve
   )
 
   /** One signature word's SQL mirror: global plane g = t·SIG_BITS + p
@@ -555,9 +765,18 @@ object DedupQueries4 {
            |       FROM sg WHERE label = ${DedupQueries3.EVAL_LABEL}),
            |c AS (SELECT vec_id, embedding, $cCols
            |      FROM sg WHERE label <> ${DedupQueries3.EVAL_LABEL}),
+           |cb AS (SELECT vec_id, u.band AS band, u.val AS val
+           |       FROM (SELECT vec_id, unnest(${bandListSql("s", BAND_BITS)})
+           |               AS u FROM c)),
+           |eb AS (SELECT eval_id, u.band AS band, u.val AS val
+           |       FROM (SELECT eval_id, unnest(${bandListSql("e", BAND_BITS)})
+           |               AS u FROM ev)),
+           |cand AS (SELECT DISTINCT cb.vec_id, eb.eval_id
+           |         FROM cb JOIN eb ON cb.band = eb.band AND cb.val = eb.val),
            |h AS (SELECT c.vec_id, ev.eval_id,
            |        CAST($ham AS INTEGER) AS hamming
-           |      FROM c CROSS JOIN ev),
+           |      FROM cand JOIN c ON cand.vec_id = c.vec_id
+           |      JOIN ev ON cand.eval_id = ev.eval_id),
            |s AS (SELECT vec_id, eval_id,
            |        row_number() OVER (PARTITION BY vec_id
            |          ORDER BY hamming ASC, eval_id ASC) AS r
@@ -571,11 +790,89 @@ object DedupQueries4 {
            |           row_number() OVER (PARTITION BY vec_id
            |             ORDER BY cos_sim DESC, eval_id ASC) AS rn
            |         FROM r)
-           |SELECT vec_id, CAST(eval_id AS BIGINT) AS nearest_eval,
-           |  cos_sim AS max_sim,
-           |  cos_sim >= ${DedupQueries3.SEM_THRESHOLD} AS contaminated
-           |FROM best WHERE rn = 1
-           |ORDER BY vec_id""".stripMargin
+           |SELECT c.vec_id, CAST(b.eval_id AS BIGINT) AS nearest_eval,
+           |  b.cos_sim AS max_sim,
+           |  COALESCE(b.cos_sim >= ${DedupQueries3.SEM_THRESHOLD}, FALSE)
+           |    AS contaminated
+           |FROM c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+           |  ON c.vec_id = b.vec_id
+           |ORDER BY c.vec_id""".stripMargin,
+      "dedup40_banded_decon_curve" -> {
+        // one flagged-set CTE chain per arm: vec_ids whose shortlist
+        // max TRUE cosine clears the threshold (same verdict fold as
+        // dedup36; the argmax id is irrelevant to the flag)
+        def arm(tag: String, candFrom: String): String =
+          s"""h$tag AS (SELECT c.vec_id, ev.eval_id,
+             |        CAST($ham AS INTEGER) AS hamming
+             |      FROM $candFrom JOIN c ON cand.vec_id = c.vec_id
+             |      JOIN ev ON cand.eval_id = ev.eval_id),
+             |s$tag AS (SELECT vec_id, eval_id,
+             |        row_number() OVER (PARTITION BY vec_id
+             |          ORDER BY hamming ASC, eval_id ASC) AS r
+             |      FROM h$tag),
+             |fl$tag AS (SELECT s.vec_id
+             |      FROM s$tag s JOIN c ON s.vec_id = c.vec_id
+             |      JOIN ev ON s.eval_id = ev.eval_id
+             |      WHERE s.r <= $SHORTLIST GROUP BY s.vec_id
+             |      HAVING MAX(${DedupQueries3.cosSql("c.embedding", "ev.ev")})
+             |        >= ${DedupQueries3.SEM_THRESHOLD})""".stripMargin
+        val widthArms = CURVE_WIDTHS.map { w =>
+          s"""cb$w AS (SELECT vec_id, u.band AS band, u.val AS val
+             |       FROM (SELECT vec_id, unnest(${bandListSql("s", w)})
+             |               AS u FROM c)),
+             |eb$w AS (SELECT eval_id, u.band AS band, u.val AS val
+             |       FROM (SELECT eval_id, unnest(${bandListSql("e", w)})
+             |               AS u FROM ev)),
+             |cand$w AS (SELECT DISTINCT cb.vec_id, eb.eval_id
+             |         FROM cb$w cb JOIN eb$w eb
+             |         ON cb.band = eb.band AND cb.val = eb.val),
+             |${arm(s"$w", s"cand$w cand")}""".stripMargin
+        }
+        val rows = CURVE_WIDTHS
+          .map { w =>
+            s"""SELECT CAST($w AS BIGINT) AS band_bits,
+               |  CAST(${SIG_WORDS * SIG_BITS / w} AS BIGINT) AS n_bands,
+               |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$w) AS cand_pairs,
+               |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) *
+               |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ev) AS all_pairs,
+               |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fl$w)
+               |    AS flagged_banded,
+               |  (SELECT CAST(COUNT(*) AS BIGINT) FROM flEx)
+               |    AS flagged_exhaustive,
+               |  (SELECT CAST(COUNT(*) AS BIGINT)
+               |     FROM fl$w JOIN flEx USING (vec_id)) AS flagged_common""".stripMargin
+          }
+          .mkString("\n", "\nUNION ALL\n", "\n")
+        s"""WITH sg AS (SELECT vec_id, embedding, label,
+           |$sigCols
+           |            FROM embeddings),
+           |ev AS (SELECT vec_id AS eval_id, embedding AS ev, $evCols
+           |       FROM sg WHERE label = ${DedupQueries3.EVAL_LABEL}),
+           |c AS (SELECT vec_id, embedding, $cCols
+           |      FROM sg WHERE label <> ${DedupQueries3.EVAL_LABEL}),
+           |candEx AS (SELECT c.vec_id, ev.eval_id FROM c CROSS JOIN ev),
+           |${arm("Ex", "candEx cand")},
+           |${widthArms.mkString(",\n")}
+           |SELECT band_bits, n_bands, cand_pairs, all_pairs,
+           |  flagged_banded, flagged_exhaustive, flagged_common,
+           |  CASE WHEN flagged_exhaustive = 0 THEN NULL
+           |    ELSE CAST(flagged_common AS DOUBLE) /
+           |      CAST(flagged_exhaustive AS DOUBLE) END AS recall
+           |FROM ($rows)
+           |ORDER BY band_bits""".stripMargin
+      }
     )
+  }
+
+  /** DuckDB mirror of [[bandKeys]]: a list of {band, val} structs,
+    * val = signature bits [k·w, (k+1)·w) of prefixed word columns
+    * (`s0..` for corpus, `e0..` for eval — keep in lockstep).
+    */
+  private def bandListSql(pfx: String, w: Int): String = {
+    val bpw = SIG_BITS / w
+    val mask = (1L << w) - 1
+    (0 until SIG_WORDS * bpw)
+      .map(k => s"{'band': $k, 'val': (($pfx${k / bpw} >> ${w * (k % bpw)}) & $mask)}")
+      .mkString("[", ", ", "]")
   }
 }

@@ -1,0 +1,82 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Pins dedup40's measured band-width operating curve — the evidence
+  * behind dedup36's BAND_BITS = 6 choice. The fixture's contamination
+  * regime (cos ≈ 0.35 boundary) is the thin-contrast corner of
+  * sign-LSH (p₁ ≈ 0.38 vs p₂ = 0.5 per plane), so the curve must show
+  * BOTH facts: the operating width holds the family's ≥ 0.9 verdict
+  * recall floor, and wider bands collapse candidates by orders of
+  * magnitude (the production near-dup path) at the cost of recall —
+  * i.e. the trade-off is real and measured, not asserted.
+  */
+class BandedDeconSpec extends SparkSpec {
+
+  private lazy val curve: Map[Long, Row] =
+    graft.SparkEntry
+      .queries("dedup40_banded_decon_curve")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("band_bits") -> r)
+      .toMap
+
+  test("curve covers the declared widths and all arms saw work") {
+    assert(curve.keySet === Set(6L, 8L, 12L, 16L))
+    curve.values.foreach { r =>
+      assert(r.getAs[Long]("all_pairs") > 0)
+      assert(r.getAs[Long]("flagged_exhaustive") > 0, "fixture exercises the contaminated arm")
+      assert(r.getAs[Long]("n_bands") * r.getAs[Long]("band_bits") === 288L)
+    }
+  }
+
+  test("banding is a strict prefilter: candidates < N*M at every width") {
+    curve.values.foreach { r =>
+      assert(
+        r.getAs[Long]("cand_pairs") < r.getAs[Long]("all_pairs"),
+        s"width ${r.getAs[Long]("band_bits")}: banding generated >= all pairs"
+      )
+    }
+  }
+
+  test("candidate count is strictly monotone decreasing in band width") {
+    val byWidth = Seq(6L, 8L, 12L, 16L).map(w => curve(w).getAs[Long]("cand_pairs"))
+    assert(
+      byWidth.zip(byWidth.tail).forall { case (a, b) => a > b },
+      s"candidates not decreasing across widths: $byWidth"
+    )
+  }
+
+  test("operating point b=6 holds the family's recall floor") {
+    val r6 = curve(6L)
+    assert(r6.getAs[Double]("recall") >= 0.9, s"b=6 recall ${r6.getAs[Double]("recall")} < 0.9")
+    // and it is a real prefilter even at the adversarial regime:
+    // strictly fewer than 3/4 of all pairs reach Hamming scoring
+    // (measured ~0.53 of N*M on the fixture)
+    assert(
+      r6.getAs[Long]("cand_pairs") * 4 < r6.getAs[Long]("all_pairs") * 3,
+      "b=6 candidate fraction drifted above 0.75"
+    )
+  }
+
+  test("wide bands are the sparse path: b=16 candidates <= 1% of N*M") {
+    val r16 = curve(16L)
+    assert(
+      r16.getAs[Long]("cand_pairs") * 100 <= r16.getAs[Long]("all_pairs"),
+      s"b=16 candidates ${r16.getAs[Long]("cand_pairs")} above 1% of ${r16.getAs[Long]("all_pairs")}"
+    )
+  }
+
+  test("recall is one-sided and consistent: common <= banded <= exhaustive-bounded") {
+    curve.values.foreach { r =>
+      val common = r.getAs[Long]("flagged_common")
+      val banded = r.getAs[Long]("flagged_banded")
+      assert(common <= banded, "intersection larger than the banded flag set")
+      assert(common <= r.getAs[Long]("flagged_exhaustive"))
+      // banding + shortlist can only surface TRUE cosines, so every
+      // banded flag is genuinely contaminated; on this fixture the
+      // banded set is a subset of the exhaustive-shortlist set
+      assert(banded === common, "banded arm flagged a vector the exhaustive arm did not")
+    }
+  }
+}

@@ -39,7 +39,7 @@ class WholeSurfacePlanAuditSpec extends SparkSpec {
     "sim11_quantized_topk",           // broadcast query vectors
     "sim17_hardneg",
     "sim24_binary_topk",              // query + Hamming shortlist broadcasts
-    "dedup36_semantic_decon_sketch",  // eval signatures vs one corpus scan
+    "dedup40_banded_decon_curve",     // exhaustive baseline arm of the curve
     "q101_zorder_layout",             // 3-row probe table vs 64-row zone maps
     "sim25_nprobe_curve"              // sim06's probed-centroid set, swept
   )
