@@ -561,17 +561,108 @@ object SimilarityQueries2 {
       .orderBy("iter", "cluster_id")
   }
 
+  /** sim26 store geometry — the cdc15/cdc16 codebook rule (8 cells
+    * from the stride-97 sample) so the store under serve is the same
+    * store the maintenance family churns, and the query set is a
+    * deterministic corpus slice (vec_id ≡ 3 mod 37, ~3% — a real
+    * BATCH, not the 3-row QUERY_IDS probe set).
+    */
+  private val IVF_NPROBE = 2
+  private[ops] val BATCH_QUERY_MOD = 37L
+  private[ops] val BATCH_QUERY_REM = 3L
+
+  /** sim26: batched ANN serving over the [[graft.sim.IvfStore]]
+    * STORE — the production face of sim06's relational routing: a
+    * query TABLE routes to cells in one broadcast pass, the union of
+    * probed cells is read ONCE through the store's PartitionFilters
+    * pruning, and per-query top-k comes from one WindowGroupLimit
+    * (see [[graft.sim.IvfStore.topKBatch]] for the scale shape).
+    * The gate pins the verdicts against the from-scratch relational
+    * oracle (assignment + routing + rank recomputed in SQL);
+    * IvfServeSpec separately pins per-query equality with the
+    * single-query `topK` and the pruned-scan plan.
+    */
+  private val ivfBatchServe: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val cents =
+      graft.sim.IvfStore.centroids(emb, IVF_K, IVF_STRIDE).localCheckpoint(true)
+    try
+      graft.sources.Scratch.withTempDir("graft-sim26") { path =>
+        graft.sim.IvfStore.build(emb, cents, path)
+        val queries = emb
+          .filter(pmod(col("vec_id"), lit(BATCH_QUERY_MOD)) === BATCH_QUERY_REM)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        graft.sim.IvfStore
+          .topKBatch(s, path, cents, queries, TOPK, IVF_NPROBE)
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      }
+    finally
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(cents)
+  }
+
   val queries: Map[String, Q] = Map(
     "sim23_kmeans_iters" -> kmeansIters,
     "sim19_pq_adc" -> pqAdc,
     "sim20_ivf_pq" -> ivfPq,
     "sim21_residual_pq" -> residualPq,
-    "sim22_jl_project" -> jlProject
+    "sim22_jl_project" -> jlProject,
+    "sim26_ivf_batch_serve" -> ivfBatchServe
   )
 
   private val qIdsSql = QUERY_IDS.mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    // the from-scratch relational spec of the SERVED store: integer
+    // quantization, stride codebook, nearest-cell assignment (a),
+    // per-query probe routing with the (distance, cell) tie-break
+    // (routes), and exact integer L2 rank within probed cells — the
+    // cdc15 assignment CTEs extended by the serving arm
+    "sim26_ivf_batch_serve" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+         |    FROM embeddings),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+         |        list_transform(embedding, x ->
+         |          CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         |          AS qc
+         |      FROM embeddings WHERE vec_id % $IVF_STRIDE = 0
+         |      ORDER BY vec_id LIMIT $IVF_K),
+         |d AS (SELECT q.vec_id, c.cell,
+         |        CAST(SUM((q.qe[i] - c.qc[i]) * (q.qe[i] - c.qc[i]))
+         |          AS BIGINT) AS dist
+         |      FROM q, c, range(1, 1000) t(i)
+         |      WHERE i <= len(q.qe) AND len(q.qe) = len(c.qc)
+         |      GROUP BY q.vec_id, c.cell),
+         |a AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist, cell) AS rn FROM d),
+         |qs AS (SELECT vec_id AS query_id, qe AS qq FROM q
+         |       WHERE vec_id % $BATCH_QUERY_MOD = $BATCH_QUERY_REM),
+         |pd AS (SELECT qs.query_id, c.cell,
+         |        CAST(SUM((qs.qq[i] - c.qc[i]) * (qs.qq[i] - c.qc[i]))
+         |          AS BIGINT) AS dist
+         |      FROM qs, c, range(1, 1000) t(i)
+         |      WHERE i <= len(qs.qq) AND len(qs.qq) = len(c.qc)
+         |      GROUP BY qs.query_id, c.cell),
+         |routes AS (SELECT query_id, cell FROM (
+         |    SELECT query_id, cell, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dist, cell) AS pr FROM pd)
+         |  WHERE pr <= $IVF_NPROBE),
+         |sc AS (SELECT r.query_id, s.vec_id, sa.cell,
+         |        CAST(SUM((s.qe[i] - qs.qq[i]) * (s.qe[i] - qs.qq[i]))
+         |          AS BIGINT) AS dist2
+         |      FROM routes r, (SELECT vec_id, cell FROM a WHERE rn = 1) sa,
+         |        q s, qs, range(1, 1000) t(i)
+         |      WHERE sa.cell = r.cell AND s.vec_id = sa.vec_id
+         |        AND qs.query_id = r.query_id
+         |        AND i <= len(s.qe) AND len(s.qe) = len(qs.qq)
+         |      GROUP BY r.query_id, s.vec_id, sa.cell),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY dist2, vec_id) AS rank FROM sc)
+         |SELECT query_id, vec_id, CAST(cell AS BIGINT) AS cell, dist2,
+         |  CAST(rank AS INT) AS rank
+         |FROM rk WHERE rank <= $TOPK
+         |ORDER BY query_id, rank""".stripMargin,
     // rounds unrolled as MATERIALIZED CTEs (the dedup22 discipline);
     // centroid update is the same BIGINT floor-divided per-dim mean,
     // so the full 3-round trajectory is bit-identical

@@ -80,10 +80,14 @@ object IvfStore {
       .agg(min(struct(col("__d"), col("cell"))).as("__a"))
       .select(col("vec_id"), col("embedding"), col("__a.cell").as("cell"))
 
-  /** Hash-bucket count for the id→cell sidecar index (a deployment
-    * sizes this so one bucket is a few hundred MB; the fixture keeps
-    * it small — each maintenance batch pays one file per touched
-    * bucket, so the constant is listing overhead at toy scale).
+  /** DEFAULT hash-bucket count for the id→cell sidecar index. A
+    * deployment sizes this at [[build]] so one bucket is a few
+    * hundred MB (the fixture default stays small — each maintenance
+    * batch pays one file per touched bucket, so the constant is
+    * listing overhead at toy scale); the chosen count is PERSISTED
+    * in the sidecar's `_meta` and read back by every maintenance and
+    * serving path, so a store built at any B maintains correctly
+    * (IvfMaintainSpec pins B=7).
     */
   private[graft] val INDEX_BUCKETS = 4
 
@@ -93,9 +97,29 @@ object IvfStore {
     */
   private[graft] def indexPath(path: String): String = path + "/_index"
 
-  private def ibucket(id: Column): Column =
+  /** The sidecar's own metadata (its bucket count) lives at
+    * `_index/_meta` — underscore-invisible to parquet reads of the
+    * index rows themselves, exactly as the index is to the store.
+    */
+  private[graft] def metaPath(path: String): String =
+    indexPath(path) + "/_meta"
+
+  private def ibucket(id: Column, buckets: Int): Column =
     pmod(graft.functions.PortableHash.h32(id.cast("string")),
-      lit(INDEX_BUCKETS.toLong))
+      lit(buckets.toLong))
+
+  /** The bucket count the store was BUILT with — the persisted
+    * `_meta` row, falling back to [[INDEX_BUCKETS]] for sidecars
+    * written before the count was persisted. Hash routing must use
+    * the store's own count, never the caller's: a probe at the wrong
+    * modulus reads the wrong buckets and silently misses live cells.
+    */
+  private def storedIndexBuckets(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.read.parquet(metaPath(path)).head.getAs[Int]("index_buckets")
+    else INDEX_BUCKETS
+  }
 
   private def readIndex(spark: SparkSession, path: String): DataFrame =
     PartitionedStore
@@ -106,12 +130,12 @@ object IvfStore {
         col("ibucket").cast("long").as("ibucket")
       )
 
-  /** The index buckets `ids` hash into — a ≤INDEX_BUCKETS-row driver
-    * read (bucket domain, not batch size).
+  /** The index buckets `ids` hash into — a ≤buckets-row driver read
+    * (bucket domain, not batch size).
     */
-  private def bucketsOf(ids: DataFrame): Seq[Long] =
+  private def bucketsOf(ids: DataFrame, buckets: Int): Seq[Long] =
     ids
-      .select(ibucket(col("vec_id")).as("b"))
+      .select(ibucket(col("vec_id"), buckets).as("b"))
       .distinct()
       .collect()
       .map(_.getLong(0))
@@ -135,22 +159,34 @@ object IvfStore {
       embeddings: DataFrame,
       cents: DataFrame,
       path: String,
-      indexed: Boolean = false
+      indexed: Boolean = false,
+      indexBuckets: Int = INDEX_BUCKETS
   ): Unit = {
     if (!indexed) {
       PartitionedStore.write(assign(embeddings, cents), path, Seq("cell"))
     } else {
+      require(indexBuckets > 0, s"indexBuckets must be positive: $indexBuckets")
       val assigned = assign(embeddings, cents).localCheckpoint(true)
       PartitionedStore.write(assigned, path, Seq("cell"))
       PartitionedStore.write(
         assigned.select(
           col("vec_id"),
           col("cell"),
-          ibucket(col("vec_id")).as("ibucket")
+          ibucket(col("vec_id"), indexBuckets).as("ibucket")
         ),
         indexPath(path),
         Seq("ibucket")
       )
+      // persist the routing modulus WITH the sidecar: maintenance
+      // must hash with the store's own count, not the caller's
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      Seq(indexBuckets)
+        .toDF("index_buckets")
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(metaPath(path))
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(assigned)
     }
   }
@@ -218,7 +254,8 @@ object IvfStore {
       ids: DataFrame,
       bkts: Seq[Long],
       entries: DataFrame,
-      guardEmpty: Boolean
+      guardEmpty: Boolean,
+      buckets: Int
   ): Option[DataFrame] =
     if (bkts.isEmpty) None
     else {
@@ -230,7 +267,7 @@ object IvfStore {
           entries.select(
             col("vec_id"),
             col("cell"),
-            ibucket(col("vec_id")).as("ibucket")
+            ibucket(col("vec_id"), buckets).as("ibucket")
           )
         )
         .localCheckpoint(true)
@@ -330,7 +367,8 @@ object IvfStore {
     // runs exactly once, in assign
     val ids = assigned.select("vec_id")
     val indexed = hasIndex(spark, path)
-    val bkts = if (indexed) bucketsOf(ids) else Seq.empty[Long]
+    val buckets = if (indexed) storedIndexBuckets(spark, path) else 0
+    val bkts = if (indexed) bucketsOf(ids, buckets) else Seq.empty[Long]
     val oldCells =
       if (indexed) cellsByIndex(spark, path, ids, bkts)
       else cellsByScan(spark, path, ids)
@@ -356,7 +394,7 @@ object IvfStore {
     val idxFrame =
       if (indexed)
         preparedIndexRewrite(spark, path, ids, bkts,
-          assigned.select("vec_id", "cell"), guardEmpty = false)
+          assigned.select("vec_id", "cell"), guardEmpty = false, buckets)
       else None
     PartitionedStore.overwritePartitions(storeFrame, path, Seq("cell"))
     org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(storeFrame)
@@ -379,7 +417,8 @@ object IvfStore {
     val ids = delIds.select("vec_id").localCheckpoint(true)
     try {
       val indexed = hasIndex(spark, path)
-      val bkts = if (indexed) bucketsOf(ids) else Seq.empty[Long]
+      val buckets = if (indexed) storedIndexBuckets(spark, path) else 0
+      val bkts = if (indexed) bucketsOf(ids, buckets) else Seq.empty[Long]
       val touched =
         (if (indexed) cellsByIndex(spark, path, ids, bkts)
          else cellsByScan(spark, path, ids))
@@ -402,7 +441,7 @@ object IvfStore {
               // no new entries on a delete: an empty (vec_id, cell)
               // frame, built without touching the index files
               ids.select(col("vec_id"), lit(0L).as("cell")).limit(0),
-              guardEmpty = true)
+              guardEmpty = true, buckets)
           else None
         PartitionedStore.overwritePartitions(storeFrame, path, Seq("cell"))
         org.apache.spark.sql.graftshim.GraftSqlShims
@@ -432,7 +471,7 @@ object IvfStore {
         .select(col("vec_id"), col("cell").cast("long").as("cell"),
           col("embedding"))
     else {
-      val bkts = bucketsOf(ids)
+      val bkts = bucketsOf(ids, storedIndexBuckets(spark, path))
       val cells = cellsOf(spark, path, ids, bkts)
       PartitionedStore
         .read(spark, path)
@@ -478,6 +517,91 @@ object IvfStore {
       .take(nProbe)
       .map(_._2)
       .toSeq
+  }
+
+  /** Batched serving face: serve a query TABLE against the store in
+    * one composition — route every query to its nProbe nearest cells
+    * against the broadcast K-row centroid table (one relational pass
+    * for ALL queries, per-query WindowGroupLimit on (distance,
+    * cell)), read the UNION of probed cells ONCE
+    * (PartitionFilters-pruned at the directory listing), and take
+    * per-query top-k with one more WindowGroupLimit. Per-query
+    * results ≡ the single-query [[topK]] (IvfServeSpec pins the
+    * equivalence query by query; the gated sim26 row pins the
+    * verdicts against the from-scratch relational oracle).
+    *
+    * Shape at scale: the routing join is queries × broadcast(K
+    * centroids) — map-side, no shuffle of the query table; the only
+    * driver read is the probed-cell union (≤ K rows, the bucket
+    * domain); each probed cell's files are read once no matter how
+    * many queries probe it, and each stored vector is scored only
+    * against the queries probing its cell (equi-join on the dense
+    * cell key against the broadcast route table), so total scoring
+    * work equals the sum of the single-query calls while the store
+    * I/O collapses from Σ_q |probed(q)| cell reads to |∪_q
+    * probed(q)|. Routing parity with [[probeCells]]: same integer
+    * micro-unit distance, same (distance, cell) tie-break, and a
+    * dims-mismatched query ranks a cell last (never above a real
+    * candidate cell).
+    */
+  def topKBatch(
+      spark: SparkSession,
+      path: String,
+      cents: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wProbe = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__d").asc, col("cell").asc)
+    val routes = queries
+      .select(col("query_id"), quant(col("qv")).as("qq"))
+      .crossJoin(broadcast(cents))
+      .select(
+        col("query_id"),
+        col("qq"),
+        col("cell"),
+        when(size(col("qq")) === size(col("qc")), dist2(col("qq"), col("qc")))
+          .otherwise(lit(Long.MaxValue))
+          .as("__d")
+      )
+      .withColumn("__r", row_number().over(wProbe))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("qq"), col("cell"))
+      // materialized once: the caller's query lineage (possibly an
+      // expensive pipeline) must not re-run for the cell-union read
+      // below AND the scoring join; batch-sized, so the caller's
+      // result materialization + session checkpoint GC bound its life
+      .localCheckpoint(true)
+    // the probed-cell UNION: the one driver read, bounded by K
+    val cells = routes
+      .select(col("cell"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+    val wRank = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+    PartitionedStore
+      .read(spark, path)
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("cell", col("cell").cast("long"))
+      .join(broadcast(routes), Seq("cell"))
+      // per-query dims contract, mirroring topK's scan filter
+      .filter(size(col("embedding")) === size(col("qq")))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        col("cell"),
+        dist2(quant(col("embedding")), col("qq")).as("dist2")
+      )
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cell"), col("dist2"),
+        col("rank"))
   }
 
   /** Exact top-k within the probed cells: the `cell IN (...)` filter

@@ -1,0 +1,100 @@
+package graft.sim
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Batched serving over the IVF store: per-query equality with the
+  * single-query `topK`, and the plan shape that makes the batch form
+  * the production face — ONE PartitionFilters-pruned read of the
+  * probed-cell union (not one store read per query) and per-query
+  * rank pruning via WindowGroupLimit.
+  */
+class IvfServeSpec extends SparkSpec {
+
+  private val K = 8
+  private val STRIDE = 97
+  private val TOPK = 5
+  private val NPROBE = 2
+
+  private lazy val store: (String, org.apache.spark.sql.DataFrame) = {
+    val dir = Files.createTempDirectory("graft-ivf-serve").toString
+    val emb = Tables(spark, sfDir).embeddings
+    val cents = IvfStore.centroids(emb, K, STRIDE).localCheckpoint(true)
+    IvfStore.build(emb, cents, dir)
+    (dir, cents)
+  }
+
+  private def queries =
+    Tables(spark, sfDir).embeddings
+      .filter(pmod(col("vec_id"), lit(37)) === 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  test("batched serving equals the single-query topK, query by query") {
+    val (dir, cents) = store
+    val batch = IvfStore
+      .topKBatch(spark, dir, cents, queries, TOPK, NPROBE)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    val qrows = queries.collect()
+    assert(qrows.length > 5, "fixture must provide a real query batch")
+    assert(batch.keySet === qrows.map(_.getAs[Long]("query_id")).toSet)
+    qrows.foreach { qr =>
+      val qid = qr.getAs[Long]("query_id")
+      val qv = qr.getAs[scala.collection.Seq[Float]]("qv").toSeq
+      val single = IvfStore
+        .topK(spark, dir, cents, qv, TOPK, NPROBE)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dist2")))
+        .toSeq
+      val got = batch(qid)
+        .sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dist2")))
+        .toSeq
+      assert(got === single, s"query $qid diverged from single-query topK")
+    }
+  }
+
+  test("batch plan: ONE pruned store scan for all queries, ranks group-limited") {
+    val (dir, cents) = store
+    val res = IvfStore.topKBatch(spark, dir, cents, queries, TOPK, NPROBE)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // the store path appears in exactly one scan's Location — the
+    // probed-cell union is read once, however many queries probe it
+    val dirName = new java.io.File(dir).getName
+    val hits = plan.sliding(dirName.length).count(_ == dirName)
+    assert(hits === 1, s"store scanned $hits times:\n$plan")
+    // per-query top-k prunes map-side before the window's exchange
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the route table reaches the scoring join as a broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("batch routing matches probeCells cell-for-cell") {
+    val (dir, cents) = store
+    // routing parity is already implied by the per-query equality
+    // test, but pin the cells explicitly so a tie-break drift fails
+    // with a readable message rather than a rank diff
+    val got = IvfStore
+      .topKBatch(spark, dir, cents, queries, TOPK, nProbe = NPROBE)
+      .select(col("query_id"), col("cell"))
+      .distinct()
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cell")))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).toSet)
+      .toMap
+    queries.collect().foreach { qr =>
+      val qid = qr.getAs[Long]("query_id")
+      val probed = IvfStore
+        .probeCells(cents, qr.getAs[scala.collection.Seq[Float]]("qv").toSeq, NPROBE)
+        .toSet
+      // every served cell was a probed cell (a probed cell with no
+      // top-k survivor legitimately leaves no row)
+      assert(got(qid).subsetOf(probed), s"query $qid served from unprobed cells")
+    }
+  }
+}
