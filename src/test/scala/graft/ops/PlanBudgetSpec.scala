@@ -460,6 +460,129 @@ class PlanBudgetSpec extends SparkSpec {
     assert(b >= 1, s"dedup33 touched set must broadcast, saw $b")
   }
 
+  // ---- round-6/7 surface (the whole-surface audit catches the
+  // scale-killer CLASSES; these pins catch a lost pushdown or an
+  // accidental extra exchange per query). sim26 / cdc15-16 / the
+  // stream* replays return checkpoint-materialized frames, so an
+  // exchange count on their OUTPUT is vacuous — their plan shapes
+  // are pinned where they execute (IvfServeSpec's one-pruned-scan +
+  // broadcast-routes pin, IvfMaintainSpec's touched-files pins, the
+  // replay specs' O(1)-state equivalences).
+
+  test("q100 OHLC bars: one packed-key hash agg + presentation sort") {
+    val (s, _) = exchanges(run("q100_ohlc_bars"))
+    assert(s <= 2, s"q100 shuffles=$s")
+  }
+
+  test("q101 zorder layout: zone-map aggs + probe sort; probe table broadcasts") {
+    val (s, b) = exchanges(run("q101_zorder_layout"))
+    assert(s <= 3, s"q101 shuffles=$s")
+    assert(b >= 1, "q101 probe table must broadcast")
+  }
+
+  test("q102 zorder store round-trip: pruned read pays only the presentation sort") {
+    val (s, _) = exchanges(run("q102_zorder_store"))
+    assert(s <= 1, s"q102 shuffles=$s")
+  }
+
+  test("q103 seasonal MASE: per-series windows on one partitioning + agg + sort") {
+    val (s, _) = exchanges(run("q103_seasonal_error"))
+    assert(s <= 3, s"q103 shuffles=$s")
+  }
+
+  test("q104 last-touch: per-user as-of window + channel agg + sort") {
+    val (s, _) = exchanges(run("q104_last_touch"))
+    assert(s <= 3, s"q104 shuffles=$s")
+  }
+
+  test("q105 winsorize: percentile agg + clip agg + sort; cuts broadcast back") {
+    val (s, b) = exchanges(run("q105_winsorize"))
+    assert(s <= 3, s"q105 shuffles=$s")
+    assert(b >= 1, "q105 per-series cuts must broadcast")
+  }
+
+  test("text41 boilerplate: line agg + doc reassembly + rollup + sort") {
+    val (s, b) = exchanges(run("text41_line_boilerplate"))
+    assert(s <= 4, s"text41 shuffles=$s")
+    assert(b >= 1, "text41 boilerplate line set must broadcast")
+  }
+
+  test("text42 PR sweep: one scored agg + threshold-grid agg + sort") {
+    val (s, _) = exchanges(run("text42_pr_sweep"))
+    assert(s <= 3, s"text42 shuffles=$s")
+  }
+
+  test("text43 boolean retrieval: postings pruned pre-shuffle, no N-way self-join") {
+    val (s, b) = exchanges(run("text43_bool_retrieval"))
+    assert(s <= 5, s"text43 shuffles=$s")
+    assert(b >= 1, "text43 query-term set must broadcast")
+  }
+
+  test("mm07 media clusters: banded pairs + CC + dense rollup within budget") {
+    val (s, b) = exchanges(run("mm07_phash_clusters"))
+    assert(s <= 5, s"mm07 shuffles=$s")
+    assert(b >= 1, "mm07 survivor/edge set must broadcast")
+  }
+
+  test("mm08 shot boundaries: per-media frame window + boundary agg + sort") {
+    val (s, _) = exchanges(run("mm08_shot_bounds"))
+    assert(s <= 2, s"mm08 shuffles=$s")
+  }
+
+  test("mm09 aspect buckets: one bucket agg + presentation sort") {
+    val (s, _) = exchanges(run("mm09_aspect_buckets"))
+    assert(s <= 2, s"mm09 shuffles=$s")
+  }
+
+  test("dedup37 weighted HDR median: CC weights + ONE sketch agg, bucket-sized windows") {
+    val (s, _) = exchanges(run("dedup37_weighted_hdr_median"))
+    assert(s <= 3, s"dedup37 shuffles=$s")
+  }
+
+  test("dedup38 cluster transitivity: CC + degree/wedge/triangle rollups within budget") {
+    // the triangle and CC legs read eager checkpoints (the dedup17
+    // discipline); 10 exchanges is the honest cost of the three
+    // keyed rollups + joins over them — the pin is against growth
+    val (s, _) = exchanges(run("dedup38_cluster_transitivity"))
+    assert(s <= 10, s"dedup38 shuffles=$s")
+  }
+
+  test("dedup39 CDC chunking: ONE corpus pass fans out to both chunkers") {
+    // per-doc windows + one chunk-assembly shuffle + rollup + docs
+    // agg + sort — re-deriving the scan per chunker would double it
+    val (s, _) = exchanges(run("dedup39_cdc_chunks"))
+    assert(s <= 5, s"dedup39 shuffles=$s")
+  }
+
+  test("dedup40 curve: five arms stay within the per-arm budget") {
+    // 4 banded arms + the exhaustive baseline, each: candidate dedupe
+    // (on the inherited signature partitioning) + rerank join + flag
+    // agg; plus the 1-row stat crossJoins. 15/11 measured; pinned
+    // against growth — a sixth arm or a lost checkpoint fails here
+    val (s, b) = exchanges(run("dedup40_banded_decon_curve"))
+    assert(s <= 15, s"dedup40 shuffles=$s")
+    assert(b <= 11, s"dedup40 broadcasts=$b")
+  }
+
+  test("dedup36 banded form: no more exchanges than the sweep form had") {
+    // the banded candidate generator must ride the signature
+    // barrier's partitioning: repartition + rerank join + sort only
+    val (s, b) = exchanges(run("dedup36_semantic_decon_sketch"))
+    assert(s <= 3, s"dedup36 shuffles=$s")
+    assert(b >= 2, "dedup36 eval bands and signatures must broadcast")
+  }
+
+  test("sim25 nprobe curve: one scored pass swept by the broadcast budget grid") {
+    val (s, b) = exchanges(run("sim25_nprobe_curve"))
+    assert(s <= 4, s"sim25 shuffles=$s")
+    assert(b >= 1, "sim25 budget grid must broadcast")
+  }
+
+  test("cdc17 hash chain: per-key chain window + verdict agg only") {
+    val (s, _) = exchanges(run("cdc17_hash_chain"))
+    assert(s <= 2, s"cdc17 shuffles=$s")
+  }
+
   test("dedup17 triangle legs read one checkpointed pipeline (no corpus re-scan)") {
     // r5 replaced the runtime-ReusedExchange reliance (pre-AQE plans
     // showed the MinHash pipeline triplicated; reuse only appeared in
