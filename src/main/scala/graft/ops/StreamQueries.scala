@@ -599,6 +599,11 @@ object StreamQueries {
     // batch q104 (same oracle)
     "stream19_last_touch" -> ((s, dir) =>
       graft.streaming.StreamLastTouch.replay(Tables(s, dir).events)),
+    // per-key O(1) chain-tail state updated AT INGEST; maintained
+    // chains ≡ batch cdc17 (same oracle)
+    "stream20_hash_chain" -> ((s, dir) =>
+      graft.streaming.StreamHashChain
+        .replay(graft.cdc.CdcQueries.changeLog(s, dir))),
     "stream09_funnel" -> funnelIngest,
     "stream08_agg_maintain" -> aggMaintainIngest,
     "stream07_minhash_ingest" -> minhashIngest,
@@ -793,6 +798,9 @@ object StreamQueries {
     "stream09_funnel" -> Relational7.oracle("q64_funnel"),
     // replay ≡ batch: the streaming fold must land on q104's table
     "stream19_last_touch" -> Relational11.oracle("q104_last_touch"),
+    // replay ≡ batch: the ingest-time chain fold must land on cdc17's
+    // exact chains — any dropped/duplicated/reordered op diverges
+    "stream20_hash_chain" -> graft.cdc.CdcQueries.oracle("cdc17_hash_chain"),
     "stream18_segments" -> Relational11.oracle("q96_segment_overlap"),
     "stream07_minhash_ingest" -> DedupQueries.candidatePairsOracle,
     "stream01_tumbling" ->
