@@ -219,12 +219,192 @@ object MediaQueries {
       .orderBy("bucket")
   }
 
+  /** mm10: a REAL byte-level codec behind the multimodal decode seam
+    * — every other mm query stubs decode with UTF-8 proxies; this one
+    * round-trips a self-describing uncompressed raster format through
+    * actual binary parsing. Format `GIMG`: 4 magic bytes `47 49 4D
+    * 47`, 1 width byte, 1 height byte, then width·height grayscale
+    * pixel bytes — the PPM/BMP shape reduced to its load-bearing
+    * parts (magic, header-declared geometry, raw samples). The
+    * ENCODER plants payloads as binary columns (one third truncated
+    * by a byte — the corrupt-file arm); the DECODER sees ONLY the
+    * payload bytes: magic check, header geometry, the
+    * header-vs-actual pixel-count guard, and per-pixel stats
+    * including a POSITIONAL checksum (Σ i·pᵢ) that fails if bytes
+    * are decoded out of order. Both engines transcode the payload
+    * through one hex() per row and slice bytes from the hex string
+    * (byte b = chars [2b−1, 2b]) — DuckDB has no blob substring, and
+    * the single transcode beats per-byte binary slicing anyway.
+    * Corrupt rows keep their decoded header and NULL stats: the
+    * decode boundary REPORTS damage, it does not drop rows.
+    *
+    * Shape at scale: everything is one map-side expression chain per
+    * row (generate → unhex → hex → slice); the only shuffle is the
+    * presentation sort. Integer arithmetic end-to-end. A real codec
+    * (JPEG/PNG) swaps into [[Multimodal.decodeFeatures]]'s
+    * per-partition pass; THIS query pins the byte-exact plumbing the
+    * swap inherits — binary column lifecycle, header/guard/stat
+    * schema, NULL-on-damage contract.
+    */
+  private val rasterDecode: Q = (s, dir) => {
+    val planted = Tables(s, dir).documents
+      .filter(pmod(col("doc_id"), lit(11)) === 5)
+      .select(
+        col("doc_id").as("media_id"),
+        (lit(4L) + pmod(col("doc_id"), lit(5))).as("gw"),
+        (lit(3L) + pmod(col("doc_id"), lit(4))).as("gh")
+      )
+    val fullHex = concat(
+      lit("47494D47"),
+      lpad(hex(col("gw")), 2, "0"),
+      lpad(hex(col("gh")), 2, "0"),
+      array_join(
+        transform(
+          sequence(lit(0L), col("gw") * col("gh") - 1),
+          i => lpad(hex(pmod(col("media_id") * 31 + i * 7, lit(256))), 2, "0")
+        ),
+        ""
+      )
+    )
+    val media = planted
+      .select(col("media_id"), fullHex.as("fullhex"))
+      .select(
+        col("media_id"),
+        unhex(
+          when(
+            pmod(col("media_id"), lit(3)) === 0,
+            col("fullhex").substr(lit(1), length(col("fullhex")) - 2)
+          ).otherwise(col("fullhex"))
+        ).as("payload")
+      )
+    // decoder: payload bytes only, via one hex transcode per row
+    def bv(startChar: org.apache.spark.sql.Column) =
+      conv(col("h").substr(startChar.cast("int"), lit(2)), 16, 10).cast("long")
+    val hdr = media
+      .select(
+        col("media_id"),
+        hex(col("payload")).as("h"),
+        octet_length(col("payload")).cast("long").as("n_bytes")
+      )
+      .select(
+        col("media_id"),
+        col("h"),
+        col("n_bytes"),
+        (col("n_bytes") >= 6 &&
+          substring(col("h"), 1, 8) === "47494D47").as("is_img"),
+        bv(lit(9)).as("width"),
+        bv(lit(11)).as("height"),
+        (col("n_bytes") - 6).as("npix_act")
+      )
+    val dec = hdr.select(
+      col("media_id"),
+      col("n_bytes"),
+      col("is_img"),
+      col("width"),
+      col("height"),
+      (col("is_img") && col("npix_act") === col("width") * col("height"))
+        .as("valid"),
+      when(
+        col("is_img") && col("npix_act") === col("width") * col("height"),
+        transform(sequence(lit(1L), col("npix_act")), i => bv(lit(11L) + i * 2))
+      ).as("pix")
+    )
+    dec
+      .select(
+        col("media_id"),
+        col("n_bytes"),
+        col("width"),
+        col("height"),
+        col("valid"),
+        when(col("valid"), size(col("pix")).cast("long")).as("n_pixels"),
+        when(col("valid"), array_min(col("pix"))).as("px_min"),
+        when(col("valid"), array_max(col("pix"))).as("px_max"),
+        when(col("valid"), aggregate(col("pix"), lit(0L), _ + _)).as("px_sum"),
+        when(
+          col("valid"),
+          aggregate(
+            transform(col("pix"), (p, idx) => (idx.cast("long") + 1L) * p),
+            lit(0L),
+            _ + _
+          )
+        ).as("px_possum"),
+        when(col("valid"), size(filter(col("pix"), _ >= 128)).cast("long"))
+          .as("bright_px")
+      )
+      .withColumn(
+        "mean_milli",
+        when(col("valid"), expr("(px_sum * 1000) div n_pixels"))
+      )
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm08_shot_bounds" -> shotBounds,
-    "mm09_aspect_buckets" -> aspectBuckets
+    "mm09_aspect_buckets" -> aspectBuckets,
+    "mm10_raster_decode" -> rasterDecode
   )
 
   val oracle: Map[String, String] = Map(
+    // generator and decoder both mirrored from first principles: the
+    // same GIMG hex construction (from_hex), the same one-hex
+    // transcode decode (byte b = hex chars [2b-1, 2b]), the same
+    // corrupt-truncation arm, the same NULL-on-damage stats
+    "mm10_raster_decode" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(4 + doc_id % 5 AS BIGINT) AS gw,
+         |    CAST(3 + doc_id % 4 AS BIGINT) AS gh
+         |  FROM documents WHERE doc_id % 11 = 5),
+         |gen AS (
+         |  SELECT media_id,
+         |    concat('47494D47', lpad(hex(gw), 2, '0'), lpad(hex(gh), 2, '0'),
+         |      array_to_string(list_transform(range(0, gw * gh),
+         |        i -> lpad(hex((media_id * 31 + i * 7) % 256), 2, '0')), ''))
+         |      AS fullhex
+         |  FROM planted),
+         |media AS (
+         |  SELECT media_id,
+         |    from_hex(CASE WHEN media_id % 3 = 0
+         |      THEN substring(fullhex, 1, length(fullhex) - 2)
+         |      ELSE fullhex END) AS payload
+         |  FROM gen),
+         |hx AS (SELECT media_id, hex(payload) AS h,
+         |         CAST(octet_length(payload) AS BIGINT) AS n_bytes
+         |       FROM media),
+         |hdr AS (
+         |  SELECT media_id, h, n_bytes,
+         |    (n_bytes >= 6 AND substring(h, 1, 8) = '47494D47') AS is_img,
+         |    CAST(concat('0x', substring(h, 9, 2)) AS BIGINT) AS width,
+         |    CAST(concat('0x', substring(h, 11, 2)) AS BIGINT) AS height,
+         |    n_bytes - 6 AS npix_act
+         |  FROM hx),
+         |dec AS (
+         |  SELECT media_id, n_bytes, is_img, width, height,
+         |    (is_img AND npix_act = width * height) AS valid,
+         |    CASE WHEN is_img AND npix_act = width * height THEN
+         |      list_transform(range(1, npix_act + 1),
+         |        i -> CAST(concat('0x',
+         |          substring(h, CAST(11 + 2 * i AS BIGINT), 2)) AS BIGINT))
+         |    END AS pix
+         |  FROM hdr)
+         |SELECT media_id, n_bytes, width, height, valid,
+         |  CASE WHEN valid THEN CAST(len(pix) AS BIGINT) END AS n_pixels,
+         |  CASE WHEN valid THEN CAST(list_aggregate(pix, 'min') AS BIGINT)
+         |    END AS px_min,
+         |  CASE WHEN valid THEN CAST(list_aggregate(pix, 'max') AS BIGINT)
+         |    END AS px_max,
+         |  CASE WHEN valid THEN CAST(list_aggregate(pix, 'sum') AS BIGINT)
+         |    END AS px_sum,
+         |  CASE WHEN valid THEN
+         |    CAST(list_aggregate(list_transform(range(1, len(pix) + 1),
+         |      i -> i * pix[i]), 'sum') AS BIGINT) END AS px_possum,
+         |  CASE WHEN valid THEN
+         |    CAST(len(list_filter(pix, p -> p >= 128)) AS BIGINT)
+         |    END AS bright_px,
+         |  CASE WHEN valid THEN
+         |    (CAST(list_aggregate(pix, 'sum') AS BIGINT) * 1000) //
+         |      CAST(len(pix) AS BIGINT) END AS mean_milli
+         |FROM dec ORDER BY media_id""".stripMargin,
     // the same ladder as a VALUES table, the same integer score
     // (num · LCM/th), argmin via row_number with the same (score, idx)
     // tie-break; width/height mirror mm01's metadata derivation
