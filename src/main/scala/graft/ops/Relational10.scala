@@ -145,17 +145,18 @@ object Relational10 {
       )
   }
 
-  private def hdrReport(
+  private[ops] def hdrReport(
       s: SparkSession,
       values: DataFrame,
-      groupCols: Seq[String]
+      groupCols: Seq[String],
+      ps: Seq[Int] = HDR_PS
   ): DataFrame = {
     val g = groupCols.map(col)
     val rows = hdrBucketRows(values, groupCols)
     val counts = hdrBucketCounts(values, groupCols)
     // bounded table (≤ ~1K rows per group by construction) — every
     // window/join inside hdrTargets is over the SKETCH, not the data
-    val targets = hdrTargets(counts, groupCols)
+    val targets = hdrTargets(counts, groupCols, ps)
     // second pass: broadcast the target buckets, window only the rows
     // that land in them (the value at group rank r is the
     // (r − cum_before)-th smallest within its bucket)

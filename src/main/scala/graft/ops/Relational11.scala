@@ -553,7 +553,95 @@ object Relational11 {
       .orderBy("event_type")
   }
 
+  /** q106: winsorization cuts from the q85/q88 HDR sketch — q105's
+    * documented petabyte swap-in, gated as a DISAGREEMENT AUDIT (the
+    * q98/q99 exact↔approx discipline applied to clipping). The
+    * sketch path locates each series' p1/p99 rank in the bounded
+    * per-(series, bucket) count sketch, then selects the exact cut
+    * value from ONE bucket-pruned pass (only rows landing in the two
+    * target buckets are ranked — [[Relational10.hdrReport]]'s
+    * selection, rank within bucket = global rank − cum-below); the
+    * exact path is q105's global per-series sort. The audit row per
+    * series carries both cut pairs, their match booleans, and the
+    * clipped-sum BIAS — zero by construction, because the
+    * sketch-guided selection returns the true order statistic (both
+    * paths pick the VALUE at rank ⌈f·n⌉, and rank ties collapse to
+    * the same value — q98's argument), and the gate proves it on
+    * every series rather than asserting it in prose.
+    *
+    * Shape at scale: the sketch is one hash aggregation (bounded
+    * mergeable state — the streaming form exists as
+    * StreamHdrQuantiles); the cut selection sorts only the two
+    * target buckets per series (~n/2^HDR_S rows); the exact anchor's
+    * full per-series sort is the thing being REPLACED — it rides
+    * along here only because an audit needs its anchor, exactly as
+    * q99 carries q37's exact ntile.
+    */
+  private val winsorizeSketch: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables(s, dir).events
+      .filter(col("value").isNotNull)
+      .select(
+        col("event_type"),
+        col("event_id"),
+        round(col("value") * 100).cast("long").as("cents")
+      )
+    val sk = Relational10
+      .hdrReport(
+        s,
+        v.select(col("event_type"), col("cents").as("v")),
+        Seq("event_type"),
+        Seq((WINSOR_LO_BP / 100).toInt, (WINSOR_HI_BP / 100).toInt)
+      )
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("p") === (WINSOR_LO_BP / 100).toInt, col("exact_cents")))
+          .as("sk_lo"),
+        min(when(col("p") === (WINSOR_HI_BP / 100).toInt, col("exact_cents")))
+          .as("sk_hi")
+      )
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    val ranked = v
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val ex = ranked
+      .filter(
+        col("rk") === ceil(col("n") * WINSOR_LO_BP / 10000.0).cast("long") ||
+          col("rk") === ceil(col("n") * WINSOR_HI_BP / 10000.0).cast("long")
+      )
+      .groupBy(col("event_type"))
+      .agg(min(col("cents")).as("ex_lo"), max(col("cents")).as("ex_hi"))
+    val cuts = sk.join(ex, "event_type")
+    v.join(broadcast(cuts), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("sk_lo")).as("sk_lo"),
+        min(col("sk_hi")).as("sk_hi"),
+        min(col("ex_lo")).as("ex_lo"),
+        min(col("ex_hi")).as("ex_hi"),
+        (sum(greatest(least(col("cents"), col("sk_hi")), col("sk_lo"))) -
+          sum(greatest(least(col("cents"), col("ex_hi")), col("ex_lo"))))
+          .as("bias_cents")
+      )
+      .select(
+        col("event_type"),
+        col("n"),
+        col("sk_lo"),
+        col("sk_hi"),
+        col("ex_lo"),
+        col("ex_hi"),
+        (col("sk_lo") === col("ex_lo")).as("lo_match"),
+        (col("sk_hi") === col("ex_hi")).as("hi_match"),
+        col("bias_cents")
+      )
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q106_winsorize_sketch" -> winsorizeSketch,
     "q105_winsorize" -> winsorize,
     "q104_last_touch" -> lastTouch,
     "q95_join_key_profile" -> joinKeyProfile,
@@ -633,6 +721,73 @@ object Relational11 {
          |  ${Qx.sqlDsum("value")} AS sum_value
          |FROM events WHERE value IS NOT NULL
          |GROUP BY 1, 2 ORDER BY event_type, bucket_us""".stripMargin,
+    // both paths replayed from first principles: the q88 sketch CTEs
+    // (bucket counts, (n·p+99)//100 rank read, in-bucket selection)
+    // against q105's global order statistics, joined into one audit
+    "q106_winsorize_sketch" -> {
+      val pw =
+        s"(CAST(1 AS BIGINT) << GREATEST(length(bin(cents)) - 1 - ${Relational10.HDR_S}, 0))"
+      s"""WITH v AS (
+         |  SELECT event_type, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL),
+         |rows_b AS (SELECT event_type, cents AS v,
+         |    cents - cents % $pw AS bucket, $pw AS pw
+         |  FROM v),
+         |c AS (SELECT event_type, bucket, pw,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM rows_b GROUP BY 1, 2, 3),
+         |cum AS (SELECT event_type, bucket, pw, cnt,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+         |      - cnt AS BIGINT) AS cb
+         |  FROM c),
+         |n AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM c GROUP BY 1),
+         |p(p) AS (VALUES (${WINSOR_LO_BP / 100}), (${WINSOR_HI_BP / 100})),
+         |r AS (SELECT n.event_type, p.p,
+         |    CAST((n.n * p.p + 99) // 100 AS BIGINT) AS r
+         |  FROM p, n),
+         |tgt AS (SELECT r.event_type, r.p, r.r,
+         |    MIN(cum.bucket) AS est,
+         |    arg_min(cum.cb, cum.bucket) AS cb
+         |  FROM r JOIN cum ON cum.event_type = r.event_type
+         |    AND cum.cum >= r.r
+         |  GROUP BY 1, 2, 3),
+         |sel AS (SELECT t.event_type, t.p, rows_b.v, t.cb, t.r,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY t.event_type, t.p
+         |      ORDER BY rows_b.v) AS BIGINT) AS rn
+         |  FROM tgt t JOIN rows_b ON rows_b.event_type = t.event_type
+         |    AND rows_b.bucket = t.est),
+         |sk AS (SELECT event_type,
+         |    MIN(CASE WHEN p = ${WINSOR_LO_BP / 100} THEN v END) AS sk_lo,
+         |    MIN(CASE WHEN p = ${WINSOR_HI_BP / 100} THEN v END) AS sk_hi
+         |  FROM sel WHERE cb + rn = r GROUP BY 1),
+         |rq AS (SELECT event_type, cents,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY cents, event_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nn
+         |  FROM v),
+         |ex AS (SELECT event_type,
+         |    CAST(MIN(cents) AS BIGINT) AS ex_lo,
+         |    CAST(MAX(cents) AS BIGINT) AS ex_hi
+         |  FROM rq
+         |  WHERE rk = CAST(ceil(nn * $WINSOR_LO_BP / 10000.0) AS BIGINT)
+         |     OR rk = CAST(ceil(nn * $WINSOR_HI_BP / 10000.0) AS BIGINT)
+         |  GROUP BY 1),
+         |cuts AS (SELECT * FROM sk JOIN ex USING (event_type))
+         |SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN(sk_lo) AS sk_lo, MIN(sk_hi) AS sk_hi,
+         |  MIN(ex_lo) AS ex_lo, MIN(ex_hi) AS ex_hi,
+         |  MIN(sk_lo) = MIN(ex_lo) AS lo_match,
+         |  MIN(sk_hi) = MIN(ex_hi) AS hi_match,
+         |  CAST(SUM(greatest(least(cents, sk_hi), sk_lo)) AS BIGINT)
+         |    - CAST(SUM(greatest(least(cents, ex_hi), ex_lo)) AS BIGINT)
+         |    AS bias_cents
+         |FROM v JOIN cuts USING (event_type)
+         |GROUP BY 1 ORDER BY event_type""".stripMargin
+    },
     // same order statistics (rank ⌈f·n⌉ under (cents, event_id)),
     // same clamp, BIGINT cent sums; HUGEINT sums cast down
     "q105_winsorize" ->
