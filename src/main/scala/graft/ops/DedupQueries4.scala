@@ -35,19 +35,21 @@ object DedupQueries4 {
   /** Exact-rerank shortlist per corpus vector (of the eval set). */
   private[ops] val SHORTLIST = 8
 
-  /** Candidate-band width for dedup36: 6-bit bands (48 of them, 8
-    * per signature word). At the fixture's contamination regime the
-    * sign-LSH contrast is thin — a contaminated pair at the
-    * cos ≈ 0.35 boundary disagrees on p₁ = acos(0.35)/π ≈ 0.38 of
-    * the planes vs p₂ = 0.5 for background, so a b-bit band matches
-    * with prob 0.62^b vs 0.5^b and the amplification exponent
-    * ρ = ln p_match1 / ln p_match2 leaves no width that is both
-    * high-recall and sparse (dedup40 gates the measured curve:
-    * b=6 keeps verdict recall ≥ 0.96 at ~0.53·N·M candidates; b=16
-    * drops to ~0.001·N·M candidates but recall ~0). 6 is the widest
-    * band that holds the family's ≥ 0.9 recall floor; production
-    * near-dup contamination (cos ≥ 0.9, p₁ ≤ 0.15) runs the same
-    * generator at b=12..16 where candidates collapse to ≪ N·M.
+  /** Reference band width for the banded candidate generator: 6-bit
+    * bands (48 of them, 8 per signature word) — the widest band that
+    * holds the family's ≥ 0.9 verdict-recall floor on the fixture.
+    * At the fixture's contamination regime the sign-LSH contrast is
+    * thin — a contaminated pair at the cos ≈ 0.35 boundary disagrees
+    * on p₁ = acos(0.35)/π ≈ 0.38 of the planes vs p₂ = 0.5 for
+    * background, so a b-bit band matches with prob 0.62^b vs 0.5^b
+    * and the amplification exponent ρ = ln p_match1 / ln p_match2
+    * leaves no width that is both high-recall and sparse (dedup40
+    * gates the measured curve: b=6 keeps verdict recall ≥ 0.96 at
+    * ~0.53·N·M candidates; b=16 drops to ~0.001·N·M candidates but
+    * recall ~0). Production near-dup contamination (cos ≥ 0.9,
+    * p₁ ≤ 0.15) is where the generator earns its join: b=12..16
+    * collapse candidates to ≪ N·M there. dedup36 itself keeps the
+    * sweep — the A/B receipt in its scaladoc.
     */
   private[ops] val BAND_BITS = 6
 
@@ -75,8 +77,10 @@ object DedupQueries4 {
     }: _*)
   }
 
-  /** Banded candidate generator: corpus×eval pairs sharing at least
-    * one w-bit signature band. The eval band table broadcasts (≤
+  /** Banded candidate generator (dedup40's curve arms; see
+    * [[BAND_BITS]] for the regime where it wins): corpus×eval pairs
+    * sharing at least one w-bit signature band. The eval band table
+    * broadcasts (≤
     * SIG_WORDS·SIG_BITS/w skinny rows per eval vector), so the band
     * explode + equi-join + per-pair dedupe all run map-side on the
     * corpus partitioning — candidates leave this function still
@@ -177,46 +181,48 @@ object DedupQueries4 {
   }
 
   /** dedup36: semantic decontamination at scale — dedup31's verdict
-    * from a BANDED candidate generator + Hamming shortlist + exact
-    * rerank instead of the N×M cosine sweep. dedup31 is the exact
-    * semantics (sanctioned broadcast-BNLJ, fine while the eval set
-    * is benchmark-sized); once the eval side reaches millions of
-    * rows any per-pair pass is the cost wall, and this is the form
-    * to run: stage 0 generates candidates with a banded equi-join on
-    * [[BAND_BITS]]-bit signature bands (pairs sharing no band are
-    * never scored at all — the dedup24/mm06 pigeonhole applied to
-    * sign sketches); stage 1 scores ONLY candidates with SIG_WORDS
-    * XOR+popcounts over packed sign bits and keeps the SHORTLIST
-    * nearest per corpus vector; stage 2 re-scores only those with
-    * the exact cosine (same argmax fold, same threshold).
+    * from a Hamming shortlist + exact rerank instead of the N×M
+    * cosine sweep. dedup31 is the exact semantics (its float sweep is
+    * the cost wall once the eval set reaches millions of rows); this
+    * form scores every (corpus, eval) pair with SIG_WORDS
+    * XOR+popcounts over packed sign bits (36 bytes a vector against
+    * 256 of float32), keeps the SHORTLIST nearest eval candidates per
+    * corpus vector, and re-scores ONLY those with the exact cosine
+    * (same argmax fold, same threshold).
     *
-    * Error structure stays ONE-SIDED (see [[shortlistVerdicts]]):
-    * precision 1 structurally; recall is approximate — a
-    * contaminated vector can lose its eval twin to the band filter
-    * as well as to the shortlist. SemanticDeconSketchSpec pins
-    * flagged ⊆ dedup31's flagged and verdict recall ≥ 0.9 on the
-    * fixture (measured 0.96 at b=6); BandedDeconSpec +
-    * the gated dedup40 row pin the full width curve (see
-    * [[BAND_BITS]] for why 6 — the regime's LSH contrast is thin,
-    * so 6 is the widest band holding the recall floor, and it buys
-    * ~2× fewer scored pairs rather than orders of magnitude; at
-    * production near-dup regimes the SAME generator at b=12..16
-    * collapses candidates by 100-1000×).
+    * Why the candidate generator is the SWEEP and not the banded
+    * equi-join (round 7's A/B receipt): the banded form
+    * ([[bandedCandidates]], gated as dedup40's curve) was implemented
+    * here and measured against this sweep with the interleaved
+    * BenchAB harness — 1.9× SLOWER at sf0.1 (bench_history r7 A/B:
+    * 1.22 s → 2.36 s). At the fixture's cos≈0.35 contamination
+    * regime the widest recall-holding band (b=6) still admits ~53%
+    * of all pairs, and the band join materializes ~0.75·N·M
+    * band-match rows before the dedupe — MORE row handling than the
+    * fused sweep's N·M six-popcount pairs, which run entirely inside
+    * one codegen stage. The ρ math on [[BAND_BITS]] says no width
+    * fixes this at thin LSH contrast; banding pays off only at
+    * near-dup regimes (b=12..16, ≤1% candidates — dedup40's sparse
+    * points), so the generator stays available for THAT regime and
+    * the audited sweep serves this one.
+    *
+    * Error structure is ONE-SIDED by construction (see
+    * [[shortlistVerdicts]]): precision 1 structurally; recall is the
+    * approximate side. SemanticDeconSketchSpec pins flagged ⊆
+    * dedup31's flagged and verdict recall ≥ 0.9 on the fixture
+    * (measured 0.98 at 288 bits / SHORTLIST 8).
     *
     * Shape at scale: signatures are one fused-codegen map-side
-    * expression per side; eval band keys and signatures broadcast
-    * (48-byte sig rows — broadcastable long past the float-vector
-    * limit); the band explode, candidate equi-join, per-pair dedupe,
-    * Hamming scoring, and shortlist window ALL run on the one
-    * vec_id partitioning the signature barrier lands (zero added
-    * exchanges vs the sweep form); the rerank joins corpus
-    * embeddings ONCE on the dense vec_id key (the only shuffle that
-    * carries vectors) against the broadcast eval vectors, LEFT so
-    * band-orphaned corpus rows keep their (un)contaminated verdict
-    * row. Exact arithmetic: integer band keys and Hamming, and the
-    * rerank is [[Similarity.dot]]'s sequential double sum —
-    * bit-identical to the DuckDB mirror, ties on the smaller
-    * eval_id.
+    * expression per side; eval signatures broadcast (48-byte rows —
+    * broadcastable long past the float-vector limit); the shortlist
+    * window ships skinny (vec_id, eval_id, hamming) triples with
+    * WindowGroupLimit pruning to SHORTLIST per partition before the
+    * exchange; the rerank joins corpus embeddings ONCE on the dense
+    * vec_id key (the only shuffle that carries vectors) against the
+    * broadcast eval vectors, LEFT so the verdict row set is total by
+    * construction. Exact arithmetic: integer Hamming, and the rerank
+    * is [[Similarity.dot]]'s sequential double sum — bit-identical
+    * to the DuckDB mirror, ties on the smaller eval_id.
     */
   private val semanticDeconSketch: Q = (s, dir) => {
     val emb = Tables(s, dir).embeddings
@@ -234,12 +240,11 @@ object DedupQueries4 {
       .filter(col("label") =!= DedupQueries3.EVAL_LABEL)
       .select(col("vec_id"), sig(col("embedding")).as("csig"))
       // materialization barrier: HyperplaneBands codegens, so without
-      // an exchange the band explode re-evaluates the 288-plane
-      // signature PER BAND ROW (the dedup36-r5 hazard, measured 20×
-      // at sf0.1 in its fused-BNLJ form). The shuffle ships only
-      // (vec_id, 6 longs), and it lands the frame hash-partitioned
-      // on vec_id — the partitioning every downstream stage of the
-      // candidate pipeline preserves, so no exchange is added net.
+      // an exchange the fused BNLJ stage re-evaluates the 288-plane
+      // signature PER PAIR (measured 20× at sf0.1: 21 s → 0.9 s).
+      // The shuffle ships only (vec_id, 6 longs), and it lands the
+      // frame hash-partitioned on vec_id — exactly the partitioning
+      // the shortlist window needs, so no exchange is added net.
       .repartition(col("vec_id"))
     val corpusVecs = emb
       .filter(col("label") =!= DedupQueries3.EVAL_LABEL)
@@ -248,8 +253,10 @@ object DedupQueries4 {
         col("embedding"),
         Similarity.norm(col("embedding")).as("c_norm")
       )
-    shortlistVerdicts(bandedCandidates(corpus, eval, BAND_BITS), eval, corpusVecs)
-      .orderBy("vec_id")
+    val allCand = corpus
+      .crossJoin(broadcast(eval.select(col("eval_id"))))
+      .select(col("vec_id"), col("eval_id"), col("csig"))
+    shortlistVerdicts(allCand, eval, corpusVecs).orderBy("vec_id")
   }
 
   /** dedup40: the banded generator's measured operating curve as a
@@ -765,18 +772,9 @@ object DedupQueries4 {
            |       FROM sg WHERE label = ${DedupQueries3.EVAL_LABEL}),
            |c AS (SELECT vec_id, embedding, $cCols
            |      FROM sg WHERE label <> ${DedupQueries3.EVAL_LABEL}),
-           |cb AS (SELECT vec_id, u.band AS band, u.val AS val
-           |       FROM (SELECT vec_id, unnest(${bandListSql("s", BAND_BITS)})
-           |               AS u FROM c)),
-           |eb AS (SELECT eval_id, u.band AS band, u.val AS val
-           |       FROM (SELECT eval_id, unnest(${bandListSql("e", BAND_BITS)})
-           |               AS u FROM ev)),
-           |cand AS (SELECT DISTINCT cb.vec_id, eb.eval_id
-           |         FROM cb JOIN eb ON cb.band = eb.band AND cb.val = eb.val),
            |h AS (SELECT c.vec_id, ev.eval_id,
            |        CAST($ham AS INTEGER) AS hamming
-           |      FROM cand JOIN c ON cand.vec_id = c.vec_id
-           |      JOIN ev ON cand.eval_id = ev.eval_id),
+           |      FROM c CROSS JOIN ev),
            |s AS (SELECT vec_id, eval_id,
            |        row_number() OVER (PARTITION BY vec_id
            |          ORDER BY hamming ASC, eval_id ASC) AS r

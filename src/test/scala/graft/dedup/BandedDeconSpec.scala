@@ -4,13 +4,16 @@ import graft.SparkSpec
 import org.apache.spark.sql.Row
 
 /** Pins dedup40's measured band-width operating curve — the evidence
-  * behind dedup36's BAND_BITS = 6 choice. The fixture's contamination
-  * regime (cos ≈ 0.35 boundary) is the thin-contrast corner of
-  * sign-LSH (p₁ ≈ 0.38 vs p₂ = 0.5 per plane), so the curve must show
-  * BOTH facts: the operating width holds the family's ≥ 0.9 verdict
-  * recall floor, and wider bands collapse candidates by orders of
-  * magnitude (the production near-dup path) at the cost of recall —
-  * i.e. the trade-off is real and measured, not asserted.
+  * behind keeping dedup36 on the SWEEP (the A/B receipt in its
+  * scaladoc) while the banded generator serves near-dup regimes. The
+  * fixture's contamination regime (cos ≈ 0.35 boundary) is the
+  * thin-contrast corner of sign-LSH (p₁ ≈ 0.38 vs p₂ = 0.5 per
+  * plane), so the curve must show BOTH facts: the widest band still
+  * holding the family's ≥ 0.9 verdict recall floor admits ~half of
+  * all pairs (banding cannot pay for itself here), and wider bands
+  * collapse candidates by orders of magnitude (the production
+  * near-dup path) at the cost of recall — the trade-off is real and
+  * measured, not asserted.
   */
 class BandedDeconSpec extends SparkSpec {
 
@@ -47,7 +50,7 @@ class BandedDeconSpec extends SparkSpec {
     )
   }
 
-  test("operating point b=6 holds the family's recall floor") {
+  test("b=6 (widest recall-holding band) keeps the family's recall floor") {
     val r6 = curve(6L)
     assert(r6.getAs[Double]("recall") >= 0.9, s"b=6 recall ${r6.getAs[Double]("recall")} < 0.9")
     // and it is a real prefilter even at the adversarial regime:

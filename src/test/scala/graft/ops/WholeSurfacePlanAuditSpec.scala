@@ -35,10 +35,12 @@ class WholeSurfacePlanAuditSpec extends SparkSpec {
     "pipe05_integrity",               // per-table count rows
     "q85_hdr_quantiles",              // rank-target probe rows (≤ sketch size)
     "q88_grouped_quantiles",
+    "q106_winsorize_sketch",          // same rank-probe rows (2 per series)
     "sim06_ivf_topk",                 // probed-centroid set
     "sim11_quantized_topk",           // broadcast query vectors
     "sim17_hardneg",
     "sim24_binary_topk",              // query + Hamming shortlist broadcasts
+    "dedup36_semantic_decon_sketch",  // eval signatures vs one corpus scan
     "dedup40_banded_decon_curve",     // exhaustive baseline arm of the curve
     "q101_zorder_layout",             // 3-row probe table vs 64-row zone maps
     "sim25_nprobe_curve"              // sim06's probed-centroid set, swept
