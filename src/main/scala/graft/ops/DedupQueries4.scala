@@ -607,7 +607,75 @@ object DedupQueries4 {
       .orderBy("source")
   }
 
+  /** dedup41's split modulus: val = hash bucket 0 of 10 (~10%). */
+  private val SPLIT_BUCKETS = 10
+
+  /** dedup41: train/val split LEAKAGE audit — the check a pipeline
+    * runs right after hash-splitting a corpus: a validation document
+    * with a confirmed near-duplicate on the training side inflates
+    * every eval number it touches, and a random hash split does
+    * nothing to prevent that (near-dups hash independently). The
+    * split is the standard deterministic one (portable h32 of the id,
+    * bucket 0 of [[SPLIT_BUCKETS]] = val); leakage evidence is the
+    * library's own confirmed near-dup edge set
+    * ([[DedupQueries.orientedDupEdges]] — banded MinHash candidates,
+    * Jaccard ≥ 0.5 verify, the dedup05/17 pipeline), filtered to
+    * edges CROSSING the split; the report per source counts train/val
+    * docs, leaked val docs (≥1 train twin), and leak_ppm. The fix a
+    * pipeline applies — split by CLUSTER instead of by doc — is
+    * exactly dedup06's connected components; this audit is the
+    * number that says whether you need it.
+    *
+    * Shape at scale: the split column is one map-side hash; the edge
+    * pipeline is the audited single-run checkpoint; the cross-split
+    * filter joins the doc-count-sized split table to edge endpoints
+    * (two dense-key joins), and everything after is source-sized.
+    * Integer ppm division only.
+    */
+  private val splitLeakage: Q = (s, dir) => {
+    val split = Tables(s, dir).documents.select(
+      col("doc_id"),
+      col("source"),
+      (pmod(
+        PortableHash.h32(col("doc_id").cast("string")),
+        lit(SPLIT_BUCKETS.toLong)
+      ) === 0).as("is_val")
+    )
+    val cross = DedupQueries
+      .orientedDupEdges(s, dir)
+      .select(col("src"), col("dst"))
+      .join(split.select(col("doc_id").as("src"), col("is_val").as("va")), "src")
+      .join(split.select(col("doc_id").as("dst"), col("is_val").as("vb")), "dst")
+      .filter(col("va") =!= col("vb"))
+      .select(when(col("va"), col("src")).otherwise(col("dst")).as("val_doc"))
+      .distinct()
+    val leaked = cross
+      .join(split.select(col("doc_id").as("val_doc"), col("source")), "val_doc")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_leaked"))
+    split
+      .groupBy(col("source"))
+      .agg(
+        sum(when(!col("is_val"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("is_val"), 1L).otherwise(0L)).as("n_val")
+      )
+      .join(leaked, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_train"),
+        col("n_val"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked_val"),
+        when(col("n_val") === 0, lit(null).cast("long"))
+          .otherwise(
+            expr("(coalesce(n_leaked, CAST(0 AS BIGINT)) * 1000000) div n_val")
+          )
+          .as("leak_ppm")
+      )
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup41_split_leakage" -> splitLeakage,
     "dedup36_semantic_decon_sketch" -> semanticDeconSketch,
     "dedup37_weighted_hdr_median" -> weightedHdrMedian,
     "dedup38_cluster_transitivity" -> clusterTransitivity,
@@ -763,6 +831,36 @@ object DedupQueries4 {
            |SELECT st.source, st.n_buckets, st.tot_weight_ppm,
            |  m.median_lo, m.median_hi
            |FROM st JOIN m USING (source)
+           |ORDER BY source""".stripMargin,
+      // the same banded-MinHash verified edge set (clusterCtes'
+      // `verified`, jac >= 0.5), the same h32-mod split, leaked val
+      // docs as DISTINCT cross-edge val endpoints, ppm by integer //
+      "dedup41_split_leakage" ->
+        s"""${graft.ops.DedupQueries.clusterCtes},
+           |split AS (SELECT doc_id, source,
+           |    (${PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")}
+           |      % $SPLIT_BUCKETS = 0) AS is_val
+           |  FROM documents),
+           |cx AS (SELECT DISTINCT CASE WHEN sa.is_val THEN e.id_a
+           |         ELSE e.id_b END AS val_doc
+           |  FROM verified e
+           |  JOIN split sa ON sa.doc_id = e.id_a
+           |  JOIN split sb ON sb.doc_id = e.id_b
+           |  WHERE sa.is_val <> sb.is_val),
+           |lk AS (SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_leaked
+           |  FROM cx JOIN split s ON s.doc_id = cx.val_doc GROUP BY 1),
+           |rep AS (SELECT source,
+           |    CAST(SUM(CASE WHEN is_val THEN 0 ELSE 1 END) AS BIGINT)
+           |      AS n_train,
+           |    CAST(SUM(CASE WHEN is_val THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_val
+           |  FROM split GROUP BY 1)
+           |SELECT rep.source, n_train, n_val,
+           |  COALESCE(lk.n_leaked, CAST(0 AS BIGINT)) AS n_leaked_val,
+           |  CASE WHEN n_val = 0 THEN NULL
+           |    ELSE (COALESCE(lk.n_leaked, CAST(0 AS BIGINT)) * 1000000)
+           |      // n_val END AS leak_ppm
+           |FROM rep LEFT JOIN lk USING (source)
            |ORDER BY source""".stripMargin,
       "dedup36_semantic_decon_sketch" ->
         s"""WITH sg AS (SELECT vec_id, embedding, label,

@@ -1029,7 +1029,188 @@ object TextQueries3 {
       .orderBy("query_id", "rank")
   }
 
+  /** text44's BM25 constants in milli fixed-point: k1 = 1.2,
+    * b = 0.75 (the Robertson defaults every lexical ranker ships).
+    */
+  private val RANK_K1 = 1200L
+  private val RANK_B = 750L
+
+  /** text44: ranked lexical retrieval — text43's boolean intersection
+    * extended to the SCORED form a RAG/search stack actually serves:
+    * disjunctive match over the same query workload, ranked by a BM25
+    * score computed ENTIRELY in integer fixed-point so the ranking is
+    * bit-identical on any engine and any aggregation order. The two
+    * float-unsafe ingredients are linearized: idf becomes the
+    * rational RSJ weight ((N − df + 1)·10⁶) div (df + 1) (the log is
+    * monotone in it, so per-term ordering is preserved; documented as
+    * BM25-shaped, not log-BM25), and the tf saturation keeps
+    * Robertson's exact form tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) in
+    * milli/ppm integer arithmetic. Per-term parts are BIGINTs, so the
+    * per-(query, doc) sum is order-independent — no float ever
+    * crosses the engines.
+    *
+    * Shape at scale (text43's): ONE pass over the corpus computes
+    * doc length AND the filtered postings (the explode runs on the
+    * query-term-filtered token array, so O(matches) rows survive the
+    * map side, never O(corpus tokens)); df and the corpus totals are
+    * term-count/1-row broadcasts; one (query, doc) aggregation and a
+    * per-query top-K window close it.
+    */
+  private val bm25Retrieval: Q = (s, dir) => {
+    val termMap = BOOL_QUERIES.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+    import s.implicits._
+    val tq = termMap.toDF("query_id", "term")
+    val allTerms = BOOL_QUERIES.flatMap(_._2).distinct
+    val base = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tot = base.agg(
+      count(lit(1)).as("n"),
+      sum(size(col("toks")).cast("long")).as("sumdl")
+    )
+    val p = base
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        explode(filter(col("toks"), t => t.isin(allTerms: _*))).as("term")
+      )
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val parts = p
+      .join(broadcast(tq), "term")
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("query_id"),
+        col("doc_id"),
+        expr(
+          s"((tf * ($RANK_K1 + 1000) * 1000000) div " +
+            s"(tf * 1000 + ($RANK_K1 * (1000 - $RANK_B + " +
+            s"($RANK_B * dl * 1000) div ((sumdl * 1000) div n))) div 1000)) " +
+            s"* (((n - df + 1) * 1000000) div (df + 1)) div 1000000"
+        ).as("part")
+      )
+    val sc = parts
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("part")).as("score_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id").asc)
+    sc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= BOOL_TOPK)
+      .select(
+        col("query_id").cast("int").as("query_id"),
+        col("rank").cast("int").as("rank"),
+        col("doc_id"),
+        col("score_ppm")
+      )
+      .orderBy("query_id", "rank")
+  }
+
+  /** text45's detector patterns — engine-portable by construction: no
+    * backslash classes (Spark SQL literals and DuckDB disagree on
+    * backslash escaping), no lookaround (RE2 lacks it), only
+    * character classes and bounded repeats, which Java regex and RE2
+    * match identically.
+    */
+  private val PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  private val PII_PHONE = "555-[0-9][0-9][0-9][0-9]"
+  private val PII_CARD = "[0-9]{16}"
+
+  /** text45: PII detection + redaction — the scrub pass a training
+    * corpus runs before anything ships: per document, counts of
+    * detected emails / phone numbers / 16-digit card candidates, the
+    * count of candidates passing the LUHN CHECKSUM (pure integer
+    * double-every-second-digit fold — the standard way to separate
+    * real card numbers from random digit runs, and exactly the kind
+    * of validation a regex alone cannot do), and the portable hash
+    * of the REDACTED text (each match replaced by '[PII]'), which
+    * proves byte-identical redaction across engines rather than just
+    * equal counts. A deterministic slice of the corpus (doc_id ≡ 2
+    * mod 9) is planted with an email, a phone, and a card candidate
+    * (the dedup39/mm10 planting discipline); Luhn validity falls out
+    * of each doc's own digits, so both verdict arms occur naturally
+    * (PiiRedactSpec pins that and the redaction's idempotence).
+    *
+    * Shape at scale: entirely map-side per document (extract,
+    * Luhn-fold over ≤16-element sequences, replace, hash) — the only
+    * shuffle is the presentation sort. Redaction order is fixed
+    * email → phone → card on both engines.
+    */
+  private val piiRedact: Q = (s, dir) => {
+    val planted = docs(s, dir).select(
+      col("doc_id"),
+      when(
+        pmod(col("doc_id"), lit(9)) === 2,
+        concat(
+          col("text"),
+          lit(" reach me at u"),
+          col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" card "),
+          lpad(pmod(col("doc_id"), lit(100000000)).cast("string"), 8, "0"),
+          lpad(pmod(col("doc_id"), lit(100000000)).cast("string"), 8, "0")
+        )
+      ).otherwise(col("text")).as("ptext")
+    )
+    def luhnDigit(c: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) = {
+      val d = c.substr((lit(16) - j).cast("int"), lit(1)).cast("long")
+      when(
+        pmod(j, lit(2)) === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+      ).otherwise(d)
+    }
+    val det = planted.select(
+      col("doc_id"),
+      col("ptext"),
+      expr(s"regexp_extract_all(ptext, '$PII_EMAIL', 0)").as("emails"),
+      expr(s"regexp_extract_all(ptext, '$PII_PHONE', 0)").as("phones"),
+      expr(s"regexp_extract_all(ptext, '$PII_CARD', 0)").as("cards")
+    )
+    det
+      .select(
+        col("doc_id"),
+        size(col("emails")).cast("long").as("n_emails"),
+        size(col("phones")).cast("long").as("n_phones"),
+        size(col("cards")).cast("long").as("n_cards"),
+        aggregate(
+          col("cards"),
+          lit(0L),
+          (acc, c) =>
+            acc + when(
+              pmod(
+                aggregate(
+                  sequence(lit(0), lit(15)),
+                  lit(0L),
+                  (a, j) => a + luhnDigit(c, j)
+                ),
+                lit(10)
+              ) === 0,
+              1L
+            ).otherwise(0L)
+        ).as("n_valid_cards"),
+        PortableHash
+          .h32(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("ptext"), PII_EMAIL, "[PII]"),
+                PII_PHONE,
+                "[PII]"
+              ),
+              PII_CARD,
+              "[PII]"
+            )
+          )
+          .as("red_hash")
+      )
+      .filter(col("n_emails") + col("n_phones") + col("n_cards") > 0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text45_pii_redact" -> piiRedact,
+    "text44_bm25_topk" -> bm25Retrieval,
     "text43_bool_retrieval" -> boolRetrieval,
     "text42_pr_sweep" -> prSweep,
     "text38_bpe_merges" -> bpeMerges,
@@ -1087,6 +1268,93 @@ object TextQueries3 {
   }
 
   val oracle: Map[String, String] = Map(
+    // same planted slice, same portable patterns (no backslash
+    // classes — the engines disagree on literal escaping), the same
+    // Luhn fold, and the redaction hash over the same email → phone
+    // → card replace order (DuckDB regexp_replace needs 'g')
+    "text45_pii_redact" -> {
+      val red =
+        s"""regexp_replace(regexp_replace(regexp_replace(ptext,
+           |      '$PII_EMAIL', '[PII]', 'g'),
+           |      '$PII_PHONE', '[PII]', 'g'),
+           |      '$PII_CARD', '[PII]', 'g')""".stripMargin
+      val digit =
+        "CAST(substring(c, CAST(16 - j AS BIGINT), 1) AS BIGINT)"
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 9 = 2 THEN
+         |      concat(text, ' reach me at u', CAST(doc_id AS VARCHAR),
+         |        '@example.com or 555-',
+         |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' card ',
+         |        lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0'),
+         |        lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0'))
+         |    ELSE text END AS ptext
+         |  FROM documents),
+         |det AS (
+         |  SELECT doc_id, ptext,
+         |    regexp_extract_all(ptext, '$PII_EMAIL') AS emails,
+         |    regexp_extract_all(ptext, '$PII_PHONE') AS phones,
+         |    regexp_extract_all(ptext, '$PII_CARD') AS cards
+         |  FROM planted),
+         |luhn AS (
+         |  SELECT doc_id, ptext, emails, phones, cards,
+         |    list_sum(list_transform(cards, c ->
+         |      CASE WHEN list_sum(list_transform(range(0, 16), j ->
+         |          CASE WHEN j % 2 = 1 THEN
+         |            CASE WHEN 2 * $digit > 9
+         |              THEN 2 * $digit - 9
+         |              ELSE 2 * $digit END
+         |          ELSE $digit END))
+         |        % 10 = 0 THEN 1 ELSE 0 END)) AS n_valid
+         |  FROM det)
+         |SELECT doc_id,
+         |  CAST(len(emails) AS BIGINT) AS n_emails,
+         |  CAST(len(phones) AS BIGINT) AS n_phones,
+         |  CAST(len(cards) AS BIGINT) AS n_cards,
+         |  CAST(COALESCE(n_valid, 0) AS BIGINT) AS n_valid_cards,
+         |  ${PortableHash.sqlH32(red)} AS red_hash
+         |FROM luhn
+         |WHERE len(emails) + len(phones) + len(cards) > 0
+         |ORDER BY doc_id""".stripMargin
+    },
+    // the same one-pass postings (dl + filtered unnest), VALUES term
+    // map, and the identical nested integer-div BM25 fixed-point —
+    // // in DuckDB, div in Spark, same nesting order
+    "text44_bm25_topk" -> {
+      val termValues = BOOL_QUERIES
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+        .mkString(", ")
+      val allTerms =
+        BOOL_QUERIES.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+      s"""WITH tq(query_id, term) AS (VALUES $termValues),
+         |base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |          CAST(SUM(len(toks)) AS BIGINT) AS sumdl FROM base),
+         |p AS (SELECT doc_id, dl, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+         |      FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |              unnest(list_filter(toks, x -> x IN ($allTerms))) AS t
+         |            FROM base) u
+         |      GROUP BY 1, 2, 3),
+         |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY 1),
+         |parts AS (SELECT tq.query_id, p.doc_id,
+         |    ((p.tf * ($RANK_K1 + 1000) * 1000000) //
+         |      (p.tf * 1000 + ($RANK_K1 * (1000 - $RANK_B +
+         |        ($RANK_B * p.dl * 1000) // ((tot.sumdl * 1000) // tot.n)))
+         |        // 1000))
+         |    * (((tot.n - dfs.df + 1) * 1000000) // (dfs.df + 1)) // 1000000
+         |      AS part
+         |  FROM p JOIN tq USING (term) JOIN dfs USING (term), tot),
+         |sc AS (SELECT query_id, doc_id, CAST(SUM(part) AS BIGINT) AS score_ppm
+         |       FROM parts GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score_ppm,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY score_ppm DESC, doc_id ASC) AS rank
+         |      FROM sc)
+         |SELECT CAST(query_id AS INT) AS query_id, CAST(rank AS INT) AS rank,
+         |  doc_id, score_ppm
+         |FROM r WHERE rank <= $BOOL_TOPK
+         |ORDER BY query_id, rank""".stripMargin
+    },
     // same posting filter, same fan-out via a VALUES term map, the
     // same arity-count intersection and (score DESC, doc ASC) top-K
     "text43_bool_retrieval" -> {
