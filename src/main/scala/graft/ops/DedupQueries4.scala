@@ -674,7 +674,77 @@ object DedupQueries4 {
       .orderBy("source")
   }
 
+  /** dedup42: cluster-aware train/val split — the FIX dedup41's audit
+    * motivates: hash the near-dup CLUSTER id (dedup06's connected
+    * components over the confirmed edges) instead of the doc id, so
+    * a duplicate family lands entirely on one side and cross-split
+    * leakage is zero BY CONSTRUCTION (an edge's endpoints share a
+    * component, a component has one hash). The gate does not take
+    * that on faith: the output re-runs dedup41's leakage audit
+    * against this split, and both engines must independently compute
+    * the zeros. Same report shape as dedup41 (directly comparable),
+    * plus the per-source val-doc delta story lives in n_train/n_val
+    * themselves — cluster splitting moves whole families, so the
+    * val fraction deviates from 1/SPLIT_BUCKETS more than the doc
+    * split does.
+    *
+    * Shape at scale: components are the audited checkpoint-per-round
+    * pass (dedup06); everything else is dedup41's shape with the
+    * cluster id riding the split column.
+    */
+  private val clusterSplit: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("source"))
+    val edges = DedupQueries.orientedDupEdges(s, dir)
+    val canon = edges.select(
+      least(col("src"), col("dst")).as("id_a"),
+      greatest(col("src"), col("dst")).as("id_b")
+    )
+    val cc = graft.dedup.Clusters
+      .connectedComponents(docs.select(col("doc_id").as("id")), canon)
+    val split = docs
+      .join(cc.select(col("id").as("doc_id"), col("cluster_id")), "doc_id")
+      .select(
+        col("doc_id"),
+        col("source"),
+        (pmod(
+          PortableHash.h32(col("cluster_id").cast("string")),
+          lit(SPLIT_BUCKETS.toLong)
+        ) === 0).as("is_val")
+      )
+    val cross = edges
+      .select(col("src"), col("dst"))
+      .join(split.select(col("doc_id").as("src"), col("is_val").as("va")), "src")
+      .join(split.select(col("doc_id").as("dst"), col("is_val").as("vb")), "dst")
+      .filter(col("va") =!= col("vb"))
+      .select(when(col("va"), col("src")).otherwise(col("dst")).as("val_doc"))
+      .distinct()
+    val leaked = cross
+      .join(split.select(col("doc_id").as("val_doc"), col("source")), "val_doc")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_leaked"))
+    split
+      .groupBy(col("source"))
+      .agg(
+        sum(when(!col("is_val"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("is_val"), 1L).otherwise(0L)).as("n_val")
+      )
+      .join(leaked, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_train"),
+        col("n_val"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked_val"),
+        when(col("n_val") === 0, lit(null).cast("long"))
+          .otherwise(
+            expr("(coalesce(n_leaked, CAST(0 AS BIGINT)) * 1000000) div n_val")
+          )
+          .as("leak_ppm")
+      )
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup42_cluster_split" -> clusterSplit,
     "dedup41_split_leakage" -> splitLeakage,
     "dedup36_semantic_decon_sketch" -> semanticDeconSketch,
     "dedup37_weighted_hdr_median" -> weightedHdrMedian,
@@ -831,6 +901,38 @@ object DedupQueries4 {
            |SELECT st.source, st.n_buckets, st.tot_weight_ppm,
            |  m.median_lo, m.median_hi
            |FROM st JOIN m USING (source)
+           |ORDER BY source""".stripMargin,
+      // the same component labels (reach MIN(lbl) — dedup06's gate),
+      // split hashed on the CLUSTER id, and dedup41's full leakage
+      // audit re-run against it: the zeros are computed, not assumed
+      "dedup42_cluster_split" ->
+        s"""${graft.ops.DedupQueries.clusterCtes},
+           |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+           |       FROM reach GROUP BY id),
+           |split AS (SELECT d.doc_id, d.source,
+           |    (${PortableHash.sqlH32("CAST(cl.cluster_id AS VARCHAR)")}
+           |      % $SPLIT_BUCKETS = 0) AS is_val
+           |  FROM documents d JOIN cl ON cl.doc_id = d.doc_id),
+           |cx AS (SELECT DISTINCT CASE WHEN sa.is_val THEN e.id_a
+           |         ELSE e.id_b END AS val_doc
+           |  FROM verified e
+           |  JOIN split sa ON sa.doc_id = e.id_a
+           |  JOIN split sb ON sb.doc_id = e.id_b
+           |  WHERE sa.is_val <> sb.is_val),
+           |lk AS (SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_leaked
+           |  FROM cx JOIN split s ON s.doc_id = cx.val_doc GROUP BY 1),
+           |rep AS (SELECT source,
+           |    CAST(SUM(CASE WHEN is_val THEN 0 ELSE 1 END) AS BIGINT)
+           |      AS n_train,
+           |    CAST(SUM(CASE WHEN is_val THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_val
+           |  FROM split GROUP BY 1)
+           |SELECT rep.source, n_train, n_val,
+           |  COALESCE(lk.n_leaked, CAST(0 AS BIGINT)) AS n_leaked_val,
+           |  CASE WHEN n_val = 0 THEN NULL
+           |    ELSE (COALESCE(lk.n_leaked, CAST(0 AS BIGINT)) * 1000000)
+           |      // n_val END AS leak_ppm
+           |FROM rep LEFT JOIN lk USING (source)
            |ORDER BY source""".stripMargin,
       // the same banded-MinHash verified edge set (clusterCtes'
       // `verified`, jac >= 0.5), the same h32-mod split, leaked val
