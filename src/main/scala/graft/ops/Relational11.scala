@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.functions.PortableHash
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -640,7 +641,117 @@ object Relational11 {
       .orderBy("event_type")
   }
 
+  /** q107's per-domain distinct-URL quota. */
+  private val URL_QUOTA = 20L
+
+  /** q107: URL normalization + per-domain crawl quota — the web-
+    * curation front door: raw crawl URLs normalize (lowercase scheme
+    * and host, strip the fragment, drop `www.` and scheme-default
+    * ports) so re-crawls of one resource collapse to one key; the
+    * registrable domain (last two host labels — the public-suffix
+    * heuristic; a production build swaps in the PSL table as a
+    * broadcast dim) buckets them; and each domain keeps at most
+    * [[URL_QUOTA]] distinct normalized URLs, selected by a
+    * deterministic hash order (the anti-bias trick: hash order is a
+    * uniform shuffle, so the quota samples a domain's URL space
+    * instead of preferring lexicographically-early paths). The
+    * planted URL table exercises every normalization arm (mixed-case
+    * scheme/host, www and bare, :80/:8080/bare ports, fragments) —
+    * the dedup39/mm10 planting discipline.
+    *
+    * Shape at scale: normalization is one map-side string pipeline
+    * (no regex); the only shuffles are the per-(domain, nurl) count
+    * aggregation and the per-domain quota window — both on dense
+    * keys, never a global sort. All counts BIGINT.
+    */
+  private val urlQuota: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val raw = Tables(s, dir).events.select(
+      col("event_id"),
+      concat(
+        when(pmod(col("event_id"), lit(4)) === 0, lit("HTTP://WWW."))
+          .when(pmod(col("event_id"), lit(4)) === 1, lit("http://"))
+          .when(pmod(col("event_id"), lit(4)) === 2, lit("https://www."))
+          .otherwise(lit("https://")),
+        lit("Site"),
+        pmod(col("event_id"), lit(7)).cast("string"),
+        when(pmod(col("event_id"), lit(3)) === 0, lit(".Example.COM"))
+          .otherwise(lit(".org")),
+        when(pmod(col("event_id"), lit(5)) === 0, lit(":80"))
+          .when(pmod(col("event_id"), lit(5)) === 1, lit(":8080"))
+          .otherwise(lit("")),
+        lit("/page/"),
+        pmod(col("event_id"), lit(50)).cast("string"),
+        when(
+          pmod(col("event_id"), lit(2)) === 0,
+          concat(lit("#sec"), pmod(col("event_id"), lit(9)).cast("string"))
+        ).otherwise(lit(""))
+      ).as("url")
+    )
+    val parsed = raw
+      .select(
+        col("event_id"),
+        lower(substring_index(substring_index(col("url"), "#", 1), "://", 1))
+          .as("scheme"),
+        substring_index(substring_index(col("url"), "#", 1), "://", -1)
+          .as("rest")
+      )
+      .select(
+        col("event_id"),
+        col("scheme"),
+        substring_index(col("rest"), "/", 1).as("hostport"),
+        expr("substring(rest, length(substring_index(rest, '/', 1)) + 1)")
+          .as("path")
+      )
+      .select(
+        col("event_id"),
+        col("scheme"),
+        col("path"),
+        when(
+          lower(substring_index(col("hostport"), ":", 1)).startsWith("www."),
+          expr("substring(lower(substring_index(hostport, ':', 1)), 5)")
+        ).otherwise(lower(substring_index(col("hostport"), ":", 1)))
+          .as("host"),
+        when(
+          col("hostport").contains(":"),
+          substring_index(col("hostport"), ":", -1)
+        ).otherwise(lit("")).as("port")
+      )
+    val norm = parsed.select(
+      col("event_id"),
+      col("host"),
+      concat(
+        col("scheme"),
+        lit("://"),
+        col("host"),
+        when(
+          col("port") === "" ||
+            (col("scheme") === "http" && col("port") === "80") ||
+            (col("scheme") === "https" && col("port") === "443"),
+          lit("")
+        ).otherwise(concat(lit(":"), col("port"))),
+        col("path")
+      ).as("nurl"),
+      array_join(slice(split(col("host"), "[.]"), -2, 2), ".").as("domain")
+    )
+    val d = norm
+      .groupBy(col("domain"), col("nurl"))
+      .agg(count(lit(1)).as("n_refs"))
+    val w = Window
+      .partitionBy(col("domain"))
+      .orderBy(PortableHash.h32(col("nurl")), col("nurl"))
+    d.withColumn("rn", row_number().over(w))
+      .groupBy(col("domain"))
+      .agg(
+        sum(col("n_refs")).as("n_urls"),
+        count(lit(1)).as("n_distinct_norm"),
+        sum(when(col("rn") <= URL_QUOTA, 1L).otherwise(0L)).as("n_kept")
+      )
+      .orderBy("domain")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q107_url_quota" -> urlQuota,
     "q106_winsorize_sketch" -> winsorizeSketch,
     "q105_winsorize" -> winsorize,
     "q104_last_touch" -> lastTouch,
@@ -721,6 +832,69 @@ object Relational11 {
          |  ${Qx.sqlDsum("value")} AS sum_value
          |FROM events WHERE value IS NOT NULL
          |GROUP BY 1, 2 ORDER BY event_type, bucket_us""".stripMargin,
+    // the same planted URL table, the same split-first normalization
+    // (fragment, then scheme/host/port casefold+strip), last-2-label
+    // domains via list slicing, and the identical h32 quota order
+    "q107_url_quota" -> {
+      val h = PortableHash.sqlH32("nurl")
+      s"""WITH raw AS (
+         |  SELECT event_id,
+         |    concat(
+         |      CASE WHEN event_id % 4 = 0 THEN 'HTTP://WWW.'
+         |           WHEN event_id % 4 = 1 THEN 'http://'
+         |           WHEN event_id % 4 = 2 THEN 'https://www.'
+         |           ELSE 'https://' END,
+         |      'Site', CAST(event_id % 7 AS VARCHAR),
+         |      CASE WHEN event_id % 3 = 0 THEN '.Example.COM'
+         |           ELSE '.org' END,
+         |      CASE WHEN event_id % 5 = 0 THEN ':80'
+         |           WHEN event_id % 5 = 1 THEN ':8080' ELSE '' END,
+         |      '/page/', CAST(event_id % 50 AS VARCHAR),
+         |      CASE WHEN event_id % 2 = 0
+         |        THEN concat('#sec', CAST(event_id % 9 AS VARCHAR))
+         |        ELSE '' END
+         |    ) AS url
+         |  FROM events),
+         |parsed AS (
+         |  SELECT event_id,
+         |    lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+         |    split_part(split_part(url, '#', 1), '://', 2) AS rest
+         |  FROM raw),
+         |hp AS (
+         |  SELECT event_id, scheme,
+         |    split_part(rest, '/', 1) AS hostport,
+         |    substring(rest, length(split_part(rest, '/', 1)) + 1) AS path
+         |  FROM parsed),
+         |hn AS (
+         |  SELECT event_id, scheme, path,
+         |    CASE WHEN starts_with(lower(split_part(hostport, ':', 1)), 'www.')
+         |      THEN substring(lower(split_part(hostport, ':', 1)), 5)
+         |      ELSE lower(split_part(hostport, ':', 1)) END AS host,
+         |    CASE WHEN contains(hostport, ':')
+         |      THEN split_part(hostport, ':', 2) ELSE '' END AS port
+         |  FROM hp),
+         |norm AS (
+         |  SELECT event_id, host,
+         |    concat(scheme, '://', host,
+         |      CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+         |             OR (scheme = 'https' AND port = '443')
+         |        THEN '' ELSE concat(':', port) END,
+         |      path) AS nurl,
+         |    array_to_string((string_split(host, '.'))[-2:], '.') AS domain
+         |  FROM hn),
+         |d AS (SELECT domain, nurl, CAST(COUNT(*) AS BIGINT) AS n_refs
+         |      FROM norm GROUP BY 1, 2),
+         |rk AS (SELECT domain, nurl, n_refs,
+         |        ROW_NUMBER() OVER (PARTITION BY domain
+         |          ORDER BY $h, nurl) AS rn
+         |      FROM d)
+         |SELECT domain,
+         |  CAST(SUM(n_refs) AS BIGINT) AS n_urls,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct_norm,
+         |  CAST(SUM(CASE WHEN rn <= $URL_QUOTA THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept
+         |FROM rk GROUP BY 1 ORDER BY domain""".stripMargin
+    },
     // both paths replayed from first principles: the q88 sketch CTEs
     // (bucket counts, (n·p+99)//100 rank read, in-bucket selection)
     // against q105's global order statistics, joined into one audit
