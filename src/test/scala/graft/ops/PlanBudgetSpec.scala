@@ -583,6 +583,44 @@ class PlanBudgetSpec extends SparkSpec {
     assert(s <= 2, s"cdc17 shuffles=$s")
   }
 
+  // ---- round-7 additions
+
+  test("text44 BM25: one corpus pass via the slim checkpoint, postings aggs only") {
+    // totals agg + postings agg live inside the checkpointed slim
+    // pipeline; the returned plan pays df agg + (query,doc) agg +
+    // window + sort over LogicalRDD leaves
+    val df = run("text44_bm25_topk")
+    val (s, b) = exchanges(df)
+    assert(s <= 5, s"text44 shuffles=$s")
+    assert(b >= 2, "text44 term map and df/totals must broadcast")
+  }
+
+  test("text45 PII scrub is map-side: detection/Luhn/redact pay no shuffle beyond docs+sort") {
+    val (s, _) = exchanges(run("text45_pii_redact"))
+    assert(s <= 2, s"text45 shuffles=$s")
+  }
+
+  test("dedup41 leakage audit: split rides dense-key joins on the edge checkpoint") {
+    val (s, b) = exchanges(run("dedup41_split_leakage"))
+    assert(s <= 4, s"dedup41 shuffles=$s")
+    assert(b >= 1, "dedup41 cross-split val set must broadcast")
+  }
+
+  test("dedup42 cluster split stays within the CC-pass budget") {
+    val (s, _) = exchanges(run("dedup42_cluster_split"))
+    assert(s <= 9, s"dedup42 shuffles=$s")
+  }
+
+  test("q106 sketch-winsorize audit: bounded sketch aggs + the exact anchor only") {
+    val (s, _) = exchanges(run("q106_winsorize_sketch"))
+    assert(s <= 8, s"q106 shuffles=$s")
+  }
+
+  test("q107 URL quota: normalization map-side, (domain,nurl) agg + quota window + sort") {
+    val (s, _) = exchanges(run("q107_url_quota"))
+    assert(s <= 3, s"q107 shuffles=$s")
+  }
+
   test("dedup17 triangle legs read one checkpointed pipeline (no corpus re-scan)") {
     // r5 replaced the runtime-ReusedExchange reliance (pre-AQE plans
     // showed the MinHash pipeline triplicated; reuse only appeared in
