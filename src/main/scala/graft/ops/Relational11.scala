@@ -642,7 +642,7 @@ object Relational11 {
   }
 
   /** q107's per-domain distinct-URL quota. */
-  private val URL_QUOTA = 20L
+  private[graft] val URL_QUOTA = 20L
 
   /** q107: URL normalization + per-domain crawl quota — the web-
     * curation front door: raw crawl URLs normalize (lowercase scheme
@@ -664,8 +664,11 @@ object Relational11 {
     * aggregation and the per-domain quota window — both on dense
     * keys, never a global sort. All counts BIGINT.
     */
-  private val urlQuota: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
+  /** The shared URL planting + normalization pipeline (q107 batch
+    * quota and stream21 streaming admission read the same stream):
+    * (event_id, nurl, domain), entirely map-side.
+    */
+  private[graft] def normalizedUrls(s: SparkSession, dir: String): DataFrame = {
     val raw = Tables(s, dir).events.select(
       col("event_id"),
       concat(
@@ -717,9 +720,8 @@ object Relational11 {
           substring_index(col("hostport"), ":", -1)
         ).otherwise(lit("")).as("port")
       )
-    val norm = parsed.select(
+    parsed.select(
       col("event_id"),
-      col("host"),
       concat(
         col("scheme"),
         lit("://"),
@@ -734,7 +736,11 @@ object Relational11 {
       ).as("nurl"),
       array_join(slice(split(col("host"), "[.]"), -2, 2), ".").as("domain")
     )
-    val d = norm
+  }
+
+  private val urlQuota: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = normalizedUrls(s, dir)
       .groupBy(col("domain"), col("nurl"))
       .agg(count(lit(1)).as("n_refs"))
     val w = Window
@@ -764,6 +770,57 @@ object Relational11 {
     "q101_zorder_layout" -> zorderLayout,
     "q102_zorder_store" -> zorderStore
   )
+
+  /** DuckDB mirror of [[normalizedUrls]] (CTE list, no WITH):
+    * `norm` exposes (event_id, nurl, domain). Shared by the q107 and
+    * stream21 oracles.
+    */
+  private[ops] def urlNormCtes: String =
+    s"""raw AS (
+       |  SELECT event_id,
+       |    concat(
+       |      CASE WHEN event_id % 4 = 0 THEN 'HTTP://WWW.'
+       |           WHEN event_id % 4 = 1 THEN 'http://'
+       |           WHEN event_id % 4 = 2 THEN 'https://www.'
+       |           ELSE 'https://' END,
+       |      'Site', CAST(event_id % 7 AS VARCHAR),
+       |      CASE WHEN event_id % 3 = 0 THEN '.Example.COM'
+       |           ELSE '.org' END,
+       |      CASE WHEN event_id % 5 = 0 THEN ':80'
+       |           WHEN event_id % 5 = 1 THEN ':8080' ELSE '' END,
+       |      '/page/', CAST(event_id % 50 AS VARCHAR),
+       |      CASE WHEN event_id % 2 = 0
+       |        THEN concat('#sec', CAST(event_id % 9 AS VARCHAR))
+       |        ELSE '' END
+       |    ) AS url
+       |  FROM events),
+       |parsed AS (
+       |  SELECT event_id,
+       |    lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+       |    split_part(split_part(url, '#', 1), '://', 2) AS rest
+       |  FROM raw),
+       |hp AS (
+       |  SELECT event_id, scheme,
+       |    split_part(rest, '/', 1) AS hostport,
+       |    substring(rest, length(split_part(rest, '/', 1)) + 1) AS path
+       |  FROM parsed),
+       |hn AS (
+       |  SELECT event_id, scheme, path,
+       |    CASE WHEN starts_with(lower(split_part(hostport, ':', 1)), 'www.')
+       |      THEN substring(lower(split_part(hostport, ':', 1)), 5)
+       |      ELSE lower(split_part(hostport, ':', 1)) END AS host,
+       |    CASE WHEN contains(hostport, ':')
+       |      THEN split_part(hostport, ':', 2) ELSE '' END AS port
+       |  FROM hp),
+       |norm AS (
+       |  SELECT event_id, host,
+       |    concat(scheme, '://', host,
+       |      CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |             OR (scheme = 'https' AND port = '443')
+       |        THEN '' ELSE concat(':', port) END,
+       |      path) AS nurl,
+       |    array_to_string((string_split(host, '.'))[-2:], '.') AS domain
+       |  FROM hn)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q95_join_key_profile" ->
@@ -837,51 +894,7 @@ object Relational11 {
     // domains via list slicing, and the identical h32 quota order
     "q107_url_quota" -> {
       val h = PortableHash.sqlH32("nurl")
-      s"""WITH raw AS (
-         |  SELECT event_id,
-         |    concat(
-         |      CASE WHEN event_id % 4 = 0 THEN 'HTTP://WWW.'
-         |           WHEN event_id % 4 = 1 THEN 'http://'
-         |           WHEN event_id % 4 = 2 THEN 'https://www.'
-         |           ELSE 'https://' END,
-         |      'Site', CAST(event_id % 7 AS VARCHAR),
-         |      CASE WHEN event_id % 3 = 0 THEN '.Example.COM'
-         |           ELSE '.org' END,
-         |      CASE WHEN event_id % 5 = 0 THEN ':80'
-         |           WHEN event_id % 5 = 1 THEN ':8080' ELSE '' END,
-         |      '/page/', CAST(event_id % 50 AS VARCHAR),
-         |      CASE WHEN event_id % 2 = 0
-         |        THEN concat('#sec', CAST(event_id % 9 AS VARCHAR))
-         |        ELSE '' END
-         |    ) AS url
-         |  FROM events),
-         |parsed AS (
-         |  SELECT event_id,
-         |    lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
-         |    split_part(split_part(url, '#', 1), '://', 2) AS rest
-         |  FROM raw),
-         |hp AS (
-         |  SELECT event_id, scheme,
-         |    split_part(rest, '/', 1) AS hostport,
-         |    substring(rest, length(split_part(rest, '/', 1)) + 1) AS path
-         |  FROM parsed),
-         |hn AS (
-         |  SELECT event_id, scheme, path,
-         |    CASE WHEN starts_with(lower(split_part(hostport, ':', 1)), 'www.')
-         |      THEN substring(lower(split_part(hostport, ':', 1)), 5)
-         |      ELSE lower(split_part(hostport, ':', 1)) END AS host,
-         |    CASE WHEN contains(hostport, ':')
-         |      THEN split_part(hostport, ':', 2) ELSE '' END AS port
-         |  FROM hp),
-         |norm AS (
-         |  SELECT event_id, host,
-         |    concat(scheme, '://', host,
-         |      CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-         |             OR (scheme = 'https' AND port = '443')
-         |        THEN '' ELSE concat(':', port) END,
-         |      path) AS nurl,
-         |    array_to_string((string_split(host, '.'))[-2:], '.') AS domain
-         |  FROM hn),
+      s"""WITH $urlNormCtes,
          |d AS (SELECT domain, nurl, CAST(COUNT(*) AS BIGINT) AS n_refs
          |      FROM norm GROUP BY 1, 2),
          |rk AS (SELECT domain, nurl, n_refs,
@@ -895,6 +908,7 @@ object Relational11 {
          |    AS n_kept
          |FROM rk GROUP BY 1 ORDER BY domain""".stripMargin
     },
+    
     // both paths replayed from first principles: the q88 sketch CTEs
     // (bucket counts, (n·p+99)//100 rank read, in-bucket selection)
     // against q105's global order statistics, joined into one audit

@@ -604,6 +604,11 @@ object StreamQueries {
     "stream20_hash_chain" -> ((s, dir) =>
       graft.streaming.StreamHashChain
         .replay(graft.cdc.CdcQueries.changeLog(s, dir))),
+    // O(quota)-state per-domain first-arrival URL admission; replay
+    // ≡ the batch first-arrival spec on q107's normalized stream
+    "stream21_url_admission" -> ((s, dir) =>
+      graft.streaming.StreamUrlQuota
+        .replay(Relational11.normalizedUrls(s, dir), Relational11.URL_QUOTA)),
     "stream09_funnel" -> funnelIngest,
     "stream08_agg_maintain" -> aggMaintainIngest,
     "stream07_minhash_ingest" -> minhashIngest,
@@ -801,6 +806,27 @@ object StreamQueries {
     // replay ≡ batch: the ingest-time chain fold must land on cdc17's
     // exact chains — any dropped/duplicated/reordered op diverges
     "stream20_hash_chain" -> graft.cdc.CdcQueries.oracle("cdc17_hash_chain"),
+    // the batch spec of first-arrival admission: rank each domain's
+    // distinct normalized URLs by (first event_id, nurl), admit rank
+    // <= quota; the fingerprint is the order-free admitted-set hash
+    "stream21_url_admission" ->
+      s"""WITH ${Relational11.urlNormCtes},
+         |fe AS (SELECT domain, nurl, MIN(event_id) AS fe
+         |       FROM norm GROUP BY 1, 2),
+         |adm AS (SELECT domain, nurl FROM (
+         |    SELECT domain, nurl, ROW_NUMBER() OVER (PARTITION BY domain
+         |      ORDER BY fe, nurl) AS rn FROM fe)
+         |  WHERE rn <= ${Relational11.URL_QUOTA}),
+         |a AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_admitted,
+         |        CAST(SUM(${graft.functions.PortableHash.sqlH32("nurl")}) AS BIGINT) AS admitted_fp
+         |      FROM adm GROUP BY 1),
+         |refs AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_refs
+         |         FROM norm GROUP BY 1)
+         |SELECT refs.domain, refs.n_refs,
+         |  COALESCE(a.n_admitted, CAST(0 AS BIGINT)) AS n_admitted,
+         |  COALESCE(a.admitted_fp, CAST(0 AS BIGINT)) AS admitted_fp
+         |FROM refs LEFT JOIN a USING (domain)
+         |ORDER BY domain""".stripMargin,
     "stream18_segments" -> Relational11.oracle("q96_segment_overlap"),
     "stream07_minhash_ingest" -> DedupQueries.candidatePairsOracle,
     "stream01_tumbling" ->
