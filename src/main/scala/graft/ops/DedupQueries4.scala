@@ -674,19 +674,18 @@ object DedupQueries4 {
       .orderBy("source")
   }
 
-  /** dedup42: cluster-aware train/val split — the FIX dedup41's audit
-    * motivates: hash the near-dup CLUSTER id (dedup06's connected
-    * components over the confirmed edges) instead of the doc id, so
-    * a duplicate family lands entirely on one side and cross-split
-    * leakage is zero BY CONSTRUCTION (an edge's endpoints share a
-    * component, a component has one hash). The gate does not take
-    * that on faith: the output re-runs dedup41's leakage audit
-    * against this split, and both engines must independently compute
-    * the zeros. Same report shape as dedup41 (directly comparable),
-    * plus the per-source val-doc delta story lives in n_train/n_val
-    * themselves — cluster splitting moves whole families, so the
-    * val fraction deviates from 1/SPLIT_BUCKETS more than the doc
-    * split does.
+  /** dedup42: the cluster split's leakage, PROMOTED from spec pin to
+    * gated audit (the q98/cdc16 promote-the-spec discipline). dedup32
+    * already CONSTRUCTS the cluster-keyed split (per-doc assignment;
+    * ClusterSplitDeleteSpec pins its leakage-free property as a
+    * test); this row is the complementary AUDIT: dedup41's per-source
+    * leakage report re-run against a cluster-hashed split, so both
+    * engines independently COMPUTE the zero leak_ppm per source under
+    * the oracle gate — a duplicate family lands entirely on one side
+    * because an edge's endpoints share a component and a component
+    * has one hash. Same report shape as dedup41, so the two rows read
+    * as before/after: the doc-hash split leaks (dedup41's nonzero
+    * rows), the cluster split does not (these zeros).
     *
     * Shape at scale: components are the audited checkpoint-per-round
     * pass (dedup06); everything else is dedup41's shape with the
