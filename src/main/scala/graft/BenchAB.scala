@@ -22,6 +22,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Output: `bench_ab.json` with per-query interleaved medians for
   * both versions and the ratio; stdout gets one headline JSON line.
+  *
+  * Known seam limits, by design: (1) queries that ship SCALA CLOSURES
+  * (typed mapPartitions / zipWithIndex paths) cannot run from the
+  * other tree — local-mode task deserialization resolves classes via
+  * the executor's loader, which only sees THIS tree — so their old
+  * arm reports -1 and they drop from totals (3 of 267 on the r6↔r7
+  * run, ~1 s combined; adding the other tree to the task classpath
+  * would silently bind same-named classes to the wrong version, which
+  * is worse than exclusion). (2) Queries that WRITE scratch stores
+  * inside the pair (cdc15-style) give the second-run arm a warmed
+  * page cache — their per-pair ratios are flattered, so the headline
+  * number to read is the MEDIAN per-query ratio, which such outliers
+  * cannot move.
   */
 object BenchAB {
 
