@@ -63,6 +63,10 @@ object BenchAB {
       sys.error("SPARK_GRAFT_AB_CLASSES must point at the other class tree")
     )
     val samples = sys.env.getOrElse("SPARK_GRAFT_AB_SAMPLES", "3").toInt
+    // fail BEFORE the warm-up passes burn a session; odd counts give
+    // the true median (even counts would read the upper middle)
+    require(samples >= 1, s"SPARK_GRAFT_AB_SAMPLES must be >= 1: $samples")
+    require(samples % 2 == 1, s"use an odd sample count for a true median: $samples")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString

@@ -1,7 +1,7 @@
 package graft.cdc
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** CDC surface wired to the driver's `events` fixture, so the
@@ -370,13 +370,45 @@ object CdcQueries {
     * no iteration, no driver state. Verifying a replica = running the
     * same one-aggregation query there and diffing two chain columns.
     */
+  /** The ONE definition of cdc17's chain pieces, shared with the
+    * streaming face ([[graft.streaming.StreamHashChain]]) so the
+    * advertised replay ≡ batch invariant is structural, not a
+    * hand-synced copy: the render (value/ts excluded — their
+    * formatting is not cross-engine stable; NULL content skipped by
+    * concat_ws on both engines), the left fold over renders with a
+    * caller-supplied accumulator seed (the batch face seeds "", the
+    * streaming face seeds the carried tail), and the closing seal.
+    */
+  private[graft] def chainRender(x: Column): Column =
+    concat_ws(
+      "|",
+      x.getField("op"),
+      x.getField("content"),
+      x.getField("seq").cast("string")
+    )
+
+  private[graft] def chainFold(ops: Column, seed: Column): Column =
+    aggregate(
+      transform(ops, chainRender(_)),
+      seed,
+      (acc, x) =>
+        when(acc === "", x).otherwise(
+          graft.functions.PortableHash
+            .h32(concat(acc, lit(" "), x))
+            .cast("string")
+        )
+    )
+
+  private[graft] def chainSeal(tail: Column): Column =
+    graft.functions.PortableHash.h32(tail)
+
   private val hashChain: Q = (s, dir) => {
     val log = changeLog(s, dir)
     val rendered = log.select(
       col("id"),
       struct(col("ts"), col("seq"), col("op"), col("content")).as("r")
     )
-    val chained = rendered
+    rendered
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_ops"),
@@ -385,32 +417,9 @@ object CdcQueries {
       .select(
         col("id"),
         col("n_ops"),
-        aggregate(
-          transform(
-            col("ops"),
-            x =>
-              concat_ws(
-                "|",
-                x.getField("op"),
-                x.getField("content"),
-                x.getField("seq").cast("string")
-              )
-          ),
-          lit(""),
-          (acc, x) =>
-            when(acc === "", x).otherwise(
-              graft.functions.PortableHash
-                .h32(concat(acc, lit(" "), x))
-                .cast("string")
-            )
-        ).as("tail")
+        chainFold(col("ops"), lit("")).as("tail")
       )
-    chained
-      .select(
-        col("id"),
-        col("n_ops"),
-        graft.functions.PortableHash.h32(col("tail")).as("chain")
-      )
+      .select(col("id"), col("n_ops"), chainSeal(col("tail")).as("chain"))
       .orderBy("id")
   }
 

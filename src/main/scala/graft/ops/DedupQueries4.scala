@@ -632,17 +632,15 @@ object DedupQueries4 {
     * (two dense-key joins), and everything after is source-sized.
     * Integer ppm division only.
     */
-  private val splitLeakage: Q = (s, dir) => {
-    val split = Tables(s, dir).documents.select(
-      col("doc_id"),
-      col("source"),
-      (pmod(
-        PortableHash.h32(col("doc_id").cast("string")),
-        lit(SPLIT_BUCKETS.toLong)
-      ) === 0).as("is_val")
-    )
-    val cross = DedupQueries
-      .orientedDupEdges(s, dir)
+  /** The ONE definition of the dedup41/42 leakage report over a split
+    * frame (doc_id, source, is_val) and a confirmed edge set (src,
+    * dst): cross-split edges select their val endpoint, leaked val
+    * docs count per source, leak_ppm by integer division. Both rows
+    * read the same report so their before/after comparison cannot
+    * drift.
+    */
+  private def leakReport(split: DataFrame, edges: DataFrame): DataFrame = {
+    val cross = edges
       .select(col("src"), col("dst"))
       .join(split.select(col("doc_id").as("src"), col("is_val").as("va")), "src")
       .join(split.select(col("doc_id").as("dst"), col("is_val").as("vb")), "dst")
@@ -672,6 +670,18 @@ object DedupQueries4 {
           .as("leak_ppm")
       )
       .orderBy("source")
+  }
+
+  private val splitLeakage: Q = (s, dir) => {
+    val split = Tables(s, dir).documents.select(
+      col("doc_id"),
+      col("source"),
+      (pmod(
+        PortableHash.h32(col("doc_id").cast("string")),
+        lit(SPLIT_BUCKETS.toLong)
+      ) === 0).as("is_val")
+    )
+    leakReport(split, DedupQueries.orientedDupEdges(s, dir))
   }
 
   /** dedup42: the cluster split's leakage, PROMOTED from spec pin to
@@ -710,36 +720,7 @@ object DedupQueries4 {
           lit(SPLIT_BUCKETS.toLong)
         ) === 0).as("is_val")
       )
-    val cross = edges
-      .select(col("src"), col("dst"))
-      .join(split.select(col("doc_id").as("src"), col("is_val").as("va")), "src")
-      .join(split.select(col("doc_id").as("dst"), col("is_val").as("vb")), "dst")
-      .filter(col("va") =!= col("vb"))
-      .select(when(col("va"), col("src")).otherwise(col("dst")).as("val_doc"))
-      .distinct()
-    val leaked = cross
-      .join(split.select(col("doc_id").as("val_doc"), col("source")), "val_doc")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_leaked"))
-    split
-      .groupBy(col("source"))
-      .agg(
-        sum(when(!col("is_val"), 1L).otherwise(0L)).as("n_train"),
-        sum(when(col("is_val"), 1L).otherwise(0L)).as("n_val")
-      )
-      .join(leaked, Seq("source"), "left")
-      .select(
-        col("source"),
-        col("n_train"),
-        col("n_val"),
-        coalesce(col("n_leaked"), lit(0L)).as("n_leaked_val"),
-        when(col("n_val") === 0, lit(null).cast("long"))
-          .otherwise(
-            expr("(coalesce(n_leaked, CAST(0 AS BIGINT)) * 1000000) div n_val")
-          )
-          .as("leak_ppm")
-      )
-      .orderBy("source")
+    leakReport(split, edges)
   }
 
   val queries: Map[String, Q] = Map(

@@ -515,28 +515,41 @@ object Relational11 {
     * broadcast back, one aggregation; at petabyte scale the q85 HDR
     * sketch replaces the exact ranks — q90/q98 document that swap.
     */
-  private val winsorize: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val v = Tables(s, dir).events
+  /** The ONE definition of q105/q106's exact anchor: the centi-unit
+    * projection and the per-series order-statistic cuts at rank
+    * ⌈f·n⌉ under the total (cents, event_id) order. q106's zero-bias
+    * audit depends on both queries computing the identical anchor.
+    */
+  private def winsorCents(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
       .filter(col("value").isNotNull)
       .select(
         col("event_type"),
         col("event_id"),
         round(col("value") * 100).cast("long").as("cents")
       )
+
+  /** Exact p1/p99 cut values per series: (event_type, lo_cents,
+    * hi_cents).
+    */
+  private def winsorExactCuts(v: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window
       .partitionBy(col("event_type"))
       .orderBy(col("cents"), col("event_id"))
-    val ranked = v
-      .withColumn("rk", row_number().over(w))
+    v.withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-    val cuts = ranked
       .filter(
         col("rk") === ceil(col("n") * WINSOR_LO_BP / 10000.0).cast("long") ||
           col("rk") === ceil(col("n") * WINSOR_HI_BP / 10000.0).cast("long")
       )
       .groupBy(col("event_type"))
       .agg(min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+  }
+
+  private val winsorize: Q = (s, dir) => {
+    val v = winsorCents(s, dir)
+    val cuts = winsorExactCuts(v)
     v.join(broadcast(cuts), "event_type")
       .groupBy(col("event_type"))
       .agg(
@@ -579,14 +592,7 @@ object Relational11 {
     * q99 carries q37's exact ntile.
     */
   private val winsorizeSketch: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val v = Tables(s, dir).events
-      .filter(col("value").isNotNull)
-      .select(
-        col("event_type"),
-        col("event_id"),
-        round(col("value") * 100).cast("long").as("cents")
-      )
+    val v = winsorCents(s, dir)
     val sk = Relational10
       .hdrReport(
         s,
@@ -601,19 +607,12 @@ object Relational11 {
         min(when(col("p") === (WINSOR_HI_BP / 100).toInt, col("exact_cents")))
           .as("sk_hi")
       )
-    val w = Window
-      .partitionBy(col("event_type"))
-      .orderBy(col("cents"), col("event_id"))
-    val ranked = v
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-    val ex = ranked
-      .filter(
-        col("rk") === ceil(col("n") * WINSOR_LO_BP / 10000.0).cast("long") ||
-          col("rk") === ceil(col("n") * WINSOR_HI_BP / 10000.0).cast("long")
+    val ex = winsorExactCuts(v)
+      .select(
+        col("event_type"),
+        col("lo_cents").as("ex_lo"),
+        col("hi_cents").as("ex_hi")
       )
-      .groupBy(col("event_type"))
-      .agg(min(col("cents")).as("ex_lo"), max(col("cents")).as("ex_hi"))
     val cuts = sk.join(ex, "event_type")
     v.join(broadcast(cuts), "event_type")
       .groupBy(col("event_type"))

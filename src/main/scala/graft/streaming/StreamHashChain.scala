@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.GraftSqlShims
 import org.apache.spark.sql.types._
@@ -56,20 +56,14 @@ object StreamHashChain {
 
   def newState(spark: SparkSession): State = new State(spark)
 
-  /** cdc17's render: value/ts excluded, NULL content skipped by
-    * concat_ws on both engines.
-    */
-  private def render(x: Column): Column =
-    concat_ws(
-      "|",
-      x.getField("op"),
-      x.getField("content"),
-      x.getField("seq").cast("string")
-    )
-
   /** Apply one micro-batch of change-log rows (op, id, content, ts,
     * seq): extend each touched key's chain tail and op count; keys
-    * not in the batch keep their state rows untouched.
+    * not in the batch keep their state rows untouched. The render,
+    * fold, and seal are [[graft.cdc.CdcQueries]]'s ONE definition —
+    * replay ≡ batch is structural, not a hand-synced copy. The batch
+    * aggregation is eagerly materialized: both the fold join and the
+    * untouched anti-join read it, and the ingest hot path must not
+    * pay the batch shuffle twice.
     */
   def ingest(state: State, batch: DataFrame): Unit = {
     val g = batch
@@ -82,25 +76,20 @@ object StreamHashChain {
         count(lit(1)).as("b_ops"),
         sort_array(collect_list(col("r"))).as("ops")
       )
+      .localCheckpoint(true)
     val folded = g
       .join(state.chains, Seq("id"), "left")
       .select(
         col("id"),
         (coalesce(col("n_ops"), lit(0L)) + col("b_ops")).as("n_ops"),
-        aggregate(
-          transform(col("ops"), render(_)),
-          coalesce(col("tail"), lit("")),
-          (acc, x) =>
-            when(acc === "", x).otherwise(
-              graft.functions.PortableHash
-                .h32(concat(acc, lit(" "), x))
-                .cast("string")
-            )
-        ).as("tail")
+        graft.cdc.CdcQueries
+          .chainFold(col("ops"), coalesce(col("tail"), lit("")))
+          .as("tail")
       )
     val untouched = state.chains
       .join(g.select("id"), Seq("id"), "left_anti")
     state.swap(untouched.unionByName(folded))
+    GraftSqlShims.unpersistCheckpoint(g)
   }
 
   /** Chains in cdc17's exact output shape (the closing h32 of each
@@ -111,7 +100,7 @@ object StreamHashChain {
     chains.select(
       col("id"),
       col("n_ops"),
-      graft.functions.PortableHash.h32(col("tail")).as("chain")
+      graft.cdc.CdcQueries.chainSeal(col("tail")).as("chain")
     )
 
   /** Deterministic replay in `splits` time-sliced micro-batches; the

@@ -61,8 +61,13 @@ object StreamUrlQuota {
 
   def newState(spark: SparkSession): State = new State(spark)
 
-  /** Apply one micro-batch of (event_id, nurl, domain) rows. */
-  def ingest(state: State, batch: DataFrame, quota: Long): Unit = {
+  /** Apply one micro-batch of (event_id, nurl, domain) rows. The
+    * batch is eagerly materialized: the ref counter and the
+    * admission candidates both read it, and the ingest hot path must
+    * not re-run the caller's lineage twice.
+    */
+  def ingest(state: State, rawBatch: DataFrame, quota: Long): Unit = {
+    val batch = rawBatch.localCheckpoint(true)
     val newRefs = state.refs
       .unionByName(batch.groupBy(col("domain")).agg(count(lit(1)).as("n_refs")))
       .groupBy(col("domain"))
@@ -85,6 +90,7 @@ object StreamUrlQuota {
       .filter(col("rn") + coalesce(col("n_adm"), lit(0L)) <= quota)
       .select(col("domain"), col("nurl"))
     state.swap(state.admitted.unionByName(admittedNew), newRefs)
+    GraftSqlShims.unpersistCheckpoint(batch)
   }
 
   /** (domain, n_refs, n_admitted, admitted_fp) — the fingerprint is
