@@ -246,15 +246,25 @@ object MediaQueries {
     * swap inherits — binary column lifecycle, header/guard/stat
     * schema, NULL-on-damage contract.
     */
-  private val rasterDecode: Q = (s, dir) => {
-    val planted = Tables(s, dir).documents
+  /** The planted GIMG raster slice (doc_id ≡ 5 mod 11) with its
+    * header geometry — shared by mm10 (decode, incl. the corrupt
+    * arm) and mm11 (resize, valid rasters only).
+    */
+  private def gimgPlanted(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
       .filter(pmod(col("doc_id"), lit(11)) === 5)
       .select(
         col("doc_id").as("media_id"),
         (lit(4L) + pmod(col("doc_id"), lit(5))).as("gw"),
         (lit(3L) + pmod(col("doc_id"), lit(4))).as("gh")
       )
-    val fullHex = concat(
+
+  /** The GIMG wire hex for a planted row: magic + w + h + row-major
+    * pixel bytes p(i) = (media_id·31 + i·7) mod 256 — the ONE
+    * definition both the mm10 and mm11 encoders share.
+    */
+  private def gimgFullHex: org.apache.spark.sql.Column =
+    concat(
       lit("47494D47"),
       lpad(hex(col("gw")), 2, "0"),
       lpad(hex(col("gh")), 2, "0"),
@@ -266,6 +276,10 @@ object MediaQueries {
         ""
       )
     )
+
+  private val rasterDecode: Q = (s, dir) => {
+    val planted = gimgPlanted(s, dir)
+    val fullHex = gimgFullHex
     val media = planted
       .select(col("media_id"), fullHex.as("fullhex"))
       .select(
@@ -338,13 +352,162 @@ object MediaQueries {
       .orderBy("media_id")
   }
 
+  /** mm11: raster RESIZE over the decoded GIMG grid — the mandated
+    * multimodal verb mm10's codec makes real: a 2× box downsample
+    * (output pixel = floor mean of its 2×2 source block, row-major
+    * geometry, odd trailing row/column truncated — the standard box
+    * filter) computed entirely from PAYLOAD BYTES, then RE-ENCODED
+    * as a valid GIMG payload whose byte length and content hash the
+    * gate checks — a resize that reads the wrong source offsets or
+    * writes a malformed header fails on bytes, not on a summary
+    * stat. Valid (uncorrupted) planted rasters only; the corrupt arm
+    * is mm10's contract.
+    *
+    * Exactness: integer pixel loads (one hex transcode, as mm10),
+    * integer 4-sum + floor-div-4, positional checksum over the
+    * OUTPUT grid (order sensitivity survives the resize), and the
+    * portable hash of the re-encoded wire hex — byte-identical
+    * across engines. Shape at scale: one map-side expression chain
+    * per row (decode → downsample → encode inside nested HOFs); the
+    * only shuffle is the presentation sort.
+    */
+  private val rasterResize: Q = (s, dir) => {
+    val valid = gimgPlanted(s, dir).filter(pmod(col("media_id"), lit(3)) =!= 0)
+    val hx = valid
+      .select(col("media_id"), col("gw"), col("gh"), gimgFullHex.as("fullhex"))
+      .select(col("media_id"), hex(unhex(col("fullhex"))).as("h"))
+    def bv(idx: org.apache.spark.sql.Column) =
+      conv(col("h").substr((lit(13) + idx * 2).cast("int"), lit(2)), 16, 10)
+        .cast("long")
+    val hdr = hx.select(
+      col("media_id"),
+      col("h"),
+      conv(substring(col("h"), 9, 2), 16, 10).cast("long").as("w"),
+      conv(substring(col("h"), 11, 2), 16, 10).cast("long").as("ht")
+    )
+    val ds = hdr
+      .select(
+        col("media_id"),
+        col("h"),
+        col("w"),
+        col("ht"),
+        expr("w div 2").as("w2"),
+        expr("ht div 2").as("h2")
+      )
+      .select(
+        col("media_id"),
+        col("w"),
+        col("ht"),
+        col("w2"),
+        col("h2"),
+        transform(
+          sequence(lit(0L), col("w2") * col("h2") - 1),
+          k => {
+            val row = floor(k / col("w2")).cast("long")
+            val c0 = pmod(k, col("w2"))
+            val s00 = (row * 2) * col("w") + c0 * 2
+            floor(
+              (bv(s00) + bv(s00 + 1) + bv(s00 + col("w")) +
+                bv(s00 + col("w") + 1)) / 4
+            ).cast("long")
+          }
+        ).as("outpix")
+      )
+    ds.select(
+      col("media_id"),
+      col("w").as("width"),
+      col("ht").as("height"),
+      col("w2"),
+      col("h2"),
+      (lit(6L) + col("w") * col("ht")).as("n_bytes_in"),
+      octet_length(
+        unhex(
+          concat(
+            lit("47494D47"),
+            lpad(hex(col("w2")), 2, "0"),
+            lpad(hex(col("h2")), 2, "0"),
+            array_join(transform(col("outpix"), p => lpad(hex(p), 2, "0")), "")
+          )
+        )
+      ).cast("long").as("n_bytes_out"),
+      aggregate(col("outpix"), lit(0L), _ + _).as("out_px_sum"),
+      aggregate(
+        transform(col("outpix"), (p, i) => (i.cast("long") + 1L) * p),
+        lit(0L),
+        _ + _
+      ).as("out_possum"),
+      graft.functions.PortableHash
+        .h32(
+          concat(
+            lit("47494D47"),
+            lpad(hex(col("w2")), 2, "0"),
+            lpad(hex(col("h2")), 2, "0"),
+            array_join(transform(col("outpix"), p => lpad(hex(p), 2, "0")), "")
+          )
+        )
+        .as("out_hash")
+    ).orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm08_shot_bounds" -> shotBounds,
     "mm09_aspect_buckets" -> aspectBuckets,
-    "mm10_raster_decode" -> rasterDecode
+    "mm10_raster_decode" -> rasterDecode,
+    "mm11_raster_resize" -> rasterResize
   )
 
   val oracle: Map[String, String] = Map(
+    // the same row-major 2x2 box downsample from the same wire bytes,
+    // re-encoded and hashed — // arithmetic mirrors div/floor on
+    // nonnegative smalls; the double-division row index is exact
+    "mm11_raster_resize" -> {
+      def bv(idx: String) =
+        s"CAST(concat('0x', substring(h, CAST(13 + 2 * ($idx) AS BIGINT), 2)) AS BIGINT)"
+      val outhex =
+        """concat('47494D47', lpad(hex(w2), 2, '0'), lpad(hex(h2), 2, '0'),
+          |      array_to_string(list_transform(outpix,
+          |        p -> lpad(hex(p), 2, '0')), ''))""".stripMargin
+      s"""WITH planted AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(4 + doc_id % 5 AS BIGINT) AS gw,
+         |    CAST(3 + doc_id % 4 AS BIGINT) AS gh
+         |  FROM documents WHERE doc_id % 11 = 5 AND doc_id % 3 <> 0),
+         |gen AS (
+         |  SELECT media_id,
+         |    concat('47494D47', lpad(hex(gw), 2, '0'), lpad(hex(gh), 2, '0'),
+         |      array_to_string(list_transform(range(0, gw * gh),
+         |        i -> lpad(hex((media_id * 31 + i * 7) % 256), 2, '0')), ''))
+         |      AS fullhex
+         |  FROM planted),
+         |hx AS (SELECT media_id, hex(from_hex(fullhex)) AS h FROM gen),
+         |hdr AS (
+         |  SELECT media_id, h,
+         |    CAST(concat('0x', substring(h, 9, 2)) AS BIGINT) AS w,
+         |    CAST(concat('0x', substring(h, 11, 2)) AS BIGINT) AS ht
+         |  FROM hx),
+         |ds AS (
+         |  SELECT media_id, w, ht, w // 2 AS w2, ht // 2 AS h2,
+         |    list_transform(range(0, (w // 2) * (ht // 2)), k ->
+         |      (${bv("((k // (w // 2)) * 2) * w + (k % (w // 2)) * 2")}
+         |       + ${bv("((k // (w // 2)) * 2) * w + (k % (w // 2)) * 2 + 1")}
+         |       + ${bv("((k // (w // 2)) * 2 + 1) * w + (k % (w // 2)) * 2")}
+         |       + ${bv(
+            "((k // (w // 2)) * 2 + 1) * w + (k % (w // 2)) * 2 + 1"
+          )}) // 4
+         |    ) AS outpix
+         |  FROM hdr),
+         |enc AS (
+         |  SELECT media_id, w, ht, w2, h2, outpix, $outhex AS outhex
+         |  FROM ds)
+         |SELECT media_id, w AS width, ht AS height, w2, h2,
+         |  CAST(6 + w * ht AS BIGINT) AS n_bytes_in,
+         |  CAST(octet_length(from_hex(outhex)) AS BIGINT) AS n_bytes_out,
+         |  CAST(list_aggregate(outpix, 'sum') AS BIGINT) AS out_px_sum,
+         |  CAST(list_aggregate(list_transform(range(1, len(outpix) + 1),
+         |    i -> i * outpix[i]), 'sum') AS BIGINT) AS out_possum,
+         |  ${graft.functions.PortableHash.sqlH32("outhex")} AS out_hash
+         |FROM enc ORDER BY media_id""".stripMargin
+    },
     // generator and decoder both mirrored from first principles: the
     // same GIMG hex construction (from_hex), the same one-hex
     // transcode decode (byte b = hex chars [2b-1, 2b]), the same

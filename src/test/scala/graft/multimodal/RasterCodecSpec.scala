@@ -49,6 +49,35 @@ class RasterCodecSpec extends SparkSpec {
     }
   }
 
+  test("mm11 resize equals an independent box downsample, re-encode intact") {
+    val rows = graft.SparkEntry
+      .queries("mm11_raster_resize")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      val pix = (0 until w * h).map(i => ((id * 31 + i * 7) % 256).toInt)
+      val (w2, h2) = (w / 2, h / 2)
+      def p(x: Int, y: Int) = pix(y * w + x)
+      val out = for {
+        j <- 0 until h2
+        i <- 0 until w2
+      } yield (p(2 * i, 2 * j) + p(2 * i + 1, 2 * j) +
+        p(2 * i, 2 * j + 1) + p(2 * i + 1, 2 * j + 1)) / 4
+      assert(r.getAs[Long]("w2") === w2.toLong, s"media $id w2")
+      assert(r.getAs[Long]("h2") === h2.toLong, s"media $id h2")
+      assert(r.getAs[Long]("n_bytes_out") === 6L + w2 * h2, s"media $id bytes")
+      assert(r.getAs[Long]("out_px_sum") === out.map(_.toLong).sum, s"media $id sum")
+      assert(
+        r.getAs[Long]("out_possum") ===
+          out.zipWithIndex.map { case (v, i) => (i + 1).toLong * v }.sum,
+        s"media $id positional checksum after resize"
+      )
+    }
+  }
+
   test("positional checksum is order-sensitive where a plain sum is not") {
     val sensitive = rows.filter(_.getAs[Boolean]("valid")).exists { r =>
       val id = r.getAs[Long]("media_id")
