@@ -99,12 +99,23 @@ object BenchAB {
     val names = (curQueries.keySet & otherQueries.keySet).toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 
-    def time(q: (SparkSession, String) => DataFrame): Double = {
+    // Failures are logged by name (once per query/arm) and excluded
+    // from totals as -1; only NonFatal is caught so a JVM-fatal error
+    // (OOM, interrupt) aborts the run instead of reading as exclusion.
+    val failed = scala.collection.mutable.Set.empty[String]
+    def time(name: String, q: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
         q(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (failed.add(name)) {
+            System.err.println(
+              s"[BenchAB] EXCLUDED $name: ${e.getClass.getName}: ${e.getMessage}")
+          }
+          -1.0
+      }
     }
 
     val t = Tables(spark, sfDir)
@@ -118,9 +129,9 @@ object BenchAB {
       // one untimed cold pass per version pays codegen/JIT for BOTH
       // before any timed sample — the interleave must compare warm
       // against warm
-      time(otherQueries(n)); time(curQueries(n))
+      time(s"$n/old", otherQueries(n)); time(s"$n/new", curQueries(n))
       val pairs = (1 to samples).map { _ =>
-        (time(otherQueries(n)), time(curQueries(n)))
+        (time(s"$n/old", otherQueries(n)), time(s"$n/new", curQueries(n)))
       }
       val old = median(pairs.map(_._1))
       val cur = median(pairs.map(_._2))

@@ -309,50 +309,49 @@ object DedupQueries4 {
       .filter(col("contaminated"))
       .select(col("vec_id"))
       .localCheckpoint(true)
-    val nEx = flaggedEx.agg(count(lit(1)).as("flagged_exhaustive"))
-    val nAll = corpus
-      .agg(count(lit(1)).as("nc"))
-      .crossJoin(eval.agg(count(lit(1)).as("ne")))
-      .select((col("nc") * col("ne")).as("all_pairs"))
-    val rows = CURVE_WIDTHS
-      .map { w =>
-        val cand = bandedCandidates(corpus, eval, w).localCheckpoint(true)
-        val fl = shortlistVerdicts(cand, eval, corpusVecs)
-          .filter(col("contaminated"))
-          .select(col("vec_id"))
-          .localCheckpoint(true)
-        cand
-          .agg(count(lit(1)).as("cand_pairs"))
-          .crossJoin(fl.agg(count(lit(1)).as("flagged_banded")))
-          .crossJoin(
-            fl.join(flaggedEx, "vec_id")
-              .agg(count(lit(1)).as("flagged_common"))
-          )
-          .select(
-            lit(w.toLong).as("band_bits"),
-            lit((SIG_WORDS * SIG_BITS / w).toLong).as("n_bands"),
-            col("cand_pairs"),
-            col("flagged_banded"),
-            col("flagged_common")
-          )
-      }
-      .reduce(_.unionByName(_))
-    rows
-      .crossJoin(nAll)
-      .crossJoin(nEx)
+    // every downstream consumer of an arm is a driver-sized count, so
+    // the arms run eagerly and each arm's checkpoints are unpersisted
+    // as soon as its three counts land — nothing cached outlives the
+    // builder (the earlier lazy shape leaked every cand/fl checkpoint
+    // until session checkpoint GC)
+    def unpersist(f: DataFrame): Unit =
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(f)
+    val nEx = flaggedEx.count()
+    val allPairs =
+      corpus.count() * eval.select(col("eval_id")).count()
+    val armRows = CURVE_WIDTHS.map { w =>
+      val cand = bandedCandidates(corpus, eval, w).localCheckpoint(true)
+      val fl = shortlistVerdicts(cand, eval, corpusVecs)
+        .filter(col("contaminated"))
+        .select(col("vec_id"))
+        .localCheckpoint(true)
+      val candPairs = cand.count()
+      val flaggedBanded = fl.count()
+      val flaggedCommon = fl.join(flaggedEx, "vec_id").count()
+      unpersist(cand); unpersist(fl)
+      (
+        w.toLong,
+        (SIG_WORDS * SIG_BITS / w).toLong,
+        candPairs,
+        flaggedBanded,
+        flaggedCommon
+      )
+    }
+    unpersist(flaggedEx); unpersist(corpus); unpersist(eval)
+    import s.implicits._
+    armRows
+      .toDF("band_bits", "n_bands", "cand_pairs", "flagged_banded",
+        "flagged_common")
       .select(
         col("band_bits"),
         col("n_bands"),
         col("cand_pairs"),
-        col("all_pairs"),
+        lit(allPairs).as("all_pairs"),
         col("flagged_banded"),
-        col("flagged_exhaustive"),
+        lit(nEx).as("flagged_exhaustive"),
         col("flagged_common"),
-        when(col("flagged_exhaustive") === 0, lit(null).cast("double"))
-          .otherwise(
-            col("flagged_common").cast("double") /
-              col("flagged_exhaustive").cast("double")
-          )
+        when(lit(nEx) === 0, lit(null).cast("double"))
+          .otherwise(col("flagged_common").cast("double") / nEx.toDouble)
           .as("recall")
       )
       .orderBy("band_bits")

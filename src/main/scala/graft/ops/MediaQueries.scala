@@ -306,8 +306,12 @@ object MediaQueries {
         col("n_bytes"),
         (col("n_bytes") >= 6 &&
           substring(col("h"), 1, 8) === "47494D47").as("is_img"),
-        bv(lit(9)).as("width"),
-        bv(lit(11)).as("height"),
+        // header reads are guarded so the decoder is TOTAL over
+        // arbitrary payloads: under 6 bytes there is no header, and an
+        // unguarded hex-slice-cast diverges across engines (Spark conv
+        // of "" yields NULL, DuckDB CAST('0x' || '') raises)
+        when(col("n_bytes") >= 6, bv(lit(9))).as("width"),
+        when(col("n_bytes") >= 6, bv(lit(11))).as("height"),
         (col("n_bytes") - 6).as("npix_act")
       )
     val dec = hdr.select(
@@ -537,8 +541,10 @@ object MediaQueries {
          |hdr AS (
          |  SELECT media_id, h, n_bytes,
          |    (n_bytes >= 6 AND substring(h, 1, 8) = '47494D47') AS is_img,
-         |    CAST(concat('0x', substring(h, 9, 2)) AS BIGINT) AS width,
-         |    CAST(concat('0x', substring(h, 11, 2)) AS BIGINT) AS height,
+         |    CASE WHEN n_bytes >= 6 THEN
+         |      CAST(concat('0x', substring(h, 9, 2)) AS BIGINT) END AS width,
+         |    CASE WHEN n_bytes >= 6 THEN
+         |      CAST(concat('0x', substring(h, 11, 2)) AS BIGINT) END AS height,
          |    n_bytes - 6 AS npix_act
          |  FROM hx),
          |dec AS (

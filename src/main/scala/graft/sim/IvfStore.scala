@@ -556,7 +556,7 @@ object IvfStore {
     val wProbe = Window
       .partitionBy(col("query_id"))
       .orderBy(col("__d").asc, col("cell").asc)
-    val routes = queries
+    val routesPlan = queries
       .select(col("query_id"), quant(col("qv")).as("qq"))
       .crossJoin(broadcast(cents))
       .select(
@@ -570,18 +570,20 @@ object IvfStore {
       .withColumn("__r", row_number().over(wProbe))
       .filter(col("__r") <= nProbe)
       .select(col("query_id"), col("qq"), col("cell"))
-      // materialized once: the caller's query lineage (possibly an
-      // expensive pipeline) must not re-run for the cell-union read
-      // below AND the scoring join; batch-sized, so the caller's
-      // result materialization + session checkpoint GC bound its life
-      .localCheckpoint(true)
-    // the probed-cell UNION: the one driver read, bounded by K
-    val cells = routes
-      .select(col("cell"))
-      .distinct()
-      .collect()
-      .map(_.getLong(0))
-      .toSeq
+    // materialized ONCE to the driver: the caller's query lineage
+    // (possibly an expensive pipeline) must not re-run for the
+    // cell-union read below AND the scoring join. The route table is
+    // broadcast into the scoring join anyway, so it is driver-sized
+    // BY CONSTRUCTION (batch × nProbe rows) — rebuilding it as a
+    // local relation keeps one lineage execution with NOTHING cached
+    // (no localCheckpoint to leak across serve calls).
+    val routeRows = routesPlan.collect()
+    val routes = spark.createDataFrame(
+      java.util.Arrays.asList(routeRows: _*),
+      routesPlan.schema
+    )
+    // the probed-cell UNION: derived from the same driver read
+    val cells = routeRows.map(_.getLong(2)).distinct.toSeq
     val wRank = Window
       .partitionBy(col("query_id"))
       .orderBy(col("dist2").asc, col("vec_id").asc)

@@ -119,7 +119,11 @@ object StreamHashChain {
     (0 until splits).foreach { i =>
       val b0 = lo + span * i / splits
       val b1 = lo + span * (i + 1) / splits
-      ingest(state, ev.filter(col("__ts_us") >= b0 && col("__ts_us") < b1))
+      // NULL-ts rows ride the first batch (coalesce to lo) so replay
+      // ingests exactly the rows batch cdc17 sees — a null-hostile
+      // range filter would silently drop them from every slice.
+      val k = coalesce(col("__ts_us"), lit(lo))
+      ingest(state, ev.filter(k >= b0 && k < b1))
     }
     val out = summarize(state.chains).orderBy("id")
     val rows = out.collect()

@@ -131,8 +131,10 @@ object StreamUrlQuota {
     (0 until splits).foreach { i =>
       val b0 = lo + span * i / splits
       val b1 = lo + span * (i + 1) / splits
-      ingest(state, urls.filter(col("event_id") >= b0 && col("event_id") < b1),
-        quota)
+      // NULL event_id rides the first batch (coalesce to lo) so no row
+      // is silently dropped from every slice by a null-hostile range.
+      val k = coalesce(col("event_id"), lit(lo))
+      ingest(state, urls.filter(k >= b0 && k < b1), quota)
     }
     val out = summarize(state).orderBy("domain")
     val rows = out.collect()

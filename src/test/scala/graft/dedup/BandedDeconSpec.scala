@@ -77,9 +77,19 @@ class BandedDeconSpec extends SparkSpec {
       assert(common <= banded, "intersection larger than the banded flag set")
       assert(common <= r.getAs[Long]("flagged_exhaustive"))
       // banding + shortlist can only surface TRUE cosines, so every
-      // banded flag is genuinely contaminated; on this fixture the
-      // banded set is a subset of the exhaustive-shortlist set
-      assert(banded === common, "banded arm flagged a vector the exhaustive arm did not")
+      // banded flag is genuinely contaminated. NOTE: banded ⊆
+      // exhaustive-shortlist is a FIXTURE-OBSERVED property, not
+      // structural — a banded candidate set can drop a Hamming-near
+      // eval and admit a Hamming-farther but higher-cosine one,
+      // flagging a vector the exhaustive shortlist does not. If this
+      // trips after a fixture change, regenerate the expectation
+      // rather than debugging the curve as a code bug.
+      assert(
+        banded === common,
+        s"banded=$banded common=$common — fixture-observed subset " +
+          "property (banded ⊆ exhaustive-shortlist) no longer holds; " +
+          "expected after a fixture change, a bug otherwise"
+      )
     }
   }
 }

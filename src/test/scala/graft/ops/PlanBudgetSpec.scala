@@ -554,14 +554,20 @@ class PlanBudgetSpec extends SparkSpec {
     assert(s <= 5, s"dedup39 shuffles=$s")
   }
 
-  test("dedup40 curve: five arms stay within the per-arm budget") {
-    // 4 banded arms + the exhaustive baseline, each: candidate dedupe
-    // (on the inherited signature partitioning) + rerank join + flag
-    // agg; plus the 1-row stat crossJoins. 15/11 measured; pinned
-    // against growth — a sixth arm or a lost checkpoint fails here
-    val (s, b) = exchanges(run("dedup40_banded_decon_curve"))
-    assert(s <= 15, s"dedup40 shuffles=$s")
-    assert(b <= 11, s"dedup40 broadcasts=$b")
+  test("dedup40 curve: the returned frame is the collected curve, not live arms") {
+    // the 5 arms (4 banded + exhaustive baseline) run EAGERLY inside
+    // the builder — each arm's checkpoints are unpersisted as soon as
+    // its counts land, so the returned frame must reduce to the
+    // driver-built curve (a local relation + presentation sort) with
+    // no residual scan of corpus/eval. A scan here means an arm's
+    // lineage escaped the builder and its checkpoints leak again.
+    val df = run("dedup40_banded_decon_curve")
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(!planStr.contains("FileScan") && !planStr.contains("Scan parquet"),
+      s"dedup40 result should carry no live table scan:\n$planStr")
+    val (s, b) = exchanges(df)
+    assert(s <= 1, s"dedup40 shuffles=$s")
+    assert(b === 0, s"dedup40 broadcasts=$b")
   }
 
   test("dedup36 sweep form: signature barrier + rerank join + sort only") {
