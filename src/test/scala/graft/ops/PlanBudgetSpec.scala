@@ -534,6 +534,21 @@ class PlanBudgetSpec extends SparkSpec {
     assert(s <= 2, s"mm09 shuffles=$s")
   }
 
+  test("mm10 raster decode: one map-side codec chain + presentation sort only") {
+    // generate → unhex → hex → slice is one expression chain per row;
+    // an extra exchange here means the hex transcode was re-derived
+    // or the codec grew a join
+    val (s, b) = exchanges(run("mm10_raster_decode"))
+    assert(s <= 1, s"mm10 shuffles=$s")
+    assert(b === 0, s"mm10 broadcasts=$b")
+  }
+
+  test("mm11 raster resize: decode + downsample + re-encode stay map-side") {
+    val (s, b) = exchanges(run("mm11_raster_resize"))
+    assert(s <= 1, s"mm11 shuffles=$s")
+    assert(b === 0, s"mm11 broadcasts=$b")
+  }
+
   test("dedup37 weighted HDR median: CC weights + ONE sketch agg, bucket-sized windows") {
     val (s, _) = exchanges(run("dedup37_weighted_hdr_median"))
     assert(s <= 3, s"dedup37 shuffles=$s")
