@@ -643,13 +643,25 @@ object Relational11 {
   /** q107's per-domain distinct-URL quota. */
   private[graft] val URL_QUOTA = 20L
 
+  /** Fixture slice of the Public Suffix List — the broadcast dim the
+    * registrable-domain join consults. Includes multi-label suffixes
+    * (`co.uk`-style) precisely because the last-2-labels heuristic
+    * mis-buckets them: every host under `*.co.uk` would collapse into
+    * ONE `co.uk` quota bucket without the PSL. A production build
+    * swaps this Seq for the full published list (~9k rows — still a
+    * broadcast dim); the join below is shape-identical.
+    */
+  private[graft] val PSL_SUFFIXES: Seq[String] =
+    Seq("com", "org", "net", "io", "co.uk", "org.uk", "ac.uk", "com.au")
+
   /** q107: URL normalization + per-domain crawl quota — the web-
     * curation front door: raw crawl URLs normalize (lowercase scheme
     * and host, strip the fragment, drop `www.` and scheme-default
     * ports) so re-crawls of one resource collapse to one key; the
-    * registrable domain (last two host labels — the public-suffix
-    * heuristic; a production build swaps in the PSL table as a
-    * broadcast dim) buckets them; and each domain keeps at most
+    * registrable domain (longest [[PSL_SUFFIXES]] match + one label
+    * via three broadcast left joins, last-2-labels when no suffix
+    * matches — so `a.shop.co.uk` buckets as `shop.co.uk`, not
+    * `co.uk`) buckets them; and each domain keeps at most
     * [[URL_QUOTA]] distinct normalized URLs, selected by a
     * deterministic hash order (the anti-bias trick: hash order is a
     * uniform shuffle, so the quota samples a domain's URL space
@@ -678,7 +690,10 @@ object Relational11 {
         lit("Site"),
         pmod(col("event_id"), lit(7)).cast("string"),
         when(pmod(col("event_id"), lit(3)) === 0, lit(".Example.COM"))
-          .otherwise(lit(".org")),
+          .when(pmod(col("event_id"), lit(3)) === 1, lit(".org"))
+          // the multi-label public suffix arm: last-2-labels would
+          // bucket EVERY such host as "co.uk"; the PSL join must not
+          .otherwise(lit(".Shop.CO.UK")),
         when(pmod(col("event_id"), lit(5)) === 0, lit(":80"))
           .when(pmod(col("event_id"), lit(5)) === 1, lit(":8080"))
           .otherwise(lit("")),
@@ -719,8 +734,9 @@ object Relational11 {
           substring_index(col("hostport"), ":", -1)
         ).otherwise(lit("")).as("port")
       )
-    parsed.select(
+    val nurls = parsed.select(
       col("event_id"),
+      col("host"),
       concat(
         col("scheme"),
         lit("://"),
@@ -732,9 +748,53 @@ object Relational11 {
           lit("")
         ).otherwise(concat(lit(":"), col("port"))),
         col("path")
-      ).as("nurl"),
-      array_join(slice(split(col("host"), "[.]"), -2, 2), ".").as("domain")
+      ).as("nurl")
     )
+    // registrable domain via the PSL broadcast dim: candidate
+    // suffixes are the host's last 1/2/3 labels; the LONGEST one
+    // found in [[PSL_SUFFIXES]] wins and the registrable domain is
+    // that suffix plus one label. Hosts matching no suffix fall back
+    // to the last-2-labels heuristic. Three broadcast left joins on a
+    // dim of a few (thousand, in production) rows — map-side, no
+    // shuffle of the URL stream.
+    import s.implicits._
+    val psl = PSL_SUFFIXES.toDF("suffix")
+    def lastK(k: Int) =
+      array_join(slice(col("labels"), -k, k), ".")
+    def reg(k: Int) = {
+      val take = least(col("nl"), lit(k + 1))
+      array_join(slice(col("labels"), -take, take), ".")
+    }
+    nurls
+      .withColumn("labels", split(col("host"), "[.]"))
+      .withColumn("nl", size(col("labels")))
+      .withColumn("s1", lastK(1))
+      .withColumn("s2", when(col("nl") >= 2, lastK(2)))
+      .withColumn("s3", when(col("nl") >= 3, lastK(3)))
+      .join(
+        broadcast(psl.withColumnRenamed("suffix", "m3")),
+        col("s3") === col("m3"),
+        "left"
+      )
+      .join(
+        broadcast(psl.withColumnRenamed("suffix", "m2")),
+        col("s2") === col("m2"),
+        "left"
+      )
+      .join(
+        broadcast(psl.withColumnRenamed("suffix", "m1")),
+        col("s1") === col("m1"),
+        "left"
+      )
+      .select(
+        col("event_id"),
+        col("nurl"),
+        when(col("m3").isNotNull, reg(3))
+          .when(col("m2").isNotNull, reg(2))
+          // 1-label match and the no-match heuristic agree: last-2
+          .otherwise(reg(1))
+          .as("domain")
+      )
   }
 
   private val urlQuota: Q = (s, dir) => {
@@ -745,6 +805,13 @@ object Relational11 {
     val w = Window
       .partitionBy(col("domain"))
       .orderBy(PortableHash.h32(col("nurl")), col("nurl"))
+    // REPORT form: the rn <= Q verdict rides inside a conditional SUM
+    // because this row also reports full distinct counts, so the
+    // per-domain window sorts ALL of a domain's distinct URLs. The
+    // ADMISSION form a 100 TB crawl runs is q108: rn <= Q as a FILTER
+    // (WindowGroupLimit rank pushdown — per-partition top-Q state,
+    // never a full per-domain sort) with the counts from a separate
+    // dense aggregate.
     d.withColumn("rn", row_number().over(w))
       .groupBy(col("domain"))
       .agg(
@@ -755,8 +822,62 @@ object Relational11 {
       .orderBy("domain")
   }
 
+  /** q108: the ADMISSION form of q107 — the two-aggregate shape a
+    * production crawl runs. The kept set comes from `row_number() <=
+    * Q` applied as a FILTER, which Spark rewrites to WindowGroupLimit
+    * (each map task keeps at most Q rows per domain before the
+    * window's shuffle and the sort never ranks past Q — rank
+    * pushdown, the q55 pattern); the full-domain counts come from a
+    * separate dense aggregate over the SAME (domain, nurl) frame
+    * (one exchange, reused by both consumers). Emits what the
+    * admission path needs downstream: the kept-set size, the raw
+    * reference mass it covers, and an order-free fingerprint of the
+    * kept set (Σ h32(nurl) — the stream21 convention) so the batch
+    * and streaming admission faces can be diffed without shipping
+    * URL lists. Same oracle semantics as q107's conditional-SUM
+    * verdicts, gated independently; the plan pin asserts
+    * WindowGroupLimit actually appears.
+    */
+  private val urlQuotaAdmission: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = normalizedUrls(s, dir)
+      .groupBy(col("domain"), col("nurl"))
+      .agg(count(lit(1)).as("n_refs"))
+    val w = Window
+      .partitionBy(col("domain"))
+      .orderBy(PortableHash.h32(col("nurl")), col("nurl"))
+    val kept = d
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= URL_QUOTA)
+    val counts = d
+      .groupBy(col("domain"))
+      .agg(
+        sum(col("n_refs")).as("n_urls"),
+        count(lit(1)).as("n_distinct_norm")
+      )
+    kept
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_refs")).as("kept_refs"),
+        sum(PortableHash.h32(col("nurl")).cast("long")).as("kept_fp")
+      )
+      // every domain admits >= 1 URL (rn = 1 <= Q), so inner is total
+      .join(counts, Seq("domain"))
+      .select(
+        col("domain"),
+        col("n_urls"),
+        col("n_distinct_norm"),
+        col("n_kept"),
+        col("kept_refs"),
+        col("kept_fp")
+      )
+      .orderBy("domain")
+  }
+
   val queries: Map[String, Q] = Map(
     "q107_url_quota" -> urlQuota,
+    "q108_url_admission_form" -> urlQuotaAdmission,
     "q106_winsorize_sketch" -> winsorizeSketch,
     "q105_winsorize" -> winsorize,
     "q104_last_touch" -> lastTouch,
@@ -784,7 +905,8 @@ object Relational11 {
        |           ELSE 'https://' END,
        |      'Site', CAST(event_id % 7 AS VARCHAR),
        |      CASE WHEN event_id % 3 = 0 THEN '.Example.COM'
-       |           ELSE '.org' END,
+       |           WHEN event_id % 3 = 1 THEN '.org'
+       |           ELSE '.Shop.CO.UK' END,
        |      CASE WHEN event_id % 5 = 0 THEN ':80'
        |           WHEN event_id % 5 = 1 THEN ':8080' ELSE '' END,
        |      '/page/', CAST(event_id % 50 AS VARCHAR),
@@ -811,6 +933,27 @@ object Relational11 {
        |    CASE WHEN contains(hostport, ':')
        |      THEN split_part(hostport, ':', 2) ELSE '' END AS port
        |  FROM hp),
+       |psl AS (SELECT * FROM (VALUES ${PSL_SUFFIXES
+        .map(sfx => s"('$sfx')")
+        .mkString(", ")}) p(suffix)),
+       |lab AS (
+       |  SELECT event_id, scheme, path, host, port,
+       |    string_split(host, '.') AS labels,
+       |    len(string_split(host, '.')) AS nl
+       |  FROM hn),
+       |cand AS (
+       |  SELECT *, array_to_string(list_slice(labels, nl, nl), '.') AS s1,
+       |    CASE WHEN nl >= 2
+       |      THEN array_to_string(list_slice(labels, nl - 1, nl), '.') END AS s2,
+       |    CASE WHEN nl >= 3
+       |      THEN array_to_string(list_slice(labels, nl - 2, nl), '.') END AS s3
+       |  FROM lab),
+       |mt AS (
+       |  SELECT c.*, p3.suffix AS m3, p2.suffix AS m2, p1.suffix AS m1
+       |  FROM cand c
+       |  LEFT JOIN psl p3 ON c.s3 = p3.suffix
+       |  LEFT JOIN psl p2 ON c.s2 = p2.suffix
+       |  LEFT JOIN psl p1 ON c.s1 = p1.suffix),
        |norm AS (
        |  SELECT event_id, host,
        |    concat(scheme, '://', host,
@@ -818,8 +961,15 @@ object Relational11 {
        |             OR (scheme = 'https' AND port = '443')
        |        THEN '' ELSE concat(':', port) END,
        |      path) AS nurl,
-       |    array_to_string((string_split(host, '.'))[-2:], '.') AS domain
-       |  FROM hn)""".stripMargin
+       |    CASE
+       |      WHEN m3 IS NOT NULL THEN array_to_string(
+       |        list_slice(labels, nl - LEAST(nl, 4) + 1, nl), '.')
+       |      WHEN m2 IS NOT NULL THEN array_to_string(
+       |        list_slice(labels, nl - LEAST(nl, 3) + 1, nl), '.')
+       |      ELSE array_to_string(
+       |        list_slice(labels, nl - LEAST(nl, 2) + 1, nl), '.')
+       |    END AS domain
+       |  FROM mt)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q95_join_key_profile" ->
@@ -907,7 +1057,32 @@ object Relational11 {
          |    AS n_kept
          |FROM rk GROUP BY 1 ORDER BY domain""".stripMargin
     },
-    
+    // the admission form re-specified from first principles: kept set
+    // as a rank FILTER, counts from an independent aggregate, the
+    // order-free h32 fingerprint of the kept set
+    "q108_url_admission_form" -> {
+      val h = PortableHash.sqlH32("nurl")
+      s"""WITH $urlNormCtes,
+         |d AS (SELECT domain, nurl, CAST(COUNT(*) AS BIGINT) AS n_refs
+         |      FROM norm GROUP BY 1, 2),
+         |kept AS (SELECT domain, nurl, n_refs FROM (
+         |    SELECT domain, nurl, n_refs,
+         |      ROW_NUMBER() OVER (PARTITION BY domain
+         |        ORDER BY $h, nurl) AS rn
+         |    FROM d)
+         |  WHERE rn <= $URL_QUOTA),
+         |k AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |        CAST(SUM(n_refs) AS BIGINT) AS kept_refs,
+         |        CAST(SUM($h) AS BIGINT) AS kept_fp
+         |      FROM kept GROUP BY 1),
+         |c AS (SELECT domain, CAST(SUM(n_refs) AS BIGINT) AS n_urls,
+         |        CAST(COUNT(*) AS BIGINT) AS n_distinct_norm
+         |      FROM d GROUP BY 1)
+         |SELECT c.domain, c.n_urls, c.n_distinct_norm,
+         |  k.n_kept, k.kept_refs, k.kept_fp
+         |FROM c JOIN k USING (domain) ORDER BY domain""".stripMargin
+    },
+
     // both paths replayed from first principles: the q88 sketch CTEs
     // (bucket counts, (n·p+99)//100 rank read, in-bucket selection)
     // against q105's global order statistics, joined into one audit

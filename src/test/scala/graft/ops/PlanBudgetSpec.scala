@@ -638,6 +638,18 @@ class PlanBudgetSpec extends SparkSpec {
     assert(s <= 8, s"q106 shuffles=$s")
   }
 
+  test("q108 admission form: the rank filter runs as WindowGroupLimit") {
+    // the two-aggregate shape's whole point: rn <= Q as a FILTER gets
+    // rank pushdown (per-task top-Q before the window shuffle), which
+    // the report-form q107's conditional SUM structurally cannot
+    val df = run("q108_url_admission_form")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"q108 rank filter lost WindowGroupLimit pushdown:\n$plan")
+    val (s, _) = exchanges(df)
+    assert(s <= 6, s"q108 shuffles=$s")
+  }
+
   test("q107 URL quota: normalization map-side, (domain,nurl) agg + quota window + sort") {
     val (s, _) = exchanges(run("q107_url_quota"))
     assert(s <= 3, s"q107 shuffles=$s")

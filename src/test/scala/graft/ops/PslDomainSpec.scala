@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The PSL registrable-domain join must beat the last-2-labels
+  * heuristic exactly where the heuristic is wrong: multi-label public
+  * suffixes. The fixture plants `site{k}.shop.co.uk` hosts — the
+  * heuristic buckets ALL of them as one bogus `co.uk` domain; the PSL
+  * longest-suffix match must yield `shop.co.uk`.
+  */
+class PslDomainSpec extends SparkSpec {
+
+  private def urls = Relational11.normalizedUrls(spark, sfDir)
+
+  test("multi-label suffix hosts bucket by PSL, never as the bare suffix") {
+    val domains =
+      urls.select(col("domain")).distinct().collect().map(_.getString(0)).toSet
+    assert(domains.contains("shop.co.uk"), domains.toString)
+    assert(!domains.contains("co.uk"),
+      "a host bucketed as the bare public suffix — the heuristic leaked through")
+    // the heuristic genuinely disagrees on this fixture (the test is
+    // not vacuous): last-2-labels on the .co.uk hosts gives co.uk
+    val heuristic = urls
+      .withColumn("host2", substring_index(col("nurl"), "://", -1))
+      .withColumn("host3", substring_index(col("host2"), "/", 1))
+      .withColumn(
+        "h2dom",
+        array_join(slice(split(substring_index(col("host3"), ":", 1), "[.]"), -2, 2), ".")
+      )
+      .filter(col("h2dom") === "co.uk")
+    assert(heuristic.count() > 0, "fixture lost its multi-label-suffix arm")
+  }
+
+  test("single-label suffixes and the no-match fallback still give last-2 labels") {
+    val d = urls
+      .select(col("domain"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    assert(d.contains("example.com"), d.toString)
+    // .org hosts keep their own registrable domain (site{k}.org)
+    assert(d.exists(x => x.endsWith(".org") && x.startsWith("site")), d.toString)
+  }
+}
