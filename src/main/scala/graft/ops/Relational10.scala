@@ -254,13 +254,8 @@ object Relational10 {
         sum(col("n_chars")).as("bytes"),
         count(lit(1)).as("n_docs")
       )
-    val ws = Window
-      .partitionBy("source")
-      .orderBy("file_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val planned = files
-      .withColumn("cum_before", coalesce(sum("bytes").over(ws), lit(0L)))
-      .withColumn("bin", expr(s"cum_before DIV $COMPACT_TARGET"))
+    val planned = graft.sources.Compaction
+      .plan(files, "source", "file_id", "bytes", COMPACT_TARGET)
     planned
       .groupBy(col("source"), col("bin"))
       .agg(
@@ -270,6 +265,59 @@ object Relational10 {
         max(col("file_id")).as("last_file")
       )
       .orderBy("source", "bin")
+  }
+
+  /** q109: q86's plan EXECUTED — the OPTIMIZE action, promoted from
+    * report to gated rewrite (the q101→q102 discipline). Inside a
+    * scratch dir: (1) plant the small-file pathology for real — a
+    * [[graft.sources.PartitionedStore]] of documents partitioned by
+    * source, written one PHYSICAL file per simulated ingest file via
+    * [[graft.sources.Compaction.writeBinned]]; (2) derive the file
+    * stats from the store readback and bin them with the ONE shared
+    * [[graft.sources.Compaction.plan]] definition q86 reports;
+    * (3) [[graft.sources.Compaction.execute]] the plan — validated
+    * join, dynamic partition overwrite, one file per bin; (4) the
+    * gated row READS BACK the compacted store and reports per source:
+    * doc count, file counts before/after (the original file_id and
+    * the bin ride the data), payload bytes, and the order-free
+    * Σ h32(doc_id) fingerprint. The oracle computes the same report
+    * from first principles (fixture + bin formula), so a rewrite that
+    * drops, duplicates, or re-bins ANY row diverges at the gate.
+    * CompactionExecuteSpec pins what the oracle cannot see: physical
+    * file counts equal to planned bins, untouched partitions
+    * byte-identical, and the refuse-partial-plan guard.
+    */
+  private val compactionExecute: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+      .withColumn("file_id", expr(s"doc_id DIV $DOCS_PER_FILE"))
+    graft.sources.Scratch.withTempDir("graft-compact") { path =>
+      graft.sources.Compaction
+        .writeBinned(docs, path, "source", "file_id", dynamic = false)
+      val store = graft.sources.PartitionedStore.read(s, path)
+      val files = store
+        .groupBy(col("source"), col("file_id"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      val binPlan = graft.sources.Compaction
+        .plan(files, "source", "file_id", "bytes", COMPACT_TARGET)
+        .select(col("source"), col("file_id"), col("bin"))
+      graft.sources.Compaction.execute(s, path, "source", Seq("file_id"), binPlan)
+      graft.sources.PartitionedStore
+        .read(s, path)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("file_id")).as("n_files_before"),
+          countDistinct(col("bin")).as("n_files_after"),
+          sum(col("n_chars")).as("bytes"),
+          sum(
+            graft.functions.PortableHash
+              .h32(col("doc_id").cast("string"))
+              .cast("long")
+          ).as("doc_fp")
+        )
+        .orderBy("source")
+        .localCheckpoint(true)
+    }
   }
 
   /** Columns profiled by q87 (all numeric, so min/max cast to DOUBLE
@@ -402,6 +450,7 @@ object Relational10 {
     "q89_variant_json" -> variantJson,
     "q85_hdr_quantiles" -> hdrQuantiles,
     "q86_compaction_plan" -> compactionPlan,
+    "q109_compaction_execute" -> compactionExecute,
     "q87_column_stats" -> columnStats,
     "q88_grouped_quantiles" -> hdrGrouped
   )
@@ -560,6 +609,35 @@ object Relational10 {
          |  MAX(file_id) AS last_file
          |FROM planned
          |GROUP BY source, cum_before // $COMPACT_TARGET
-         |ORDER BY source, bin""".stripMargin
+         |ORDER BY source, bin""".stripMargin,
+    // the executed rewrite re-specified from first principles: same
+    // file derivation, same streaming binning, and the per-source
+    // row-identity facts (count, bytes, order-free doc_id h32 sum)
+    // the compacted readback must reproduce exactly
+    "q109_compaction_execute" -> {
+      val h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH f AS (SELECT source, doc_id // $DOCS_PER_FILE AS file_id,
+         |    CAST(SUM(n_chars) AS BIGINT) AS bytes,
+         |    CAST(COUNT(*) AS BIGINT) AS nd
+         |  FROM documents GROUP BY 1, 2),
+         |p AS (SELECT source, file_id, bytes, nd,
+         |    CAST(COALESCE(SUM(bytes) OVER (PARTITION BY source
+         |      ORDER BY file_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM f),
+         |b AS (SELECT source, file_id, nd, bytes,
+         |    cum_before // $COMPACT_TARGET AS bin FROM p),
+         |fp AS (SELECT source, CAST(SUM($h) AS BIGINT) AS doc_fp
+         |       FROM documents GROUP BY 1)
+         |SELECT b.source,
+         |  CAST(SUM(nd) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT file_id) AS BIGINT) AS n_files_before,
+         |  CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_files_after,
+         |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+         |  MIN(fp.doc_fp) AS doc_fp
+         |FROM b JOIN fp ON fp.source = b.source
+         |GROUP BY b.source ORDER BY b.source""".stripMargin
+    }
   )
 }
