@@ -106,8 +106,112 @@ object SimilarityQueries3 {
       .orderBy("query_id", "rank")
   }
 
+  /** Lloyd rounds for sim27's retrain (unrolled identically in the
+    * oracle — the sim23 discipline). Two rounds show the corrected
+    * geometry at fixture cost; production iterates to the sim23
+    * plateau signal.
+    */
+  private[ops] val RETRAIN_ITERS = 2
+
+  /** sim27: centroid RETRAINING + rebalance over the live IVF store —
+    * the last fixed-forever assumption closed: under embedding drift
+    * the build-time centroids go stale and nprobe recall decays
+    * (sim25's curve), so the store retrains its K centroids with
+    * [[graft.sim.IvfStore.retrain]] (Lloyd rounds over the STORE's
+    * vectors, seeded from the current table, keep-old for emptied
+    * cells) and [[graft.sim.IvfStore.rebalance]] moves ONLY the
+    * reassigned vectors — partition-granular rewrite of
+    * old ∪ new cells of the moved set, sidecar updated in lockstep
+    * (the cdc15/cdc16 touched-cell discipline). The gated row READS
+    * BACK the rebalanced store and reports per cell: membership
+    * before/after, moved in/out, the order-free Σ h32(vec_id)
+    * membership fingerprint, and the exact integer inertia at the new
+    * centroids. The oracle re-derives the whole trajectory from first
+    * principles (stride seeds → two unrolled keep-old Lloyd rounds →
+    * final assignment), so the readback ≡ a from-scratch build at the
+    * new centroids — any vector the rebalance failed to move, moved
+    * twice, or dropped diverges at the gate. IvfRetrainSpec pins what
+    * the oracle cannot see: untouched-cell file identity, the
+    * moved-fraction ≪ store, and store ≡ sidecar after the rebalance.
+    */
+  private val ivfRetrain: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val cents = graft.sim.IvfStore
+      .centroids(emb, SimilarityQueries2.IVF_K, SimilarityQueries2.IVF_STRIDE)
+      .localCheckpoint(true)
+    try
+      graft.sources.Scratch.withTempDir("graft-sim27") { path =>
+        graft.sim.IvfStore.build(emb, cents, path, indexed = true)
+        val before = graft.sources.PartitionedStore
+          .read(s, path)
+          .select(col("vec_id"), col("cell").cast("long").as("cell_before"))
+          .localCheckpoint(true)
+        val newCents =
+          graft.sim.IvfStore.retrain(s, path, cents, RETRAIN_ITERS)
+        try {
+          graft.sim.IvfStore.rebalance(s, path, newCents)
+          val after = graft.sources.PartitionedStore
+            .read(s, path)
+            .withColumn("cell", col("cell").cast("long"))
+          val afterStats = after
+            .select(
+              col("cell"),
+              col("vec_id"),
+              graft.sim.IntVec.quant(col("embedding")).as("qe")
+            )
+            .join(broadcast(newCents), Seq("cell"))
+            .groupBy(col("cell"))
+            .agg(
+              count(lit(1)).as("n_after"),
+              sum(PortableHash.h32(col("vec_id").cast("string")).cast("long"))
+                .as("cell_fp"),
+              sum(graft.sim.IntVec.dist2(col("qe"), col("qc")))
+                .as("inertia_after")
+            )
+          val beforeStats = before
+            .groupBy(col("cell_before"))
+            .agg(count(lit(1)).as("n_before"))
+            .withColumnRenamed("cell_before", "cell")
+          val movedRows = before
+            .join(after.select(col("vec_id"), col("cell")), Seq("vec_id"))
+            .filter(col("cell") =!= col("cell_before"))
+          val movedIn =
+            movedRows.groupBy(col("cell")).agg(count(lit(1)).as("moved_in"))
+          val movedOut = movedRows
+            .groupBy(col("cell_before"))
+            .agg(count(lit(1)).as("moved_out"))
+            .withColumnRenamed("cell_before", "cell")
+          val out = newCents
+            .select(col("cell"))
+            .join(beforeStats, Seq("cell"), "left")
+            .join(afterStats, Seq("cell"), "left")
+            .join(movedIn, Seq("cell"), "left")
+            .join(movedOut, Seq("cell"), "left")
+            .select(
+              col("cell"),
+              coalesce(col("n_before"), lit(0L)).as("n_before"),
+              coalesce(col("n_after"), lit(0L)).as("n_after"),
+              coalesce(col("moved_in"), lit(0L)).as("moved_in"),
+              coalesce(col("moved_out"), lit(0L)).as("moved_out"),
+              coalesce(col("cell_fp"), lit(0L)).as("cell_fp"),
+              coalesce(col("inertia_after"), lit(0L)).as("inertia_after")
+            )
+            .orderBy("cell")
+            .localCheckpoint(true)
+          org.apache.spark.sql.graftshim.GraftSqlShims
+            .unpersistCheckpoint(before)
+          out
+        } finally
+          org.apache.spark.sql.graftshim.GraftSqlShims
+            .unpersistCheckpoint(newCents)
+      }
+    finally
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(cents)
+  }
+
   val queries: Map[String, Q] = Map(
-    "sim24_binary_topk" -> binaryTopK
+    "sim24_binary_topk" -> binaryTopK,
+    "sim27_ivf_retrain" -> ivfRetrain
   )
 
   /** Mirror of the BITS sign-bit signature (independent re-derivation
@@ -134,7 +238,104 @@ object SimilarityQueries3 {
        |  ELSE (${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))
        |  END)""".stripMargin
 
+  /** One keep-old Lloyd round for the sim27 oracle: assignment at
+    * kc{i-1}, per-dimension floor-div means for populated cells, and
+    * the previous centroid carried for any cell that emptied (the
+    * STORE's rule — a cell must stay addressable — vs sim23's
+    * drop-empty rule for free clustering).
+    */
+  private def retrainRoundSql(i: Int): String = {
+    val prev = s"kc${i - 1}"
+    s"""d$i AS MATERIALIZED (
+       |  SELECT q.vec_id, $prev.cell,
+       |    CAST(SUM((q.qe[t.i] - $prev.qc[t.i])
+       |           * (q.qe[t.i] - $prev.qc[t.i])) AS BIGINT) AS dist
+       |  FROM q, $prev, range(1, 1000) t(i)
+       |  WHERE t.i <= len(q.qe) AND len(q.qe) = len($prev.qc)
+       |  GROUP BY q.vec_id, $prev.cell),
+       |a$i AS MATERIALIZED (
+       |  SELECT vec_id, cell, dist FROM
+       |    (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |       ORDER BY dist ASC, cell ASC) AS r FROM d$i)
+       |  WHERE r = 1),
+       |u$i AS MATERIALIZED (
+       |  SELECT a.cell, t.i AS pos,
+       |    CAST(SUM(q.qe[t.i]) AS BIGINT) AS sd, COUNT(*) AS nd
+       |  FROM a$i a JOIN q USING (vec_id), range(1, 1000) t(i)
+       |  WHERE t.i <= len(q.qe)
+       |  GROUP BY a.cell, t.i),
+       |m$i AS MATERIALIZED (
+       |  SELECT cell, list(sd // nd ORDER BY pos) AS qc
+       |  FROM u$i GROUP BY cell),
+       |kc$i AS MATERIALIZED (
+       |  SELECT cell, qc FROM m$i
+       |  UNION ALL
+       |  SELECT p.cell, p.qc FROM $prev p
+       |  WHERE p.cell NOT IN (SELECT cell FROM m$i))""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // the whole retrain+rebalance trajectory from first principles:
+    // stride seeds (the build centroids), RETRAIN_ITERS unrolled
+    // keep-old Lloyd rounds, final assignment at the retrained table
+    // — vs the Spark side's physical readback of the rebalanced store
+    "sim27_ivf_retrain" -> {
+      val r = RETRAIN_ITERS
+      val fin = r + 1
+      val rounds = (1 to r).map(retrainRoundSql).mkString(",\n")
+      val prev = s"kc$r"
+      val h = PortableHash.sqlH32("CAST(vec_id AS VARCHAR)")
+      s"""WITH q AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         |      AS qe
+         |  FROM embeddings),
+         |kc0 AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT)
+         |      AS cell,
+         |    qe AS qc
+         |  FROM q WHERE vec_id % ${SimilarityQueries2.IVF_STRIDE} = 0
+         |  ORDER BY vec_id LIMIT ${SimilarityQueries2.IVF_K}),
+         |$rounds,
+         |d$fin AS MATERIALIZED (
+         |  SELECT q.vec_id, $prev.cell,
+         |    CAST(SUM((q.qe[t.i] - $prev.qc[t.i])
+         |           * (q.qe[t.i] - $prev.qc[t.i])) AS BIGINT) AS dist
+         |  FROM q, $prev, range(1, 1000) t(i)
+         |  WHERE t.i <= len(q.qe) AND len(q.qe) = len($prev.qc)
+         |  GROUP BY q.vec_id, $prev.cell),
+         |a$fin AS MATERIALIZED (
+         |  SELECT vec_id, cell, dist FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |       ORDER BY dist ASC, cell ASC) AS r FROM d$fin)
+         |  WHERE r = 1),
+         |nb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_before
+         |       FROM a1 GROUP BY 1),
+         |na AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_after,
+         |         CAST(SUM($h) AS BIGINT) AS cell_fp,
+         |         CAST(SUM(dist) AS BIGINT) AS inertia_after
+         |       FROM a$fin GROUP BY 1),
+         |mv AS (SELECT a1.cell AS oldc, a$fin.cell AS newc
+         |       FROM a1 JOIN a$fin USING (vec_id)
+         |       WHERE a1.cell <> a$fin.cell),
+         |mi AS (SELECT newc AS cell, CAST(COUNT(*) AS BIGINT) AS moved_in
+         |       FROM mv GROUP BY 1),
+         |mo AS (SELECT oldc AS cell, CAST(COUNT(*) AS BIGINT) AS moved_out
+         |       FROM mv GROUP BY 1)
+         |SELECT $prev.cell,
+         |  COALESCE(nb.n_before, 0) AS n_before,
+         |  COALESCE(na.n_after, 0) AS n_after,
+         |  COALESCE(mi.moved_in, 0) AS moved_in,
+         |  COALESCE(mo.moved_out, 0) AS moved_out,
+         |  COALESCE(na.cell_fp, 0) AS cell_fp,
+         |  COALESCE(na.inertia_after, 0) AS inertia_after
+         |FROM $prev
+         |LEFT JOIN nb USING (cell)
+         |LEFT JOIN na USING (cell)
+         |LEFT JOIN mi USING (cell)
+         |LEFT JOIN mo USING (cell)
+         |ORDER BY cell""".stripMargin
+    },
     "sim24_binary_topk" ->
       s"""WITH sig AS (SELECT vec_id, embedding,
          |               ${sigSql("embedding")} AS sig

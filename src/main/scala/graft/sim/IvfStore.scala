@@ -47,13 +47,22 @@ object IvfStore {
     )
 
   /** Nearest-centroid assignment: (vec_id, embedding) → (vec_id,
-    * embedding, cell), exact integer L2, ties on the lower cell id.
-    * Shared by the initial build and the incremental upsert path so
-    * the routing rule cannot drift between them.
+    * embedding, carry..., cell), exact integer L2, ties on the lower
+    * cell id. Shared by the initial build, the incremental upsert
+    * path, and the rebalance pass (which carries each vector's OLD
+    * cell through, so old-vs-new comparison costs no extra join) —
+    * one routing rule, so the paths cannot drift.
     */
-  def assign(embeddings: DataFrame, cents: DataFrame): DataFrame =
+  def assign(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      carry: Seq[String] = Nil
+  ): DataFrame =
     embeddings
-      .select(col("vec_id"), col("embedding"), quant(col("embedding")).as("qe"))
+      .select(
+        (Seq(col("vec_id"), col("embedding")) ++ carry.map(col) :+
+          quant(col("embedding")).as("qe")): _*
+      )
       .crossJoin(broadcast(cents))
       // dims guard (the sim11 fail-loudly contract): a ragged vector
       // must ABORT the build, not silently vanish from the index — a
@@ -71,14 +80,17 @@ object IvfStore {
         )
       )
       .select(
-        col("vec_id"),
-        col("embedding"),
-        col("cell"),
-        dist2(col("qe"), col("qc")).as("__d")
+        (Seq(col("vec_id"), col("embedding")) ++ carry.map(col) :+
+          col("cell") :+ dist2(col("qe"), col("qc")).as("__d")): _*
       )
-      .groupBy(col("vec_id"), col("embedding"))
+      .groupBy(
+        (Seq(col("vec_id"), col("embedding")) ++ carry.map(col)): _*
+      )
       .agg(min(struct(col("__d"), col("cell"))).as("__a"))
-      .select(col("vec_id"), col("embedding"), col("__a.cell").as("cell"))
+      .select(
+        (Seq(col("vec_id"), col("embedding")) ++ carry.map(col) :+
+          col("__a.cell").as("cell")): _*
+      )
 
   /** DEFAULT hash-bucket count for the id→cell sidecar index. A
     * deployment sizes this at [[build]] so one bucket is a few
@@ -450,6 +462,148 @@ object IvfStore {
       }
     } finally
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(ids)
+  }
+
+  /** Lloyd retraining of the centroid table over the LIVE store's
+    * vectors — the drift answer: under embedding drift (re-embedded
+    * corpus, new domains) the build-time centroids go stale, cells
+    * unbalance, and nprobe recall decays (exactly the failure sim25's
+    * curve surfaces). Seeded from the CURRENT centroids so the new
+    * table is the drift-corrected version of the same cell id space,
+    * each round assigns every vector to its nearest centroid (the
+    * sim23 exact BIGINT micro-unit argmin) and recomputes each
+    * centroid as the per-dimension floor-divided mean — integer-grid
+    * centroids, so the whole trajectory is bit-reproducible. Cells
+    * that lose all members KEEP their previous centroid (a store cell
+    * must stay addressable — sim23's drop-empty rule is for free
+    * clustering, not for an index whose cells are directories).
+    *
+    * Shape at scale: per round one broadcast map-side scan of the
+    * store (K·D multiply-adds per vector) + one dense (cell, dim)
+    * aggregation; only the K-row centroid frame is checkpointed per
+    * round (superseded rounds released). Returns the new K-row
+    * centroid table, checkpoint-materialized — the caller owns its
+    * release.
+    */
+  def retrain(
+      spark: SparkSession,
+      path: String,
+      cents: DataFrame,
+      iters: Int
+  ): DataFrame = {
+    val vecs = PartitionedStore
+      .read(spark, path)
+      .select(col("vec_id"), quant(col("embedding")).as("qe"))
+    var cur = cents.select(col("cell"), col("qc")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = vecs
+        .crossJoin(broadcast(cur))
+        .filter(size(col("qe")) === size(col("qc")))
+        .select(
+          col("vec_id"),
+          col("qe"),
+          col("cell"),
+          dist2(col("qe"), col("qc")).as("__d")
+        )
+        .groupBy(col("vec_id"), col("qe"))
+        .agg(min(struct(col("__d"), col("cell"))).as("__a"))
+        .select(col("vec_id"), col("qe"), col("__a.cell").as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("qe")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("sd"), count(lit(1)).as("nd"))
+        .select(
+          col("cell"),
+          struct(col("pos"), expr("sd div nd").as("v")).as("pv")
+        )
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(col("pv"))).as("pvs"))
+        .select(col("cell"), expr("transform(pvs, p -> p.v)").as("qc"))
+      val next = means
+        .unionByName(
+          cur.join(means.select("cell"), Seq("cell"), "left_anti")
+        )
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(cur)
+      cur = next
+    }
+    cur
+  }
+
+  /** What [[rebalance]] did: corpus size, how many vectors actually
+    * moved cells, and which cells were rewritten — the numbers that
+    * prove the rewrite was partition-granular (movedFraction ≪ 1,
+    * touchedCells ≪ K after mild drift).
+    */
+  final case class RebalanceStats(
+      total: Long,
+      moved: Long,
+      touchedCells: Seq[Long]
+  ) {
+    def movedFraction: Double =
+      if (total == 0) 0.0 else moved.toDouble / total.toDouble
+  }
+
+  /** Re-route the store onto a retrained centroid table, rewriting
+    * ONLY the cells whose membership changed: one map-side
+    * reassignment pass carries each vector's old cell through
+    * [[assign]] (no extra join), the moved set is checkpointed
+    * (O(moved)), and the store rewrite touches exactly
+    * old-cells ∪ new-cells of moved vectors — untouched inverted
+    * lists keep their files byte-for-byte. The sidecar is updated in
+    * LOCKSTEP (the cdc16 discipline: both rewrites validated before
+    * either is written). A cell whose members ALL leave fails the
+    * emptied-cell guard ([[overwriteTouched]]'s contract — dynamic
+    * overwrite cannot drop a partition); reaching that means the
+    * retrain collapsed a cell and the store wants a rebuild.
+    */
+  def rebalance(
+      spark: SparkSession,
+      path: String,
+      newCents: DataFrame
+  ): RebalanceStats = {
+    val store = PartitionedStore
+      .read(spark, path)
+      .withColumn("cell", col("cell").cast("long"))
+    val total = store.count()
+    val moved = assign(
+      store.select(col("vec_id"), col("embedding"),
+        col("cell").as("old_cell")),
+      newCents,
+      carry = Seq("old_cell")
+    )
+      .filter(col("cell") =!= col("old_cell"))
+      .localCheckpoint(true)
+    try {
+      val nMoved = moved.count()
+      if (nMoved == 0) return RebalanceStats(total, 0L, Nil)
+      val touched = moved
+        .select(col("old_cell").as("cell"))
+        .unionByName(moved.select("cell"))
+        .distinct()
+        .collect()
+        .map(_.getLong(0))
+        .toSeq
+      val ids = moved.select("vec_id")
+      val rewritten = store
+        .filter(col("cell").isin(touched: _*))
+        .join(ids, Seq("vec_id"), "left_anti")
+        .unionByName(moved.select("vec_id", "embedding", "cell"))
+      val storeFrame = validatedCellRewrite(rewritten, touched)
+      val indexed = hasIndex(spark, path)
+      val buckets = if (indexed) storedIndexBuckets(spark, path) else 0
+      val idxFrame =
+        if (indexed)
+          preparedIndexRewrite(spark, path, ids, bucketsOf(ids, buckets),
+            moved.select("vec_id", "cell"), guardEmpty = false, buckets)
+        else None
+      PartitionedStore.overwritePartitions(storeFrame, path, Seq("cell"))
+      org.apache.spark.sql.graftshim.GraftSqlShims
+        .unpersistCheckpoint(storeFrame)
+      commitIndexRewrite(path, idxFrame)
+      RebalanceStats(total, nMoved, touched)
+    } finally
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(moved)
   }
 
   /** Point-fetch stored vectors BY ID — the "get embedding for this
