@@ -453,14 +453,359 @@ object MediaQueries {
     ).orderBy("media_id")
   }
 
+  /** mm13 boundary threshold in milli amplitude units: the planted
+    * wave's window means differ by ~18 or ~69 units between adjacent
+    * windows (pattern step ±29/∓58 over a +40 drift), so 30 separates
+    * the two regimes — both boundary verdicts occur on the fixture.
+    */
+  private val AUD_T = 30000L
+
+  /** The planted GWAV audio slice (doc_id ≡ 7 mod 13): sample-rate
+    * code and sample count — shared by mm12 (decode, incl. the
+    * corrupt arm) and mm13 (segmentation, valid payloads only).
+    */
+  private def gwavPlanted(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .filter(pmod(col("doc_id"), lit(13)) === 7)
+      .select(
+        col("doc_id").as("media_id"),
+        (lit(1L) + pmod(col("doc_id"), lit(3))).as("sr_code"),
+        (lit(24L) + pmod(col("doc_id"), lit(5)) * 8).as("ns")
+      )
+
+  /** The GWAV wire hex: 4 magic bytes `47 57 41 56` ("GWAV"), 1
+    * sample-rate-code byte, 2 sample-count bytes (big-endian), then
+    * ns unsigned 8-bit PCM samples s(i) = (id·17 + ((id + ⌊i/8⌋) mod
+    * 3)·29 + i·5) mod 256 — a piecewise wave whose 8-sample windows
+    * shift mean by the ±29-step pattern over a +40 drift, so
+    * segmentation has real structure to find. The ONE definition both
+    * the mm12 and mm13 encoders share.
+    */
+  private def gwavFullHex: org.apache.spark.sql.Column =
+    concat(
+      lit("47574156"),
+      lpad(hex(col("sr_code")), 2, "0"),
+      lpad(hex(col("ns")), 4, "0"),
+      array_join(
+        transform(
+          sequence(lit(0L), col("ns") - 1),
+          i => {
+            val w = (i - pmod(i, lit(8))) / lit(8)
+            lpad(
+              hex(
+                pmod(
+                  col("media_id") * 17 +
+                    pmod(col("media_id") + w.cast("long"), lit(3)) * 29 +
+                    i * 5,
+                  lit(256)
+                )
+              ),
+              2,
+              "0"
+            )
+          }
+        ),
+        ""
+      )
+    )
+
+  /** mm12: a second REAL codec at the multimodal decode seam — audio.
+    * GWAV is the RIFF/WAV shape reduced to its load-bearing parts
+    * (magic, a sample-rate field, a header-declared sample count, raw
+    * PCM samples) on the mm10 discipline: the ENCODER plants binary
+    * payloads (one third truncated by a byte — the corrupt arm); the
+    * DECODER sees ONLY payload bytes through one hex() transcode per
+    * row — magic check, header fields guarded by n_bytes ≥ 7 (total
+    * over arbitrary payloads, the mm10 lesson), the header-vs-actual
+    * sample-count guard, and integer amplitude stats including the
+    * positional checksum (Σ i·sᵢ — order sensitivity) and the energy
+    * sum (Σ sᵢ² — the RMS numerator a VAD pass reads). Corrupt rows
+    * keep their decoded header and NULL stats: damage is REPORTED,
+    * never dropped.
+    *
+    * Shape at scale: one map-side expression chain per row; the only
+    * shuffle is the presentation sort. A real PCM/FLAC decoder swaps
+    * into the same seam; this row pins the byte-exact plumbing.
+    */
+  private val audioDecode: Q = (s, dir) => {
+    val media = gwavPlanted(s, dir)
+      .select(col("media_id"), gwavFullHex.as("fullhex"))
+      .select(
+        col("media_id"),
+        unhex(
+          when(
+            pmod(col("media_id"), lit(3)) === 0,
+            col("fullhex").substr(lit(1), length(col("fullhex")) - 2)
+          ).otherwise(col("fullhex"))
+        ).as("payload")
+      )
+    def bv(startChar: org.apache.spark.sql.Column, len: Int) =
+      conv(col("h").substr(startChar.cast("int"), lit(len)), 16, 10)
+        .cast("long")
+    val hdr = media
+      .select(
+        col("media_id"),
+        hex(col("payload")).as("h"),
+        octet_length(col("payload")).cast("long").as("n_bytes")
+      )
+      .select(
+        col("media_id"),
+        col("h"),
+        col("n_bytes"),
+        (col("n_bytes") >= 7 &&
+          substring(col("h"), 1, 8) === "47574156").as("is_wav"),
+        when(col("n_bytes") >= 7, bv(lit(9), 2)).as("sr_code"),
+        when(col("n_bytes") >= 7, bv(lit(11), 4)).as("ns_hdr"),
+        (col("n_bytes") - 7).as("ns_act")
+      )
+    val dec = hdr.select(
+      col("media_id"),
+      col("n_bytes"),
+      col("sr_code"),
+      col("ns_hdr"),
+      (col("is_wav") && col("ns_act") === col("ns_hdr")).as("valid"),
+      when(
+        col("is_wav") && col("ns_act") === col("ns_hdr"),
+        transform(sequence(lit(1L), col("ns_act")), i => bv(lit(13L) + i * 2, 2))
+      ).as("amp")
+    )
+    dec
+      .select(
+        col("media_id"),
+        col("n_bytes"),
+        col("sr_code"),
+        col("ns_hdr"),
+        col("valid"),
+        when(col("valid"), size(col("amp")).cast("long")).as("n_samples"),
+        when(col("valid"), array_min(col("amp"))).as("amp_min"),
+        when(col("valid"), array_max(col("amp"))).as("amp_max"),
+        when(col("valid"), aggregate(col("amp"), lit(0L), _ + _)).as("amp_sum"),
+        when(
+          col("valid"),
+          aggregate(
+            transform(col("amp"), (a, idx) => (idx.cast("long") + 1L) * a),
+            lit(0L),
+            _ + _
+          )
+        ).as("amp_possum"),
+        when(
+          col("valid"),
+          aggregate(transform(col("amp"), a => a * a), lit(0L), _ + _)
+        ).as("amp_sqsum")
+      )
+      .withColumn(
+        "mean_milli",
+        when(col("valid"), expr("(amp_sum * 1000) div n_samples"))
+      )
+      .orderBy("media_id")
+  }
+
+  /** mm13: audio segmentation over REAL decoded amplitudes — mm08's
+    * temporal-segmentation verb re-run with the proxy replaced by the
+    * codec: window means come from GWAV PCM samples decoded by the
+    * mm12 byte path, not from a byte-mean stub. Valid payloads only;
+    * per media the 8-sample windows get exact milli mean amplitudes
+    * (sum·125 — 1000/8 is exact, so no division at all), a boundary
+    * is declared where adjacent window means differ by more than
+    * [[AUD_T]], and the row reports the window count, boundary count,
+    * the order-free Σw / Σw² boundary-position checksums, and the
+    * maximum inter-window delta. One map-side chain per row + the
+    * presentation sort, as the whole codec family.
+    */
+  private val audioSegments: Q = (s, dir) => {
+    val valid = gwavPlanted(s, dir).filter(pmod(col("media_id"), lit(3)) =!= 0)
+    val hx = valid
+      .select(col("media_id"), col("ns"), gwavFullHex.as("fullhex"))
+      .select(
+        col("media_id"),
+        col("ns"),
+        hex(unhex(col("fullhex"))).as("h")
+      )
+    def bv(startChar: org.apache.spark.sql.Column) =
+      conv(col("h").substr(startChar.cast("int"), lit(2)), 16, 10).cast("long")
+    val amps = hx.select(
+      col("media_id"),
+      (col("ns") / 8).cast("long").as("nw"),
+      transform(sequence(lit(1L), col("ns")), i => bv(lit(13L) + i * 2))
+        .as("amp")
+    )
+    val wm = amps.select(
+      col("media_id"),
+      col("nw"),
+      transform(
+        sequence(lit(1L), col("nw")),
+        w =>
+          aggregate(
+            slice(col("amp"), ((w - 1) * 8 + 1).cast("int"), lit(8)),
+            lit(0L),
+            _ + _
+          ) * 125L
+      ).as("wm")
+    )
+    val deltas = wm.select(
+      col("media_id"),
+      col("nw"),
+      col("wm"),
+      // zip the tail against the list: element k is |wm[k+2]−wm[k+1]|
+      // (boundary at window k+2); the trailing null from the length
+      // mismatch is filtered below
+      zip_with(
+        slice(col("wm"), 2, 10000),
+        col("wm"),
+        (a, b) => abs(a - b)
+      ).as("dl")
+    )
+    deltas
+      .select(
+        col("media_id"),
+        col("nw").as("n_windows"),
+        size(filter(col("dl"), d => d.isNotNull && d > AUD_T)).cast("long")
+          .as("n_bounds"),
+        aggregate(
+          transform(
+            col("dl"),
+            (d, idx) =>
+              when(d.isNotNull && d > AUD_T, idx.cast("long") + 2L)
+                .otherwise(0L)
+          ),
+          lit(0L),
+          _ + _
+        ).as("bound_wsum"),
+        aggregate(
+          transform(
+            col("dl"),
+            (d, idx) =>
+              when(d.isNotNull && d > AUD_T,
+                (idx.cast("long") + 2L) * (idx.cast("long") + 2L))
+                .otherwise(0L)
+          ),
+          lit(0L),
+          _ + _
+        ).as("bound_wsqsum"),
+        array_max(filter(col("dl"), d => d.isNotNull)).as("max_delta")
+      )
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm08_shot_bounds" -> shotBounds,
     "mm09_aspect_buckets" -> aspectBuckets,
     "mm10_raster_decode" -> rasterDecode,
-    "mm11_raster_resize" -> rasterResize
+    "mm11_raster_resize" -> rasterResize,
+    "mm12_audio_decode" -> audioDecode,
+    "mm13_audio_segments" -> audioSegments
   )
 
+  /** DuckDB mirror of [[gwavPlanted]] + [[gwavFullHex]] (CTE list,
+    * no WITH): `gen` exposes (media_id, sr_code, ns, fullhex). Shared
+    * by the mm12 and mm13 oracles.
+    */
+  private def gwavCtes(corruptArm: Boolean): String = {
+    val corrupt = if (corruptArm) "" else " AND doc_id % 3 <> 0"
+    s"""planted AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(1 + doc_id % 3 AS BIGINT) AS sr_code,
+       |    CAST(24 + (doc_id % 5) * 8 AS BIGINT) AS ns
+       |  FROM documents WHERE doc_id % 13 = 7$corrupt),
+       |gen AS (
+       |  SELECT media_id, sr_code, ns,
+       |    concat('47574156', lpad(hex(sr_code), 2, '0'),
+       |      lpad(hex(ns), 4, '0'),
+       |      array_to_string(list_transform(range(0, ns),
+       |        i -> lpad(hex((media_id * 17
+       |               + ((media_id + i // 8) % 3) * 29 + i * 5) % 256),
+       |             2, '0')), ''))
+       |      AS fullhex
+       |  FROM planted)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // generator and decoder mirrored from first principles on the
+    // mm10 pattern: same GWAV hex construction, same one-transcode
+    // decode, same truncation arm, same NULL-on-damage stats
+    "mm12_audio_decode" ->
+      s"""WITH ${gwavCtes(corruptArm = true)},
+         |media AS (
+         |  SELECT media_id,
+         |    from_hex(CASE WHEN media_id % 3 = 0
+         |      THEN substring(fullhex, 1, length(fullhex) - 2)
+         |      ELSE fullhex END) AS payload
+         |  FROM gen),
+         |hx AS (SELECT media_id, hex(payload) AS h,
+         |         CAST(octet_length(payload) AS BIGINT) AS n_bytes
+         |       FROM media),
+         |hdr AS (
+         |  SELECT media_id, h, n_bytes,
+         |    (n_bytes >= 7 AND substring(h, 1, 8) = '47574156') AS is_wav,
+         |    CASE WHEN n_bytes >= 7 THEN
+         |      CAST(concat('0x', substring(h, 9, 2)) AS BIGINT) END AS sr_code,
+         |    CASE WHEN n_bytes >= 7 THEN
+         |      CAST(concat('0x', substring(h, 11, 4)) AS BIGINT) END AS ns_hdr,
+         |    n_bytes - 7 AS ns_act
+         |  FROM hx),
+         |dec AS (
+         |  SELECT media_id, n_bytes, sr_code, ns_hdr,
+         |    (is_wav AND ns_act = ns_hdr) AS valid,
+         |    CASE WHEN is_wav AND ns_act = ns_hdr THEN
+         |      list_transform(range(1, ns_act + 1),
+         |        i -> CAST(concat('0x',
+         |          substring(h, CAST(13 + 2 * i AS BIGINT), 2)) AS BIGINT))
+         |    END AS amp
+         |  FROM hdr)
+         |SELECT media_id, n_bytes, sr_code, ns_hdr, valid,
+         |  CASE WHEN valid THEN CAST(len(amp) AS BIGINT) END AS n_samples,
+         |  CASE WHEN valid THEN CAST(list_aggregate(amp, 'min') AS BIGINT)
+         |    END AS amp_min,
+         |  CASE WHEN valid THEN CAST(list_aggregate(amp, 'max') AS BIGINT)
+         |    END AS amp_max,
+         |  CASE WHEN valid THEN CAST(list_aggregate(amp, 'sum') AS BIGINT)
+         |    END AS amp_sum,
+         |  CASE WHEN valid THEN
+         |    CAST(list_aggregate(list_transform(range(1, len(amp) + 1),
+         |      i -> i * amp[i]), 'sum') AS BIGINT) END AS amp_possum,
+         |  CASE WHEN valid THEN
+         |    CAST(list_aggregate(list_transform(amp, a -> a * a), 'sum')
+         |      AS BIGINT) END AS amp_sqsum,
+         |  CASE WHEN valid THEN
+         |    (CAST(list_aggregate(amp, 'sum') AS BIGINT) * 1000) //
+         |      CAST(len(amp) AS BIGINT) END AS mean_milli
+         |FROM dec ORDER BY media_id""".stripMargin,
+    // the same 8-sample window means (sum·125 — exact), the same
+    // adjacent-window deltas and threshold verdicts, the same Σw/Σw²
+    // boundary checksums
+    "mm13_audio_segments" ->
+      s"""WITH ${gwavCtes(corruptArm = false)},
+         |hx AS (SELECT media_id, ns, hex(from_hex(fullhex)) AS h FROM gen),
+         |amps AS (
+         |  SELECT media_id, ns // 8 AS nw,
+         |    list_transform(range(1, ns + 1),
+         |      i -> CAST(concat('0x',
+         |        substring(h, CAST(13 + 2 * i AS BIGINT), 2)) AS BIGINT))
+         |      AS amp
+         |  FROM hx),
+         |wm AS (
+         |  SELECT media_id, nw,
+         |    list_transform(range(1, nw + 1),
+         |      w -> CAST(list_aggregate(
+         |             list_slice(amp, (w - 1) * 8 + 1, (w - 1) * 8 + 8),
+         |             'sum') AS BIGINT) * 125) AS wm
+         |  FROM amps),
+         |dl AS (
+         |  SELECT media_id, nw,
+         |    list_transform(range(2, nw + 1), w -> abs(wm[w] - wm[w - 1]))
+         |      AS dl
+         |  FROM wm)
+         |SELECT media_id,
+         |  CAST(nw AS BIGINT) AS n_windows,
+         |  CAST(len(list_filter(dl, d -> d > $AUD_T)) AS BIGINT) AS n_bounds,
+         |  CAST(list_aggregate(list_transform(range(1, nw),
+         |    k -> CASE WHEN dl[k] > $AUD_T THEN k + 1 ELSE 0 END), 'sum')
+         |    AS BIGINT) AS bound_wsum,
+         |  CAST(list_aggregate(list_transform(range(1, nw),
+         |    k -> CASE WHEN dl[k] > $AUD_T THEN (k + 1) * (k + 1) ELSE 0 END),
+         |    'sum') AS BIGINT) AS bound_wsqsum,
+         |  CAST(list_aggregate(dl, 'max') AS BIGINT) AS max_delta
+         |FROM dl ORDER BY media_id""".stripMargin,
     // the same row-major 2x2 box downsample from the same wire bytes,
     // re-encoded and hashed — // arithmetic mirrors div/floor on
     // nonnegative smalls; the double-division row index is exact

@@ -549,6 +549,14 @@ class PlanBudgetSpec extends SparkSpec {
     assert(b === 0, s"mm11 broadcasts=$b")
   }
 
+  test("mm12/mm13 audio codec: map-side chains + presentation sort only") {
+    Seq("mm12_audio_decode", "mm13_audio_segments").foreach { q =>
+      val (s, b) = exchanges(run(q))
+      assert(s <= 1, s"$q shuffles=$s")
+      assert(b === 0, s"$q broadcasts=$b")
+    }
+  }
+
   test("dedup37 weighted HDR median: CC weights + ONE sketch agg, bucket-sized windows") {
     val (s, _) = exchanges(run("dedup37_weighted_hdr_median"))
     assert(s <= 3, s"dedup37 shuffles=$s")
