@@ -150,10 +150,26 @@ object Relational10 {
       values: DataFrame,
       groupCols: Seq[String],
       ps: Seq[Int] = HDR_PS
+  ): DataFrame =
+    hdrReportFromCounts(s, values, hdrBucketCounts(values, groupCols),
+      groupCols, ps)
+
+  /** [[hdrReport]] with the sketch PASSED IN instead of derived from
+    * `values` — the serving face for sketch state accumulated
+    * elsewhere (a streaming sink's bucket counts): count addition is
+    * associative, so a sketch merged across any micro-batch slicing
+    * equals the batch-computed one and the exact selection below is
+    * structurally replay ≡ batch (stream22 rides this).
+    */
+  private[graft] def hdrReportFromCounts(
+      s: SparkSession,
+      values: DataFrame,
+      counts: DataFrame,
+      groupCols: Seq[String],
+      ps: Seq[Int] = HDR_PS
   ): DataFrame = {
     val g = groupCols.map(col)
     val rows = hdrBucketRows(values, groupCols)
-    val counts = hdrBucketCounts(values, groupCols)
     // bounded table (≤ ~1K rows per group by construction) — every
     // window/join inside hdrTargets is over the SKETCH, not the data
     val targets = hdrTargets(counts, groupCols, ps)

@@ -520,7 +520,7 @@ object Relational11 {
     * ⌈f·n⌉ under the total (cents, event_id) order. q106's zero-bias
     * audit depends on both queries computing the identical anchor.
     */
-  private def winsorCents(s: SparkSession, dir: String): DataFrame =
+  private[graft] def winsorCents(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).events
       .filter(col("value").isNotNull)
       .select(
@@ -593,10 +593,31 @@ object Relational11 {
     */
   private val winsorizeSketch: Q = (s, dir) => {
     val v = winsorCents(s, dir)
+    winsorSketchAudit(
+      s,
+      v,
+      Relational10.hdrBucketCounts(
+        v.select(col("event_type"), col("cents").as("v")),
+        Seq("event_type")
+      )
+    )
+  }
+
+  /** q106's audit body with the SKETCH passed in — the one definition
+    * the batch row (counts derived inline) and stream22's serving
+    * read (counts accumulated as sink state across micro-batches)
+    * share, so the streaming face is structurally replay ≡ batch.
+    */
+  private[graft] def winsorSketchAudit(
+      s: SparkSession,
+      v: DataFrame,
+      counts: DataFrame
+  ): DataFrame = {
     val sk = Relational10
-      .hdrReport(
+      .hdrReportFromCounts(
         s,
         v.select(col("event_type"), col("cents").as("v")),
+        counts,
         Seq("event_type"),
         Seq((WINSOR_LO_BP / 100).toInt, (WINSOR_HI_BP / 100).toInt)
       )

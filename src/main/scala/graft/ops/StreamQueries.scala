@@ -609,6 +609,11 @@ object StreamQueries {
     "stream21_url_admission" -> ((s, dir) =>
       graft.streaming.StreamUrlQuota
         .replay(Relational11.normalizedUrls(s, dir), Relational11.URL_QUOTA)),
+    // bounded per-(series, bucket) sketch state maintained at ingest,
+    // exact cuts read at serve time; replay ≡ batch q106 (same oracle)
+    "stream22_winsor_clip" -> ((s, dir) =>
+      graft.streaming.StreamWinsorClip
+        .replay(Relational11.winsorCents(s, dir))),
     "stream09_funnel" -> funnelIngest,
     "stream08_agg_maintain" -> aggMaintainIngest,
     "stream07_minhash_ingest" -> minhashIngest,
@@ -803,6 +808,9 @@ object StreamQueries {
     "stream09_funnel" -> Relational7.oracle("q64_funnel"),
     // replay ≡ batch: the streaming fold must land on q104's table
     "stream19_last_touch" -> Relational11.oracle("q104_last_touch"),
+    // replay ≡ batch: the sink-state sketch + serve-time exact read
+    // must land on q106's audit table exactly
+    "stream22_winsor_clip" -> Relational11.oracle("q106_winsorize_sketch"),
     // replay ≡ batch: the ingest-time chain fold must land on cdc17's
     // exact chains — any dropped/duplicated/reordered op diverges
     "stream20_hash_chain" -> graft.cdc.CdcQueries.oracle("cdc17_hash_chain"),
