@@ -687,13 +687,260 @@ object MediaQueries {
       .orderBy("media_id")
   }
 
+  /** mm15 shot threshold in milli mean-amplitude units: within a
+    * scene consecutive frames drift by +3/pixel (≈3000 milli, modulo
+    * per-pixel wraps), across a scene boundary by +44 (≈44000), so 20
+    * separates the regimes — both verdicts occur on the fixture.
+    */
+  private val VID_T = 20000L
+
+  /** The planted GVID video slice (doc_id ≡ 9 mod 17): frame count
+    * and shared frame geometry — shared by mm14 (decode, incl. the
+    * corrupt arm) and mm15 (shot bounds, valid payloads only).
+    */
+  private def gvidPlanted(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .filter(pmod(col("doc_id"), lit(17)) === 9)
+      .select(
+        col("doc_id").as("media_id"),
+        (lit(3L) + pmod(col("doc_id"), lit(4))).as("nf"),
+        (lit(4L) + pmod(col("doc_id"), lit(3))).as("vw"),
+        (lit(3L) + pmod(col("doc_id"), lit(3))).as("vh")
+      )
+
+  /** The GVID wire hex: 4 magic bytes `47 56 49 44` ("GVID"), 1 frame
+    * count, 1 width, 1 height, then nf row-major frames of vw·vh
+    * grayscale bytes p(f, i) = (id·23 + ⌊f/2⌋·41 + f·3 + i·7) mod 256
+    * — two-frame scenes whose means jump by ~41 at scene boundaries
+    * over a +3/frame drift, so shot detection has real structure. The
+    * ONE definition the mm14 and mm15 encoders share.
+    */
+  private def gvidFullHex: org.apache.spark.sql.Column =
+    concat(
+      lit("47564944"),
+      lpad(hex(col("nf")), 2, "0"),
+      lpad(hex(col("vw")), 2, "0"),
+      lpad(hex(col("vh")), 2, "0"),
+      array_join(
+        transform(
+          sequence(lit(0L), col("nf") * col("vw") * col("vh") - 1),
+          k => {
+            val npix = col("vw") * col("vh")
+            val f = (k - pmod(k, npix)) / npix
+            val i = pmod(k, npix)
+            val scene = (f.cast("long") - pmod(f.cast("long"), lit(2))) / lit(2)
+            lpad(
+              hex(
+                pmod(
+                  col("media_id") * 23 + scene.cast("long") * 41 +
+                    f.cast("long") * 3 + i * 7,
+                  lit(256)
+                )
+              ),
+              2,
+              "0"
+            )
+          }
+        ),
+        ""
+      )
+    )
+
+  /** mm14: the video CONTAINER at the decode seam — multi-frame GVID
+    * on the mm10/mm12 discipline (magic, header-declared frame count
+    * and shared frame geometry, raw frame bytes; encoder plants the
+    * truncated-corrupt arm; decoder sees ONLY payload bytes through
+    * one hex transcode with header reads guarded n_bytes ≥ 7). The
+    * container completes the codec trio: raster (mm10), PCM audio
+    * (mm12), and frame-sequence video here — the three payload shapes
+    * a multimodal corpus carries. Stats include the whole-payload
+    * positional checksum (frame order AND pixel order sensitivity)
+    * and the first/last frame means the segmentation pass consumes.
+    */
+  private val videoDecode: Q = (s, dir) => {
+    val media = gvidPlanted(s, dir)
+      .select(col("media_id"), gvidFullHex.as("fullhex"))
+      .select(
+        col("media_id"),
+        unhex(
+          when(
+            pmod(col("media_id"), lit(3)) === 0,
+            col("fullhex").substr(lit(1), length(col("fullhex")) - 2)
+          ).otherwise(col("fullhex"))
+        ).as("payload")
+      )
+    def bv(startChar: org.apache.spark.sql.Column) =
+      conv(col("h").substr(startChar.cast("int"), lit(2)), 16, 10).cast("long")
+    val hdr = media
+      .select(
+        col("media_id"),
+        hex(col("payload")).as("h"),
+        octet_length(col("payload")).cast("long").as("n_bytes")
+      )
+      .select(
+        col("media_id"),
+        col("h"),
+        col("n_bytes"),
+        (col("n_bytes") >= 7 &&
+          substring(col("h"), 1, 8) === "47564944").as("is_vid"),
+        when(col("n_bytes") >= 7, bv(lit(9))).as("nf_hdr"),
+        when(col("n_bytes") >= 7, bv(lit(11))).as("vw"),
+        when(col("n_bytes") >= 7, bv(lit(13))).as("vh"),
+        (col("n_bytes") - 7).as("npx_act")
+      )
+    val dec = hdr.select(
+      col("media_id"),
+      col("n_bytes"),
+      col("nf_hdr"),
+      col("vw"),
+      col("vh"),
+      (col("is_vid") &&
+        col("npx_act") === col("nf_hdr") * col("vw") * col("vh"))
+        .as("valid"),
+      when(
+        col("is_vid") &&
+          col("npx_act") === col("nf_hdr") * col("vw") * col("vh"),
+        transform(sequence(lit(1L), col("npx_act")), k => bv(lit(13L) + k * 2))
+      ).as("px")
+    )
+    dec
+      .select(
+        col("media_id"),
+        col("n_bytes"),
+        col("nf_hdr"),
+        col("vw"),
+        col("vh"),
+        col("valid"),
+        when(col("valid"), aggregate(col("px"), lit(0L), _ + _)).as("px_sum"),
+        when(
+          col("valid"),
+          aggregate(
+            transform(col("px"), (p, idx) => (idx.cast("long") + 1L) * p),
+            lit(0L),
+            _ + _
+          )
+        ).as("px_possum"),
+        when(
+          col("valid"),
+          expr(
+            "(aggregate(slice(px, 1, CAST(vw * vh AS INT)), 0L, (a, x) -> a + x) * 1000) div (vw * vh)"
+          )
+        ).as("mean_first_milli"),
+        when(
+          col("valid"),
+          expr(
+            "(aggregate(slice(px, CAST((nf_hdr - 1) * vw * vh + 1 AS INT), CAST(vw * vh AS INT)), 0L, (a, x) -> a + x) * 1000) div (vw * vh)"
+          )
+        ).as("mean_last_milli")
+      )
+      .orderBy("media_id")
+  }
+
+  /** mm15: shot-boundary detection over REAL decoded frames — mm08's
+    * segmentation verb with the byte-mean stub replaced by the mm14
+    * container: per-frame mean amplitudes come from actual GVID frame
+    * bytes, a cut is declared where consecutive frame means differ
+    * beyond [[VID_T]], and the row reports frame count, cut count,
+    * shot count (= cuts + 1), the order-free Σf/Σf² cut-position
+    * checksums, and the maximum inter-frame delta. Valid payloads
+    * only (the corrupt arm is mm14's contract). One map-side chain
+    * per row + the presentation sort, as the whole codec family.
+    */
+  private val videoShotBounds: Q = (s, dir) => {
+    val valid = gvidPlanted(s, dir).filter(pmod(col("media_id"), lit(3)) =!= 0)
+    val hx = valid
+      .select(
+        col("media_id"),
+        col("nf"),
+        col("vw"),
+        col("vh"),
+        gvidFullHex.as("fullhex")
+      )
+      .select(
+        col("media_id"),
+        col("nf"),
+        (col("vw") * col("vh")).as("npix"),
+        hex(unhex(col("fullhex"))).as("h")
+      )
+    def bv(startChar: org.apache.spark.sql.Column) =
+      conv(col("h").substr(startChar.cast("int"), lit(2)), 16, 10).cast("long")
+    // exact integer floor division on nonnegative exact multiples:
+    // (a - a mod b) / b is an integer-valued double, cast back exact
+    def idiv(
+        a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column
+    ) = ((a - pmod(a, b)) / b).cast("long")
+    val fm = hx.select(
+      col("media_id"),
+      col("nf"),
+      transform(
+        sequence(lit(1L), col("nf")),
+        f =>
+          idiv(
+            aggregate(
+              transform(
+                sequence(lit(1L), col("npix")),
+                i => bv(lit(13L) + ((f - 1) * col("npix") + i) * 2)
+              ),
+              lit(0L),
+              _ + _
+            ) * 1000L,
+            col("npix")
+          )
+      ).as("fmeans")
+    )
+    fm
+      .select(
+        col("media_id"),
+        col("nf").as("n_frames"),
+        zip_with(
+          slice(col("fmeans"), 2, 10000),
+          col("fmeans"),
+          (a, b) => abs(a - b)
+        ).as("dl")
+      )
+      .select(
+        col("media_id"),
+        col("n_frames"),
+        size(filter(col("dl"), d => d.isNotNull && d > VID_T)).cast("long")
+          .as("n_cuts"),
+        (size(filter(col("dl"), d => d.isNotNull && d > VID_T)).cast("long")
+          + 1L).as("n_shots"),
+        aggregate(
+          transform(
+            col("dl"),
+            (d, idx) =>
+              when(d.isNotNull && d > VID_T, idx.cast("long") + 2L)
+                .otherwise(0L)
+          ),
+          lit(0L),
+          _ + _
+        ).as("cut_fsum"),
+        aggregate(
+          transform(
+            col("dl"),
+            (d, idx) =>
+              when(d.isNotNull && d > VID_T,
+                (idx.cast("long") + 2L) * (idx.cast("long") + 2L))
+                .otherwise(0L)
+          ),
+          lit(0L),
+          _ + _
+        ).as("cut_fsqsum"),
+        array_max(filter(col("dl"), d => d.isNotNull)).as("max_delta")
+      )
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm08_shot_bounds" -> shotBounds,
     "mm09_aspect_buckets" -> aspectBuckets,
     "mm10_raster_decode" -> rasterDecode,
     "mm11_raster_resize" -> rasterResize,
     "mm12_audio_decode" -> audioDecode,
-    "mm13_audio_segments" -> audioSegments
+    "mm13_audio_segments" -> audioSegments,
+    "mm14_video_decode" -> videoDecode,
+    "mm15_video_shots" -> videoShotBounds
   )
 
   /** DuckDB mirror of [[gwavPlanted]] + [[gwavFullHex]] (CTE list,
@@ -719,7 +966,114 @@ object MediaQueries {
        |  FROM planted)""".stripMargin
   }
 
+  /** DuckDB mirror of [[gvidPlanted]] + [[gvidFullHex]]: `gen`
+    * exposes (media_id, nf, vw, vh, fullhex). Shared by the mm14 and
+    * mm15 oracles.
+    */
+  private def gvidCtes(corruptArm: Boolean): String = {
+    val corrupt = if (corruptArm) "" else " AND doc_id % 3 <> 0"
+    s"""planted AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(3 + doc_id % 4 AS BIGINT) AS nf,
+       |    CAST(4 + doc_id % 3 AS BIGINT) AS vw,
+       |    CAST(3 + doc_id % 3 AS BIGINT) AS vh
+       |  FROM documents WHERE doc_id % 17 = 9$corrupt),
+       |gen AS (
+       |  SELECT media_id, nf, vw, vh,
+       |    concat('47564944', lpad(hex(nf), 2, '0'), lpad(hex(vw), 2, '0'),
+       |      lpad(hex(vh), 2, '0'),
+       |      array_to_string(list_transform(range(0, nf * vw * vh),
+       |        k -> lpad(hex((media_id * 23
+       |               + ((k // (vw * vh)) // 2) * 41
+       |               + (k // (vw * vh)) * 3
+       |               + (k % (vw * vh)) * 7) % 256), 2, '0')), ''))
+       |      AS fullhex
+       |  FROM planted)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // the container mirrored from first principles on the mm10/mm12
+    // pattern: same GVID hex construction, same one-transcode decode,
+    // same truncation arm, same NULL-on-damage stats
+    "mm14_video_decode" ->
+      s"""WITH ${gvidCtes(corruptArm = true)},
+         |media AS (
+         |  SELECT media_id,
+         |    from_hex(CASE WHEN media_id % 3 = 0
+         |      THEN substring(fullhex, 1, length(fullhex) - 2)
+         |      ELSE fullhex END) AS payload
+         |  FROM gen),
+         |hx AS (SELECT media_id, hex(payload) AS h,
+         |         CAST(octet_length(payload) AS BIGINT) AS n_bytes
+         |       FROM media),
+         |hdr AS (
+         |  SELECT media_id, h, n_bytes,
+         |    (n_bytes >= 7 AND substring(h, 1, 8) = '47564944') AS is_vid,
+         |    CASE WHEN n_bytes >= 7 THEN
+         |      CAST(concat('0x', substring(h, 9, 2)) AS BIGINT) END AS nf_hdr,
+         |    CASE WHEN n_bytes >= 7 THEN
+         |      CAST(concat('0x', substring(h, 11, 2)) AS BIGINT) END AS vw,
+         |    CASE WHEN n_bytes >= 7 THEN
+         |      CAST(concat('0x', substring(h, 13, 2)) AS BIGINT) END AS vh,
+         |    n_bytes - 7 AS npx_act
+         |  FROM hx),
+         |dec AS (
+         |  SELECT media_id, n_bytes, nf_hdr, vw, vh,
+         |    (is_vid AND npx_act = nf_hdr * vw * vh) AS valid,
+         |    CASE WHEN is_vid AND npx_act = nf_hdr * vw * vh THEN
+         |      list_transform(range(1, npx_act + 1),
+         |        k -> CAST(concat('0x',
+         |          substring(h, CAST(13 + 2 * k AS BIGINT), 2)) AS BIGINT))
+         |    END AS px
+         |  FROM hdr)
+         |SELECT media_id, n_bytes, nf_hdr, vw, vh, valid,
+         |  CASE WHEN valid THEN CAST(list_aggregate(px, 'sum') AS BIGINT)
+         |    END AS px_sum,
+         |  CASE WHEN valid THEN
+         |    CAST(list_aggregate(list_transform(range(1, len(px) + 1),
+         |      k -> k * px[k]), 'sum') AS BIGINT) END AS px_possum,
+         |  CASE WHEN valid THEN
+         |    (CAST(list_aggregate(list_slice(px, 1, vw * vh), 'sum')
+         |      AS BIGINT) * 1000) // (vw * vh) END AS mean_first_milli,
+         |  CASE WHEN valid THEN
+         |    (CAST(list_aggregate(list_slice(px, (nf_hdr - 1) * vw * vh + 1,
+         |      nf_hdr * vw * vh), 'sum') AS BIGINT) * 1000) // (vw * vh)
+         |    END AS mean_last_milli
+         |FROM dec ORDER BY media_id""".stripMargin,
+    // the same per-frame means from the same frame bytes, the same
+    // thresholded cuts and Σf/Σf² checksums
+    "mm15_video_shots" ->
+      s"""WITH ${gvidCtes(corruptArm = false)},
+         |hx AS (SELECT media_id, nf, vw * vh AS npix,
+         |         hex(from_hex(fullhex)) AS h
+         |       FROM gen),
+         |fm AS (
+         |  SELECT media_id, nf,
+         |    list_transform(range(1, nf + 1), f ->
+         |      (CAST(list_aggregate(list_transform(range(1, npix + 1),
+         |         i -> CAST(concat('0x', substring(h,
+         |           CAST(13 + 2 * ((f - 1) * npix + i) AS BIGINT), 2))
+         |           AS BIGINT)), 'sum') AS BIGINT) * 1000) // npix)
+         |      AS fmeans
+         |  FROM hx),
+         |dl AS (
+         |  SELECT media_id, nf,
+         |    list_transform(range(2, nf + 1),
+         |      f -> abs(fmeans[f] - fmeans[f - 1])) AS dl
+         |  FROM fm)
+         |SELECT media_id,
+         |  CAST(nf AS BIGINT) AS n_frames,
+         |  CAST(len(list_filter(dl, d -> d > $VID_T)) AS BIGINT) AS n_cuts,
+         |  CAST(len(list_filter(dl, d -> d > $VID_T)) + 1 AS BIGINT)
+         |    AS n_shots,
+         |  CAST(list_aggregate(list_transform(range(1, nf),
+         |    k -> CASE WHEN dl[k] > $VID_T THEN k + 1 ELSE 0 END), 'sum')
+         |    AS BIGINT) AS cut_fsum,
+         |  CAST(list_aggregate(list_transform(range(1, nf),
+         |    k -> CASE WHEN dl[k] > $VID_T THEN (k + 1) * (k + 1) ELSE 0 END),
+         |    'sum') AS BIGINT) AS cut_fsqsum,
+         |  CAST(list_aggregate(dl, 'max') AS BIGINT) AS max_delta
+         |FROM dl ORDER BY media_id""".stripMargin,
     // generator and decoder mirrored from first principles on the
     // mm10 pattern: same GWAV hex construction, same one-transcode
     // decode, same truncation arm, same NULL-on-damage stats

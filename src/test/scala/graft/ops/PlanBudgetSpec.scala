@@ -460,13 +460,16 @@ class PlanBudgetSpec extends SparkSpec {
     assert(b >= 1, s"dedup33 touched set must broadcast, saw $b")
   }
 
-  // ---- round-6/7 surface (the whole-surface audit catches the
+  // ---- round-6/7/8 surface (the whole-surface audit catches the
   // scale-killer CLASSES; these pins catch a lost pushdown or an
   // accidental extra exchange per query). sim26 / cdc15-16 / the
-  // stream* replays return checkpoint-materialized frames, so an
+  // stream* replays — and the round-8 store-action rows q109 / sim27
+  // / stream22 — return checkpoint-materialized frames, so an
   // exchange count on their OUTPUT is vacuous — their plan shapes
   // are pinned where they execute (IvfServeSpec's one-pruned-scan +
-  // broadcast-routes pin, IvfMaintainSpec's touched-files pins, the
+  // broadcast-routes pin, IvfMaintainSpec's touched-files pins,
+  // CompactionExecuteSpec's physical file counts, IvfRetrainSpec's
+  // touched-cell identity, StreamWinsorClipSpec's bounded state, the
   // replay specs' O(1)-state equivalences).
 
   test("q100 OHLC bars: one packed-key hash agg + presentation sort") {
@@ -549,8 +552,9 @@ class PlanBudgetSpec extends SparkSpec {
     assert(b === 0, s"mm11 broadcasts=$b")
   }
 
-  test("mm12/mm13 audio codec: map-side chains + presentation sort only") {
-    Seq("mm12_audio_decode", "mm13_audio_segments").foreach { q =>
+  test("mm12-mm15 audio/video codecs: map-side chains + presentation sort only") {
+    Seq("mm12_audio_decode", "mm13_audio_segments", "mm14_video_decode",
+      "mm15_video_shots").foreach { q =>
       val (s, b) = exchanges(run(q))
       assert(s <= 1, s"$q shuffles=$s")
       assert(b === 0, s"$q broadcasts=$b")

@@ -41,7 +41,10 @@ class WholeSurfacePlanAuditSpec extends SparkSpec {
     "sim17_hardneg",
     "sim24_binary_topk",              // query + Hamming shortlist broadcasts
     "dedup36_semantic_decon_sketch",  // eval signatures vs one corpus scan
-    "dedup40_banded_decon_curve",     // exhaustive baseline arm of the curve
+    // dedup40's exhaustive baseline arm is still a sanctioned BNLJ,
+    // but the arms now run EAGERLY inside the builder and the
+    // returned frame is the collected curve — the audit sees no BNLJ
+    // (the per-arm shape is pinned in PlanBudgetSpec/BandedDeconSpec)
     "q101_zorder_layout",             // 3-row probe table vs 64-row zone maps
     "sim25_nprobe_curve"              // sim06's probed-centroid set, swept
   )
