@@ -336,6 +336,84 @@ object StreamQueries {
     * driver state is the K-row centroid table and the ≤K touched-cell
     * sets.
     */
+  /** cdc18: compaction as ONGOING MAINTENANCE — the OPTIMIZE cadence
+    * a continuously-ingesting store actually runs, tying q109's
+    * one-shot execution into the churn-replay family. Inside a
+    * scratch [[graft.sources.PartitionedStore]]: (1) the base corpus
+    * lands one physical file per simulated ingest file; (2) three
+    * append-mode micro-batches each add ONE small file per source —
+    * the exact small-file pathology q86 diagnoses, created the way
+    * streaming ingest creates it (append, not overwrite); (3) the
+    * bin-pack plan is derived from the REAL post-churn manifest
+    * (store readback, not fixture arithmetic) and
+    * [[graft.sources.Compaction.execute]] rewrites every source —
+    * validated dynamic overwrite, one file per bin. The gated row
+    * reads the compacted store back: per source, doc count, file
+    * counts before/after, payload bytes, and the order-free
+    * Σ h32(doc_id) identity fingerprint over base ∪ churn — a
+    * maintenance pass that loses an appended row, duplicates a base
+    * row, or mis-bins diverges at the gate.
+    * CompactionMaintainSpec pins the pathology→cure shape the oracle
+    * cannot see: churn grew the physical file population by exactly
+    * batches×sources, compaction collapsed it to the planned bins.
+    */
+  private val compactionMaintain: Q = (s, dir) => {
+    val docsPerFile = Relational10.DOCS_PER_FILE
+    val base = Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_chars"),
+        expr(s"doc_id DIV $docsPerFile").as("file_id")
+      )
+    graft.sources.Scratch.withTempDir("graft-cdc18") { path =>
+      graft.sources.Compaction
+        .writeBinned(base, path, "source", "file_id", dynamic = false)
+      (1 to 3).foreach { b =>
+        val batch = Tables(s, dir).documents
+          .filter(pmod(col("doc_id"), lit(7)) === b)
+          .select(
+            (col("doc_id") + lit(1000000L * b)).as("doc_id"),
+            col("source"),
+            col("n_chars"),
+            lit(1000000L + b).as("file_id")
+          )
+        // one small file per source per batch: the ingest pathology
+        batch
+          .repartition(col("source"))
+          .write
+          .partitionBy("source")
+          .mode("append")
+          .parquet(path)
+      }
+      val store = graft.sources.PartitionedStore.read(s, path)
+      val files = store
+        .groupBy(col("source"), col("file_id"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      val binPlan = graft.sources.Compaction
+        .plan(files, "source", "file_id", "bytes", Relational10.COMPACT_TARGET)
+        .select(col("source"), col("file_id"), col("bin"))
+      graft.sources.Compaction
+        .execute(s, path, "source", Seq("file_id"), binPlan)
+      graft.sources.PartitionedStore
+        .read(s, path)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("file_id")).as("n_files_before"),
+          countDistinct(col("bin")).as("n_files_after"),
+          sum(col("n_chars")).as("bytes"),
+          sum(
+            graft.functions.PortableHash
+              .h32(col("doc_id").cast("string"))
+              .cast("long")
+          ).as("doc_fp")
+        )
+        .orderBy("source")
+        .localCheckpoint(true)
+    }
+  }
+
   private val ivfMaintain: Q = (s, dir) =>
     withIvfChurn(s, dir, indexed = false) { path =>
       graft.sources.PartitionedStore
@@ -593,6 +671,7 @@ object StreamQueries {
     "cdc12_neardup_maintain" -> neardupMaintain,
     "cdc13_join_maintain" -> joinMaintain,
     "cdc15_ivf_maintain" -> ivfMaintain,
+    "cdc18_compaction_maintain" -> compactionMaintain,
     "cdc16_ivf_index_maintain" -> ivfIndexMaintain,
     "stream10_exact_dedup" -> exactDedupIngest,
     // per-user O(1) latest-touch state; accumulated attribution ≡
@@ -811,6 +890,44 @@ object StreamQueries {
     // replay ≡ batch: the sink-state sketch + serve-time exact read
     // must land on q106's audit table exactly
     "stream22_winsor_clip" -> Relational11.oracle("q106_winsorize_sketch"),
+    // base ∪ churn re-derived from first principles with the same
+    // binning; the readback must reproduce the union's identity
+    "cdc18_compaction_maintain" -> {
+      val h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
+      val dpf = Relational10.DOCS_PER_FILE
+      val tgt = Relational10.COMPACT_TARGET
+      s"""WITH base AS (
+         |  SELECT doc_id, source, n_chars, doc_id // $dpf AS file_id
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id + 1000000 * t.b AS doc_id, source, n_chars,
+         |    CAST(1000000 + t.b AS BIGINT) AS file_id
+         |  FROM documents, (VALUES (1), (2), (3)) t(b)
+         |  WHERE doc_id % 7 = t.b),
+         |allr AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+         |f AS (SELECT source, file_id,
+         |    CAST(SUM(n_chars) AS BIGINT) AS bytes,
+         |    CAST(COUNT(*) AS BIGINT) AS nd
+         |  FROM allr GROUP BY 1, 2),
+         |p AS (SELECT source, file_id, bytes, nd,
+         |    CAST(COALESCE(SUM(bytes) OVER (PARTITION BY source
+         |      ORDER BY file_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM f),
+         |b2 AS (SELECT source, file_id, nd, bytes,
+         |    cum_before // $tgt AS bin FROM p),
+         |fp AS (SELECT source, CAST(SUM($h) AS BIGINT) AS doc_fp
+         |       FROM allr GROUP BY 1)
+         |SELECT b2.source,
+         |  CAST(SUM(nd) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT file_id) AS BIGINT) AS n_files_before,
+         |  CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_files_after,
+         |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+         |  MIN(fp.doc_fp) AS doc_fp
+         |FROM b2 JOIN fp ON fp.source = b2.source
+         |GROUP BY b2.source ORDER BY b2.source""".stripMargin
+    },
     // replay ≡ batch: the ingest-time chain fold must land on cdc17's
     // exact chains — any dropped/duplicated/reordered op diverges
     "stream20_hash_chain" -> graft.cdc.CdcQueries.oracle("cdc17_hash_chain"),
