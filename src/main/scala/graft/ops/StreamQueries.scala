@@ -693,6 +693,11 @@ object StreamQueries {
     "stream22_winsor_clip" -> ((s, dir) =>
       graft.streaming.StreamWinsorClip
         .replay(Relational11.winsorCents(s, dir))),
+    // O(k·sources) bottom-k-hash sample state; arrival-order- and
+    // slicing-invariant, replay ≡ the batch per-source bottom-k
+    "stream23_bottomk_sample" -> ((s, dir) =>
+      graft.streaming.StreamBottomK
+        .replay(Tables(s, dir).documents.select(col("source"), col("doc_id")))),
     "stream09_funnel" -> funnelIngest,
     "stream08_agg_maintain" -> aggMaintainIngest,
     "stream07_minhash_ingest" -> minhashIngest,
@@ -890,6 +895,25 @@ object StreamQueries {
     // replay ≡ batch: the sink-state sketch + serve-time exact read
     // must land on q106's audit table exactly
     "stream22_winsor_clip" -> Relational11.oracle("q106_winsorize_sketch"),
+    // the batch spec of the bottom-k sample: per-source rank by the
+    // seeded hash, keep rank <= k, read the KMV estimate off max(h)
+    "stream23_bottomk_sample" -> {
+      val k = graft.streaming.StreamBottomK.SAMPLE_K
+      val h = graft.functions.PortableHash
+        .sqlH32("CAST(doc_id AS VARCHAR)", graft.streaming.StreamBottomK.SEED)
+      s"""WITH d AS (SELECT source, doc_id, $h AS h FROM documents),
+         |rk AS (SELECT source, doc_id, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+         |  FROM d),
+         |kk AS (SELECT * FROM rk WHERE rn <= $k)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  MIN(h) AS min_h,
+         |  MAX(h) AS max_h,
+         |  CAST(SUM(h) AS BIGINT) AS sample_fp,
+         |  CAST(($k - 1) * 4294967296 AS BIGINT) // MAX(h) AS kmv_est
+         |FROM kk GROUP BY source ORDER BY source""".stripMargin
+    },
     // base ∪ churn re-derived from first principles with the same
     // binning; the readback must reproduce the union's identity
     "cdc18_compaction_maintain" -> {
