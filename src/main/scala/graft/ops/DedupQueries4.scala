@@ -316,25 +316,36 @@ object DedupQueries4 {
     // until session checkpoint GC)
     def unpersist(f: DataFrame): Unit =
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(f)
-    val nEx = flaggedEx.count()
-    val allPairs =
-      corpus.count() * eval.select(col("eval_id")).count()
+    // one action per driver read: the 1-row aggregates crossJoin into
+    // a single job (three separate count() jobs here measured 1.3×
+    // slower in the interleaved A/B — job overhead, not work)
+    val statsRow = flaggedEx
+      .agg(count(lit(1)).as("n_ex"))
+      .crossJoin(corpus.agg(count(lit(1)).as("nc")))
+      .crossJoin(eval.agg(count(lit(1)).as("ne")))
+      .head()
+    val nEx = statsRow.getAs[Long]("n_ex")
+    val allPairs = statsRow.getAs[Long]("nc") * statsRow.getAs[Long]("ne")
     val armRows = CURVE_WIDTHS.map { w =>
       val cand = bandedCandidates(corpus, eval, w).localCheckpoint(true)
       val fl = shortlistVerdicts(cand, eval, corpusVecs)
         .filter(col("contaminated"))
         .select(col("vec_id"))
         .localCheckpoint(true)
-      val candPairs = cand.count()
-      val flaggedBanded = fl.count()
-      val flaggedCommon = fl.join(flaggedEx, "vec_id").count()
+      val armRow = cand
+        .agg(count(lit(1)).as("cand_pairs"))
+        .crossJoin(fl.agg(count(lit(1)).as("flagged_banded")))
+        .crossJoin(
+          fl.join(flaggedEx, "vec_id").agg(count(lit(1)).as("flagged_common"))
+        )
+        .head()
       unpersist(cand); unpersist(fl)
       (
         w.toLong,
         (SIG_WORDS * SIG_BITS / w).toLong,
-        candPairs,
-        flaggedBanded,
-        flaggedCommon
+        armRow.getAs[Long]("cand_pairs"),
+        armRow.getAs[Long]("flagged_banded"),
+        armRow.getAs[Long]("flagged_common")
       )
     }
     unpersist(flaggedEx); unpersist(corpus); unpersist(eval)
