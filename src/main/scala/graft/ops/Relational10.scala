@@ -336,6 +336,105 @@ object Relational10 {
     }
   }
 
+  /** q110: additive schema evolution EXECUTED — SchemaEvolutionSpec's
+    * contract promoted to a gated row (the q101→q102 discipline): a
+    * two-generation store is physically written (generation 1 without
+    * the quality column, generation 2 appended WITH it), read back
+    * through `mergeSchema`, and the gated report proves the merge
+    * preserved everything — per source: total docs, v1 docs (quality
+    * NULL — history null-fills), v2 docs (quality present), the
+    * deterministic quality sum, and the Σ h32(doc_id) identity over
+    * BOTH generations. The oracle computes the same report from the
+    * fixture alone, so a merge that drops a generation, misaligns a
+    * column by position, or fails to null-fill diverges at the gate.
+    */
+  private val schemaEvolution: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    graft.sources.Scratch.withTempDir("graft-evo") { path =>
+      docs
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .write
+        .mode("overwrite")
+        .parquet(path)
+      docs
+        .filter(pmod(col("doc_id"), lit(2)) === 1)
+        .withColumn("quality_milli", pmod(col("n_chars") * 7, lit(1000)))
+        .write
+        .mode("append")
+        .parquet(path)
+      s.read
+        .option("mergeSchema", "true")
+        .parquet(path)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("quality_milli").isNull, 1L).otherwise(0L)).as("n_v1"),
+          sum(when(col("quality_milli").isNotNull, 1L).otherwise(0L))
+            .as("n_v2"),
+          sum(col("quality_milli")).as("quality_sum"),
+          sum(
+            graft.functions.PortableHash
+              .h32(col("doc_id").cast("string"))
+              .cast("long")
+          ).as("doc_fp")
+        )
+        .orderBy("source")
+        .localCheckpoint(true)
+    }
+  }
+
+  /** q111: the file-format round-trip EXECUTED — FileFormatsSpec's
+    * interchange contract as a gated row: the same corpus projection
+    * is physically written to and read back from parquet, ORC, JSON,
+    * and CSV inside a scratch dir, and each format's readback must
+    * reproduce the identical per-format row (count, byte mass, id
+    * fingerprint) the oracle derives from the fixture — a format
+    * whose writer or reader drops rows, mangles a long, or loses a
+    * column diverges on its own report row. CSV/JSON read back
+    * through an explicit schema (header/typing is the caller's
+    * contract, as in production interchange).
+    */
+  private val formatRoundtrip: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    graft.sources.Scratch.withTempDir("graft-fmt") { path =>
+      import s.implicits._
+      val schema = "doc_id BIGINT, source STRING, n_chars BIGINT"
+      val reports = Seq("parquet", "orc", "json", "csv").map { fmt =>
+        val p = s"$path/$fmt"
+        val w = docs.write.mode("overwrite")
+        fmt match {
+          case "csv" => w.option("header", "true").csv(p)
+          case "json" => w.json(p)
+          case "orc" => w.orc(p)
+          case _ => w.parquet(p)
+        }
+        val r = fmt match {
+          case "csv" =>
+            s.read.schema(schema).option("header", "true").csv(p)
+          case "json" => s.read.schema(schema).json(p)
+          case "orc" => s.read.orc(p)
+          case _ => s.read.parquet(p)
+        }
+        r.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(
+            graft.functions.PortableHash
+              .h32(col("doc_id").cast("string"))
+              .cast("long")
+          ).as("doc_fp")
+        ).select(lit(fmt).as("format"), col("n_docs"), col("chars_sum"),
+          col("doc_fp"))
+      }
+      reports
+        .reduce(_.unionByName(_))
+        .orderBy("format")
+        .localCheckpoint(true)
+    }
+  }
+
   /** Columns profiled by q87 (all numeric, so min/max cast to DOUBLE
     * losslessly — string/date min-max rendering differs across
     * engines and is deliberately out of the stats schema).
@@ -467,6 +566,8 @@ object Relational10 {
     "q85_hdr_quantiles" -> hdrQuantiles,
     "q86_compaction_plan" -> compactionPlan,
     "q109_compaction_execute" -> compactionExecute,
+    "q110_schema_evolution" -> schemaEvolution,
+    "q111_format_roundtrip" -> formatRoundtrip,
     "q87_column_stats" -> columnStats,
     "q88_grouped_quantiles" -> hdrGrouped
   )
@@ -654,6 +755,34 @@ object Relational10 {
          |  MIN(fp.doc_fp) AS doc_fp
          |FROM b JOIN fp ON fp.source = b.source
          |GROUP BY b.source ORDER BY b.source""".stripMargin
+    },
+    // the merged two-generation report from the fixture alone: even
+    // doc_ids are generation 1 (NULL quality), odd are generation 2
+    "q110_schema_evolution" -> {
+      val h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
+      s"""SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_v1,
+         |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_v2,
+         |  CAST(SUM(CASE WHEN doc_id % 2 = 1
+         |    THEN (n_chars * 7) % 1000 END) AS BIGINT) AS quality_sum,
+         |  CAST(SUM($h) AS BIGINT) AS doc_fp
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+    // four identical per-format rows from the fixture: any format
+    // whose physical round-trip diverges breaks its own row
+    "q111_format_roundtrip" -> {
+      val h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+         |    CAST(SUM($h) AS BIGINT) AS doc_fp
+         |  FROM documents)
+         |SELECT f.format, agg.n_docs, agg.chars_sum, agg.doc_fp
+         |FROM agg, (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(format)
+         |ORDER BY f.format""".stripMargin
     }
   )
 }
