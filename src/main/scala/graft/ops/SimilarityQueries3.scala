@@ -209,9 +209,129 @@ object SimilarityQueries3 {
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(cents)
   }
 
+  /** sim28 drift geometry: every 5th vector re-embeds with a +0.25
+    * offset per dimension (exactly representable in float32, so the
+    * drifted corpus is bit-identical across engines), queries are the
+    * drifted slice's 125-stride sample, and serving probes 2 of the
+    * cells at top-10.
+    */
+  private[ops] val DRIFT_MOD = 5L
+  private[ops] val DRIFT_REM = 2L
+  private[ops] val DRIFT_QMOD = 125L
+  private[ops] val DRIFT_TOPK = 10
+  private[ops] val DRIFT_NPROBE = 2
+
+  /** sim28: the drift→decay→retrain→recovery story END TO END — the
+    * production scenario sim27's machinery exists for, measured: a
+    * store is built at the original corpus' centroids, a re-embedded
+    * batch (+0.25/dim — new domain territory) is UPSERTED (assignments
+    * stay exact, but the build-time centroids no longer describe the
+    * corpus), and nprobe serving quality is measured against the
+    * brute-force truth BEFORE and AFTER `retrain` + `rebalance`. On
+    * the fixture recall@10 reads 0.9 before and 1.0 after (the decay
+    * sim25's curve predicts, and its cure). The gated row carries per
+    * query: truth size, hits from probing the STALE centroids, hits
+    * from probing the RETRAINED ones — the oracle re-derives the
+    * whole pipeline (drifted corpus, stale assignment, both probe
+    * routings, two unrolled keep-old Lloyd rounds, final assignment)
+    * from first principles, so every moving part of the story is
+    * oracle-checked, not narrated.
+    */
+  private val driftRecovery: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val cents = graft.sim.IvfStore
+      .centroids(emb, SimilarityQueries2.IVF_K, SimilarityQueries2.IVF_STRIDE)
+      .localCheckpoint(true)
+    try
+      graft.sources.Scratch.withTempDir("graft-sim28") { path =>
+        graft.sim.IvfStore.build(emb, cents, path)
+        val drifted = emb
+          .filter(pmod(col("vec_id"), lit(DRIFT_MOD)) === DRIFT_REM)
+          .select(
+            col("vec_id"),
+            transform(
+              col("embedding"),
+              x => (x.cast("double") + 0.25).cast("float")
+            ).as("embedding")
+          )
+        graft.sim.IvfStore.upsert(s, path, cents, drifted)
+        val queries = drifted
+          .filter(pmod(col("vec_id"), lit(DRIFT_QMOD)) === DRIFT_REM)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+          .localCheckpoint(true)
+        // brute-force truth over the LIVE store contents
+        val live = graft.sources.PartitionedStore
+          .read(s, path)
+          .select(
+            col("vec_id"),
+            graft.sim.IntVec.quant(col("embedding")).as("qe")
+          )
+          .localCheckpoint(true)
+        val wT = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        val truth = live
+          .crossJoin(
+            broadcast(
+              queries.select(
+                col("query_id"),
+                graft.sim.IntVec.quant(col("qv")).as("qq")
+              )
+            )
+          )
+          .filter(size(col("qe")) === size(col("qq")))
+          .select(
+            col("query_id"),
+            col("vec_id"),
+            graft.sim.IntVec.dist2(col("qe"), col("qq")).as("dist")
+          )
+          .withColumn("__rn", row_number().over(wT))
+          .filter(col("__rn") <= DRIFT_TOPK)
+          .select(col("query_id"), col("vec_id"))
+          .localCheckpoint(true)
+        def hits(res: DataFrame, name: String) =
+          res
+            .select(col("query_id"), col("vec_id"))
+            .join(truth, Seq("query_id", "vec_id"))
+            .groupBy(col("query_id"))
+            .agg(count(lit(1)).as(name))
+        val before = graft.sim.IvfStore
+          .topKBatch(s, path, cents, queries, DRIFT_TOPK, DRIFT_NPROBE)
+        val hb = hits(before, "hits_before").localCheckpoint(true)
+        val newCents =
+          graft.sim.IvfStore.retrain(s, path, cents, RETRAIN_ITERS)
+        try {
+          graft.sim.IvfStore.rebalance(s, path, newCents)
+          val after = graft.sim.IvfStore
+            .topKBatch(s, path, newCents, queries, DRIFT_TOPK, DRIFT_NPROBE)
+          val out = queries
+            .select(col("query_id"))
+            .join(hb, Seq("query_id"), "left")
+            .join(hits(after, "hits_after"), Seq("query_id"), "left")
+            .select(
+              col("query_id"),
+              lit(DRIFT_TOPK.toLong).as("n_true"),
+              coalesce(col("hits_before"), lit(0L)).as("hits_before"),
+              coalesce(col("hits_after"), lit(0L)).as("hits_after")
+            )
+            .orderBy("query_id")
+            .localCheckpoint(true)
+          Seq(queries, live, truth, hb).foreach(
+            org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(_)
+          )
+          out
+        } finally
+          org.apache.spark.sql.graftshim.GraftSqlShims
+            .unpersistCheckpoint(newCents)
+      }
+    finally
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(cents)
+  }
+
   val queries: Map[String, Q] = Map(
     "sim24_binary_topk" -> binaryTopK,
-    "sim27_ivf_retrain" -> ivfRetrain
+    "sim27_ivf_retrain" -> ivfRetrain,
+    "sim28_drift_recovery" -> driftRecovery
   )
 
   /** Mirror of the BITS sign-bit signature (independent re-derivation
@@ -244,15 +364,15 @@ object SimilarityQueries3 {
     * STORE's rule — a cell must stay addressable — vs sim23's
     * drop-empty rule for free clustering).
     */
-  private def retrainRoundSql(i: Int): String = {
+  private def retrainRoundSql(i: Int, corpus: String = "q"): String = {
     val prev = s"kc${i - 1}"
     s"""d$i AS MATERIALIZED (
-       |  SELECT q.vec_id, $prev.cell,
-       |    CAST(SUM((q.qe[t.i] - $prev.qc[t.i])
-       |           * (q.qe[t.i] - $prev.qc[t.i])) AS BIGINT) AS dist
-       |  FROM q, $prev, range(1, 1000) t(i)
-       |  WHERE t.i <= len(q.qe) AND len(q.qe) = len($prev.qc)
-       |  GROUP BY q.vec_id, $prev.cell),
+       |  SELECT $corpus.vec_id, $prev.cell,
+       |    CAST(SUM(($corpus.qe[t.i] - $prev.qc[t.i])
+       |           * ($corpus.qe[t.i] - $prev.qc[t.i])) AS BIGINT) AS dist
+       |  FROM $corpus, $prev, range(1, 1000) t(i)
+       |  WHERE t.i <= len($corpus.qe) AND len($corpus.qe) = len($prev.qc)
+       |  GROUP BY $corpus.vec_id, $prev.cell),
        |a$i AS MATERIALIZED (
        |  SELECT vec_id, cell, dist FROM
        |    (SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -260,9 +380,9 @@ object SimilarityQueries3 {
        |  WHERE r = 1),
        |u$i AS MATERIALIZED (
        |  SELECT a.cell, t.i AS pos,
-       |    CAST(SUM(q.qe[t.i]) AS BIGINT) AS sd, COUNT(*) AS nd
-       |  FROM a$i a JOIN q USING (vec_id), range(1, 1000) t(i)
-       |  WHERE t.i <= len(q.qe)
+       |    CAST(SUM($corpus.qe[t.i]) AS BIGINT) AS sd, COUNT(*) AS nd
+       |  FROM a$i a JOIN $corpus USING (vec_id), range(1, 1000) t(i)
+       |  WHERE t.i <= len($corpus.qe)
        |  GROUP BY a.cell, t.i),
        |m$i AS MATERIALIZED (
        |  SELECT cell, list(sd // nd ORDER BY pos) AS qc
@@ -275,6 +395,110 @@ object SimilarityQueries3 {
   }
 
   val oracle: Map[String, String] = Map(
+    // the whole drift story from first principles: drifted corpus
+    // (float32-exact +0.25), stale assignment (a1 at the original
+    // seeds), probe routing + top-10 at BOTH centroid tables, two
+    // unrolled keep-old Lloyd rounds, final assignment (a3), and the
+    // truth-intersection hit counts
+    "sim28_drift_recovery" -> {
+      val r = RETRAIN_ITERS
+      val fin = r + 1
+      val rounds = (1 to r).map(retrainRoundSql(_, "live")).mkString(",\n")
+      val last = s"kc$r"
+      s"""WITH qorig AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         |      AS qe
+         |  FROM embeddings),
+         |live AS MATERIALIZED (SELECT vec_id,
+         |    CASE WHEN vec_id % $DRIFT_MOD = $DRIFT_REM THEN
+         |      list_transform(embedding, x ->
+         |        CAST(floor(CAST(CAST(CAST(x AS DOUBLE) + 0.25 AS FLOAT)
+         |          AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         |    ELSE
+         |      list_transform(embedding, x ->
+         |        CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         |    END AS qe
+         |  FROM embeddings),
+         |kc0 AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT)
+         |      AS cell,
+         |    qe AS qc
+         |  FROM qorig WHERE vec_id % ${SimilarityQueries2.IVF_STRIDE} = 0
+         |  ORDER BY vec_id LIMIT ${SimilarityQueries2.IVF_K}),
+         |$rounds,
+         |d$fin AS MATERIALIZED (
+         |  SELECT live.vec_id, $last.cell,
+         |    CAST(SUM((live.qe[t.i] - $last.qc[t.i])
+         |           * (live.qe[t.i] - $last.qc[t.i])) AS BIGINT) AS dist
+         |  FROM live, $last, range(1, 1000) t(i)
+         |  WHERE t.i <= len(live.qe) AND len(live.qe) = len($last.qc)
+         |  GROUP BY live.vec_id, $last.cell),
+         |a$fin AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |       ORDER BY dist ASC, cell ASC) AS r FROM d$fin)
+         |  WHERE r = 1),
+         |qs AS MATERIALIZED (SELECT vec_id AS query_id, qe AS qq
+         |  FROM live WHERE vec_id % $DRIFT_QMOD = $DRIFT_REM),
+         |td AS MATERIALIZED (
+         |  SELECT qs.query_id, live.vec_id,
+         |    CAST(SUM((live.qe[t.i] - qs.qq[t.i])
+         |           * (live.qe[t.i] - qs.qq[t.i])) AS BIGINT) AS dist
+         |  FROM live, qs, range(1, 1000) t(i)
+         |  WHERE t.i <= len(live.qe) AND len(live.qe) = len(qs.qq)
+         |  GROUP BY qs.query_id, live.vec_id),
+         |truth AS MATERIALIZED (SELECT query_id, vec_id FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY query_id
+         |       ORDER BY dist ASC, vec_id ASC) AS rn FROM td)
+         |  WHERE rn <= $DRIFT_TOPK),
+         |rb AS (SELECT query_id, cell FROM
+         |    (SELECT qs.query_id, c.cell,
+         |       row_number() OVER (PARTITION BY qs.query_id ORDER BY
+         |         (SELECT CAST(SUM((qs.qq[t.i] - c.qc[t.i])
+         |                 * (qs.qq[t.i] - c.qc[t.i])) AS BIGINT)
+         |          FROM range(1, 1000) t(i) WHERE t.i <= len(qs.qq))
+         |         ASC, c.cell ASC) AS r
+         |     FROM qs, kc0 c)
+         |  WHERE r <= $DRIFT_NPROBE),
+         |ra AS (SELECT query_id, cell FROM
+         |    (SELECT qs.query_id, c.cell,
+         |       row_number() OVER (PARTITION BY qs.query_id ORDER BY
+         |         (SELECT CAST(SUM((qs.qq[t.i] - c.qc[t.i])
+         |                 * (qs.qq[t.i] - c.qc[t.i])) AS BIGINT)
+         |          FROM range(1, 1000) t(i) WHERE t.i <= len(qs.qq))
+         |         ASC, c.cell ASC) AS r
+         |     FROM qs, $last c)
+         |  WHERE r <= $DRIFT_NPROBE),
+         |resb AS (SELECT query_id, vec_id FROM
+         |    (SELECT td.query_id, td.vec_id,
+         |       row_number() OVER (PARTITION BY td.query_id
+         |         ORDER BY td.dist ASC, td.vec_id ASC) AS rn
+         |     FROM td
+         |     JOIN a1 ON a1.vec_id = td.vec_id
+         |     JOIN rb ON rb.query_id = td.query_id AND rb.cell = a1.cell)
+         |  WHERE rn <= $DRIFT_TOPK),
+         |resa AS (SELECT query_id, vec_id FROM
+         |    (SELECT td.query_id, td.vec_id,
+         |       row_number() OVER (PARTITION BY td.query_id
+         |         ORDER BY td.dist ASC, td.vec_id ASC) AS rn
+         |     FROM td
+         |     JOIN a$fin ON a$fin.vec_id = td.vec_id
+         |     JOIN ra ON ra.query_id = td.query_id AND ra.cell = a$fin.cell)
+         |  WHERE rn <= $DRIFT_TOPK),
+         |hb AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS hits
+         |       FROM resb JOIN truth USING (query_id, vec_id) GROUP BY 1),
+         |ha AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS hits
+         |       FROM resa JOIN truth USING (query_id, vec_id) GROUP BY 1)
+         |SELECT qs.query_id,
+         |  CAST($DRIFT_TOPK AS BIGINT) AS n_true,
+         |  COALESCE(hb.hits, 0) AS hits_before,
+         |  COALESCE(ha.hits, 0) AS hits_after
+         |FROM qs
+         |LEFT JOIN hb USING (query_id)
+         |LEFT JOIN ha USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    },
     // the whole retrain+rebalance trajectory from first principles:
     // stride seeds (the build centroids), RETRAIN_ITERS unrolled
     // keep-old Lloyd rounds, final assignment at the retrained table
@@ -282,7 +506,7 @@ object SimilarityQueries3 {
     "sim27_ivf_retrain" -> {
       val r = RETRAIN_ITERS
       val fin = r + 1
-      val rounds = (1 to r).map(retrainRoundSql).mkString(",\n")
+      val rounds = (1 to r).map(retrainRoundSql(_)).mkString(",\n")
       val prev = s"kc$r"
       val h = PortableHash.sqlH32("CAST(vec_id AS VARCHAR)")
       s"""WITH q AS MATERIALIZED (SELECT vec_id,
