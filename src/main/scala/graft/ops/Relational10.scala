@@ -303,9 +303,25 @@ object Relational10 {
     * file counts equal to planned bins, untouched partitions
     * byte-identical, and the refuse-partial-plan guard.
     */
+  /** The q109/cdc18 planted ingest-file model: files are PER-SOURCE
+    * contiguous runs of [[DOCS_PER_FILE]] docs (an ingest job writes
+    * consecutive docs of its source into one file) — NOT q86's global
+    * doc_id ranges, which cross sources and would degenerate to ~one
+    * doc per (source, file) pair: planting that wrote ~N physical
+    * files and measured 26 s at sf0.1; the per-source model writes
+    * N/8 and is what ingest actually produces.
+    */
+  private[graft] def ingestFiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("file_id", expr(s"CAST((__rn - 1) DIV $DOCS_PER_FILE AS BIGINT)"))
+      .drop("__rn")
+  }
+
   private val compactionExecute: Q = (s, dir) => {
-    val docs = Tables(s, dir).documents
-      .withColumn("file_id", expr(s"doc_id DIV $DOCS_PER_FILE"))
+    val docs = ingestFiles(s, dir)
     graft.sources.Scratch.withTempDir("graft-compact") { path =>
       graft.sources.Compaction
         .writeBinned(docs, path, "source", "file_id", dynamic = false)
@@ -733,10 +749,14 @@ object Relational10 {
     // the compacted readback must reproduce exactly
     "q109_compaction_execute" -> {
       val h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
-      s"""WITH f AS (SELECT source, doc_id // $DOCS_PER_FILE AS file_id,
+      s"""WITH ing AS (SELECT doc_id, source, n_chars,
+         |    (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+         |      // $DOCS_PER_FILE AS file_id
+         |  FROM documents),
+         |f AS (SELECT source, file_id,
          |    CAST(SUM(n_chars) AS BIGINT) AS bytes,
          |    CAST(COUNT(*) AS BIGINT) AS nd
-         |  FROM documents GROUP BY 1, 2),
+         |  FROM ing GROUP BY 1, 2),
          |p AS (SELECT source, file_id, bytes, nd,
          |    CAST(COALESCE(SUM(bytes) OVER (PARTITION BY source
          |      ORDER BY file_id

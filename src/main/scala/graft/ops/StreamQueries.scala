@@ -358,14 +358,8 @@ object StreamQueries {
     * batches×sources, compaction collapsed it to the planned bins.
     */
   private val compactionMaintain: Q = (s, dir) => {
-    val docsPerFile = Relational10.DOCS_PER_FILE
-    val base = Tables(s, dir).documents
-      .select(
-        col("doc_id"),
-        col("source"),
-        col("n_chars"),
-        expr(s"doc_id DIV $docsPerFile").as("file_id")
-      )
+    // per-source contiguous ingest files (the shared q109 model)
+    val base = Relational10.ingestFiles(s, dir)
     graft.sources.Scratch.withTempDir("graft-cdc18") { path =>
       graft.sources.Compaction
         .writeBinned(base, path, "source", "file_id", dynamic = false)
@@ -921,7 +915,9 @@ object StreamQueries {
       val dpf = Relational10.DOCS_PER_FILE
       val tgt = Relational10.COMPACT_TARGET
       s"""WITH base AS (
-         |  SELECT doc_id, source, n_chars, doc_id // $dpf AS file_id
+         |  SELECT doc_id, source, n_chars,
+         |    (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+         |      // $dpf AS file_id
          |  FROM documents),
          |ch AS (
          |  SELECT doc_id + 1000000 * t.b AS doc_id, source, n_chars,

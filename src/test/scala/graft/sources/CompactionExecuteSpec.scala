@@ -14,8 +14,7 @@ class CompactionExecuteSpec extends SparkSpec {
   private val docsPerFile = 8L
 
   private def plantedDocs =
-    graft.Tables(spark, sfDir).documents
-      .withColumn("file_id", expr(s"doc_id DIV $docsPerFile"))
+    graft.ops.Relational10.ingestFiles(spark, sfDir)
 
   /** Parquet data files under each source= directory: name → bytes. */
   private def listParquet(path: String): Map[String, Map[String, Long]] = {

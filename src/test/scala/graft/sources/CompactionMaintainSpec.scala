@@ -25,13 +25,7 @@ class CompactionMaintainSpec extends SparkSpec {
   }
 
   test("append churn grows files per source by one per batch; compaction collapses to bins") {
-    val docs = graft.Tables(spark, sfDir).documents
-      .select(
-        col("doc_id"),
-        col("source"),
-        col("n_chars"),
-        expr(s"doc_id DIV $docsPerFile").as("file_id")
-      )
+    val docs = graft.ops.Relational10.ingestFiles(spark, sfDir)
     Scratch.withTempDir("graft-cm1") { path =>
       Compaction.writeBinned(docs, path, "source", "file_id", dynamic = false)
       val base = parquetCount(path)
