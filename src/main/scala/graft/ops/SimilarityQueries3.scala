@@ -328,10 +328,115 @@ object SimilarityQueries3 {
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(cents)
   }
 
+  /** sim29 shapes: filtered top-k size, the post-filter arm's
+    * unfiltered shortlist multiplier, and the query stride.
+    */
+  private[graft] val FILT_TOPK = 5
+  private[ops] val FILT_SHORTLIST_X = 3
+  private[ops] val FILT_QSTRIDE = 40L
+
+  /** sim29: METADATA-FILTERED vector search — the "top-k WHERE label
+    * = X" query every retrieval stack actually runs, gated as the
+    * strategy comparison that decides an architecture: PRE-FILTER
+    * (restrict candidates to the predicate first, then exact-rank —
+    * always correct, the plan Catalyst builds when the filter pushes
+    * into the scan) versus POST-FILTER (take the UNFILTERED top
+    * k·[[FILT_SHORTLIST_X]], then apply the predicate and truncate —
+    * what a filter-blind ANN index forces, with recall loss whenever
+    * fewer than k of the shortlist match). Per query: the exact
+    * filtered top-k size, the post-filter arm's hit count against it,
+    * and the shortlist's matching-row count — the numbers that say
+    * how much shortlist inflation a filter-blind index needs at this
+    * selectivity (labels are ~1/|labels| selective, so k·3 is usually
+    * NOT enough — the gated rows show real misses, the reason
+    * filter-aware serving (the IVF store's cell predicate) exists.
+    *
+    * Shape at scale: both arms are one broadcast of the Q-row query
+    * table against one corpus scan (the sanctioned sim01 BNLJ),
+    * WindowGroupLimit per-query ranks, integer micro-unit distances;
+    * the filtered arm's predicate rides INTO the scan (pushed
+    * filter), which is the pre-filter strategy's whole point.
+    */
+  private val filteredAnn: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val queries = emb
+      .filter(pmod(col("vec_id"), lit(FILT_QSTRIDE)) === 0)
+      .select(
+        col("vec_id").as("query_id"),
+        graft.sim.IntVec.quant(col("embedding")).as("qq"),
+        col("label").as("qlabel")
+      )
+    val scored = emb
+      .select(
+        col("vec_id"),
+        col("label"),
+        graft.sim.IntVec.quant(col("embedding")).as("qe")
+      )
+      .crossJoin(broadcast(queries))
+      .filter(size(col("qe")) === size(col("qq")))
+      .select(
+        col("query_id"),
+        col("qlabel"),
+        col("vec_id"),
+        col("label"),
+        graft.sim.IntVec.dist2(col("qe"), col("qq")).as("dist")
+      )
+    val wQ = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    // exact pre-filter arm: predicate BEFORE the rank
+    val exact = scored
+      .filter(col("label") === col("qlabel"))
+      .withColumn("__rn", row_number().over(wQ))
+      .filter(col("__rn") <= FILT_TOPK)
+      .select(col("query_id"), col("vec_id"))
+    // post-filter arm: unfiltered shortlist, predicate AFTER
+    val shortlist = scored
+      .withColumn("__rn", row_number().over(wQ))
+      .filter(col("__rn") <= FILT_TOPK * FILT_SHORTLIST_X)
+    val post = shortlist
+      .filter(col("label") === col("qlabel"))
+      .withColumn("__rf", row_number().over(wQ))
+      .filter(col("__rf") <= FILT_TOPK)
+      .select(col("query_id"), col("vec_id"))
+    queries
+      .select(col("query_id"))
+      .join(
+        exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact")),
+        Seq("query_id"),
+        "left"
+      )
+      .join(
+        post
+          .join(exact, Seq("query_id", "vec_id"))
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("post_hits")),
+        Seq("query_id"),
+        "left"
+      )
+      .join(
+        shortlist
+          .filter(col("label") === col("qlabel"))
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("shortlist_matches")),
+        Seq("query_id"),
+        "left"
+      )
+      .select(
+        col("query_id"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("post_hits"), lit(0L)).as("post_hits"),
+        coalesce(col("shortlist_matches"), lit(0L)).as("shortlist_matches")
+      )
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim24_binary_topk" -> binaryTopK,
     "sim27_ivf_retrain" -> ivfRetrain,
-    "sim28_drift_recovery" -> driftRecovery
+    "sim28_drift_recovery" -> driftRecovery,
+    "sim29_filtered_ann" -> filteredAnn
   )
 
   /** Mirror of the BITS sign-bit signature (independent re-derivation
@@ -395,6 +500,57 @@ object SimilarityQueries3 {
   }
 
   val oracle: Map[String, String] = Map(
+    // both filtering strategies replayed from first principles: the
+    // same scored pair table, predicate-before-rank vs
+    // rank-then-predicate-then-truncate, hits = intersection counts
+    "sim29_filtered_ann" -> {
+      val sln = FILT_TOPK * FILT_SHORTLIST_X
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         |      AS qe
+         |  FROM embeddings),
+         |qs AS (SELECT vec_id AS query_id, qe AS qq, label AS qlabel
+         |       FROM e WHERE vec_id % $FILT_QSTRIDE = 0),
+         |sc AS MATERIALIZED (
+         |  SELECT qs.query_id, qs.qlabel, e.vec_id, e.label,
+         |    CAST(SUM((e.qe[t.i] - qs.qq[t.i]) * (e.qe[t.i] - qs.qq[t.i]))
+         |      AS BIGINT) AS dist
+         |  FROM e, qs, range(1, 1000) t(i)
+         |  WHERE t.i <= len(e.qe) AND len(e.qe) = len(qs.qq)
+         |  GROUP BY qs.query_id, qs.qlabel, e.vec_id, e.label),
+         |ex AS (SELECT query_id, vec_id FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY query_id
+         |       ORDER BY dist ASC, vec_id ASC) AS rn
+         |     FROM sc WHERE label = qlabel)
+         |  WHERE rn <= $FILT_TOPK),
+         |short AS MATERIALIZED (
+         |  SELECT query_id, vec_id, label, qlabel, dist
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY dist ASC, vec_id ASC) AS rn FROM sc)
+         |  WHERE rn <= $sln),
+         |post AS (SELECT query_id, vec_id FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY query_id
+         |       ORDER BY dist ASC, vec_id ASC) AS rf
+         |     FROM short WHERE label = qlabel)
+         |  WHERE rf <= $FILT_TOPK),
+         |ne AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |       FROM ex GROUP BY 1),
+         |ph AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS post_hits
+         |       FROM post JOIN ex USING (query_id, vec_id) GROUP BY 1),
+         |sm AS (SELECT query_id, CAST(COUNT(*) AS BIGINT)
+         |         AS shortlist_matches
+         |       FROM short WHERE label = qlabel GROUP BY 1)
+         |SELECT qs.query_id,
+         |  COALESCE(ne.n_exact, 0) AS n_exact,
+         |  COALESCE(ph.post_hits, 0) AS post_hits,
+         |  COALESCE(sm.shortlist_matches, 0) AS shortlist_matches
+         |FROM qs
+         |LEFT JOIN ne USING (query_id)
+         |LEFT JOIN ph USING (query_id)
+         |LEFT JOIN sm USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    },
     // the whole drift story from first principles: drifted corpus
     // (float32-exact +0.25), stale assignment (a1 at the original
     // seeds), probe routing + top-10 at BOTH centroid tables, two
