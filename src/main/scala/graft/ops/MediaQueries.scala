@@ -846,6 +846,98 @@ object MediaQueries {
     * only (the corrupt arm is mm14's contract). One map-side chain
     * per row + the presentation sort, as the whole codec family.
     */
+  /** mm16 sampling target: keep ~3 frames per video (the thumbnail
+    * track density), via stride ⌈nf/3⌉ from frame 1.
+    */
+  private val SAMPLE_TARGET = 3L
+
+  /** mm16: temporal frame SAMPLING over the real container — the
+    * thumbnail-track operation that completes the mandated multimodal
+    * verb set at the byte level (decode mm10/12/14, resize mm11,
+    * frame-sample here): every ⌈nf/3⌉-th frame of a valid GVID is
+    * selected (from frame 1, preserving order) and the sampled track
+    * is RE-ENCODED as a VALID GVID payload — header frame count
+    * updated to the kept count, same geometry, kept frames byte-for-
+    * byte — whose byte length, content hash, and positional checksum
+    * the gate checks (the mm11 re-encode discipline: a sampler that
+    * picks wrong offsets, reorders frames, or writes a stale header
+    * fails on bytes, not on a count). One map-side chain per row.
+    */
+  private val videoFrameSample: Q = (s, dir) => {
+    val valid = gvidPlanted(s, dir).filter(pmod(col("media_id"), lit(3)) =!= 0)
+    val hx = valid
+      .select(
+        col("media_id"),
+        col("nf"),
+        col("vw"),
+        col("vh"),
+        gvidFullHex.as("fullhex")
+      )
+      .select(
+        col("media_id"),
+        col("nf"),
+        col("vw"),
+        col("vh"),
+        (col("vw") * col("vh")).as("npix"),
+        hex(unhex(col("fullhex"))).as("h")
+      )
+    val stride = expr(s"(nf + $SAMPLE_TARGET - 1) DIV $SAMPLE_TARGET")
+    val sampled = hx
+      .withColumn("stride", stride)
+      .withColumn("kept", sequence(lit(1L), col("nf"), col("stride")))
+      .withColumn(
+        "outhex",
+        concat(
+          lit("47564944"),
+          lpad(hex(size(col("kept"))), 2, "0"),
+          lpad(hex(col("vw")), 2, "0"),
+          lpad(hex(col("vh")), 2, "0"),
+          array_join(
+            transform(
+              col("kept"),
+              f =>
+                // the kept frame's pixel bytes, copied verbatim from
+                // the wire: hex chars [15 + 2·(f−1)·npix, +2·npix)
+                col("h").substr(
+                  (lit(15L) + (f - 1) * col("npix") * 2).cast("int"),
+                  (col("npix") * 2).cast("int")
+                )
+            ),
+            ""
+          )
+        )
+      )
+    def bv(startChar: org.apache.spark.sql.Column) =
+      conv(col("oh").substr(startChar.cast("int"), lit(2)), 16, 10)
+        .cast("long")
+    sampled
+      .select(
+        col("media_id"),
+        col("nf").as("nf_in"),
+        col("stride"),
+        size(col("kept")).cast("long").as("nf_out"),
+        hex(unhex(col("outhex"))).as("oh")
+      )
+      .select(
+        col("media_id"),
+        col("nf_in"),
+        col("stride"),
+        col("nf_out"),
+        (octet_length(unhex(col("oh"))) - 7).cast("long").as("npx_out"),
+        graft.functions.PortableHash.h32(col("oh")).cast("long")
+          .as("out_hash"),
+        aggregate(
+          transform(
+            sequence(lit(1L), (octet_length(unhex(col("oh"))) - 7).cast("long")),
+            k => k * bv(lit(13L) + k * 2)
+          ),
+          lit(0L),
+          _ + _
+        ).as("out_possum")
+      )
+      .orderBy("media_id")
+  }
+
   private val videoShotBounds: Q = (s, dir) => {
     val valid = gvidPlanted(s, dir).filter(pmod(col("media_id"), lit(3)) =!= 0)
     val hx = valid
@@ -940,7 +1032,8 @@ object MediaQueries {
     "mm12_audio_decode" -> audioDecode,
     "mm13_audio_segments" -> audioSegments,
     "mm14_video_decode" -> videoDecode,
-    "mm15_video_shots" -> videoShotBounds
+    "mm15_video_shots" -> videoShotBounds,
+    "mm16_frame_sample" -> videoFrameSample
   )
 
   /** DuckDB mirror of [[gwavPlanted]] + [[gwavFullHex]] (CTE list,
@@ -1040,6 +1133,43 @@ object MediaQueries {
          |      nf_hdr * vw * vh), 'sum') AS BIGINT) * 1000) // (vw * vh)
          |    END AS mean_last_milli
          |FROM dec ORDER BY media_id""".stripMargin,
+    // the same strided selection from the same wire bytes, re-encoded
+    // and hashed — header count, kept-frame bytes, positional checksum
+    "mm16_frame_sample" ->
+      s"""WITH ${gvidCtes(corruptArm = false)},
+         |hx AS (SELECT media_id, nf, vw, vh, vw * vh AS npix,
+         |         hex(from_hex(fullhex)) AS h
+         |       FROM gen),
+         |sm AS (
+         |  SELECT media_id, nf, vw, vh, npix,
+         |    (nf + $SAMPLE_TARGET - 1) // $SAMPLE_TARGET AS stride,
+         |    list_transform(
+         |      range(1, nf + 1, (nf + $SAMPLE_TARGET - 1) // $SAMPLE_TARGET),
+         |      f -> substring(h, CAST(15 + 2 * (f - 1) * npix AS BIGINT),
+         |             CAST(2 * npix AS BIGINT))) AS kepthex
+         |  FROM hx),
+         |enc AS (
+         |  SELECT media_id, nf, stride, npix,
+         |    CAST(len(kepthex) AS BIGINT) AS nf_out,
+         |    concat('47564944', lpad(hex(len(kepthex)), 2, '0'),
+         |      lpad(hex(vw), 2, '0'), lpad(hex(vh), 2, '0'),
+         |      array_to_string(kepthex, '')) AS ohraw
+         |  FROM sm),
+         |oh2 AS (SELECT media_id, nf, stride, nf_out,
+         |          hex(from_hex(ohraw)) AS oh
+         |        FROM enc)
+         |SELECT media_id,
+         |  nf AS nf_in,
+         |  stride,
+         |  nf_out,
+         |  CAST(octet_length(from_hex(oh)) - 7 AS BIGINT) AS npx_out,
+         |  ${graft.functions.PortableHash.sqlH32("oh")} AS out_hash,
+         |  CAST(list_aggregate(list_transform(
+         |    range(1, octet_length(from_hex(oh)) - 7 + 1),
+         |    k -> k * CAST(concat('0x',
+         |      substring(oh, CAST(13 + 2 * k AS BIGINT), 2)) AS BIGINT)),
+         |    'sum') AS BIGINT) AS out_possum
+         |FROM oh2 ORDER BY media_id""".stripMargin,
     // the same per-frame means from the same frame bytes, the same
     // thresholded cuts and Σf/Σf² checksums
     "mm15_video_shots" ->

@@ -64,6 +64,32 @@ class VideoCodecSpec extends SparkSpec {
     assert(corrupt > 0, "fixture lost its corrupt arm")
   }
 
+  test("mm16 frame sample re-encodes exactly the strided frames, in order") {
+    val rows = graft.ops.MediaQueries
+      .queries("mm16_frame_sample")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val (nf, vw, vh) = geom(id)
+      val npix = vw * vh
+      val stride = (nf + 2) / 3
+      val kept = (1L to nf by stride).toSeq
+      assert(r.getAs[Long]("stride") === stride, s"id=$id")
+      assert(r.getAs[Long]("nf_out") === kept.size.toLong, s"id=$id")
+      assert(r.getAs[Long]("npx_out") === kept.size * npix, s"id=$id")
+      // independent re-encode: header + kept frames byte-for-byte
+      val out = Array[Byte](0x47, 0x56, 0x49, 0x44, kept.size.toByte,
+        vw.toByte, vh.toByte) ++ kept.flatMap(f =>
+        (0L until npix).map(i => pixel(id, (f - 1) * npix + i, npix).toByte))
+      val possum = out.drop(7).zipWithIndex
+        .map { case (b, k) => (k + 1L) * ((b.toLong + 256) % 256) }
+        .sum
+      assert(r.getAs[Long]("out_possum") === possum,
+        s"id=$id sampled payload bytes diverge from the plain-Scala sampler")
+    }
+  }
+
   test("mm15 shot bounds agree with a plain-Scala segmenter; threshold non-vacuous") {
     val rows = graft.ops.MediaQueries
       .queries("mm15_video_shots")(spark, sfDir)

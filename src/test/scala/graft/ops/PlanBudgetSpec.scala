@@ -552,9 +552,9 @@ class PlanBudgetSpec extends SparkSpec {
     assert(b === 0, s"mm11 broadcasts=$b")
   }
 
-  test("mm12-mm15 audio/video codecs: map-side chains + presentation sort only") {
+  test("mm12-mm16 audio/video codecs: map-side chains + presentation sort only") {
     Seq("mm12_audio_decode", "mm13_audio_segments", "mm14_video_decode",
-      "mm15_video_shots").foreach { q =>
+      "mm15_video_shots", "mm16_frame_sample").foreach { q =>
       val (s, b) = exchanges(run(q))
       assert(s <= 1, s"$q shuffles=$s")
       assert(b === 0, s"$q broadcasts=$b")
