@@ -890,7 +890,8 @@ object StreamQueries {
     // must land on q106's audit table exactly
     "stream22_winsor_clip" -> Relational11.oracle("q106_winsorize_sketch"),
     // the batch spec of the bottom-k sample: per-source rank by the
-    // seeded hash, keep rank <= k, read the KMV estimate off max(h)
+    // seeded hash, keep rank <= k, read the KMV estimate off max(h);
+    // an undersized source's kept set IS the population → exact count
     "stream23_bottomk_sample" -> {
       val k = graft.streaming.StreamBottomK.SAMPLE_K
       val h = graft.functions.PortableHash
@@ -905,7 +906,9 @@ object StreamQueries {
          |  MIN(h) AS min_h,
          |  MAX(h) AS max_h,
          |  CAST(SUM(h) AS BIGINT) AS sample_fp,
-         |  CAST(($k - 1) * 4294967296 AS BIGINT) // MAX(h) AS kmv_est
+         |  CAST(CASE WHEN COUNT(*) < $k THEN COUNT(*)
+         |    ELSE CAST(($k - 1) * 4294967296 AS BIGINT) // MAX(h)
+         |    END AS BIGINT) AS kmv_est
          |FROM kk GROUP BY source ORDER BY source""".stripMargin
     },
     // base ∪ churn re-derived from first principles with the same

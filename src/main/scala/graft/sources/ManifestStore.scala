@@ -1,0 +1,491 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Manifest-committed multi-table store — the transactional primitive
+  * [[PartitionedStore]] lacks: writers stage new files under paths no
+  * reader resolves, then publish by atomically swapping ONE manifest
+  * file; readers resolve every file through the manifest, so a read
+  * observes a complete committed version or the previous one — never
+  * a half-rewritten store, and never a store/sidecar pair from two
+  * different commits (one manifest covers ALL tables of the root, so
+  * a store + its index publish as a single commit). This is the core
+  * of every production table format (Delta's `_delta_log`, Iceberg's
+  * snapshot + manifest lists) re-expressed at its minimum: on an
+  * object store the swap becomes a conditional PUT / metastore CAS;
+  * on the local filesystem it is `Files.move(ATOMIC_MOVE)` — rename(2),
+  * atomic by POSIX contract.
+  *
+  * Layout under a root:
+  * {{{
+  *   _graft/MANIFEST.json            the one swap target
+  *   _data/c<uuid>/<table>/__p_<col>=<v>/part-*.parquet
+  * }}}
+  * Both top-level names start with `_`, so a raw parquet read of the
+  * root sees nothing — there IS no path to the data except through
+  * the manifest. Partition columns stay in the data files (the write
+  * partitions by a `__p_`-prefixed duplicate), so partition pruning
+  * is a MANIFEST lookup — the file list is pruned before Spark ever
+  * lists a directory, strictly earlier than Hive-layout
+  * `PartitionFilters` — and readers still get row-group pruning from
+  * the retained data column.
+  *
+  * Commits never delete data files: superseded versions stay on disk
+  * until [[vacuum]], which is what isolates an in-flight reader that
+  * resolved the previous manifest. Crash-safety falls out of the same
+  * order: staging is invisible, so a crash after any subset of staged
+  * writes — e.g. after the store's files, before the sidecar's —
+  * leaves the manifest pointing at the old, mutually-consistent pair.
+  */
+object ManifestStore {
+
+  /** The main table's name — single-table callers never spell it. */
+  val MAIN = "store"
+
+  sealed trait Mode
+
+  /** Install the staged files as the table's complete content. */
+  case object Replace extends Mode
+
+  /** Replace exactly the partitions present in the staged write; all
+    * other partitions keep their current files (the
+    * [[PartitionedStore.overwritePartitions]] contract, made atomic).
+    */
+  case object Upsert extends Mode
+
+  /** Add the staged files to their partitions' current file lists —
+    * the ingest shape that manufactures small files (cdc18 plants its
+    * compaction pathology through this).
+    */
+  case object Append extends Mode
+
+  /** One parquet file the manifest references: `path` relative to the
+    * root, plus the two stats every planner wants (bytes from the
+    * file status, rows from the parquet footer — metadata, not data).
+    */
+  final case class FileEntry(path: String, bytes: Long, rows: Long)
+
+  final case class PartitionEntry(values: Seq[String], files: Seq[FileEntry]) {
+    def rows: Long = files.map(_.rows).sum
+    def bytes: Long = files.map(_.bytes).sum
+  }
+
+  final case class TableState(
+      partitionCols: Seq[String],
+      schemaDdl: String,
+      partitions: Map[String, PartitionEntry]
+  )
+
+  /** A staged-but-unpublished write: files exist on disk under
+    * `dir` (unreferenced by any manifest), nothing is visible until
+    * [[commit]] swaps them in.
+    */
+  final case class Staged(
+      table: String,
+      dir: String,
+      partitionCols: Seq[String],
+      schemaDdl: String,
+      mode: Mode
+  )
+
+  /** One parsed manifest: every read through the same snapshot sees
+    * one committed version across ALL tables — the isolation unit.
+    */
+  final class Snapshot private[ManifestStore] (
+      val spark: SparkSession,
+      val root: String,
+      val version: Long,
+      val tables: Map[String, TableState]
+  ) {
+    def hasTable(table: String): Boolean = tables.contains(table)
+
+    private def resolve(files: Seq[FileEntry]): Seq[String] =
+      files.map(f => root + "/" + f.path)
+
+    private def readFiles(st: TableState, files: Seq[String]): DataFrame = {
+      val schema = StructType.fromDDL(st.schemaDdl)
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          schema
+        )
+      else spark.read.schema(schema).parquet(files: _*)
+    }
+
+    def read(table: String = MAIN): DataFrame = {
+      val st = state(table)
+      readFiles(st, resolve(st.partitions.values.flatMap(_.files).toSeq))
+    }
+
+    /** Manifest-level partition pruning: only the named partitions'
+      * files reach the scan — the reader never lists, let alone
+      * opens, any other partition's files. `values` match on the
+      * stringified partition value (single partition column).
+      */
+    def readPartitions(table: String, values: Seq[Any]): DataFrame = {
+      val st = state(table)
+      require(st.partitionCols.length == 1,
+        s"readPartitions prunes on a single partition column, " +
+          s"'$table' has ${st.partitionCols.mkString(",")}")
+      val want = values.map(_.toString).toSet
+      val files = st.partitions.collect {
+        case (_, p) if want.contains(p.values.head) => p.files
+      }.flatten.toSeq
+      readFiles(st, resolve(files))
+    }
+
+    def state(table: String): TableState =
+      tables.getOrElse(
+        table,
+        throw new IllegalArgumentException(
+          s"no table '$table' in manifest v$version at $root " +
+            s"(tables: ${tables.keys.toSeq.sorted.mkString(",")})"
+        )
+      )
+
+    /** Per-partition (value, nFiles, rows, bytes) — the driver-side
+      * stats read that replaces full-scan counts (a rebalance's
+      * `total`, q86's file census) with manifest metadata.
+      */
+    def partitionStats(table: String = MAIN): Seq[(String, Int, Long, Long)] =
+      state(table).partitions.values
+        .map(p => (p.values.mkString("/"), p.files.length, p.rows, p.bytes))
+        .toSeq
+        .sortBy(_._1)
+
+    def totalRows(table: String = MAIN): Long =
+      state(table).partitions.values.map(_.rows).sum
+
+    /** Root-relative paths of the table's current files. */
+    def filePaths(table: String = MAIN): Seq[String] =
+      state(table).partitions.values.flatMap(_.files.map(_.path)).toSeq.sorted
+
+    /** (partition value string, root-relative path, bytes, rows) per
+      * current file — the manifest AS a table, for file-census
+      * queries (q86's production input).
+      */
+    def fileStats(table: String = MAIN): Seq[(String, String, Long, Long)] =
+      state(table).partitions.values.flatMap { p =>
+        p.files.map(f => (p.values.mkString("/"), f.path, f.bytes, f.rows))
+      }.toSeq.sortBy(_._2)
+  }
+
+  private def manifestDir(root: String) = root + "/_graft"
+  private def manifestPath(root: String) = manifestDir(root) + "/MANIFEST.json"
+
+  /** Local filesystem path of a possibly `file:`-prefixed root. */
+  private def localPath(p: String): java.nio.file.Path = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    require(u.getScheme == null || u.getScheme == "file",
+      s"ManifestStore's atomic swap is local-filesystem (rename(2)); " +
+        s"an object store deployment swaps via conditional PUT: $p")
+    java.nio.file.Paths.get(u.getPath)
+  }
+
+  def exists(spark: SparkSession, root: String): Boolean =
+    java.nio.file.Files.exists(localPath(manifestPath(root)))
+
+  // ---------------------------------------------------------------
+  // Staging
+  // ---------------------------------------------------------------
+
+  private def newCommitDir(root: String, table: String): String =
+    s"$root/_data/c${java.util.UUID.randomUUID().toString.take(8)}/$table"
+
+  /** Physically write `df`'s files under a fresh, unreferenced commit
+    * directory — clustered by the partition columns so each partition
+    * lands as one file per holding shuffle task, partitioned on disk
+    * by `__p_` duplicates so the REAL columns stay in the data. No
+    * reader can observe anything until [[commit]].
+    */
+  def stage(
+      df: DataFrame,
+      root: String,
+      table: String,
+      partitionCols: Seq[String],
+      mode: Mode
+  ): Staged = {
+    val dir = newCommitDir(root, table)
+    val dups = partitionCols.map("__p_" + _)
+    val withDups = partitionCols.foldLeft(df)((d, c) =>
+      d.withColumn("__p_" + c, col(c)))
+    val clustered =
+      if (partitionCols.nonEmpty)
+        withDups.repartition(partitionCols.map(col): _*)
+      else withDups
+    val writer = clustered.write.mode("overwrite")
+    (if (dups.nonEmpty) writer.partitionBy(dups: _*) else writer).parquet(dir)
+    Staged(table, dir, partitionCols, df.schema.toDDL, mode)
+  }
+
+  /** A fresh unreferenced directory for callers that run their own
+    * physical write (exact file placement — [[Compaction.writeBinned]]);
+    * pair with [[Staged]] and [[commit]].
+    */
+  def stageDir(root: String, table: String): String =
+    newCommitDir(root, table)
+
+  // ---------------------------------------------------------------
+  // Commit
+  // ---------------------------------------------------------------
+
+  /** Decode the `%xx` escapes Spark's partitioned write applies to
+    * special characters in partition-directory values.
+    */
+  private def unescape(s: String): String = {
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          // %xx — two hex digits follow by construction of the escape
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+  }
+
+  /** List one staged directory's parquet files, grouped by partition
+    * values parsed from the `__p_<col>=<v>` path segments. Driver-side
+    * and manifest-sized; rows come from each file's parquet footer
+    * (metadata, never a data scan).
+    */
+  private def listStaged(
+      spark: SparkSession,
+      root: String,
+      st: Staged
+  ): Map[String, PartitionEntry] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(st.dir)
+    val fs = dirPath.getFileSystem(conf)
+    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    val out = scala.collection.mutable.Map.empty[String, PartitionEntry]
+    val it = fs.listFiles(dirPath, true)
+    while (it.hasNext) {
+      val status = it.next()
+      val name = status.getPath.getName
+      if (status.isFile && name.endsWith(".parquet") &&
+        !name.startsWith("_") && !name.startsWith(".")) {
+        val full = status.getPath.toUri.getPath
+        require(full.startsWith(rootUri + "/"), s"$full outside $root")
+        val rel = full.stripPrefix(rootUri + "/")
+        val segs = full.split('/')
+        val values = st.partitionCols.map { c =>
+          val pfx = s"__p_$c="
+          segs.collectFirst { case s if s.startsWith(pfx) =>
+            unescape(s.stripPrefix(pfx))
+          }.getOrElse(throw new IllegalStateException(
+            s"staged file $rel has no $pfx segment"))
+        }
+        val rows = {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(status, conf)
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try rdr.getRecordCount
+          finally rdr.close()
+        }
+        val key = values.mkString("/")
+        val entry = FileEntry(rel, status.getLen, rows)
+        out.update(key, out.get(key) match {
+          case Some(p) => p.copy(files = p.files :+ entry)
+          case None    => PartitionEntry(values, Seq(entry))
+        })
+      }
+    }
+    out.toMap
+  }
+
+  /** Publish staged writes as ONE new manifest version: merge each
+    * staged table into the previous manifest per its [[Mode]], write
+    * the new manifest to a dotfile, and atomically swap it in. All
+    * staged tables become visible together or — on any failure or
+    * crash before the swap — not at all; the previous version's files
+    * are untouched either way.
+    */
+  def commit(spark: SparkSession, root: String, staged: Seq[Staged]): Long = {
+    require(staged.nonEmpty, "nothing staged")
+    val prev =
+      if (exists(spark, root)) Some(snapshot(spark, root)) else None
+    var tables: Map[String, TableState] =
+      prev.map(_.tables).getOrElse(Map.empty)
+    staged.foreach { st =>
+      val found = listStaged(spark, root, st)
+      val next = (tables.get(st.table), st.mode) match {
+        case (_, Replace) | (None, _) =>
+          TableState(st.partitionCols, st.schemaDdl, found)
+        case (Some(cur), Upsert) =>
+          requireCompatible(st, cur)
+          cur.copy(partitions = cur.partitions ++ found)
+        case (Some(cur), Append) =>
+          requireCompatible(st, cur)
+          val merged = found.foldLeft(cur.partitions) { case (acc, (k, p)) =>
+            acc.get(k) match {
+              case Some(old) => acc.updated(k, old.copy(files = old.files ++ p.files))
+              case None      => acc.updated(k, p)
+            }
+          }
+          cur.copy(partitions = merged)
+      }
+      tables = tables.updated(st.table, next)
+    }
+    val version = prev.map(_.version + 1).getOrElse(1L)
+    swapIn(root, version, tables)
+    version
+  }
+
+  private def requireCompatible(st: Staged, cur: TableState): Unit = {
+    require(st.partitionCols == cur.partitionCols,
+      s"table '${st.table}': partition columns ${st.partitionCols} != " +
+        s"manifest's ${cur.partitionCols}")
+    require(st.schemaDdl == cur.schemaDdl,
+      s"table '${st.table}': staged schema <${st.schemaDdl}> != " +
+        s"manifest's <${cur.schemaDdl}> — additive evolution goes " +
+        "through Replace (the q110 path), not a silent merge")
+  }
+
+  /** Delete every `_data` file the CURRENT manifest no longer
+    * references (superseded versions, aborted stagings) — the reader
+    * isolation window ends here. Returns the number of files removed.
+    */
+  def vacuum(spark: SparkSession, root: String): Int = {
+    val snap = snapshot(spark, root)
+    val live: Set[String] = snap.tables.values.flatMap(
+      _.partitions.values.flatMap(_.files.map(_.path))).toSet
+    val dataDir = localPath(root + "/_data")
+    if (!java.nio.file.Files.exists(dataDir)) return 0
+    val rootP = localPath(root)
+    var removed = 0
+    import scala.jdk.CollectionConverters._
+    val all = java.nio.file.Files.walk(dataDir).iterator().asScala.toSeq
+    all.foreach { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val rel = rootP.relativize(p).toString
+        if (!live.contains(rel)) {
+          java.nio.file.Files.delete(p)
+          removed += 1
+        }
+      }
+    }
+    // sweep now-empty directories bottom-up
+    all.sortBy(-_.getNameCount).foreach { p =>
+      if (java.nio.file.Files.isDirectory(p) &&
+        !java.nio.file.Files.list(p).iterator().hasNext)
+        java.nio.file.Files.delete(p)
+    }
+    removed
+  }
+
+  // ---------------------------------------------------------------
+  // Manifest serialization (Jackson tree API — on Spark's classpath)
+  // ---------------------------------------------------------------
+
+  private def swapIn(
+      root: String,
+      version: Long,
+      tables: Map[String, TableState]
+  ): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val doc = mapper.createObjectNode()
+    doc.put("version", version)
+    val tablesNode = doc.putObject("tables")
+    tables.toSeq.sortBy(_._1).foreach { case (name, st) =>
+      val t = tablesNode.putObject(name)
+      val pc = t.putArray("partitionCols")
+      st.partitionCols.foreach(pc.add)
+      t.put("schemaDdl", st.schemaDdl)
+      val parts = t.putObject("partitions")
+      st.partitions.toSeq.sortBy(_._1).foreach { case (key, p) =>
+        val pn = parts.putObject(key)
+        val vs = pn.putArray("values")
+        p.values.foreach(vs.add)
+        val fsN = pn.putArray("files")
+        p.files.foreach { f =>
+          val fn = fsN.addObject()
+          fn.put("path", f.path)
+          fn.put("bytes", f.bytes)
+          fn.put("rows", f.rows)
+        }
+      }
+    }
+    val dir = localPath(manifestDir(root))
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s".staged-${java.util.UUID.randomUUID()}.json")
+    java.nio.file.Files.write(
+      tmp,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(doc)
+    )
+    // THE commit point: one rename(2). Before it, readers resolve the
+    // previous manifest; after it, the new one — nothing in between.
+    java.nio.file.Files.move(
+      tmp,
+      localPath(manifestPath(root)),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE
+    )
+  }
+
+  def snapshot(spark: SparkSession, root: String): Snapshot = {
+    val bytes = java.nio.file.Files.readAllBytes(localPath(manifestPath(root)))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val doc = mapper.readTree(bytes)
+    import scala.jdk.CollectionConverters._
+    val tables = doc.get("tables").properties().asScala.map { e =>
+      val t = e.getValue
+      val pcols = t.get("partitionCols").elements().asScala
+        .map(_.asText()).toSeq
+      val parts = t.get("partitions").properties().asScala.map { pe =>
+        val p = pe.getValue
+        val values = p.get("values").elements().asScala.map(_.asText()).toSeq
+        val files = p.get("files").elements().asScala.map { f =>
+          FileEntry(
+            f.get("path").asText(),
+            f.get("bytes").asLong(),
+            f.get("rows").asLong()
+          )
+        }.toSeq
+        pe.getKey -> PartitionEntry(values, files)
+      }.toMap
+      e.getKey -> TableState(pcols, t.get("schemaDdl").asText(), parts)
+    }.toMap
+    new Snapshot(spark, root, doc.get("version").asLong(), tables)
+  }
+
+  // ---------------------------------------------------------------
+  // Single-table conveniences (stage + commit in one call)
+  // ---------------------------------------------------------------
+
+  def write(
+      df: DataFrame,
+      root: String,
+      partitionCols: Seq[String],
+      table: String = MAIN
+  ): Long =
+    commit(df.sparkSession, root,
+      Seq(stage(df, root, table, partitionCols, Replace)))
+
+  def upsertPartitions(
+      batch: DataFrame,
+      root: String,
+      partitionCols: Seq[String],
+      table: String = MAIN
+  ): Long =
+    commit(batch.sparkSession, root,
+      Seq(stage(batch, root, table, partitionCols, Upsert)))
+
+  def append(
+      batch: DataFrame,
+      root: String,
+      partitionCols: Seq[String],
+      table: String = MAIN
+  ): Long =
+    commit(batch.sparkSession, root,
+      Seq(stage(batch, root, table, partitionCols, Append)))
+
+  def read(spark: SparkSession, root: String, table: String = MAIN): DataFrame =
+    snapshot(spark, root).read(table)
+}

@@ -78,7 +78,10 @@ object StreamBottomK {
 
   /** The serving read: per source, the sample size, its hash span,
     * the order-free Σh fingerprint, and the KMV distinct estimate
-    * read off the kept set's largest hash.
+    * read off the kept set's largest hash. When a source holds fewer
+    * than k distinct docs the kept set IS the population, so the
+    * exact n_kept is the estimate — the (k−1)·2³²/h₍ₖ₎ formula only
+    * applies once the k-th minimum is a real order statistic.
     */
   def serve(state: State, k: Long = SAMPLE_K): DataFrame =
     state.kept.get
@@ -88,8 +91,11 @@ object StreamBottomK {
         min(col("h")).as("min_h"),
         max(col("h")).as("max_h"),
         sum(col("h")).as("sample_fp"),
-        expr(s"CAST(($k - 1) * 4294967296 AS BIGINT) div max(h)")
-          .as("kmv_est")
+        expr(
+          s"""CAST(CASE WHEN count(1) < $k THEN count(1)
+             |ELSE CAST(($k - 1) * 4294967296 AS BIGINT) div max(h)
+             |END AS BIGINT)""".stripMargin
+        ).as("kmv_est")
       )
       .orderBy("source")
 

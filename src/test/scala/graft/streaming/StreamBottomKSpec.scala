@@ -68,4 +68,32 @@ class StreamBottomKSpec extends SparkSpec {
         s"${r.getString(0)}: est=$est true=$nd")
     }
   }
+
+  test("an undersized source reports its exact count, not the KMV formula") {
+    // 3 synthetic sources: two far below k, one far above — the serve
+    // read must switch between exact count and the KMV estimator
+    import spark.implicits._
+    val k = StreamBottomK.SAMPLE_K
+    val small = (0L until 3L).map(("tiny", _)) ++
+      (100L until 100L + k - 1L).map(("undersized", _)) ++
+      (1000L until 5000L).map(("big", _))
+    val df = small.toDF("source", "doc_id")
+    val state = StreamBottomK.newState(spark)
+    StreamBottomK.ingest(state, df)
+    val out = StreamBottomK
+      .serve(state)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("kmv_est")))
+      .toMap
+    state.close()
+    assert(out("tiny") === ((3L, 3L)), "kept set IS the population")
+    assert(out("undersized")._1 === k - 1L)
+    assert(out("undersized")._2 === k - 1L,
+      "n_kept < k must report the exact count")
+    assert(out("big")._1 === k)
+    val est = out("big")._2.toDouble
+    assert(est > 4000 * 0.4 && est < 4000 * 2.5,
+      s"saturated source must use the KMV formula: est=$est true=4000")
+  }
 }
