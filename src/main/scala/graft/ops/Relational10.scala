@@ -318,6 +318,10 @@ object Relational10 {
       .withColumn("__rn", row_number().over(w))
       .withColumn("file_id", expr(s"CAST((__rn - 1) DIV $DOCS_PER_FILE AS BIGINT)"))
       .drop("__rn")
+      // pre-compaction each ingest file is its own bin, so the store's
+      // schema is stable across plant → churn → compaction (the
+      // manifest's Upsert commit requires one shape per table)
+      .withColumn("bin", col("file_id"))
   }
 
   private val compactionExecute: Q = (s, dir) => {
@@ -325,7 +329,7 @@ object Relational10 {
     graft.sources.Scratch.withTempDir("graft-compact") { path =>
       graft.sources.Compaction
         .writeBinned(docs, path, "source", "file_id", dynamic = false)
-      val store = graft.sources.PartitionedStore.read(s, path)
+      val store = graft.sources.ManifestStore.read(s, path)
       val files = store
         .groupBy(col("source"), col("file_id"))
         .agg(sum(col("n_chars")).as("bytes"))
@@ -333,7 +337,7 @@ object Relational10 {
         .plan(files, "source", "file_id", "bytes", COMPACT_TARGET)
         .select(col("source"), col("file_id"), col("bin"))
       graft.sources.Compaction.execute(s, path, "source", Seq("file_id"), binPlan)
-      graft.sources.PartitionedStore
+      graft.sources.ManifestStore
         .read(s, path)
         .groupBy(col("source"))
         .agg(

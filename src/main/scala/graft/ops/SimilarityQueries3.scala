@@ -142,7 +142,7 @@ object SimilarityQueries3 {
     try
       graft.sources.Scratch.withTempDir("graft-sim27") { path =>
         graft.sim.IvfStore.build(emb, cents, path, indexed = true)
-        val before = graft.sources.PartitionedStore
+        val before = graft.sources.ManifestStore
           .read(s, path)
           .select(col("vec_id"), col("cell").cast("long").as("cell_before"))
           .localCheckpoint(true)
@@ -150,7 +150,7 @@ object SimilarityQueries3 {
           graft.sim.IvfStore.retrain(s, path, cents, RETRAIN_ITERS)
         try {
           graft.sim.IvfStore.rebalance(s, path, newCents)
-          val after = graft.sources.PartitionedStore
+          val after = graft.sources.ManifestStore
             .read(s, path)
             .withColumn("cell", col("cell").cast("long"))
           val afterStats = after
@@ -260,7 +260,7 @@ object SimilarityQueries3 {
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
           .localCheckpoint(true)
         // brute-force truth over the LIVE store contents
-        val live = graft.sources.PartitionedStore
+        val live = graft.sources.ManifestStore
           .read(s, path)
           .select(
             col("vec_id"),

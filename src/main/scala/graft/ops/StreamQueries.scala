@@ -372,15 +372,13 @@ object StreamQueries {
             col("n_chars"),
             lit(1000000L + b).as("file_id")
           )
-        // one small file per source per batch: the ingest pathology
-        batch
-          .repartition(col("source"))
-          .write
-          .partitionBy("source")
-          .mode("append")
-          .parquet(path)
+          .withColumn("bin", col("file_id"))
+        // one small file per source per batch, appended through an
+        // atomic manifest commit: the ingest pathology, created the
+        // way a transactional ingest actually creates it
+        graft.sources.ManifestStore.append(batch, path, Seq("source"))
       }
-      val store = graft.sources.PartitionedStore.read(s, path)
+      val store = graft.sources.ManifestStore.read(s, path)
       val files = store
         .groupBy(col("source"), col("file_id"))
         .agg(sum(col("n_chars")).as("bytes"))
@@ -389,7 +387,7 @@ object StreamQueries {
         .select(col("source"), col("file_id"), col("bin"))
       graft.sources.Compaction
         .execute(s, path, "source", Seq("file_id"), binPlan)
-      graft.sources.PartitionedStore
+      graft.sources.ManifestStore
         .read(s, path)
         .groupBy(col("source"))
         .agg(
@@ -410,7 +408,7 @@ object StreamQueries {
 
   private val ivfMaintain: Q = (s, dir) =>
     withIvfChurn(s, dir, indexed = false) { path =>
-      graft.sources.PartitionedStore
+      graft.sources.ManifestStore
         .read(s, path)
         .select(
           col("vec_id"),
@@ -431,13 +429,8 @@ object StreamQueries {
     */
   private val ivfIndexMaintain: Q = (s, dir) =>
     withIvfChurn(s, dir, indexed = true) { path =>
-      s.read
-        .parquet(graft.sim.IvfStore.indexPath(path))
-        .select(
-          col("vec_id"),
-          col("cell").cast("long").as("cell"),
-          col("ibucket").cast("long").as("ibucket")
-        )
+      graft.sim.IvfStore
+        .readIndexTable(s, path)
         .orderBy("vec_id")
     }
 

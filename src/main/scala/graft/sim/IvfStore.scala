@@ -1,38 +1,51 @@
 package graft.sim
 
-import graft.sources.PartitionedStore
+import graft.sources.ManifestStore
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF index as a STORAGE LAYOUT: vectors written to parquet
   * partitioned by their nearest-centroid cell, served by reading ONLY
-  * the probed cells' directories — `sim06` turns its cell routing
-  * into directory pruning, the serving shape every vector store uses
-  * (FAISS IVF lists, Milvus segments: the list IS the file).
+  * the probed cells' files — `sim06` turns its cell routing into
+  * manifest pruning, the serving shape every vector store uses (FAISS
+  * IVF lists, Milvus segments: the list IS the file).
   *
   * Build: one broadcast-assign pass (K·D integer multiply-adds per
   * vector — the sim18/sim23 exact micro-unit discipline) and one
-  * partitioned write, clustered by cell so each inverted list lands
-  * as one file per holding shuffle partition (see
-  * [[graft.sources.PartitionedStore]]). Serve: the query's nProbe
-  * nearest cells come from a
-  * K-row driver computation (the sanctioned tiny collect — the
-  * centroid table is the index's only driver-resident state), and the
-  * `cell IN (...)` filter prunes at the DIRECTORY listing —
-  * `PartitionFilters` in the scan, spec-pinned — so a 1000-cell store
-  * reads nProbe/1000 of its bytes per query. Scoring inside probed
-  * cells is exact integer L2 (bit-reproducible); results are exactly
-  * brute force restricted to the probed cells, and nProbe = K is
-  * exhaustive by construction.
+  * partitioned write committed through
+  * [[graft.sources.ManifestStore]]. Serve: the query's nProbe nearest
+  * cells come from a K-row driver computation (the sanctioned tiny
+  * collect — the centroid table is the index's only driver-resident
+  * state), and the probed cells prune at the MANIFEST — the reader
+  * never lists, let alone opens, any other cell's files (spec-pinned
+  * via inputFiles) — so a 1000-cell store reads nProbe/1000 of its
+  * bytes per query. Scoring inside probed cells is exact integer L2
+  * (bit-reproducible); results are exactly brute force restricted to
+  * the probed cells, and nProbe = K is exhaustive by construction.
   *
   * At 100 TB: cells are also the UPSERT unit — a re-embedded batch
-  * rewrites only its touched cells via
-  * [[PartitionedStore.overwritePartitions]], never the store.
+  * rewrites only its touched cells, and every maintenance action
+  * (build, upsert, delete, rebalance) publishes the store AND its
+  * id→cell sidecar as ONE atomic manifest commit: a reader mid-rewrite
+  * resolves the previous complete version, and a crash between the
+  * staged store write and the staged sidecar write leaves the old,
+  * mutually-consistent pair visible (the transactional guarantee the
+  * reference's per-CRUD `@Transactional` gives its row store —
+  * quarkus_cloud_run/.../MessageResource.java:19 — re-expressed for
+  * multi-file analytical rewrites).
   */
 object IvfStore {
 
   private def quant(c: Column): Column = IntVec.quant(c)
   private def dist2(a: Column, b: Column): Column = IntVec.dist2(a, b)
+
+  /** Manifest table names under one store root: the inverted lists,
+    * the id→cell sidecar, and the sidecar's routing modulus. One
+    * manifest covers all three — they can only change together.
+    */
+  private val STORE = ManifestStore.MAIN
+  private val INDEX = "index"
+  private val META = "meta"
 
   /** Deterministic stride-sampled centroid table (cell 1..k), the
     * sim06/sim23 seeding: (cell, qc: array<long>).
@@ -97,50 +110,41 @@ object IvfStore {
     * hundred MB (the fixture default stays small — each maintenance
     * batch pays one file per touched bucket, so the constant is
     * listing overhead at toy scale); the chosen count is PERSISTED
-    * in the sidecar's `_meta` and read back by every maintenance and
+    * in the `meta` table and read back by every maintenance and
     * serving path, so a store built at any B maintains correctly
     * (IvfMaintainSpec pins B=7).
     */
   private[graft] val INDEX_BUCKETS = 4
 
-  /** The sidecar lives INSIDE the store at `_index/` — names starting
-    * with `_` are invisible to Spark's file listing, so reads of the
-    * store's own parquet never see it.
-    */
-  private[graft] def indexPath(path: String): String = path + "/_index"
-
-  /** The sidecar's own metadata (its bucket count) lives at
-    * `_index/_meta` — underscore-invisible to parquet reads of the
-    * index rows themselves, exactly as the index is to the store.
-    */
-  private[graft] def metaPath(path: String): String =
-    indexPath(path) + "/_meta"
-
   private def ibucket(id: Column, buckets: Int): Column =
     pmod(graft.functions.PortableHash.h32(id.cast("string")),
       lit(buckets.toLong))
 
-  /** The bucket count the store was BUILT with — the persisted
-    * `_meta` row, falling back to [[INDEX_BUCKETS]] for sidecars
-    * written before the count was persisted. Hash routing must use
-    * the store's own count, never the caller's: a probe at the wrong
-    * modulus reads the wrong buckets and silently misses live cells.
+  /** The bucket count the store was BUILT with — the persisted `meta`
+    * row. Hash routing must use the store's own count, never the
+    * caller's: a probe at the wrong modulus reads the wrong buckets
+    * and silently misses live cells.
     */
-  private def storedIndexBuckets(spark: SparkSession, path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(metaPath(path))
-    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      spark.read.parquet(metaPath(path)).head.getAs[Int]("index_buckets")
+  private def storedIndexBuckets(snap: ManifestStore.Snapshot): Int =
+    if (snap.hasTable(META))
+      snap.read(META).head.getAs[Int]("index_buckets")
     else INDEX_BUCKETS
-  }
 
-  private def readIndex(spark: SparkSession, path: String): DataFrame =
-    PartitionedStore
-      .read(spark, indexPath(path))
+  private def readIndex(snap: ManifestStore.Snapshot): DataFrame =
+    snap
+      .read(INDEX)
       .select(
         col("vec_id"),
         col("cell").cast("long").as("cell"),
         col("ibucket").cast("long").as("ibucket")
       )
+
+  /** The sidecar's full content — the cdc16 gate and the maintenance
+    * specs read the index AS A TABLE through the same manifest
+    * resolution every probe uses.
+    */
+  def readIndexTable(spark: SparkSession, path: String): DataFrame =
+    readIndex(ManifestStore.snapshot(spark, path))
 
   /** The index buckets `ids` hash into — a ≤buckets-row driver read
     * (bucket domain, not batch size).
@@ -154,11 +158,11 @@ object IvfStore {
       .toSeq
 
   /** Assign every vector to its nearest centroid and write the store
-    * partitioned by cell (one directory per inverted list) —
-    * optionally with the id→cell sidecar under `_index/`. The sidecar
-    * is a STORE property, auto-detected by the maintenance ops: with
-    * it, old-cell lookups prune to the batch's hash buckets (the
-    * shape for stores whose id column alone is too big to scan);
+    * partitioned by cell (one file set per inverted list) — optionally
+    * with the id→cell sidecar, all tables in ONE manifest commit. The
+    * sidecar is a STORE property, auto-detected by the maintenance
+    * ops: with it, old-cell lookups prune to the batch's hash buckets
+    * (the shape for stores whose id column alone is too big to scan);
     * without it, lookups fall back to the column-pruned store id
     * scan, which is the cheaper choice until that crossover — at
     * fixture scale the sidecar's extra write paths cost more than
@@ -174,44 +178,34 @@ object IvfStore {
       indexed: Boolean = false,
       indexBuckets: Int = INDEX_BUCKETS
   ): Unit = {
+    val spark = embeddings.sparkSession
     if (!indexed) {
-      PartitionedStore.write(assign(embeddings, cents), path, Seq("cell"))
+      ManifestStore.commit(spark, path, Seq(
+        ManifestStore.stage(assign(embeddings, cents), path, STORE,
+          Seq("cell"), ManifestStore.Replace)
+      ))
     } else {
       require(indexBuckets > 0, s"indexBuckets must be positive: $indexBuckets")
       val assigned = assign(embeddings, cents).localCheckpoint(true)
-      PartitionedStore.write(assigned, path, Seq("cell"))
-      PartitionedStore.write(
-        assigned.select(
-          col("vec_id"),
-          col("cell"),
-          ibucket(col("vec_id"), indexBuckets).as("ibucket")
-        ),
-        indexPath(path),
-        Seq("ibucket")
-      )
-      // persist the routing modulus WITH the sidecar: maintenance
-      // must hash with the store's own count, not the caller's
-      val spark = embeddings.sparkSession
       import spark.implicits._
-      Seq(indexBuckets)
-        .toDF("index_buckets")
-        .coalesce(1)
-        .write
-        .mode("overwrite")
-        .parquet(metaPath(path))
+      // store + sidecar + routing modulus appear TOGETHER or not at
+      // all — the single-commit contract from the first version on
+      ManifestStore.commit(spark, path, Seq(
+        ManifestStore.stage(assigned, path, STORE, Seq("cell"),
+          ManifestStore.Replace),
+        ManifestStore.stage(
+          assigned.select(
+            col("vec_id"),
+            col("cell"),
+            ibucket(col("vec_id"), indexBuckets).as("ibucket")
+          ),
+          path, INDEX, Seq("ibucket"), ManifestStore.Replace),
+        ManifestStore.stage(
+          Seq(indexBuckets).toDF("index_buckets").coalesce(1),
+          path, META, Seq.empty, ManifestStore.Replace)
+      ))
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(assigned)
     }
-  }
-
-  /** Whether `path` carries the id→cell sidecar — resolved through
-    * Hadoop's FileSystem (the same resolution the reads use), so
-    * URI-form and non-local paths detect the index the reads would
-    * see; a java.nio probe on the raw string would silently report
-    * "no index" for `file:/...` and skip maintenance.
-    */
-  private def hasIndex(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(indexPath(path))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Old-cell probe without a sidecar: semi-join the batch against
@@ -219,12 +213,11 @@ object IvfStore {
     * O(store ids); right below the sidecar crossover.
     */
   private def cellsByScan(
-      spark: SparkSession,
-      path: String,
+      snap: ManifestStore.Snapshot,
       ids: DataFrame
   ): DataFrame =
-    PartitionedStore
-      .read(spark, path)
+    snap
+      .read(STORE)
       .join(ids.select("vec_id"), Seq("vec_id"), "left_semi")
       .select(col("cell").cast("long").as("cell"))
 
@@ -236,33 +229,31 @@ object IvfStore {
     * new cells) and delete (distinct-collects it).
     */
   private def cellsByIndex(
-      spark: SparkSession,
-      path: String,
+      snap: ManifestStore.Snapshot,
       ids: DataFrame,
       bkts: Seq[Long]
   ): DataFrame =
-    readIndex(spark, path)
-      .filter(col("ibucket").isin(bkts: _*))
+    snap
+      .readPartitions(INDEX, bkts)
       .join(ids.select("vec_id"), Seq("vec_id"), "left_semi")
-      .select("cell")
+      .select(col("cell").cast("long").as("cell"))
 
   /** Validated rewrite of the `ids`-touched index buckets, NOT yet
     * written: current entries of those buckets minus `ids`, plus
     * `entries` (the batch's new (vec_id, cell) rows; empty for a
     * delete), eagerly materialized. With `guardEmpty`, fails loudly
     * if a bucket that HELD rows would end empty — the same resurrect
-    * hazard as [[overwriteTouched]] (a batch id hashing into a
+    * hazard as [[validatedCellRewrite]] (a batch id hashing into a
     * never-populated bucket is NOT a drop, so the guard compares
     * against the buckets' pre-rewrite occupancy, not `bkts`). An
     * upserted bucket can never empty (every batch id re-inserts a
     * row into its own bucket), so only the delete path pays the
-    * guard jobs. Validation is split from the write so a caller can
-    * check BOTH the store and index rewrites before writing either —
-    * a guard abort must leave the pair consistent.
+    * guard jobs. Validation runs BEFORE anything is staged or
+    * committed — a guard abort leaves the manifest untouched, so the
+    * pair stays consistent by construction.
     */
   private def preparedIndexRewrite(
-      spark: SparkSession,
-      path: String,
+      snap: ManifestStore.Snapshot,
       ids: DataFrame,
       bkts: Seq[Long],
       entries: DataFrame,
@@ -271,8 +262,13 @@ object IvfStore {
   ): Option[DataFrame] =
     if (bkts.isEmpty) None
     else {
-      val current = readIndex(spark, path)
-        .filter(col("ibucket").isin(bkts: _*))
+      val current = snap
+        .readPartitions(INDEX, bkts)
+        .select(
+          col("vec_id"),
+          col("cell").cast("long").as("cell"),
+          col("ibucket").cast("long").as("ibucket")
+        )
       val rewritten = current
         .join(ids.select("vec_id"), Seq("vec_id"), "left_anti")
         .unionByName(
@@ -300,44 +296,24 @@ object IvfStore {
         require(
           emptied.isEmpty,
           s"IvfStore: index bucket(s) ${emptied.toSeq.sorted.mkString(",")} " +
-            "would empty: dynamic partition overwrite cannot drop a partition"
+            "would empty: an upsert-mode commit keeps absent partitions, " +
+            "so the emptied bucket would resurrect its old entries"
         )
       }
       Some(rewritten)
     }
 
-  /** Write a [[preparedIndexRewrite]] frame and release it. */
-  private def commitIndexRewrite(path: String, frame: Option[DataFrame]): Unit =
-    frame.foreach { f =>
-      PartitionedStore.overwritePartitions(f, indexPath(path), Seq("ibucket"))
-      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(f)
-    }
-
-  /** Rewrite exactly the `touched` cells with `rewritten` via dynamic
-    * partition overwrite, failing loudly if a touched cell would end
-    * EMPTY: an absent partition in the incoming frame is left
-    * untouched on disk (parquet has no partition-drop), so an emptied
-    * cell would silently resurrect its old files — stale rows after a
-    * move-away, deleted rows after a delete. At that point the store
-    * needs a partition-drop-capable table format (Delta/Iceberg
-    * replaceWhere) or a rebuild; the fixture never empties a cell.
-    * The `rewritten` frame is materialized first so the emptiness
-    * check and the write read one computation.
-    */
-  private def overwriteTouched(
-      rewritten: DataFrame,
-      touched: Seq[Long],
-      path: String
-  ): Unit = {
-    val frame = validatedCellRewrite(rewritten, touched)
-    PartitionedStore.overwritePartitions(frame, path, Seq("cell"))
-    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(frame)
-  }
-
-  /** The check half of [[overwriteTouched]]: eagerly materialize the
-    * rewrite and fail loudly if a touched cell would end empty —
-    * split out so the indexed maintenance paths can validate the
-    * store AND index rewrites before writing either.
+  /** The check half of a cell rewrite: eagerly materialize it and
+    * fail loudly if a touched cell would end empty — an absent
+    * partition in an Upsert commit keeps its current files, so an
+    * emptied cell would silently resurrect its old rows (stale rows
+    * after a move-away, deleted rows after a delete). The manifest
+    * layer COULD express a partition drop; the store keeps the guard
+    * as policy — every cell the centroid table routes to must stay
+    * addressable, and emptying one means the centroids collapsed and
+    * the store wants a rebuild. Validation is split from the write so
+    * a caller can check BOTH the store and index rewrites before
+    * staging either.
     */
   private def validatedCellRewrite(
       rewritten: DataFrame,
@@ -354,9 +330,34 @@ object IvfStore {
     require(
       emptied.isEmpty,
       s"IvfStore: rewrite would empty cell(s) ${emptied.sorted.mkString(",")}: " +
-        "dynamic partition overwrite cannot drop a partition"
+        "an upsert-mode commit keeps absent partitions, so the emptied " +
+        "cell would resurrect its old rows"
     )
     frame
+  }
+
+  /** Stage the validated store rewrite and (when present) the
+    * validated index rewrite, publish BOTH in one atomic manifest
+    * commit, and release the checkpoints. Every maintenance path
+    * funnels through here — the store/sidecar pair has exactly one
+    * commit point.
+    */
+  private def commitRewrites(
+      spark: SparkSession,
+      path: String,
+      storeFrame: DataFrame,
+      idxFrame: Option[DataFrame]
+  ): Unit = {
+    val staged =
+      Seq(ManifestStore.stage(storeFrame, path, STORE, Seq("cell"),
+        ManifestStore.Upsert)) ++
+        idxFrame.map(f =>
+          ManifestStore.stage(f, path, INDEX, Seq("ibucket"),
+            ManifestStore.Upsert))
+    ManifestStore.commit(spark, path, staged)
+    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(storeFrame)
+    idxFrame.foreach(
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(_))
   }
 
   /** Incremental upsert: re-embedded (or newly inserted) vectors move
@@ -364,8 +365,10 @@ object IvfStore {
     * vector's old cell (from the sidecar index, O(touched index
     * buckets)) and its new cell — are read and rewritten, so BOTH
     * sides of the maintenance are O(touched), never O(store): the
-    * untouched inverted lists keep their files byte-for-byte, and the
-    * pruned store read never lists them (`PartitionFilters`).
+    * untouched inverted lists keep their files BY IDENTITY (the
+    * manifest re-points only the touched cells' entries), and the
+    * pruned store read never lists them. Store and sidecar publish as
+    * one commit.
     */
   def upsert(
       spark: SparkSession,
@@ -373,17 +376,18 @@ object IvfStore {
       cents: DataFrame,
       batch: DataFrame
   ): Unit = {
+    val snap = ManifestStore.snapshot(spark, path)
     val assigned = assign(batch, cents).localCheckpoint(true)
     // every downstream id probe/join reads the CHECKPOINTED batch ids
     // — the caller's batch lineage (possibly an expensive pipeline)
     // runs exactly once, in assign
     val ids = assigned.select("vec_id")
-    val indexed = hasIndex(spark, path)
-    val buckets = if (indexed) storedIndexBuckets(spark, path) else 0
+    val indexed = snap.hasTable(INDEX)
+    val buckets = if (indexed) storedIndexBuckets(snap) else 0
     val bkts = if (indexed) bucketsOf(ids, buckets) else Seq.empty[Long]
     val oldCells =
-      if (indexed) cellsByIndex(spark, path, ids, bkts)
-      else cellsByScan(spark, path, ids)
+      if (indexed) cellsByIndex(snap, ids, bkts)
+      else cellsByScan(snap, ids)
     // old cells ∪ new cells (assigned), in ONE driver job
     val touched = oldCells
       .unionByName(assigned.select("cell"))
@@ -391,74 +395,64 @@ object IvfStore {
       .collect()
       .map(_.getLong(0))
       .toSeq
-    // partition-column inference reads `cell=N` directories back as
-    // INT; normalize to the written LONG so unions and driver reads
-    // see one type
-    val rewritten = PartitionedStore
-      .read(spark, path)
-      .withColumn("cell", col("cell").cast("long"))
-      .filter(col("cell").isin(touched: _*))
+    val rewritten = snap
+      .readPartitions(STORE, touched)
       .join(ids, Seq("vec_id"), "left_anti")
       .unionByName(assigned)
     // validate BOTH rewrites (each eagerly materialized) before
-    // writing either: an abort must leave store and index consistent
+    // staging either: an abort must leave store and index consistent
     val storeFrame = validatedCellRewrite(rewritten, touched)
     val idxFrame =
       if (indexed)
-        preparedIndexRewrite(spark, path, ids, bkts,
+        preparedIndexRewrite(snap, ids, bkts,
           assigned.select("vec_id", "cell"), guardEmpty = false, buckets)
       else None
-    PartitionedStore.overwritePartitions(storeFrame, path, Seq("cell"))
-    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(storeFrame)
-    commitIndexRewrite(path, idxFrame)
+    commitRewrites(spark, path, storeFrame, idxFrame)
     org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(assigned)
   }
 
   /** Incremental delete: rewrite only the cells holding the deleted
-    * ids, without them (see [[overwriteTouched]] for the emptied-cell
-    * contract); the holding cells come from the index, pruned to the
-    * ids' hash buckets.
+    * ids, without them (see [[validatedCellRewrite]] for the
+    * emptied-cell contract); the holding cells come from the index,
+    * pruned to the ids' hash buckets. Store and sidecar publish as
+    * one commit.
     */
   def delete(
       spark: SparkSession,
       path: String,
       delIds: DataFrame
   ): Unit = {
+    val snap = ManifestStore.snapshot(spark, path)
     // one materialization of the caller's id lineage for the 3-4
     // probes/joins below
     val ids = delIds.select("vec_id").localCheckpoint(true)
     try {
-      val indexed = hasIndex(spark, path)
-      val buckets = if (indexed) storedIndexBuckets(spark, path) else 0
+      val indexed = snap.hasTable(INDEX)
+      val buckets = if (indexed) storedIndexBuckets(snap) else 0
       val bkts = if (indexed) bucketsOf(ids, buckets) else Seq.empty[Long]
       val touched =
-        (if (indexed) cellsByIndex(spark, path, ids, bkts)
-         else cellsByScan(spark, path, ids))
+        (if (indexed) cellsByIndex(snap, ids, bkts)
+         else cellsByScan(snap, ids))
           .distinct()
           .collect()
           .map(_.getLong(0))
           .toSeq
       if (touched.nonEmpty) {
-        val rewritten = PartitionedStore
-          .read(spark, path)
-          .withColumn("cell", col("cell").cast("long"))
-          .filter(col("cell").isin(touched: _*))
+        val rewritten = snap
+          .readPartitions(STORE, touched)
           .join(ids, Seq("vec_id"), "left_anti")
-        // validate BOTH rewrites before writing either — a delete that
+        // validate BOTH rewrites before staging either — a delete that
         // trips an empty-partition guard must leave index ≡ store
         val storeFrame = validatedCellRewrite(rewritten, touched)
         val idxFrame =
           if (indexed)
-            preparedIndexRewrite(spark, path, ids, bkts,
+            preparedIndexRewrite(snap, ids, bkts,
               // no new entries on a delete: an empty (vec_id, cell)
               // frame, built without touching the index files
               ids.select(col("vec_id"), lit(0L).as("cell")).limit(0),
               guardEmpty = true, buckets)
           else None
-        PartitionedStore.overwritePartitions(storeFrame, path, Seq("cell"))
-        org.apache.spark.sql.graftshim.GraftSqlShims
-          .unpersistCheckpoint(storeFrame)
-        commitIndexRewrite(path, idxFrame)
+        commitRewrites(spark, path, storeFrame, idxFrame)
       }
     } finally
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(ids)
@@ -476,7 +470,7 @@ object IvfStore {
     * centroids, so the whole trajectory is bit-reproducible. Cells
     * that lose all members KEEP their previous centroid (a store cell
     * must stay addressable — sim23's drop-empty rule is for free
-    * clustering, not for an index whose cells are directories).
+    * clustering, not for an index whose cells are partitions).
     *
     * Shape at scale: per round one broadcast map-side scan of the
     * store (K·D multiply-adds per vector) + one dense (cell, dim)
@@ -491,7 +485,7 @@ object IvfStore {
       cents: DataFrame,
       iters: Int
   ): DataFrame = {
-    val vecs = PartitionedStore
+    val vecs = ManifestStore
       .read(spark, path)
       .select(col("vec_id"), quant(col("embedding")).as("qe"))
     var cur = cents.select(col("cell"), col("qc")).localCheckpoint(true)
@@ -550,22 +544,23 @@ object IvfStore {
     * [[assign]] (no extra join), the moved set is checkpointed
     * (O(moved)), and the store rewrite touches exactly
     * old-cells ∪ new-cells of moved vectors — untouched inverted
-    * lists keep their files byte-for-byte. The sidecar is updated in
-    * LOCKSTEP (the cdc16 discipline: both rewrites validated before
-    * either is written). A cell whose members ALL leave fails the
-    * emptied-cell guard ([[overwriteTouched]]'s contract — dynamic
-    * overwrite cannot drop a partition); reaching that means the
-    * retrain collapsed a cell and the store wants a rebuild.
+    * lists keep their files BY IDENTITY in the manifest. The sidecar
+    * is part of the SAME commit (the cdc16 discipline, upgraded from
+    * lockstep-validated to atomic). A cell whose members ALL leave
+    * fails the emptied-cell guard ([[validatedCellRewrite]]'s
+    * contract); reaching that means the retrain collapsed a cell and
+    * the store wants a rebuild. The corpus size in the stats is read
+    * from the manifest's per-partition row counts — metadata, not a
+    * store scan.
     */
   def rebalance(
       spark: SparkSession,
       path: String,
       newCents: DataFrame
   ): RebalanceStats = {
-    val store = PartitionedStore
-      .read(spark, path)
-      .withColumn("cell", col("cell").cast("long"))
-    val total = store.count()
+    val snap = ManifestStore.snapshot(spark, path)
+    val store = snap.read(STORE)
+    val total = snap.totalRows(STORE)
     val moved = assign(
       store.select(col("vec_id"), col("embedding"),
         col("cell").as("old_cell")),
@@ -585,22 +580,19 @@ object IvfStore {
         .map(_.getLong(0))
         .toSeq
       val ids = moved.select("vec_id")
-      val rewritten = store
-        .filter(col("cell").isin(touched: _*))
+      val rewritten = snap
+        .readPartitions(STORE, touched)
         .join(ids, Seq("vec_id"), "left_anti")
         .unionByName(moved.select("vec_id", "embedding", "cell"))
       val storeFrame = validatedCellRewrite(rewritten, touched)
-      val indexed = hasIndex(spark, path)
-      val buckets = if (indexed) storedIndexBuckets(spark, path) else 0
+      val indexed = snap.hasTable(INDEX)
+      val buckets = if (indexed) storedIndexBuckets(snap) else 0
       val idxFrame =
         if (indexed)
-          preparedIndexRewrite(spark, path, ids, bucketsOf(ids, buckets),
+          preparedIndexRewrite(snap, ids, bucketsOf(ids, buckets),
             moved.select("vec_id", "cell"), guardEmpty = false, buckets)
         else None
-      PartitionedStore.overwritePartitions(storeFrame, path, Seq("cell"))
-      org.apache.spark.sql.graftshim.GraftSqlShims
-        .unpersistCheckpoint(storeFrame)
-      commitIndexRewrite(path, idxFrame)
+      commitRewrites(spark, path, storeFrame, idxFrame)
       RebalanceStats(total, nMoved, touched)
     } finally
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(moved)
@@ -609,7 +601,7 @@ object IvfStore {
   /** Point-fetch stored vectors BY ID — the "get embedding for this
     * doc" serving path. On an indexed store the ids' hash buckets
     * prune the sidecar read and the resolved cells prune the store
-    * read (both at the directory listing — `PartitionFilters`), so a
+    * read (both at the MANIFEST — no other file is even listed), so a
     * B-id fetch costs O(B index buckets + holding cells), never
     * O(store); without the sidecar it falls back to the column-pruned
     * full id scan. Returns (vec_id, cell, embedding) for the ids
@@ -617,34 +609,34 @@ object IvfStore {
     * validation — callers needing fail-on-missing anti-join the
     * result against their request).
     */
-  def fetch(spark: SparkSession, path: String, ids: DataFrame): DataFrame =
-    if (!hasIndex(spark, path))
-      PartitionedStore
-        .read(spark, path)
+  def fetch(spark: SparkSession, path: String, ids: DataFrame): DataFrame = {
+    val snap = ManifestStore.snapshot(spark, path)
+    if (!snap.hasTable(INDEX))
+      snap
+        .read(STORE)
         .join(ids.select("vec_id"), Seq("vec_id"), "left_semi")
         .select(col("vec_id"), col("cell").cast("long").as("cell"),
           col("embedding"))
     else {
-      val bkts = bucketsOf(ids, storedIndexBuckets(spark, path))
-      val cells = cellsOf(spark, path, ids, bkts)
-      PartitionedStore
-        .read(spark, path)
-        .filter(col("cell").isin(cells: _*))
+      val bkts = bucketsOf(ids, storedIndexBuckets(snap))
+      val cells = cellsOf(snap, ids, bkts)
+      snap
+        .readPartitions(STORE, cells)
         .join(ids.select("vec_id"), Seq("vec_id"), "left_semi")
         .select(col("vec_id"), col("cell").cast("long").as("cell"),
           col("embedding"))
     }
+  }
 
   /** Cells currently holding any of `ids` — [[cellsByIndex]] as the
     * ≤K-row driver read the write paths and [[fetch]] share.
     */
   private def cellsOf(
-      spark: SparkSession,
-      path: String,
+      snap: ManifestStore.Snapshot,
       ids: DataFrame,
       bkts: Seq[Long]
   ): Seq[Long] =
-    cellsByIndex(spark, path, ids, bkts)
+    cellsByIndex(snap, ids, bkts)
       .distinct()
       .collect()
       .map(_.getLong(0))
@@ -677,11 +669,10 @@ object IvfStore {
     * one composition — route every query to its nProbe nearest cells
     * against the broadcast K-row centroid table (one relational pass
     * for ALL queries, per-query WindowGroupLimit on (distance,
-    * cell)), read the UNION of probed cells ONCE
-    * (PartitionFilters-pruned at the directory listing), and take
-    * per-query top-k with one more WindowGroupLimit. Per-query
-    * results ≡ the single-query [[topK]] (IvfServeSpec pins the
-    * equivalence query by query; the gated sim26 row pins the
+    * cell)), read the UNION of probed cells ONCE (manifest-pruned),
+    * and take per-query top-k with one more WindowGroupLimit.
+    * Per-query results ≡ the single-query [[topK]] (IvfServeSpec pins
+    * the equivalence query by query; the gated sim26 row pins the
     * verdicts against the from-scratch relational oracle).
     *
     * Shape at scale: the routing join is queries × broadcast(K
@@ -741,10 +732,9 @@ object IvfStore {
     val wRank = Window
       .partitionBy(col("query_id"))
       .orderBy(col("dist2").asc, col("vec_id").asc)
-    PartitionedStore
-      .read(spark, path)
-      .filter(col("cell").isin(cells: _*))
-      .withColumn("cell", col("cell").cast("long"))
+    ManifestStore
+      .snapshot(spark, path)
+      .readPartitions(STORE, cells)
       .join(broadcast(routes), Seq("cell"))
       // per-query dims contract, mirroring topK's scan filter
       .filter(size(col("embedding")) === size(col("qq")))
@@ -760,9 +750,9 @@ object IvfStore {
         col("rank"))
   }
 
-  /** Exact top-k within the probed cells: the `cell IN (...)` filter
-    * prunes at the directory listing (PartitionFilters), scoring is
-    * exact integer L2, ties break on vec_id.
+  /** Exact top-k within the probed cells: only the probed cells'
+    * files resolve through the manifest, scoring is exact integer L2,
+    * ties break on vec_id.
     */
   def topK(
       spark: SparkSession,
@@ -775,9 +765,9 @@ object IvfStore {
     val cells = probeCells(cents, query, nProbe)
     val q = query.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
     val qLit = array(q.map(lit(_)): _*)
-    PartitionedStore
-      .read(spark, path)
-      .filter(col("cell").isin(cells: _*))
+    ManifestStore
+      .snapshot(spark, path)
+      .readPartitions(STORE, cells)
       // dims contract (the sim07/sim11 discipline): a ragged row would
       // score NULL and NULLS-FIRST would rank it ABOVE every real hit
       .filter(size(col("embedding")) === lit(query.length))

@@ -59,8 +59,12 @@ object Compaction {
     * per distinct (partitionCol, binCol) value: the distinct bin keys
     * (manifest-sized) are collected and each key pinned to its own
     * reduce task, so each task writes one file into one partition
-    * directory. `dynamic = true` replaces only the partitions present
-    * in `df` (the [[PartitionedStore.overwritePartitions]] contract).
+    * directory. The files land in an unreferenced staging dir and
+    * publish through ONE atomic [[ManifestStore]] commit:
+    * `dynamic = true` replaces only the partitions present in `df`
+    * (Upsert), `false` installs the frame as the table (Replace) —
+    * either way a concurrent reader resolves the previous complete
+    * version until the swap.
     */
   def writeBinned(
       df: DataFrame,
@@ -96,14 +100,24 @@ object Compaction {
           idx(key.asInstanceOf[String])
       })
       .map(_._2)
-    val writer = spark
+    val staging = ManifestStore.stageDir(path, ManifestStore.MAIN)
+    spark
       .createDataFrame(placed, schema)
       .drop("__ckey")
+      // the real column stays in the data; the write partitions on a
+      // duplicate (the ManifestStore layout contract)
+      .withColumn(s"__p_$partitionCol", col(partitionCol))
       .write
-      .partitionBy(partitionCol)
+      .partitionBy(s"__p_$partitionCol")
       .mode("overwrite")
-    (if (dynamic) writer.option("partitionOverwriteMode", "dynamic")
-     else writer).parquet(path)
+      .parquet(staging)
+    ManifestStore.commit(spark, path, Seq(ManifestStore.Staged(
+      ManifestStore.MAIN,
+      staging,
+      Seq(partitionCol),
+      df.schema.toDDL,
+      if (dynamic) ManifestStore.Upsert else ManifestStore.Replace
+    )))
   }
 
   /** Execute a bin plan against the store at `path`: `binPlan` maps
@@ -122,7 +136,10 @@ object Compaction {
       keyCols: Seq[String],
       binPlan: DataFrame
   ): Unit = {
-    val store = PartitionedStore.read(spark, path)
+    // the plan's binning supersedes whatever binning rides the store
+    // (a planted store carries bin = its ingest file; a previously
+    // compacted store carries the last plan's bins)
+    val store = ManifestStore.read(spark, path).drop("bin")
     val planSlim =
       binPlan.select((partitionCol +: keyCols :+ "bin").map(col): _*)
     val frame = store

@@ -339,11 +339,21 @@ object ManifestStore {
     version
   }
 
+  /** Column names and types must match the manifest's (nullability
+    * and column order are deliberately ignored — both drift across
+    * lineages of the same logical frame, and parquet reconciles
+    * columns by name, not position).
+    */
+  private def shapeOf(ddl: String): Seq[String] =
+    StructType.fromDDL(ddl).fields.toSeq
+      .map(f => f.name + ":" + f.dataType.sql)
+      .sorted
+
   private def requireCompatible(st: Staged, cur: TableState): Unit = {
     require(st.partitionCols == cur.partitionCols,
       s"table '${st.table}': partition columns ${st.partitionCols} != " +
         s"manifest's ${cur.partitionCols}")
-    require(st.schemaDdl == cur.schemaDdl,
+    require(shapeOf(st.schemaDdl) == shapeOf(cur.schemaDdl),
       s"table '${st.table}': staged schema <${st.schemaDdl}> != " +
         s"manifest's <${cur.schemaDdl}> — additive evolution goes " +
         "through Replace (the q110 path), not a silent merge")

@@ -4,18 +4,19 @@ import java.nio.file.Files
 
 import graft.SparkSpec
 import graft.Tables
-import graft.sources.PartitionedStore
+import graft.sources.ManifestStore
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Pins the cdc15 maintenance contract in Spark terms: after any
   * upsert/delete/re-insert interleaving, the incrementally-maintained
   * store equals a from-scratch [[IvfStore.build]] of the final
-  * logical state — and each batch physically rewrites ONLY its
-  * touched cells (untouched partition files keep their modification
-  * identity). These tests run the INDEXED mode (id→cell sidecar kept
-  * in lockstep, bucket-pruned lookups); cdc15's gate replays the
-  * same churn in scan mode — both must land on the identical state.
+  * logical state — and each batch rewrites ONLY its touched cells
+  * (untouched partitions keep their manifest entries — the same file
+  * paths — untouched). These tests run the INDEXED mode (id→cell
+  * sidecar committed atomically WITH the store, bucket-pruned
+  * lookups); cdc15's gate replays the same churn in scan mode — both
+  * must land on the identical state.
   */
 class IvfMaintainSpec extends SparkSpec {
 
@@ -26,7 +27,7 @@ class IvfMaintainSpec extends SparkSpec {
     concat(slice(c, lit(n + 1), size(c) - n), slice(c, lit(1), lit(n)))
 
   private def snapshot(dir: String): Map[Long, (Long, Seq[Long])] =
-    PartitionedStore
+    ManifestStore
       .read(spark, dir)
       .select(
         col("vec_id"),
@@ -89,9 +90,9 @@ class IvfMaintainSpec extends SparkSpec {
     a.foreach { case (v, st) => assert(st === b(v), s"vec $v diverged") }
     // the sidecar index tracked every move/delete/resurrect: its
     // (vec_id -> cell) content equals the store's, exactly
-    val idx = spark.read
-      .parquet(IvfStore.indexPath(inc))
-      .select(col("vec_id"), col("cell").cast("long"))
+    val idx = IvfStore
+      .readIndexTable(spark, inc)
+      .select(col("vec_id"), col("cell"))
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
@@ -102,7 +103,7 @@ class IvfMaintainSpec extends SparkSpec {
     val moved = before
       .select(col("vec_id"), col("cell").as("cell0"))
       .join(
-        PartitionedStore
+        ManifestStore
           .read(spark, inc)
           .select(col("vec_id"), col("cell").cast("long").as("cell1")),
         "vec_id"
@@ -165,16 +166,9 @@ class IvfMaintainSpec extends SparkSpec {
     a.foreach { case (v, st) => assert(st === b(v), s"vec $v diverged at B=7") }
 
     // the persisted modulus is 7 and every index row routed with it
-    val meta = spark.read.parquet(IvfStore.metaPath(inc)).collect()
+    val meta = ManifestStore.read(spark, inc, "meta").collect()
     assert(meta.length === 1 && meta(0).getAs[Int]("index_buckets") === B)
-    val idx = spark.read
-      .parquet(IvfStore.indexPath(inc))
-      .select(
-        col("vec_id"),
-        col("cell").cast("long").as("cell"),
-        col("ibucket").cast("long").as("ibucket")
-      )
-      .collect()
+    val idx = IvfStore.readIndexTable(spark, inc).collect()
     assert(idx.map(_.getAs[Long]("ibucket")).toSet.subsetOf((0L until B).toSet))
     assert(
       idx.map(_.getAs[Long]("ibucket")).distinct.length > IvfStore.INDEX_BUCKETS,
@@ -227,7 +221,7 @@ class IvfMaintainSpec extends SparkSpec {
     // BENEFIT (read side): the scan-mode old-cell probe reads every
     // store id; the indexed probe reads only the batch's hash
     // buckets' index rows
-    val scanProbeRows = PartitionedStore.read(spark, scanDir).count()
+    val scanProbeRows = ManifestStore.read(spark, scanDir).count()
     val batchBuckets = batch
       .select(
         pmod(
@@ -239,8 +233,8 @@ class IvfMaintainSpec extends SparkSpec {
       .collect()
       .map(_.getLong(0))
       .toSet
-    val idxProbeRows = spark.read
-      .parquet(IvfStore.indexPath(idxDir))
+    val idxProbeRows = IvfStore
+      .readIndexTable(spark, idxDir)
       .filter(col("ibucket").isin(batchBuckets.toSeq: _*))
       .count()
     assert(
@@ -308,44 +302,36 @@ class IvfMaintainSpec extends SparkSpec {
 
     // the present id is gone from BOTH store and index; the absent
     // id's phantom bucket aborted nothing
-    val left = PartitionedStore
+    val left = ManifestStore
       .read(spark, dir)
       .join(present, Seq("vec_id"), "left_semi")
       .count()
     assert(left == 0, "present id survived the delete")
-    val idxLeft = spark.read
-      .parquet(IvfStore.indexPath(dir))
+    val idxLeft = IvfStore
+      .readIndexTable(spark, dir)
       .join(present, Seq("vec_id"), "left_semi")
       .count()
     assert(idxLeft == 0, "present id survived in the sidecar index")
   }
 
-  test("upsert rewrites only the touched cells' files") {
+  test("upsert re-points only the touched cells' manifest entries") {
     val emb = Tables(spark, sfDir).embeddings.select("vec_id", "embedding")
     val cents = IvfStore.centroids(emb, K, STRIDE).localCheckpoint(true)
     val dir = Files.createTempDirectory("graft-ivf-touch").toString
     IvfStore.build(emb, cents, dir, indexed = true)
 
-    def files(): Map[String, Long] = {
-      import scala.jdk.CollectionConverters._
-      Files
-        .walk(java.nio.file.Paths.get(dir))
-        .iterator()
-        .asScala
-        .filter(p =>
-          p.toString.endsWith(".parquet") && !p.toString.contains("_index")
-        )
-        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
-        .toMap
-    }
-    val before = files()
+    def entries(): Map[String, Seq[String]] =
+      ManifestStore
+        .snapshot(spark, dir)
+        .state(ManifestStore.MAIN)
+        .partitions
+        .map { case (k, p) => k -> p.files.map(_.path) }
+    val before = entries()
     // the clustered write keeps inverted lists compact: each cell is
     // one shuffle partition's output, so exactly one file per cell —
     // not (upstream tasks × cells) small files
-    val perCell = before.keys
-      .groupBy(p => p.split("/").find(_.startsWith("cell=")).getOrElse(""))
-      .map { case (c, ps) => c -> ps.size }
-    assert(perCell.values.forall(_ == 1), s"files per cell: $perCell")
+    assert(before.values.forall(_.length == 1),
+      s"files per cell: ${before.view.mapValues(_.length).toMap}")
 
     val batch = emb
       .orderBy("vec_id")
@@ -357,27 +343,27 @@ class IvfMaintainSpec extends SparkSpec {
       .collect()
       .map(_.getLong(0))
       .toSet ++
-      PartitionedStore
+      ManifestStore
         .read(spark, dir)
         .join(batch.select("vec_id"), Seq("vec_id"), "left_semi")
         .select(col("cell").cast("long"))
         .collect()
-        .map(_.getLong(0))).map(c => s"cell=$c")
+        .map(_.getLong(0))).map(_.toString)
     IvfStore.upsert(spark, dir, cents, batch)
 
-    val after = files()
-    // untouched cells: identical file paths with identical mtimes
-    val untouchedBefore =
-      before.filterNot { case (p, _) => touched.exists(p.contains) }
-    val untouchedAfter =
-      after.filterNot { case (p, _) => touched.exists(p.contains) }
-    assert(untouchedBefore === untouchedAfter, "untouched cells were rewritten")
-    // touched cells: actually rewritten (some file changed)
-    assert(
-      before.exists { case (p, t) =>
-        touched.exists(p.contains) && after.get(p).forall(_ != t)
-      } || before.keySet != after.keySet,
-      "touched cell shows no rewrite"
-    )
+    val after = entries()
+    // untouched cells keep their IDENTICAL file paths — the commit
+    // never re-pointed them, which is stronger than byte-identity
+    assert(after.filterNot(e => touched(e._1)) ===
+      before.filterNot(e => touched(e._1)),
+      "untouched cells were re-pointed")
+    // touched cells: re-pointed at fresh files
+    touched.foreach { c =>
+      assert(after(c) !== before(c), s"touched cell $c shows no rewrite")
+    }
+    // and the superseded files are still on disk until vacuum — the
+    // window that isolates a reader holding the previous snapshot
+    val vacuumed = ManifestStore.vacuum(spark, dir)
+    assert(vacuumed > 0, "upsert left nothing to vacuum")
   }
 }

@@ -1,14 +1,15 @@
 package graft.sim
 
 import graft.SparkSpec
-import graft.sources.{PartitionedStore, Scratch}
+import graft.sources.{ManifestStore, Scratch}
 import org.apache.spark.sql.functions._
 
 /** Pins the physical facts of retrain+rebalance that the sim27 oracle
-  * cannot see: cells the moved set never touches keep their files
-  * byte-for-byte, the moved fraction is a small minority of the
-  * store, the sidecar tracks the store in lockstep, and a rebalance
-  * onto the unchanged centroids is a no-op on disk.
+  * cannot see: cells the moved set never touches keep their manifest
+  * entries — the same immutable files — untouched, the moved fraction
+  * is a small minority of the store, the sidecar lands in the SAME
+  * commit as the store, and a rebalance onto the unchanged centroids
+  * is a no-op (no new manifest version at all).
   */
 class IvfRetrainSpec extends SparkSpec {
 
@@ -17,55 +18,51 @@ class IvfRetrainSpec extends SparkSpec {
   private def emb =
     graft.Tables(spark, sfDir).embeddings.select(col("vec_id"), col("embedding"))
 
-  private def md5s(path: String): Map[String, String] = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(path)
-    java.nio.file.Files
-      .walk(root)
-      .iterator()
-      .asScala
-      .filter(p =>
-        java.nio.file.Files.isRegularFile(p) &&
-          p.toString.endsWith(".parquet"))
-      .map { p =>
-        val bytes = java.nio.file.Files.readAllBytes(p)
-        root.relativize(p).toString -> java.security.MessageDigest
-          .getInstance("MD5")
-          .digest(bytes)
-          .map(b => f"$b%02x")
-          .mkString
-      }
-      .toMap
-  }
+  /** partition key → current file paths (immutable once written, so
+    * path identity IS byte identity).
+    */
+  private def entryMap(path: String, table: String): Map[String, Seq[String]] =
+    ManifestStore
+      .snapshot(spark, path)
+      .state(table)
+      .partitions
+      .map { case (k, p) => k -> p.files.map(_.path) }
 
-  test("rebalance moves a small minority and leaves untouched cells byte-identical") {
+  test("rebalance moves a small minority and leaves untouched cells' files alone") {
     Scratch.withTempDir("graft-retrain1") { path =>
       val cents = IvfStore.centroids(emb, K, STRIDE).localCheckpoint(true)
       IvfStore.build(emb, cents, path, indexed = true)
-      val beforeFiles = md5s(path)
+      val beforeEntries = entryMap(path, ManifestStore.MAIN)
+      val versionBefore = ManifestStore.snapshot(spark, path).version
       val newCents = IvfStore.retrain(spark, path, cents, iters = 2)
       val stats = IvfStore.rebalance(spark, path, newCents)
       // drift-corrected centroids move SOME vectors, not the store
       assert(stats.moved > 0, "fixture retrain produced no movement — vacuous")
       assert(stats.movedFraction < 0.5,
         s"moved ${stats.moved} of ${stats.total} — rebalance is not a minority move")
-      // cells outside the touched set keep their files byte-for-byte
-      // (at this tiny fixture the full retrain may touch every cell —
-      // the deterministic untouched-identity pin lives in the
-      // split-cell test below; here we pin the complement exactly)
-      val touched = stats.touchedCells.map(c => s"cell=$c").toSet
-      val afterFiles = md5s(path)
-      beforeFiles.foreach { case (p, fp) =>
-        if (!p.startsWith("_index") && !touched.exists(p.startsWith))
-          assert(afterFiles.get(p).contains(fp), s"untouched file changed: $p")
+      // the stats' corpus size came from manifest metadata, not a scan
+      assert(stats.total === emb.count())
+      // cells outside the touched set keep their manifest entries —
+      // the same immutable files (at this tiny fixture the full
+      // retrain may touch every cell — the deterministic
+      // untouched-identity pin lives in the split-cell test below;
+      // here we pin the complement exactly)
+      val touched = stats.touchedCells.map(_.toString).toSet
+      val afterEntries = entryMap(path, ManifestStore.MAIN)
+      beforeEntries.foreach { case (c, files) =>
+        if (!touched(c))
+          assert(afterEntries.get(c).contains(files), s"untouched cell $c re-pointed")
       }
+      // store and sidecar changed in ONE commit: exactly one new version
+      assert(ManifestStore.snapshot(spark, path).version === versionBefore + 1,
+        "rebalance must publish store+sidecar as a single commit")
       // the sidecar tracks the store in lockstep
-      val store = PartitionedStore
+      val store = ManifestStore
         .read(spark, path)
         .select(col("vec_id"), col("cell").cast("long").as("store_cell"))
-      val idx = PartitionedStore
-        .read(spark, IvfStore.indexPath(path))
-        .select(col("vec_id"), col("cell").cast("long").as("idx_cell"))
+      val idx = IvfStore
+        .readIndexTable(spark, path)
+        .select(col("vec_id"), col("cell").as("idx_cell"))
       val mismatched = store
         .join(idx, Seq("vec_id"), "full_outer")
         .filter(
@@ -89,7 +86,7 @@ class IvfRetrainSpec extends SparkSpec {
     }
   }
 
-  test("a targeted cell split rebalances only donor cells; others byte-identical") {
+  test("a targeted cell split rebalances only donor cells; others keep their files") {
     // the fixture embeddings are near-uniform (every cell donates to
     // any new centroid), so the locality pin uses a CONSTRUCTED
     // geometry: 5 well-separated clusters on a line (x = 100g + j,
@@ -110,24 +107,21 @@ class IvfRetrainSpec extends SparkSpec {
         .map(g => ((g + 1).toLong, Seq(g * 100L * 1000000L, 0L, 0L, 0L)))
         .toDF("cell", "qc")
       IvfStore.build(vecs, cents, path, indexed = true)
-      val before = md5s(path)
+      val before = entryMap(path, ManifestStore.MAIN)
       val split = cents.unionByName(
         Seq((6L, Seq(5L * 1000000L, 0L, 0L, 0L))).toDF("cell", "qc")
       )
       val stats = IvfStore.rebalance(spark, path, split)
       assert(stats.moved === 7L, s"expected vec 3..9 to move, got ${stats.moved}")
       assert(stats.touchedCells.toSet === Set(1L, 6L))
-      val touched = stats.touchedCells.map(c => s"cell=$c").toSet
-      val after = md5s(path)
-      val untouched = before.filter { case (p, _) =>
-        !p.startsWith("_index") && !touched.exists(p.startsWith)
-      }
+      val after = entryMap(path, ManifestStore.MAIN)
+      val untouched = before.filter { case (c, _) => c != "1" && c != "6" }
       assert(untouched.nonEmpty)
-      untouched.foreach { case (p, fp) =>
-        assert(after.get(p).contains(fp), s"untouched file changed: $p")
+      untouched.foreach { case (c, files) =>
+        assert(after.get(c).contains(files), s"untouched cell $c re-pointed")
       }
       // the split store == from-scratch assignment at the split table
-      val store = PartitionedStore
+      val store = ManifestStore
         .read(spark, path)
         .select(col("vec_id"), col("cell").cast("long").as("store_cell"))
       val fresh = IvfStore
@@ -143,15 +137,19 @@ class IvfRetrainSpec extends SparkSpec {
     }
   }
 
-  test("rebalance onto the unchanged centroids is a no-op on disk") {
+  test("rebalance onto the unchanged centroids is a no-op: no new version") {
     Scratch.withTempDir("graft-retrain2") { path =>
       val cents = IvfStore.centroids(emb, K, STRIDE).localCheckpoint(true)
       IvfStore.build(emb, cents, path, indexed = true)
-      val before = md5s(path)
+      val before = ManifestStore.snapshot(spark, path)
       val stats = IvfStore.rebalance(spark, path, cents)
       assert(stats.moved === 0L)
       assert(stats.touchedCells.isEmpty)
-      assert(md5s(path) === before, "no-drift rebalance still rewrote files")
+      val after = ManifestStore.snapshot(spark, path)
+      assert(after.version === before.version,
+        "no-drift rebalance still published a commit")
+      assert(after.filePaths(ManifestStore.MAIN) ===
+        before.filePaths(ManifestStore.MAIN))
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(cents)
     }
   }

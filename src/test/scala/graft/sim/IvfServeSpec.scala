@@ -60,11 +60,28 @@ class IvfServeSpec extends SparkSpec {
     val (dir, cents) = store
     val res = IvfStore.topKBatch(spark, dir, cents, queries, TOPK, NPROBE)
     val plan = res.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"), plan)
-    // the store path appears in exactly one scan's Location — the
-    // probed-cell union is read once, however many queries probe it
+    // pruning evidence: the one scan's input files are exactly the
+    // manifest files of the probed-cell UNION across all queries —
+    // cells no query probes are never listed
+    val probedUnion = queries.collect().flatMap { qr =>
+      IvfStore.probeCells(cents,
+        qr.getAs[scala.collection.Seq[Float]]("qv").toSeq, NPROBE)
+    }.map(_.toString).toSet
+    val snap = graft.sources.ManifestStore.snapshot(spark, dir)
+    val want = snap.state(graft.sources.ManifestStore.MAIN)
+      .partitions.values
+      .filter(p => probedUnion.contains(p.values.head))
+      .flatMap(_.files.map(_.path)).toSet
+    assert(res.inputFiles.map(f => f.substring(f.indexOf("_data/"))).toSet
+      === want)
+    // (at this fixture the 16-query union probes every populated cell,
+    // so the strict-subset demonstration lives in IvfStoreSpec's
+    // single-query test; the equality above still pins that nothing
+    // OUTSIDE the union was listed)
+    // the store appears in exactly one scan node — the probed-cell
+    // union is read once, however many queries probe it
     val dirName = new java.io.File(dir).getName
-    val hits = plan.sliding(dirName.length).count(_ == dirName)
+    val hits = plan.linesIterator.count(_.contains(dirName))
     assert(hits === 1, s"store scanned $hits times:\n$plan")
     // per-query top-k prunes map-side before the window's exchange
     assert(plan.contains("WindowGroupLimit"), plan)

@@ -53,22 +53,33 @@ class IvfStoreSpec extends SparkSpec {
     assert(got.toSeq === brute.toSeq)
   }
 
-  test("nProbe = 2 prunes partitions and is exact within probed cells") {
+  test("nProbe = 2 prunes at the manifest and is exact within probed cells") {
     val (dir, cents) = store
     val res = IvfStore.topK(spark, dir, cents, queryVec, 5, nProbe = 2)
-    val scan = res.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters"), scan)
-    assert(scan.contains("cell#") || scan.contains("cell IN"), scan)
     val cells = IvfStore.probeCells(cents, queryVec, 2)
     assert(cells.length === 2)
+    // pruning evidence: the scan's input files are EXACTLY the probed
+    // cells' manifest files — no other cell's files were even listed
+    // (manifest pruning runs before Spark's file index exists). Paths
+    // compared root-relative: one coalesced write task gives every
+    // partition dir the SAME part-file basename.
+    val snap = graft.sources.ManifestStore.snapshot(spark, dir)
+    val want = snap.state(graft.sources.ManifestStore.MAIN)
+      .partitions.values
+      .filter(p => cells.map(_.toString).contains(p.values.head))
+      .flatMap(_.files.map(_.path)).toSet
+    val all = snap.filePaths().toSet
+    assert(res.inputFiles.map(f => f.substring(f.indexOf("_data/"))).toSet
+      === want)
+    assert(want.size < all.size, "fixture too small for pruning to show")
     // results come only from probed cells and match a manual scan of
     // those cells with the same metric
     val got = res.collect().map(r =>
       (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"), r.getAs[Long]("dist2"))
     )
     assert(got.forall(r => cells.contains(r._2)))
-    val manual = spark.read
-      .parquet(dir)
+    val manual = graft.sources.ManifestStore
+      .read(spark, dir)
       .filter(col("cell").isin(cells: _*))
       .collect()
       .map { r =>
@@ -124,11 +135,16 @@ class IvfStoreSpec extends SparkSpec {
     val nIds = ids.count()
     assert(nIds > 0)
     val res = IvfStore.fetch(spark, dir, ids)
-    // the STORE read is cell-pruned at the listing (the fetch's whole
-    // point: B ids touch their holding cells, not the store)
-    val plan = res.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"), plan)
-    assert(plan.contains("cell#") || plan.contains("cell IN"), plan)
+    // the STORE read is cell-pruned at the manifest (the fetch's whole
+    // point: B ids touch their holding cells, not the store): its
+    // input files are a strict subset of the store's current files
+    val snap = graft.sources.ManifestStore.snapshot(spark, dir)
+    val all = snap.filePaths().toSet
+    val readFiles = res.inputFiles
+      .map(f => f.substring(f.indexOf("_data/"))).toSet
+    assert(readFiles.subsetOf(all), "fetch read files outside the manifest")
+    assert(readFiles.size < all.size,
+      s"fetch read ${readFiles.size} of ${all.size} files — no pruning")
     // content: exactly the requested rows, each with its assigned cell
     val got = res
       .collect()
@@ -150,15 +166,22 @@ class IvfStoreSpec extends SparkSpec {
     assert(none === 0)
   }
 
-  test("store upsert: re-embedding one cell rewrites only that cell") {
+  test("store upsert: re-committing one cell re-points only that cell") {
     val (dir, cents) = store
-    val before = spark.read.parquet(dir)
+    import graft.sources.ManifestStore
+    val before = ManifestStore.read(spark, dir)
     val someCell = IvfStore.probeCells(cents, queryVec, 1).head
     val batch = before.filter(col("cell") === someCell)
     val otherCount = before.filter(col("cell") =!= someCell).count()
-    graft.sources.PartitionedStore
-      .overwritePartitions(batch, dir, Seq("cell"))
-    val after = spark.read.parquet(dir)
+    val otherEntries = ManifestStore.snapshot(spark, dir)
+      .state(ManifestStore.MAIN).partitions
+      .filter(_._2.values.head != someCell.toString)
+    ManifestStore.upsertPartitions(batch, dir, Seq("cell"))
+    val after = ManifestStore.read(spark, dir)
     assert(after.filter(col("cell") =!= someCell).count() === otherCount)
+    assert(ManifestStore.snapshot(spark, dir)
+      .state(ManifestStore.MAIN).partitions
+      .filter(_._2.values.head != someCell.toString) === otherEntries,
+      "untouched cells were re-pointed")
   }
 }

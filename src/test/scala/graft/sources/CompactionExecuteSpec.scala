@@ -5,50 +5,32 @@ import org.apache.spark.sql.functions._
 
 /** Pins the physical facts of the executed compaction that the q109
   * oracle cannot see: one parquet file per planned bin, partitions
-  * absent from the plan byte-identical on disk, and the
-  * refuse-partial-plan guard firing BEFORE any write.
+  * absent from the plan keeping their manifest entries (the same
+  * immutable files), and the refuse-partial-plan guard firing BEFORE
+  * any commit.
   */
 class CompactionExecuteSpec extends SparkSpec {
 
   private val target = 4000L
-  private val docsPerFile = 8L
 
   private def plantedDocs =
     graft.ops.Relational10.ingestFiles(spark, sfDir)
 
-  /** Parquet data files under each source= directory: name → bytes. */
-  private def listParquet(path: String): Map[String, Map[String, Long]] = {
-    val root = new java.io.File(path)
-    root
-      .listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("source="))
-      .map { d =>
-        d.getName -> d
-          .listFiles()
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .map(f => f.getName -> f.length())
-          .toMap
-      }
+  /** Current files per source from the manifest: source → (relative
+    * path → bytes). Path identity is byte identity — files are
+    * immutable once committed.
+    */
+  private def listParquet(path: String): Map[String, Map[String, Long]] =
+    ManifestStore
+      .snapshot(spark, path)
+      .state(ManifestStore.MAIN)
+      .partitions
+      .values
+      .map(p => p.values.head -> p.files.map(f => f.path -> f.bytes).toMap)
       .toMap
-  }
-
-  private def md5s(path: String, dir: String): Map[String, String] = {
-    val d = new java.io.File(path, dir)
-    d.listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map { f =>
-        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-        f.getName -> java.security.MessageDigest
-          .getInstance("MD5")
-          .digest(bytes)
-          .map(b => f"$b%02x")
-          .mkString
-      }
-      .toMap
-  }
 
   private def binPlanFor(path: String) = {
-    val files = PartitionedStore
+    val files = ManifestStore
       .read(spark, path)
       .groupBy(col("source"), col("file_id"))
       .agg(sum(col("n_chars")).as("bytes"))
@@ -67,13 +49,13 @@ class CompactionExecuteSpec extends SparkSpec {
         .groupBy(col("source"))
         .agg(countDistinct(col("bin")).as("n_bins"))
         .collect()
-        .map(r => s"source=${r.getString(0)}" -> r.getAs[Long]("n_bins"))
+        .map(r => r.getString(0) -> r.getAs[Long]("n_bins"))
         .toMap
       val expectedFilesBefore = plan
         .groupBy(col("source"))
         .agg(countDistinct(col("file_id")).as("n_files"))
         .collect()
-        .map(r => s"source=${r.getString(0)}" -> r.getAs[Long]("n_files"))
+        .map(r => r.getString(0) -> r.getAs[Long]("n_files"))
         .toMap
       // the plant really is one physical file per simulated ingest file
       before.foreach { case (src, fs) =>
@@ -91,11 +73,11 @@ class CompactionExecuteSpec extends SparkSpec {
     }
   }
 
-  test("partitions absent from the plan stay byte-identical on disk") {
+  test("partitions absent from the plan keep their manifest entries") {
     Scratch.withTempDir("graft-cx2") { path =>
       Compaction.writeBinned(plantedDocs, path, "source", "file_id",
         dynamic = false)
-      val sources = PartitionedStore
+      val sources = ManifestStore
         .read(spark, path)
         .select(col("source"))
         .distinct()
@@ -103,8 +85,8 @@ class CompactionExecuteSpec extends SparkSpec {
         .map(_.getString(0))
         .sorted
       val excluded = sources.head
-      val beforeFp = md5s(path, s"source=$excluded")
-      val idsBefore = PartitionedStore
+      val beforeEntry = listParquet(path)(excluded)
+      val idsBefore = ManifestStore
         .read(spark, path)
         .select(col("doc_id"))
         .collect()
@@ -113,10 +95,9 @@ class CompactionExecuteSpec extends SparkSpec {
         .toSeq
       val plan = binPlanFor(path).filter(col("source") =!= excluded)
       Compaction.execute(spark, path, "source", Seq("file_id"), plan)
-      val afterFp = md5s(path, s"source=$excluded")
-      assert(afterFp === beforeFp,
-        "untouched partition's files changed (names or bytes)")
-      val idsAfter = PartitionedStore
+      assert(listParquet(path)(excluded) === beforeEntry,
+        "untouched partition was re-pointed (paths or bytes changed)")
+      val idsAfter = ManifestStore
         .read(spark, path)
         .select(col("doc_id"))
         .collect()
@@ -127,7 +108,7 @@ class CompactionExecuteSpec extends SparkSpec {
     }
   }
 
-  test("a plan missing a file of a touched partition is refused before writing") {
+  test("a plan missing a file of a touched partition is refused before committing") {
     Scratch.withTempDir("graft-cx3") { path =>
       Compaction.writeBinned(plantedDocs, path, "source", "file_id",
         dynamic = false)
@@ -142,11 +123,14 @@ class CompactionExecuteSpec extends SparkSpec {
           .select(min(col("source"))).head().getString(0)))
         .drop("rn")
       val beforeFp = listParquet(path)
+      val beforeVersion = ManifestStore.snapshot(spark, path).version
       val e = intercept[IllegalArgumentException] {
         Compaction.execute(spark, path, "source", Seq("file_id"), partial)
       }
       assert(e.getMessage.contains("does not cover"))
-      assert(listParquet(path) === beforeFp, "refused rewrite still wrote")
+      assert(listParquet(path) === beforeFp, "refused rewrite still committed")
+      assert(ManifestStore.snapshot(spark, path).version === beforeVersion,
+        "refused rewrite still published a manifest version")
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(fullPlan)
     }
   }

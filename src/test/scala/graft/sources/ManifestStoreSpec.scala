@@ -35,10 +35,13 @@ class ManifestStoreSpec extends SparkSpec {
       // pruning evidence: the scan's input files are EXACTLY the
       // manifest's files for that partition — pruned before Spark
       // ever listed a directory
+      // root-relative comparison: one coalesced write task gives every
+      // partition dir the SAME part-file basename
       val wantFiles = snap.state(ManifestStore.MAIN)
         .partitions.values.filter(_.values.head == some)
-        .flatMap(_.files.map(f => f.path.split('/').last)).toSet
-      val gotFiles = pruned.inputFiles.map(_.split('/').last).toSet
+        .flatMap(_.files.map(_.path)).toSet
+      val gotFiles = pruned.inputFiles
+        .map(f => f.substring(f.indexOf("_data/"))).toSet
       assert(gotFiles === wantFiles)
 
       // manifest stats match the data without scanning it

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import graft.SparkSpec
 import graft.Tables
 import graft.sim.{IntVec, IvfStore}
-import graft.sources.PartitionedStore
+import graft.sources.ManifestStore
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -25,7 +25,7 @@ class StreamIvfMaintainSpec extends SparkSpec {
     v.drop(n) ++ v.take(n)
 
   private def snapshot(dir: String): Map[Long, (Long, Seq[Long])] =
-    PartitionedStore
+    ManifestStore
       .read(spark, dir)
       .select(
         col("vec_id"),
@@ -102,9 +102,9 @@ class StreamIvfMaintainSpec extends SparkSpec {
     assert(a.keySet === b.keySet)
     a.foreach { case (v, st) => assert(st === b(v), s"vec $v diverged") }
     // the sidecar tracked the streamed churn exactly
-    val idx = spark.read
-      .parquet(IvfStore.indexPath(live))
-      .select(col("vec_id"), col("cell").cast("long"))
+    val idx = IvfStore
+      .readIndexTable(spark, live)
+      .select(col("vec_id"), col("cell"))
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
