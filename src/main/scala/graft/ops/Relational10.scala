@@ -455,6 +455,65 @@ object Relational10 {
     }
   }
 
+  /** q112: the atomic manifest commit's SEMANTICS gated — the
+    * transactional contract the reference's `@Transactional` row store
+    * gives each CRUD (quarkus_cloud_run/.../MessageResource.java:19),
+    * re-expressed for multi-file analytical stores and promoted to a
+    * gated row (the q101→q102 discipline). Inside a scratch root:
+    * (1) the corpus COMMITS as a [[graft.sources.ManifestStore]] table
+    * partitioned by source (version 1); (2) one source's partition is
+    * UPSERTED with shifted payloads (version 2 — a partition-granular
+    * replace through one manifest swap); (3) a third writer STAGES a
+    * poisoned rewrite of every partition and "crashes" before its
+    * commit — files on disk, referenced by nothing. The gated row
+    * reads back THROUGH the manifest: per source, doc count, payload
+    * sum, Σ h32(doc_id) identity, and the manifest version. The
+    * oracle computes the same report from the fixture alone, so a
+    * read that sees the torn third write (negated payloads), misses
+    * the upsert, or resolves a mixed version diverges at the gate.
+    * ManifestStoreSpec pins the concurrency half (reader racing
+    * commits, crash between staged writes, vacuum).
+    */
+  private val manifestCommit: Q = (s, dir) => {
+    import graft.sources.ManifestStore
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long")
+        .as("n_chars"))
+    graft.sources.Scratch.withTempDir("graft-q112") { path =>
+      ManifestStore.write(docs, path, Seq("source"))
+      val target = docs.select(min(col("source"))).head.getString(0)
+      ManifestStore.upsertPartitions(
+        docs
+          .filter(col("source") === target)
+          .withColumn("n_chars", col("n_chars") + lit(1000000L)),
+        path,
+        Seq("source")
+      )
+      // the crashed writer: staged to unreferenced paths, never
+      // committed — if ANY of it leaks into the read, every payload
+      // sum flips sign and the gate diverges
+      ManifestStore.stage(
+        docs.withColumn("n_chars", -col("n_chars")),
+        path, ManifestStore.MAIN, Seq("source"), ManifestStore.Upsert)
+      val snap = ManifestStore.snapshot(s, path)
+      snap
+        .read()
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(
+            graft.functions.PortableHash
+              .h32(col("doc_id").cast("string"))
+              .cast("long")
+          ).as("doc_fp")
+        )
+        .withColumn("version", lit(snap.version))
+        .orderBy("source")
+        .localCheckpoint(true)
+    }
+  }
+
   /** Columns profiled by q87 (all numeric, so min/max cast to DOUBLE
     * losslessly — string/date min-max rendering differs across
     * engines and is deliberately out of the stats schema).
@@ -588,6 +647,7 @@ object Relational10 {
     "q109_compaction_execute" -> compactionExecute,
     "q110_schema_evolution" -> schemaEvolution,
     "q111_format_roundtrip" -> formatRoundtrip,
+    "q112_manifest_commit" -> manifestCommit,
     "q87_column_stats" -> columnStats,
     "q88_grouped_quantiles" -> hdrGrouped
   )
@@ -807,6 +867,23 @@ object Relational10 {
          |SELECT f.format, agg.n_docs, agg.chars_sum, agg.doc_fp
          |FROM agg, (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(format)
          |ORDER BY f.format""".stripMargin
+    },
+    // the committed state from first principles: v1 corpus, the
+    // lowest source's partition upserted (+1e6 per payload), the
+    // crashed writer's negated payloads NOWHERE, version exactly 2
+    "q112_manifest_commit" -> {
+      val h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH t AS (SELECT MIN(source) AS tgt FROM documents),
+         |d AS (SELECT doc_id, source,
+         |    CAST(CASE WHEN source = (SELECT tgt FROM t)
+         |      THEN n_chars + 1000000 ELSE n_chars END AS BIGINT) AS n_chars
+         |  FROM documents)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+         |  CAST(SUM($h) AS BIGINT) AS doc_fp,
+         |  CAST(2 AS BIGINT) AS version
+         |FROM d GROUP BY source ORDER BY source""".stripMargin
     }
   )
 }

@@ -460,17 +460,22 @@ class PlanBudgetSpec extends SparkSpec {
     assert(b >= 1, s"dedup33 touched set must broadcast, saw $b")
   }
 
-  // ---- round-6/7/8 surface (the whole-surface audit catches the
+  // ---- round-6/7/8/9 surface (the whole-surface audit catches the
   // scale-killer CLASSES; these pins catch a lost pushdown or an
   // accidental extra exchange per query). sim26 / cdc15-16 / the
-  // stream* replays — and the round-8 store-action rows q109 / sim27
-  // / stream22 — return checkpoint-materialized frames, so an
+  // stream* replays (incl. stream22 and stream23) — and the
+  // store-action rows q109 / q110 / q111 / q112 / cdc18 / sim27 /
+  // sim28 / sim29 — return checkpoint-materialized frames, so an
   // exchange count on their OUTPUT is vacuous — their plan shapes
   // are pinned where they execute (IvfServeSpec's one-pruned-scan +
   // broadcast-routes pin, IvfMaintainSpec's touched-files pins,
-  // CompactionExecuteSpec's physical file counts, IvfRetrainSpec's
-  // touched-cell identity, StreamWinsorClipSpec's bounded state, the
-  // replay specs' O(1)-state equivalences).
+  // CompactionExecuteSpec/CompactionMaintainSpec's manifest file
+  // counts, IvfRetrainSpec's touched-cell identity,
+  // ManifestStoreSpec's commit isolation, DriftRecoverySpec and
+  // FilteredAnnSpec's serving shapes, SchemaEvolutionSpec and
+  // FileFormatsSpec's round-trips, StreamWinsorClipSpec's and
+  // StreamBottomKSpec's bounded state, the replay specs' O(1)-state
+  // equivalences).
 
   test("q100 OHLC bars: one packed-key hash agg + presentation sort") {
     val (s, _) = exchanges(run("q100_ohlc_bars"))
