@@ -664,16 +664,17 @@ object Relational11 {
   /** q107's per-domain distinct-URL quota. */
   private[graft] val URL_QUOTA = 20L
 
-  /** Fixture slice of the Public Suffix List — the broadcast dim the
-    * registrable-domain join consults. Includes multi-label suffixes
-    * (`co.uk`-style) precisely because the last-2-labels heuristic
-    * mis-buckets them: every host under `*.co.uk` would collapse into
-    * ONE `co.uk` quota bucket without the PSL. A production build
-    * swaps this Seq for the full published list (~9k rows — still a
-    * broadcast dim); the join below is shape-identical.
+  /** The Public Suffix List rules the registrable-domain join
+    * consults — parsed from a bundled fixture file IN THE PUBLISHED
+    * FORMAT (comments, wildcard `*.ck`, exception `!www.ck`) by
+    * [[Psl]]. Multi-label suffixes (`co.uk`-style) are here precisely
+    * because the last-2-labels heuristic mis-buckets them: every host
+    * under `*.co.uk` would collapse into ONE `co.uk` quota bucket
+    * without the PSL. A production build swaps the fixture file for
+    * the full published list (~9k rules — still a broadcast dim); the
+    * parser and the join are shape-identical.
     */
-  private[graft] val PSL_SUFFIXES: Seq[String] =
-    Seq("com", "org", "net", "io", "co.uk", "org.uk", "ac.uk", "com.au")
+  private[graft] lazy val PSL_RULES: Seq[Psl.Rule] = Psl.fixtureRules
 
   /** q107: URL normalization + per-domain crawl quota — the web-
     * curation front door: raw crawl URLs normalize (lowercase scheme
@@ -710,11 +711,17 @@ object Relational11 {
           .otherwise(lit("https://")),
         lit("Site"),
         pmod(col("event_id"), lit(7)).cast("string"),
-        when(pmod(col("event_id"), lit(3)) === 0, lit(".Example.COM"))
-          .when(pmod(col("event_id"), lit(3)) === 1, lit(".org"))
+        when(pmod(col("event_id"), lit(5)) === 0, lit(".Example.COM"))
+          .when(pmod(col("event_id"), lit(5)) === 1, lit(".org"))
           // the multi-label public suffix arm: last-2-labels would
           // bucket EVERY such host as "co.uk"; the PSL join must not
-          .otherwise(lit(".Shop.CO.UK")),
+          .when(pmod(col("event_id"), lit(5)) === 2, lit(".Shop.CO.UK"))
+          // the wildcard arm (*.ck): foo.ck is itself a public
+          // suffix, so siteN.foo.ck is the registrable domain
+          .when(pmod(col("event_id"), lit(5)) === 3, lit(".Foo.CK"))
+          // the exception arm (!www.ck): www.ck is registrable, so
+          // EVERY siteN.www.ck host buckets into the ONE www.ck quota
+          .otherwise(lit(".WWW.CK")),
         when(pmod(col("event_id"), lit(5)) === 0, lit(":80"))
           .when(pmod(col("event_id"), lit(5)) === 1, lit(":8080"))
           .otherwise(lit("")),
@@ -772,18 +779,33 @@ object Relational11 {
       ).as("nurl")
     )
     // registrable domain via the PSL broadcast dim: candidate
-    // suffixes are the host's last 1/2/3 labels; the LONGEST one
-    // found in [[PSL_SUFFIXES]] wins and the registrable domain is
-    // that suffix plus one label. Hosts matching no suffix fall back
-    // to the last-2-labels heuristic. Three broadcast left joins on a
-    // dim of a few (thousand, in production) rows — map-side, no
-    // shuffle of the URL stream.
+    // suffixes are the host's last 1/2/3 labels, each joined against
+    // the [[PSL_RULES]] at its depth (rule key = literal labels;
+    // wildcard rules keyed by their base). The PREVAILING rule per
+    // the PSL algorithm: exceptions beat everything (deepest first),
+    // then the largest public suffix — a normal rule at depth k
+    // assigns ps = k labels, a wildcard at depth k assigns ps = k+1
+    // (the `*` consumes one real host label, so it only applies when
+    // the host has one), an exception at depth k assigns ps = k−1.
+    // Registrable domain = ps + 1 labels; no match falls back to the
+    // implicit `*` rule (ps = last label → last-2 labels). Three
+    // broadcast left joins on a dim of a few (thousand, in
+    // production) rows — map-side, no shuffle of the URL stream.
     import s.implicits._
-    val psl = PSL_SUFFIXES.toDF("suffix")
+    val psl = PSL_RULES.toDF("suffix", "key_labels", "kind")
+    def dimAt(k: Int, m: String, kc: String) =
+      broadcast(
+        psl
+          .filter(col("key_labels") === k)
+          .select(col("suffix").as(m), col("kind").as(kc))
+      )
     def lastK(k: Int) =
       array_join(slice(col("labels"), -k, k), ".")
-    def reg(k: Int) = {
-      val take = least(col("nl"), lit(k + 1))
+    // registrable domain for a PS of `ps` labels: ps + 1 labels,
+    // capped at the host (a host that IS a public suffix degenerates
+    // to itself — the PSL's "no registrable domain" case)
+    def reg(ps: Int) = {
+      val take = least(col("nl"), lit(ps + 1))
       array_join(slice(col("labels"), -take, take), ".")
     }
     nurls
@@ -792,27 +814,21 @@ object Relational11 {
       .withColumn("s1", lastK(1))
       .withColumn("s2", when(col("nl") >= 2, lastK(2)))
       .withColumn("s3", when(col("nl") >= 3, lastK(3)))
-      .join(
-        broadcast(psl.withColumnRenamed("suffix", "m3")),
-        col("s3") === col("m3"),
-        "left"
-      )
-      .join(
-        broadcast(psl.withColumnRenamed("suffix", "m2")),
-        col("s2") === col("m2"),
-        "left"
-      )
-      .join(
-        broadcast(psl.withColumnRenamed("suffix", "m1")),
-        col("s1") === col("m1"),
-        "left"
-      )
+      .join(dimAt(3, "m3", "k3"), col("s3") === col("m3"), "left")
+      .join(dimAt(2, "m2", "k2"), col("s2") === col("m2"), "left")
+      .join(dimAt(1, "m1", "k1"), col("s1") === col("m1"), "left")
       .select(
         col("event_id"),
         col("nurl"),
-        when(col("m3").isNotNull, reg(3))
-          .when(col("m2").isNotNull, reg(2))
-          // 1-label match and the no-match heuristic agree: last-2
+        when(col("k3") === "exc", reg(2))
+          .when(col("k2") === "exc", reg(1))
+          .when(col("k3") === "wild" && col("nl") >= 4, reg(4))
+          .when(col("k3") === "norm", reg(3))
+          .when(col("k2") === "wild" && col("nl") >= 3, reg(3))
+          .when(col("k2") === "norm", reg(2))
+          .when(col("k1") === "wild" && col("nl") >= 2, reg(2))
+          .when(col("k1") === "norm", reg(1))
+          // the implicit `*` rule: last-2 labels
           .otherwise(reg(1))
           .as("domain")
       )
@@ -925,9 +941,11 @@ object Relational11 {
        |           WHEN event_id % 4 = 2 THEN 'https://www.'
        |           ELSE 'https://' END,
        |      'Site', CAST(event_id % 7 AS VARCHAR),
-       |      CASE WHEN event_id % 3 = 0 THEN '.Example.COM'
-       |           WHEN event_id % 3 = 1 THEN '.org'
-       |           ELSE '.Shop.CO.UK' END,
+       |      CASE WHEN event_id % 5 = 0 THEN '.Example.COM'
+       |           WHEN event_id % 5 = 1 THEN '.org'
+       |           WHEN event_id % 5 = 2 THEN '.Shop.CO.UK'
+       |           WHEN event_id % 5 = 3 THEN '.Foo.CK'
+       |           ELSE '.WWW.CK' END,
        |      CASE WHEN event_id % 5 = 0 THEN ':80'
        |           WHEN event_id % 5 = 1 THEN ':8080' ELSE '' END,
        |      '/page/', CAST(event_id % 50 AS VARCHAR),
@@ -954,9 +972,9 @@ object Relational11 {
        |    CASE WHEN contains(hostport, ':')
        |      THEN split_part(hostport, ':', 2) ELSE '' END AS port
        |  FROM hp),
-       |psl AS (SELECT * FROM (VALUES ${PSL_SUFFIXES
-        .map(sfx => s"('$sfx')")
-        .mkString(", ")}) p(suffix)),
+       |psl AS (SELECT * FROM (VALUES ${PSL_RULES
+        .map(r => s"('${r.key}', ${r.keyLabels}, '${r.kind}')")
+        .mkString(", ")}) p(suffix, klab, kind)),
        |lab AS (
        |  SELECT event_id, scheme, path, host, port,
        |    string_split(host, '.') AS labels,
@@ -970,11 +988,11 @@ object Relational11 {
        |      THEN array_to_string(list_slice(labels, nl - 2, nl), '.') END AS s3
        |  FROM lab),
        |mt AS (
-       |  SELECT c.*, p3.suffix AS m3, p2.suffix AS m2, p1.suffix AS m1
+       |  SELECT c.*, p3.kind AS k3, p2.kind AS k2, p1.kind AS k1
        |  FROM cand c
-       |  LEFT JOIN psl p3 ON c.s3 = p3.suffix
-       |  LEFT JOIN psl p2 ON c.s2 = p2.suffix
-       |  LEFT JOIN psl p1 ON c.s1 = p1.suffix),
+       |  LEFT JOIN psl p3 ON c.s3 = p3.suffix AND p3.klab = 3
+       |  LEFT JOIN psl p2 ON c.s2 = p2.suffix AND p2.klab = 2
+       |  LEFT JOIN psl p1 ON c.s1 = p1.suffix AND p1.klab = 1),
        |norm AS (
        |  SELECT event_id, host,
        |    concat(scheme, '://', host,
@@ -983,10 +1001,22 @@ object Relational11 {
        |        THEN '' ELSE concat(':', port) END,
        |      path) AS nurl,
        |    CASE
-       |      WHEN m3 IS NOT NULL THEN array_to_string(
-       |        list_slice(labels, nl - LEAST(nl, 4) + 1, nl), '.')
-       |      WHEN m2 IS NOT NULL THEN array_to_string(
+       |      WHEN k3 = 'exc' THEN array_to_string(
        |        list_slice(labels, nl - LEAST(nl, 3) + 1, nl), '.')
+       |      WHEN k2 = 'exc' THEN array_to_string(
+       |        list_slice(labels, nl - LEAST(nl, 2) + 1, nl), '.')
+       |      WHEN k3 = 'wild' AND nl >= 4 THEN array_to_string(
+       |        list_slice(labels, nl - LEAST(nl, 5) + 1, nl), '.')
+       |      WHEN k3 = 'norm' THEN array_to_string(
+       |        list_slice(labels, nl - LEAST(nl, 4) + 1, nl), '.')
+       |      WHEN k2 = 'wild' AND nl >= 3 THEN array_to_string(
+       |        list_slice(labels, nl - LEAST(nl, 4) + 1, nl), '.')
+       |      WHEN k2 = 'norm' THEN array_to_string(
+       |        list_slice(labels, nl - LEAST(nl, 3) + 1, nl), '.')
+       |      WHEN k1 = 'wild' AND nl >= 2 THEN array_to_string(
+       |        list_slice(labels, nl - LEAST(nl, 3) + 1, nl), '.')
+       |      WHEN k1 = 'norm' THEN array_to_string(
+       |        list_slice(labels, nl - LEAST(nl, 2) + 1, nl), '.')
        |      ELSE array_to_string(
        |        list_slice(labels, nl - LEAST(nl, 2) + 1, nl), '.')
        |    END AS domain

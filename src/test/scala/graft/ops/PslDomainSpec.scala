@@ -43,4 +43,56 @@ class PslDomainSpec extends SparkSpec {
     // .org hosts keep their own registrable domain (site{k}.org)
     assert(d.exists(x => x.endsWith(".org") && x.startsWith("site")), d.toString)
   }
+
+  test("wildcard rule: any label under *.ck is itself a public suffix") {
+    val d = urls
+      .select(col("domain"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    // host siteN.fooK.ck → public suffix fooK.ck → registrable is the
+    // full 3-label host, one domain per siteN (never a fooK.ck bucket)
+    val wild = d.filter(_.endsWith(".ck")).filterNot(_ == "www.ck")
+    assert(wild.nonEmpty, d.toString)
+    assert(wild.forall(x => x.count(_ == '.') == 2 && x.startsWith("site")),
+      s"wildcard arm mis-bucketed: $wild")
+  }
+
+  test("exception rule: !www.ck makes www.ck ONE registrable bucket") {
+    val d = urls.filter(col("domain") === "www.ck")
+    // every siteN.www.ck host collapses into the single www.ck domain
+    // — the exception carves it out of the *.ck wildcard (were the
+    // exception missing, each siteN.www.ck would be its own domain)
+    assert(d.count() > 0, "exception arm vanished from the fixture")
+    val hosts = d
+      .select(substring_index(substring_index(col("nurl"), "://", -1), "/", 1)
+        .as("h"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+    assert(hosts.length > 1,
+      s"fixture too small: one host cannot show the collapse ($hosts)")
+    assert(hosts.forall(_.endsWith(".www.ck")), hosts.mkString(","))
+  }
+
+  test("the parser reads the published format: comments, wildcard, exception") {
+    val rules = Psl.parse(
+      Iterator(
+        "// comment",
+        "",
+        "com",
+        "co.uk",
+        "*.ck",
+        "!www.ck"
+      ))
+    assert(rules === Seq(
+      Psl.Rule("com", 1, "norm"),
+      Psl.Rule("co.uk", 2, "norm"),
+      Psl.Rule("ck", 1, "wild"),
+      Psl.Rule("www.ck", 2, "exc")
+    ))
+    // and the bundled fixture actually carries all three rule kinds
+    assert(Relational11.PSL_RULES.map(_.kind).toSet === Set("norm", "wild", "exc"))
+  }
 }
