@@ -1024,6 +1024,386 @@ object MediaQueries {
       .orderBy("media_id")
   }
 
+  // -----------------------------------------------------------------
+  // mm17/mm18: CONTENT near-dup over the decoded containers — the
+  // dedup net (mm05 sketch → mm06 banding → mm07 clusters) reaching
+  // past stills into frame sequences and PCM streams.
+  // -----------------------------------------------------------------
+
+  /** mm17 verify bound: a pair is a near-dup when the aligned
+    * per-frame Hamming sum is ≤ this per frame (re-encodes land at
+    * ~2 bits/frame — only comparisons straddling a mod-256 wrap flip;
+    * unrelated frames at ~32).
+    */
+  private[ops] val VID_DUP_HAM_PER_FRAME = 10L
+
+  /** The mm17 corpus: its own GVID slice (pixels h32-pseudorandom per
+    * (video, frame, position) — full-entropy frames, unlike mm14's
+    * smooth segmentation fixture) plus two planted waves: a RE-ENCODE
+    * copy of every video under id + 10⁹ (+4 brightness to every
+    * pixel, mod 256 — the lossy-transcode drift) and a frame-REVERSED
+    * decoy under id + 2·10⁹ for odd ids (same frames, wrong order —
+    * what a temporal-blind signature would false-match).
+    */
+  private def gvidDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir).documents
+      .filter(pmod(col("doc_id"), lit(17)) === 9)
+      .select(
+        col("doc_id").as("orig"),
+        (lit(3L) + pmod(col("doc_id"), lit(4))).as("nf"),
+        (lit(8L) + pmod(col("doc_id"), lit(3))).as("vw"),
+        lit(8L).as("vh")
+      )
+    def arm(off: Long, shift: Long, rev: Long)(b: DataFrame) =
+      b.select(
+        (col("orig") + lit(off)).as("media_id"),
+        col("orig"), col("nf"), col("vw"), col("vh"),
+        lit(shift).as("shift"), lit(rev).as("rev")
+      )
+    arm(0L, 0L, 0L)(base)
+      .unionByName(arm(1000000000L, 4L, 0L)(base))
+      .unionByName(arm(2000000000L, 0L, 1L)(
+        base.filter(pmod(col("orig"), lit(2)) === 1)))
+  }
+
+  /** mm17's GVID wire hex (same container as [[gvidFullHex]], its own
+    * content): px(f, p) = (h32("v<orig>.<f>.<p>") + shift) mod 256,
+    * frames written in `rev` order for the decoy arm.
+    */
+  private def gvidDupHex: org.apache.spark.sql.Column =
+    concat(
+      lit("47564944"),
+      lpad(hex(col("nf")), 2, "0"),
+      lpad(hex(col("vw")), 2, "0"),
+      lpad(hex(col("vh")), 2, "0"),
+      array_join(
+        transform(
+          sequence(lit(0L), col("nf") * col("vw") * col("vh") - 1),
+          k => {
+            val npix = col("vw") * col("vh")
+            val f = ((k - pmod(k, npix)) / npix).cast("long")
+            val p = pmod(k, npix)
+            val fsrc = when(col("rev") === 1, col("nf") - 1 - f).otherwise(f)
+            lpad(
+              hex(
+                pmod(
+                  graft.functions.PortableHash.h32(
+                    concat(lit("v"), col("orig").cast("string"), lit("."),
+                      fsrc.cast("string"), lit("."), p.cast("string"))
+                  ) + col("shift"),
+                  lit(256)
+                )
+              ),
+              2,
+              "0"
+            )
+          }
+        ),
+        ""
+      )
+    )
+
+  /** mm17: video content near-dup over REAL decoded GVID frames — the
+    * mm05→mm06→mm07 image-dedup net applied to frame SEQUENCES:
+    * (1) decode each container (one hex transcode) and sketch every
+    * frame with the 64-bit ordinal dHash (bit j: sampled pixel j vs
+    * j+1 — invariant to the brightness shift a re-encode applies,
+    * except where a value wraps); (2) the ORDER-AWARE signature is
+    * the per-video frame-hash sequence; banding keys are
+    * (frame index, band, 16-bit chunk) — a temporal-blind key would
+    * false-match the reversed decoys, a full-signature key would
+    * never tolerate re-encode drift; (3) candidates verify by the
+    * ALIGNED Hamming sum over the sequence (same frame count
+    * required), ≤ [[VID_DUP_HAM_PER_FRAME]]·nf; (4) verified edges →
+    * connected components → one row per cluster with the survivor
+    * (lowest id — the original; planted copies carry +10⁹ offsets)
+    * and the order-free Σ h32(member) fingerprint. The oracle
+    * re-derives the whole pipeline (corpus, frame hashes, banding,
+    * verification, reachability) from first principles, so a dropped
+    * pair, a false merge, or a reversed decoy joining its original's
+    * cluster diverges at the gate.
+    *
+    * Shape at scale: the sketch is one map-side pass per frame (the
+    * payload never rides a shuffle — only 64-bit hashes do);
+    * candidates are banded (never all-pairs); verification touches
+    * candidates only (≤ nf longs each); components propagate over
+    * edge-incident nodes only.
+    */
+  private val videoNearDup: Q = (s, dir) => {
+    val media = gvidDupCorpus(s, dir)
+      .select(col("media_id"), gvidDupHex.as("fullhex"))
+      .select(col("media_id"), unhex(col("fullhex")).as("payload"))
+    def bv(pos: org.apache.spark.sql.Column) =
+      conv(col("h").substr(pos.cast("int"), lit(2)), 16, 10).cast("long")
+    val hdr = media
+      .select(col("media_id"), hex(col("payload")).as("h"))
+      .select(
+        col("media_id"),
+        col("h"),
+        bv(lit(9)).as("nf"),
+        (bv(lit(11)) * bv(lit(13))).as("npix")
+      )
+    val frames = hdr.select(
+      col("media_id"),
+      col("h"),
+      col("nf"),
+      col("npix"),
+      explode(sequence(lit(0L), col("nf") - 1)).as("f")
+    )
+    def at(j: Int) = bv(
+      lit(15L) +
+        (col("f") * col("npix") +
+          expr(s"CAST(($j * (npix - 1)) DIV 64 AS BIGINT)")) * 2
+    )
+    val fhash = (0 until 64)
+      .map(j => when(at(j) < at(j + 1), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fh = frames.select(
+      col("media_id"), col("nf"), col("f"), fhash.as("fhash"))
+    val vids = fh
+      .groupBy(col("media_id"), col("nf"))
+      .agg(array_sort(collect_list(struct(col("f"), col("fhash")))).as("sf"))
+      .select(
+        col("media_id"),
+        col("nf"),
+        expr("transform(sf, x -> x.fhash)").as("fhs")
+      )
+    val long = vids
+      .select(
+        struct(col("media_id")).as("m"),
+        posexplode(col("fhs")).as(Seq("f", "fhv"))
+      )
+      .select(
+        col("m"),
+        col("f"),
+        posexplode(
+          array((0 until 4).map(b =>
+            shiftright(col("fhv"), 16 * b).bitwiseAND(lit(65535L))): _*)
+        ).as(Seq("b", "bkey"))
+      )
+    val cand = PairJoins
+      .bucketedPairs(long, Seq("f", "b", "bkey"), "m")
+      .select(col("id_a.media_id").as("id_a"), col("id_b.media_id").as("id_b"))
+    val near = cand
+      .join(
+        vids.select(col("media_id").as("id_a"), col("nf").as("nf_a"),
+          col("fhs").as("fa")),
+        "id_a")
+      .join(
+        vids.select(col("media_id").as("id_b"), col("nf").as("nf_b"),
+          col("fhs").as("fb")),
+        "id_b")
+      .filter(col("nf_a") === col("nf_b"))
+      .withColumn(
+        "th",
+        expr("""aggregate(zip_with(fa, fb,
+          |  (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin)
+      )
+      .filter(col("th") <= col("nf_a") * VID_DUP_HAM_PER_FRAME)
+      .select("id_a", "id_b")
+    val cc = graft.dedup.Clusters
+      .connectedComponents(vids.select(col("media_id").as("id")), near)
+    cc.groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(col("id")).as("survivor_id"),
+        sum(
+          graft.functions.PortableHash
+            .h32(col("id").cast("string"))
+            .cast("long")
+        ).as("member_fp")
+      )
+      .orderBy("cluster_id")
+  }
+
+  /** mm18 verify bound: Σ_w |Δ window mean| ≤ this per window, in
+    * milli amplitude units (the clipped +2 re-encode moves every
+    * window mean by at most 2 units = 2000 milli; unrelated windows
+    * sit ~29 units apart).
+    */
+  private[ops] val AUD_DUP_SUM_PER_WINDOW = 2000L
+
+  /** mm18 staggered-grid quantum for candidate keys, milli units: two
+    * signatures within Q/2 of each other share a cell on grid 0 or
+    * the Q/2-offset grid 1 — the 1-D LSH guarantee that makes recall
+    * structural instead of statistical.
+    */
+  private[ops] val AUD_DUP_GRID_MILLI = 8000L
+
+  /** The mm18 corpus: its own GWAV slice (samples h32-pseudorandom
+    * per (audio, position)) plus a CLIPPED-re-encode copy of every
+    * audio under id + 10⁹ (s′ = min(s + 2, 255) — the limiter a lossy
+    * transcode applies; clipping, not wrapping, so every window mean
+    * moves by ≤ 2 units) and a one-window TIME-SHIFT decoy under
+    * id + 2·10⁹ for odd ids (samples rotated by 8 — same content,
+    * wrong alignment).
+    */
+  private def gwavDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir).documents
+      .filter(pmod(col("doc_id"), lit(13)) === 7)
+      .select(
+        col("doc_id").as("orig"),
+        (lit(1L) + pmod(col("doc_id"), lit(3))).as("sr_code"),
+        (lit(24L) + pmod(col("doc_id"), lit(5)) * 8).as("ns")
+      )
+    def arm(off: Long, clip: Long, rot: Long)(b: DataFrame) =
+      b.select(
+        (col("orig") + lit(off)).as("media_id"),
+        col("orig"), col("sr_code"), col("ns"),
+        lit(clip).as("clip"), lit(rot).as("rot")
+      )
+    arm(0L, 0L, 0L)(base)
+      .unionByName(arm(1000000000L, 1L, 0L)(base))
+      .unionByName(arm(2000000000L, 0L, 1L)(
+        base.filter(pmod(col("orig"), lit(2)) === 1)))
+  }
+
+  /** mm18's GWAV wire hex (same container as [[gwavFullHex]], its own
+    * content): s(i) = h32("a<orig>.<i_src>") mod 256 with
+    * i_src = (i + 8) mod ns on the rotated arm, then
+    * s′ = min(s + 2, 255) on the clipped arm.
+    */
+  private def gwavDupHex: org.apache.spark.sql.Column =
+    concat(
+      lit("47574156"),
+      lpad(hex(col("sr_code")), 2, "0"),
+      lpad(hex(col("ns")), 4, "0"),
+      array_join(
+        transform(
+          sequence(lit(0L), col("ns") - 1),
+          i => {
+            val isrc =
+              when(col("rot") === 1, pmod(i + 8, col("ns"))).otherwise(i)
+            val base = pmod(
+              graft.functions.PortableHash.h32(
+                concat(lit("a"), col("orig").cast("string"), lit("."),
+                  isrc.cast("string"))
+              ),
+              lit(256)
+            )
+            lpad(
+              hex(
+                when(col("clip") === 1, least(base + 2, lit(255L)))
+                  .otherwise(base)
+              ),
+              2,
+              "0"
+            )
+          }
+        ),
+        ""
+      )
+    )
+
+  /** mm18: audio fingerprint near-dup over REAL decoded GWAV PCM —
+    * the windowed-energy signature with the mm06/mm07 banded net:
+    * (1) decode each container and compute the per-8-sample-window
+    * mean amplitude in exact milli units — the signature is the
+    * window-mean SEQUENCE (order-aware: the time-shift decoys must
+    * not match); (2) candidate keys are (window index, grid,
+    * quantized mean) on TWO staggered grids ([[AUD_DUP_GRID_MILLI]]
+    * apart, offset by half) — any pair within Q/2 per window shares a
+    * cell by construction, so the clipped re-encodes (≤ 2 units away)
+    * are structurally recalled; (3) verification is the aligned
+    * Σ |Δ mean| ≤ [[AUD_DUP_SUM_PER_WINDOW]]·nw (same window count
+    * required); (4) verified edges → connected components → the
+    * cluster report (survivor = lowest id, Σ h32(member) fingerprint).
+    * Oracle re-derives everything from first principles.
+    *
+    * Shape at scale: window means are one map-side pass (payload
+    * bytes never shuffle); candidates banded on dense integer keys;
+    * verification touches candidates only.
+    */
+  private val audioNearDup: Q = (s, dir) => {
+    val media = gwavDupCorpus(s, dir)
+      .select(col("media_id"), gwavDupHex.as("fullhex"))
+      .select(col("media_id"), unhex(col("fullhex")).as("payload"))
+    def bv(pos: org.apache.spark.sql.Column) =
+      conv(col("h").substr(pos.cast("int"), lit(2)), 16, 10).cast("long")
+    val hdr = media
+      .select(col("media_id"), hex(col("payload")).as("h"))
+      .select(
+        col("media_id"),
+        col("h"),
+        expr("CAST(conv(substr(h, 11, 4), 16, 10) AS BIGINT) DIV 8").as("nw")
+      )
+    val windows = hdr.select(
+      col("media_id"),
+      col("h"),
+      col("nw"),
+      explode(sequence(lit(0L), col("nw") - 1)).as("w")
+    )
+    val msum = (0 until 8)
+      .map(k => bv(lit(15L) + (col("w") * 8 + k) * 2))
+      .reduce(_ + _)
+    val wm = windows
+      .withColumn("__ms", msum)
+      .select(
+        col("media_id"),
+        col("nw"),
+        col("w"),
+        expr("CAST((__ms * 1000) DIV 8 AS BIGINT)").as("m")
+      )
+    val auds = wm
+      .groupBy(col("media_id"), col("nw"))
+      .agg(array_sort(collect_list(struct(col("w"), col("m")))).as("sm"))
+      .select(
+        col("media_id"),
+        col("nw"),
+        expr("transform(sm, x -> x.m)").as("ms")
+      )
+    val q = AUD_DUP_GRID_MILLI
+    val long = auds
+      .select(
+        struct(col("media_id")).as("m"),
+        posexplode(col("ms")).as(Seq("w", "mv"))
+      )
+      .select(
+        col("m"),
+        col("w"),
+        posexplode(
+          array(
+            expr(s"CAST(mv DIV $q AS BIGINT)"),
+            expr(s"CAST((mv + ${q / 2}) DIV $q AS BIGINT)")
+          )
+        ).as(Seq("g", "bkey"))
+      )
+    val cand = PairJoins
+      .bucketedPairs(long, Seq("w", "g", "bkey"), "m")
+      .select(col("id_a.media_id").as("id_a"), col("id_b.media_id").as("id_b"))
+    val near = cand
+      .join(
+        auds.select(col("media_id").as("id_a"), col("nw").as("nw_a"),
+          col("ms").as("ma")),
+        "id_a")
+      .join(
+        auds.select(col("media_id").as("id_b"), col("nw").as("nw_b"),
+          col("ms").as("mb")),
+        "id_b")
+      .filter(col("nw_a") === col("nw_b"))
+      .withColumn(
+        "sd",
+        expr("""aggregate(zip_with(ma, mb, (x, y) -> abs(x - y)),
+          |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin)
+      )
+      .filter(col("sd") <= col("nw_a") * AUD_DUP_SUM_PER_WINDOW)
+      .select("id_a", "id_b")
+    val cc = graft.dedup.Clusters
+      .connectedComponents(auds.select(col("media_id").as("id")), near)
+    cc.groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(col("id")).as("survivor_id"),
+        sum(
+          graft.functions.PortableHash
+            .h32(col("id").cast("string"))
+            .cast("long")
+        ).as("member_fp")
+      )
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm08_shot_bounds" -> shotBounds,
     "mm09_aspect_buckets" -> aspectBuckets,
@@ -1033,7 +1413,9 @@ object MediaQueries {
     "mm13_audio_segments" -> audioSegments,
     "mm14_video_decode" -> videoDecode,
     "mm15_video_shots" -> videoShotBounds,
-    "mm16_frame_sample" -> videoFrameSample
+    "mm16_frame_sample" -> videoFrameSample,
+    "mm17_video_neardup" -> videoNearDup,
+    "mm18_audio_neardup" -> audioNearDup
   )
 
   /** DuckDB mirror of [[gwavPlanted]] + [[gwavFullHex]] (CTE list,
@@ -1480,6 +1862,141 @@ object MediaQueries {
          |SELECT media_id, CAST(SUM(shot_frames) AS BIGINT) AS n_frames,
          |  CAST(COUNT(*) AS BIGINT) AS n_shots,
          |  CAST(MAX(shot_frames) AS BIGINT) AS longest_shot
-         |FROM per GROUP BY 1 ORDER BY media_id""".stripMargin
+         |FROM per GROUP BY 1 ORDER BY media_id""".stripMargin,
+    // the whole mm17 pipeline from first principles: corpus (orig +
+    // brightness-shifted re-encode + frame-reversed decoy), h32 pixel
+    // content, per-frame ordinal dHash over the sampled grid, banded
+    // candidates, aligned-Hamming verification, recursive
+    // reachability, and the survivor/fingerprint report
+    "mm17_video_neardup" -> {
+      val h32id = graft.functions.PortableHash.sqlH32("CAST(id AS VARCHAR)")
+      val pxh = graft.functions.PortableHash.sqlH32(
+        "concat('v', CAST(orig AS VARCHAR), '.', CAST(fsrc AS VARCHAR), " +
+          "'.', CAST(p AS VARCHAR))")
+      def pos(j: Int) = s"(($j * (npix - 1)) // 64)"
+      val bits = (0 until 64)
+        .map(j =>
+          s"(CASE WHEN px[${pos(j)} + 1] < px[${pos(j + 1)} + 1] " +
+            s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"""WITH RECURSIVE planted AS (
+         |  SELECT doc_id AS orig,
+         |    CAST(3 + doc_id % 4 AS BIGINT) AS nf,
+         |    CAST((8 + doc_id % 3) * 8 AS BIGINT) AS npix
+         |  FROM documents WHERE doc_id % 17 = 9),
+         |corp AS (
+         |  SELECT orig AS media_id, orig, nf, npix,
+         |    0 AS shift, 0 AS rev FROM planted
+         |  UNION ALL
+         |  SELECT orig + 1000000000, orig, nf, npix, 4, 0 FROM planted
+         |  UNION ALL
+         |  SELECT orig + 2000000000, orig, nf, npix, 0, 1
+         |  FROM planted WHERE orig % 2 = 1),
+         |fr0 AS (SELECT media_id, orig, nf, npix, shift, rev,
+         |    unnest(range(0, nf)) AS f FROM corp),
+         |fr AS (SELECT media_id, orig, nf, npix, shift, f,
+         |    CASE WHEN rev = 1 THEN nf - 1 - f ELSE f END AS fsrc
+         |  FROM fr0),
+         |pxl AS (SELECT media_id, nf, npix, f,
+         |    list_transform(range(0, npix),
+         |      p -> (($pxh) + shift) % 256) AS px
+         |  FROM fr),
+         |fh AS (SELECT media_id, nf, f, $bits AS fhash FROM pxl),
+         |bd AS (SELECT media_id, f, t.b,
+         |    (fhash >> (16 * t.b)) & 65535 AS bkey
+         |  FROM fh, (VALUES (0), (1), (2), (3)) t(b)),
+         |cand AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+         |  FROM bd x JOIN bd y ON x.f = y.f AND x.b = y.b
+         |    AND x.bkey = y.bkey AND x.media_id < y.media_id),
+         |ham AS (SELECT c.id_a, c.id_b,
+         |    CAST(SUM(bit_count(xor(x.fhash, y.fhash))) AS BIGINT) AS th
+         |  FROM cand c
+         |  JOIN fh x ON x.media_id = c.id_a
+         |  JOIN fh y ON y.media_id = c.id_b AND y.f = x.f
+         |  GROUP BY 1, 2),
+         |near AS (SELECT h.id_a, h.id_b FROM ham h
+         |  JOIN corp a ON a.media_id = h.id_a
+         |  JOIN corp b ON b.media_id = h.id_b
+         |  WHERE a.nf = b.nf AND h.th <= a.nf * $VID_DUP_HAM_PER_FRAME),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM near
+         |          UNION ALL SELECT id_b, id_a FROM near),
+         |reach(id, lbl) AS (
+         |  SELECT media_id, media_id FROM corp
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  MIN(id) AS survivor_id,
+         |  CAST(SUM($h32id) AS BIGINT) AS member_fp
+         |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+    },
+    // the whole mm18 pipeline from first principles: corpus (orig +
+    // clipped re-encode + one-window rotation decoy), h32 PCM
+    // content, exact milli window means, staggered-grid candidates,
+    // aligned sum-of-|delta| verification, reachability, report
+    "mm18_audio_neardup" -> {
+      val h32id = graft.functions.PortableHash.sqlH32("CAST(id AS VARCHAR)")
+      val q = AUD_DUP_GRID_MILLI
+      // sample value at absolute index I (a plain SQL expression —
+      // lambdas admit no subqueries): rotation remaps the index, the
+      // h32 content renders, clipping applies
+      def samp(i: String) = {
+        val isrc = s"(CASE WHEN rot = 1 THEN (($i) + 8) % ns ELSE ($i) END)"
+        val base = "(" + graft.functions.PortableHash.sqlH32(
+          s"concat('a', CAST(orig AS VARCHAR), '.', CAST($isrc AS VARCHAR))"
+        ) + " % 256)"
+        s"(CASE WHEN clip = 1 THEN LEAST($base + 2, 255) ELSE $base END)"
+      }
+      s"""WITH RECURSIVE planted AS (
+         |  SELECT doc_id AS orig,
+         |    CAST(24 + (doc_id % 5) * 8 AS BIGINT) AS ns
+         |  FROM documents WHERE doc_id % 13 = 7),
+         |corp AS (
+         |  SELECT orig AS media_id, orig, ns, 0 AS clip, 0 AS rot
+         |  FROM planted
+         |  UNION ALL
+         |  SELECT orig + 1000000000, orig, ns, 1, 0 FROM planted
+         |  UNION ALL
+         |  SELECT orig + 2000000000, orig, ns, 0, 1
+         |  FROM planted WHERE orig % 2 = 1),
+         |wr AS (SELECT media_id, orig, ns, clip, rot, ns // 8 AS nw,
+         |    unnest(range(0, ns // 8)) AS w FROM corp),
+         |wm AS (SELECT media_id, nw, w,
+         |    (CAST(list_aggregate(list_transform(range(0, 8),
+         |      k -> ${samp("w * 8 + k")}), 'sum') AS BIGINT) * 1000) // 8
+         |      AS m
+         |  FROM wr),
+         |bd AS (SELECT media_id, w, t.g,
+         |    CASE WHEN t.g = 0 THEN m // $q
+         |      ELSE (m + ${q / 2}) // $q END AS bkey
+         |  FROM wm, (VALUES (0), (1)) t(g)),
+         |cand AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+         |  FROM bd x JOIN bd y ON x.w = y.w AND x.g = y.g
+         |    AND x.bkey = y.bkey AND x.media_id < y.media_id),
+         |dv AS (SELECT c.id_a, c.id_b,
+         |    CAST(SUM(abs(x.m - y.m)) AS BIGINT) AS sd
+         |  FROM cand c
+         |  JOIN wm x ON x.media_id = c.id_a
+         |  JOIN wm y ON y.media_id = c.id_b AND y.w = x.w
+         |  GROUP BY 1, 2),
+         |near AS (SELECT d.id_a, d.id_b FROM dv d
+         |  JOIN corp a ON a.media_id = d.id_a
+         |  JOIN corp b ON b.media_id = d.id_b
+         |  WHERE a.ns = b.ns
+         |    AND d.sd <= (a.ns // 8) * $AUD_DUP_SUM_PER_WINDOW),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM near
+         |          UNION ALL SELECT id_b, id_a FROM near),
+         |reach(id, lbl) AS (
+         |  SELECT media_id, media_id FROM corp
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  MIN(id) AS survivor_id,
+         |  CAST(SUM($h32id) AS BIGINT) AS member_fp
+         |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+    }
   )
 }
