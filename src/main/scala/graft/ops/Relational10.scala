@@ -514,6 +514,91 @@ object Relational10 {
     }
   }
 
+  /** pipe06: the STORAGE-HEALTH dataset card — pipe04 documents the
+    * corpus' content; this row documents its physical state, the way
+    * a lakehouse table's maintenance dashboard does, with the file
+    * census read from the [[graft.sources.ManifestStore]] MANIFEST
+    * (metadata, never a data scan — the q86 docstring's "in
+    * production read from the table manifest", now literal). Inside a
+    * scratch root the store lives the full lifecycle: planted one
+    * physical file per ingest file, churned by three append commits
+    * (one small file per source each — the debt accruing), then
+    * compacted by the shared `Compaction.plan`/`execute`. One row per
+    * source: doc count and generation mix (base vs churn-appended)
+    * from the data, file counts BEFORE and AFTER from the manifest,
+    * the plan's bin count, and the compaction DEBT (files over the
+    * bin-packed ideal) before/after — the number a maintenance
+    * scheduler alerts on. The oracle re-derives every column from
+    * fixture arithmetic, so a manifest census that drifts from the
+    * physical truth diverges at the gate.
+    */
+  private val storageReport: Q = (s, dir) => {
+    import graft.sources.{Compaction, ManifestStore}
+    val docs = ingestFiles(s, dir)
+    graft.sources.Scratch.withTempDir("graft-pipe06") { path =>
+      Compaction.writeBinned(docs, path, "source", "file_id", dynamic = false)
+      (1 to 3).foreach { b =>
+        val batch = Tables(s, dir).documents
+          .filter(pmod(col("doc_id"), lit(7)) === b)
+          .select(
+            (col("doc_id") + lit(1000000L * b)).as("doc_id"),
+            col("source"),
+            col("n_chars"),
+            lit(1000000L + b).as("file_id")
+          )
+          .withColumn("bin", col("file_id"))
+        ManifestStore.append(batch, path, Seq("source"))
+      }
+      def census(tag: String): DataFrame = {
+        import s.implicits._
+        ManifestStore
+          .snapshot(s, path)
+          .partitionStats()
+          .map { case (src, nFiles, rows, _) => (src, nFiles.toLong, rows) }
+          .toDF("source", s"files_$tag", s"rows_$tag")
+      }
+      val before = census("before")
+      val files = ManifestStore
+        .read(s, path)
+        .groupBy(col("source"), col("file_id"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      val binPlan = Compaction
+        .plan(files, "source", "file_id", "bytes", COMPACT_TARGET)
+        .select(col("source"), col("file_id"), col("bin"))
+      val bins = binPlan
+        .groupBy(col("source"))
+        .agg(countDistinct(col("bin")).as("planned_bins"))
+      Compaction.execute(s, path, "source", Seq("file_id"), binPlan)
+      val after = census("after")
+      val mix = ManifestStore
+        .read(s, path)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") < 1000000L, 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L))
+            .as("n_churn")
+        )
+      mix
+        .join(before, Seq("source"))
+        .join(bins, Seq("source"))
+        .join(after, Seq("source"))
+        .select(
+          col("source"),
+          col("n_docs"),
+          col("n_base"),
+          col("n_churn"),
+          col("files_before"),
+          col("planned_bins"),
+          col("files_after"),
+          (col("files_before") - col("planned_bins")).as("debt_before"),
+          (col("files_after") - col("planned_bins")).as("debt_after")
+        )
+        .orderBy("source")
+        .localCheckpoint(true)
+    }
+  }
+
   /** Columns profiled by q87 (all numeric, so min/max cast to DOUBLE
     * losslessly — string/date min-max rendering differs across
     * engines and is deliberately out of the stats schema).
@@ -648,6 +733,7 @@ object Relational10 {
     "q110_schema_evolution" -> schemaEvolution,
     "q111_format_roundtrip" -> formatRoundtrip,
     "q112_manifest_commit" -> manifestCommit,
+    "pipe06_storage_report" -> storageReport,
     "q87_column_stats" -> columnStats,
     "q88_grouped_quantiles" -> hdrGrouped
   )
@@ -868,6 +954,47 @@ object Relational10 {
          |FROM agg, (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(format)
          |ORDER BY f.format""".stripMargin
     },
+    // the storage card from fixture arithmetic: per-source ingest
+    // files (ceil over DOCS_PER_FILE runs), +3 churn files, the same
+    // streaming binning, and the debt columns — the manifest census
+    // the Spark side reports must land on these exact numbers
+    "pipe06_storage_report" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, n_chars,
+         |    (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+         |      // $DOCS_PER_FILE AS file_id
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id + 1000000 * t.b AS doc_id, source, n_chars,
+         |    CAST(1000000 + t.b AS BIGINT) AS file_id
+         |  FROM documents, (VALUES (1), (2), (3)) t(b)
+         |  WHERE doc_id % 7 = t.b),
+         |allr AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+         |f AS (SELECT source, file_id,
+         |    CAST(SUM(n_chars) AS BIGINT) AS bytes,
+         |    CAST(COUNT(*) AS BIGINT) AS nd,
+         |    CAST(SUM(CASE WHEN doc_id < 1000000 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nb
+         |  FROM allr GROUP BY 1, 2),
+         |p AS (SELECT source, file_id, bytes, nd, nb,
+         |    CAST(COALESCE(SUM(bytes) OVER (PARTITION BY source
+         |      ORDER BY file_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM f),
+         |b AS (SELECT source, file_id, nd, nb,
+         |    cum_before // $COMPACT_TARGET AS bin FROM p)
+         |SELECT source,
+         |  CAST(SUM(nd) AS BIGINT) AS n_docs,
+         |  CAST(SUM(nb) AS BIGINT) AS n_base,
+         |  CAST(SUM(nd - nb) AS BIGINT) AS n_churn,
+         |  CAST(COUNT(DISTINCT file_id) AS BIGINT) AS files_before,
+         |  CAST(COUNT(DISTINCT bin) AS BIGINT) AS planned_bins,
+         |  CAST(COUNT(DISTINCT bin) AS BIGINT) AS files_after,
+         |  CAST(COUNT(DISTINCT file_id) - COUNT(DISTINCT bin) AS BIGINT)
+         |    AS debt_before,
+         |  CAST(0 AS BIGINT) AS debt_after
+         |FROM b GROUP BY source ORDER BY source""".stripMargin,
     // the committed state from first principles: v1 corpus, the
     // lowest source's partition upserted (+1e6 per payload), the
     // crashed writer's negated payloads NOWHERE, version exactly 2
