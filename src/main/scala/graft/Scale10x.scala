@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity measurement: run the headline pipelines against a
+  * generated corpus at 1× and 10× the sf0.1 row counts and record
+  * wall time, shuffle bytes (read + write), and spill per query —
+  * converting the "survives a 100× scale-up" argument into numbers.
+  * Corpora come from the deterministic DSv2 generator (`graft-docs`)
+  * plus an h32-derived embeddings table matching the fixture's shape
+  * (dim 64, 5 labels), so every doc is distinct — scaling by copying
+  * the fixture would plant 10-way exact duplicates and drive the
+  * dedup pipelines quadratic by construction, measuring the planted
+  * pathology instead of the engine.
+  *
+  * Output: `bench_history/r9_scale10x.json` (or argv(0)) with per-
+  * query `{secs, shuffle_read_mb, shuffle_write_mb, spill_mb, rows}`
+  * under `"x1"`/`"x10"` plus a `"ratio"` block (10× / 1×); a ratio
+  * near 10 on shuffle bytes and below ~15 on wall time is linear for
+  * an n·log n-at-worst pipeline at this scale.
+  */
+object Scale10x {
+
+  private class Metrics extends SparkListener {
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit = { shuffleRead.set(0); shuffleWrite.set(0); spill.set(0) }
+  }
+
+  private val HEADLINE = Seq(
+    "dedup04_minhash_lsh",
+    "dedup06_clusters",
+    "sim26_ivf_batch_serve",
+    "text44_bm25_topk",
+    "pipe03_full_pipeline"
+  )
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("bench_history/r9_scale10x.json")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString
+    )
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val metrics = new Metrics
+    spark.sparkContext.addSparkListener(metrics)
+
+    val d1 = spark.read.parquet(s"$base/documents.parquet").count()
+    val e1 = spark.read.parquet(s"$base/embeddings.parquet").count()
+
+    /** Generate an sf0.1-shaped corpus dir at `mult`× its row counts. */
+    def gen(mult: Int): String = {
+      val dir = graft.sources.Scratch.tempDir(s"graft-scale${mult}x")
+      spark.read
+        .format("graft-docs")
+        .option("rows", d1 * mult)
+        .option("partitions", cpus.toInt)
+        .option("seed", 7)
+        .load()
+        .write
+        .parquet(s"$dir/documents.parquet")
+      spark
+        .range(0, e1 * mult, 1, cpus.toInt)
+        .select(
+          col("id").as("vec_id"),
+          transform(
+            sequence(lit(0), lit(63)),
+            j =>
+              ((graft.functions.PortableHash.h32(
+                concat(lit("e"), col("id").cast("string"), lit("."),
+                  j.cast("string"))
+              ) % 2001) - 1000).cast("float") / 1000.0f
+          ).as("embedding"),
+          pmod(
+            graft.functions.PortableHash.h32(
+              concat(lit("l"), col("id").cast("string"))),
+            lit(5)
+          ).cast("int").as("label")
+        )
+        .write
+        .parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+
+    def runOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def mb(b: Long): Double = math.round(b / 1048.576) / 1000.0
+
+    def measure(dir: String): Map[String, Map[String, Double]] =
+      HEADLINE.map { name =>
+        runOnce(name, dir) // warm pass: codegen + file listing
+        metrics.reset()
+        val secs = runOnce(name, dir)
+        name -> Map(
+          "secs" -> math.round(secs * 1000) / 1000.0,
+          "shuffle_read_mb" -> mb(metrics.shuffleRead.get),
+          "shuffle_write_mb" -> mb(metrics.shuffleWrite.get),
+          "spill_mb" -> mb(metrics.spill.get)
+        )
+      }.toMap
+
+    /** The scale-CORRECT serving arm sim26's gated form can't show:
+      * the gated query ties its query batch to the corpus (mod-37
+      * slice), so 10× data means 10× queries × 10× per-cell
+      * population = 100× scoring work — a measurement artifact, not
+      * an engine property. A deployment keeps the query batch
+      * independent of corpus size and grows K with the corpus
+      * (K ∝ √N keeps per-cell population ∝ √N), so per-query serving
+      * work grows as √N·nProbe. This arm measures exactly that: the
+      * SAME fixed query table against stores built at K ∝ √N.
+      */
+    def servingArm(dir: String, mult: Int): Map[String, Double] = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val k = math.max(8, math.round(8 * math.sqrt(mult.toDouble)).toInt)
+      val cents = graft.sim.IvfStore.centroids(emb, k, 97).localCheckpoint(true)
+      val store = graft.sources.Scratch.tempDir(s"graft-scale-ivf$mult")
+      graft.sim.IvfStore.build(emb, cents, store)
+      // fixed 1×-sized query batch, present at every scale
+      val queries = emb
+        .filter(col("vec_id") < e1 && pmod(col("vec_id"), lit(37)) === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .localCheckpoint(true)
+      def serveOnce(): Double = {
+        val t0 = System.nanoTime()
+        graft.sim.IvfStore
+          .topKBatch(spark, store, cents, queries, 10, 2)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      serveOnce() // warm
+      metrics.reset()
+      val secs = serveOnce()
+      val r = Map(
+        "secs" -> math.round(secs * 1000) / 1000.0,
+        "k" -> k.toDouble,
+        "shuffle_read_mb" -> mb(metrics.shuffleRead.get),
+        "shuffle_write_mb" -> mb(metrics.shuffleWrite.get),
+        "spill_mb" -> mb(metrics.spill.get)
+      )
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(queries)
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(cents)
+      graft.sources.Scratch.deleteRecursively(store)
+      r
+    }
+
+    val dir1 = gen(1)
+    val x1 = measure(dir1) +
+      ("ann_serve_fixed_batch" -> servingArm(dir1, 1))
+    graft.sources.Scratch.deleteRecursively(dir1)
+    val dir10 = gen(10)
+    val x10 = measure(dir10) +
+      ("ann_serve_fixed_batch" -> servingArm(dir10, 10))
+    graft.sources.Scratch.deleteRecursively(dir10)
+
+    def js(m: Map[String, Map[String, Double]]): String =
+      m.toSeq.sortBy(_._1).map { case (q, kv) =>
+        "\"" + q + "\":" + kv.toSeq.sortBy(_._1).map { case (k, v) =>
+          "\"" + k + "\":" + v
+        }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+    val ratios = (HEADLINE :+ "ann_serve_fixed_batch").map { q =>
+      q -> Map(
+        "secs" ->
+          math.round(x10(q)("secs") / math.max(x1(q)("secs"), 1e-9) * 100) / 100.0,
+        "shuffle_bytes" -> {
+          val a = x1(q)("shuffle_read_mb") + x1(q)("shuffle_write_mb")
+          val b = x10(q)("shuffle_read_mb") + x10(q)("shuffle_write_mb")
+          math.round(b / math.max(a, 1e-9) * 100) / 100.0
+        }
+      )
+    }.toMap
+    val doc = s"""{"rows_x1":{"documents":$d1,"embeddings":$e1},""" +
+      s""""x1":${js(x1)},"x10":${js(x10)},"ratio":${js(ratios)}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out),
+      doc.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    )
+    spark.stop()
+    println(doc)
+  }
+}
