@@ -38,11 +38,55 @@ import org.apache.spark.sql.types.StructType
   * order: staging is invisible, so a crash after any subset of staged
   * writes — e.g. after the store's files, before the sidecar's —
   * leaves the manifest pointing at the old, mutually-consistent pair.
+  *
+  * Beyond the swap, the manifest carries the rest of the table-format
+  * core, each a metadata-only read:
+  *   - every committed version also persists as `_graft/v%06d.json`,
+  *     so [[snapshotAt]] TIME-TRAVELS to any retained version and
+  *     [[changedPartitions]] diffs two versions file-granularly (the
+  *     change-data-feed read touches ONLY files added/removed between
+  *     the versions, never the whole store);
+  *   - [[commit]] takes an `expectedVersion` — compare-and-swap, the
+  *     optimistic concurrency every multi-writer table needs (in-JVM
+  *     the check runs under a per-root lock; on an object store it IS
+  *     the conditional PUT); [[commitRebase]] retries a lost race
+  *     when the staged partitions are disjoint from what landed in
+  *     between, and refuses (never silently merges) when they overlap;
+  *   - [[commitBatch]] records a (sink, batchId) ledger IN the
+  *     manifest, so a streaming `foreachBatch` sink re-delivered a
+  *     batch after a crash publishes exactly once — the ledger and
+  *     the data commit share the single swap;
+  *   - [[FileEntry]] carries per-file min/max for integral columns
+  *     (read from the parquet footers at commit time), so
+  *     [[Snapshot.readRange]] prunes files by value range BEFORE
+  *     Spark lists anything — manifest-level data skipping on
+  *     non-partition columns.
   */
 object ManifestStore {
 
+  /** A commit lost the optimistic-concurrency race: the manifest
+    * version moved past `expectedVersion` (or past a rebase's
+    * conflict window) between stage and swap.
+    */
+  final class ConcurrentCommitException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Per-root in-JVM commit lock — the local stand-in for an object
+    * store's conditional PUT: version check and swap are one critical
+    * section, so two racing committers serialize and the loser's
+    * expectedVersion check fails deterministically.
+    */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(root, _ => new Object)
+
   /** The main table's name — single-table callers never spell it. */
   val MAIN = "store"
+
+  /** [[commit]]'s `expectedVersion` sentinel: skip the CAS check. */
+  val ANY_VERSION: Long = -1L
 
   sealed trait Mode
 
@@ -62,10 +106,18 @@ object ManifestStore {
   case object Append extends Mode
 
   /** One parquet file the manifest references: `path` relative to the
-    * root, plus the two stats every planner wants (bytes from the
-    * file status, rows from the parquet footer — metadata, not data).
+    * root, plus the stats every planner wants — bytes from the file
+    * status, rows from the parquet footer, and per-column (min, max)
+    * for the file's integral columns (footer column statistics
+    * aggregated across row groups — metadata, not data). A column
+    * absent from `stats` simply cannot prune this file.
     */
-  final case class FileEntry(path: String, bytes: Long, rows: Long)
+  final case class FileEntry(
+      path: String,
+      bytes: Long,
+      rows: Long,
+      stats: Map[String, (Long, Long)] = Map.empty
+  )
 
   final case class PartitionEntry(values: Seq[String], files: Seq[FileEntry]) {
     def rows: Long = files.map(_.rows).sum
@@ -97,7 +149,8 @@ object ManifestStore {
       val spark: SparkSession,
       val root: String,
       val version: Long,
-      val tables: Map[String, TableState]
+      val tables: Map[String, TableState],
+      val batches: Map[String, Long] = Map.empty
   ) {
     def hasTable(table: String): Boolean = tables.contains(table)
 
@@ -170,10 +223,43 @@ object ManifestStore {
       state(table).partitions.values.flatMap { p =>
         p.files.map(f => (p.values.mkString("/"), f.path, f.bytes, f.rows))
       }.toSeq.sortBy(_._2)
+
+    /** Manifest-level data skipping on a NON-partition column: the
+      * files whose footer (min, max) for `column` intersects
+      * [lo, hi], plus the table's total file count. A file without
+      * stats for the column is conservatively kept.
+      */
+    def rangeFiles(
+        table: String,
+        column: String,
+        lo: Long,
+        hi: Long
+    ): (Seq[FileEntry], Int) = {
+      val all = state(table).partitions.values.flatMap(_.files).toSeq
+      val kept = all.filter { f =>
+        f.stats.get(column) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None           => true
+        }
+      }
+      (kept, all.length)
+    }
+
+    /** Range read through the stats: scan ONLY the files [[rangeFiles]]
+      * keeps, with the residual predicate still applied — result is
+      * identical to filtering the full table, minus the skipped IO.
+      */
+    def readRange(table: String, column: String, lo: Long, hi: Long): DataFrame = {
+      val (kept, _) = rangeFiles(table, column, lo, hi)
+      readFiles(state(table), resolve(kept))
+        .filter(col(column) >= lo && col(column) <= hi)
+    }
   }
 
   private def manifestDir(root: String) = root + "/_graft"
   private def manifestPath(root: String) = manifestDir(root) + "/MANIFEST.json"
+  private def versionPath(root: String, v: Long) =
+    manifestDir(root) + f"/v$v%06d.json"
 
   /** Local filesystem path of a possibly `file:`-prefixed root. */
   private def localPath(p: String): java.nio.file.Path = {
@@ -283,15 +369,15 @@ object ManifestStore {
           }.getOrElse(throw new IllegalStateException(
             s"staged file $rel has no $pfx segment"))
         }
-        val rows = {
+        val (rows, colStats) = {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromStatus(status, conf)
           val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try rdr.getRecordCount
+          try (rdr.getRecordCount, footerRangeStats(rdr))
           finally rdr.close()
         }
         val key = values.mkString("/")
-        val entry = FileEntry(rel, status.getLen, rows)
+        val entry = FileEntry(rel, status.getLen, rows, colStats)
         out.update(key, out.get(key) match {
           case Some(p) => p.copy(files = p.files :+ entry)
           case None    => PartitionEntry(values, Seq(entry))
@@ -301,19 +387,61 @@ object ManifestStore {
     out.toMap
   }
 
-  /** Publish staged writes as ONE new manifest version: merge each
-    * staged table into the previous manifest per its [[Mode]], write
-    * the new manifest to a dotfile, and atomically swap it in. All
-    * staged tables become visible together or — on any failure or
-    * crash before the swap — not at all; the previous version's files
-    * are untouched either way.
+  /** Aggregate each integral column's (min, max) across the open
+    * file's row groups — the footer statistics parquet already wrote.
+    * Columns with missing/empty stats in ANY row group are dropped
+    * (they could not prove a bound for the whole file).
     */
-  def commit(spark: SparkSession, root: String, staged: Seq[Staged]): Long = {
-    require(staged.nonEmpty, "nothing staged")
-    val prev =
-      if (exists(spark, root)) Some(snapshot(spark, root)) else None
-    var tables: Map[String, TableState] =
-      prev.map(_.tables).getOrElse(Map.empty)
+  private def footerRangeStats(
+      rdr: org.apache.parquet.hadoop.ParquetFileReader
+  ): Map[String, (Long, Long)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val poisoned = scala.collection.mutable.Set.empty[String]
+    rdr.getFooter.getBlocks.asScala.foreach { block =>
+      block.getColumns.asScala.foreach { c =>
+        if (c.getPath.size() == 1) {
+          val name = c.getPath.toDotString
+          val tn = c.getPrimitiveType.getPrimitiveTypeName
+          if ((tn == INT32 || tn == INT64) && !poisoned.contains(name)) {
+            val s = c.getStatistics
+            if (s == null || s.isEmpty || !s.hasNonNullValue) {
+              poisoned += name; acc.remove(name)
+            } else {
+              val (mn, mx) = s.genericGetMin match {
+                case i: java.lang.Integer =>
+                  (i.longValue(),
+                    s.genericGetMax.asInstanceOf[java.lang.Integer].longValue())
+                case l: java.lang.Long =>
+                  (l.longValue(),
+                    s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+                case _ => (0L, -1L) // unreachable for INT32/INT64
+              }
+              acc.get(name) match {
+                case Some((a, b)) =>
+                  acc.update(name, (math.min(a, mn), math.max(b, mx)))
+                case None => acc.update(name, (mn, mx))
+              }
+            }
+          }
+        }
+      }
+    }
+    acc.toMap
+  }
+
+  /** Merge staged tables into the previous state per their [[Mode]]s —
+    * the pure half of a commit, shared by [[commit]] and
+    * [[commitRebase]].
+    */
+  private def mergeStaged(
+      spark: SparkSession,
+      root: String,
+      staged: Seq[Staged],
+      prevTables: Map[String, TableState]
+  ): Map[String, TableState] = {
+    var tables = prevTables
     staged.foreach { st =>
       val found = listStaged(spark, root, st)
       val next = (tables.get(st.table), st.mode) match {
@@ -334,9 +462,157 @@ object ManifestStore {
       }
       tables = tables.updated(st.table, next)
     }
-    val version = prev.map(_.version + 1).getOrElse(1L)
-    swapIn(root, version, tables)
-    version
+    tables
+  }
+
+  /** Publish staged writes as ONE new manifest version: merge each
+    * staged table into the previous manifest per its [[Mode]], write
+    * the new manifest to a dotfile, and atomically swap it in. All
+    * staged tables become visible together or — on any failure or
+    * crash before the swap — not at all; the previous version's files
+    * are untouched either way.
+    *
+    * `expectedVersion` makes the publish a compare-and-swap: the
+    * commit applies only if the current manifest version still equals
+    * it (0 for a fresh root; [[ANY_VERSION]] skips the check), else
+    * throws [[ConcurrentCommitException]] with nothing published —
+    * the optimistic-concurrency contract a multi-writer table needs.
+    */
+  def commit(
+      spark: SparkSession,
+      root: String,
+      staged: Seq[Staged],
+      expectedVersion: Long = ANY_VERSION
+  ): Long = {
+    require(staged.nonEmpty, "nothing staged")
+    lockFor(root).synchronized {
+      val prev =
+        if (exists(spark, root)) Some(snapshot(spark, root)) else None
+      if (expectedVersion != ANY_VERSION) {
+        val got = prev.map(_.version).getOrElse(0L)
+        if (got != expectedVersion)
+          throw new ConcurrentCommitException(
+            s"commit at $root expected version $expectedVersion " +
+              s"but found $got — another writer committed first; " +
+              "stage is unpublished")
+      }
+      val tables =
+        mergeStaged(spark, root, staged, prev.map(_.tables).getOrElse(Map.empty))
+      val version = prev.map(_.version + 1).getOrElse(1L)
+      swapIn(root, version, tables, prev.map(_.batches).getOrElse(Map.empty))
+      version
+    }
+  }
+
+  /** Retry a commit that lost the CAS race, Delta-style: if every
+    * partition the staged write touches is UNCHANGED between
+    * `baseVersion` (what the writer read) and the current version,
+    * the two writers were disjoint and the staged write re-applies on
+    * top of the current state; if any touched partition changed in
+    * between, the writer's inputs are stale and the commit refuses —
+    * a silent merge would publish a lost update. `Replace` mode
+    * always conflicts across versions (it claims the whole table).
+    */
+  def commitRebase(
+      spark: SparkSession,
+      root: String,
+      staged: Seq[Staged],
+      baseVersion: Long
+  ): Long = {
+    require(staged.nonEmpty, "nothing staged")
+    lockFor(root).synchronized {
+      val cur = snapshot(spark, root)
+      if (cur.version != baseVersion) {
+        val base = snapshotAt(spark, root, baseVersion)
+        staged.foreach { st =>
+          if (st.mode == Replace)
+            throw new ConcurrentCommitException(
+              s"table '${st.table}': Replace staged at v$baseVersion " +
+                s"cannot rebase onto v${cur.version} — it claims every " +
+                "partition")
+          val touched = listStaged(spark, root, st).keySet
+          val changed = changedPartitionKeys(base, cur, st.table)
+          val overlap = touched.intersect(changed)
+          if (overlap.nonEmpty)
+            throw new ConcurrentCommitException(
+              s"table '${st.table}': partitions ${overlap.toSeq.sorted
+                .mkString(",")} changed between v$baseVersion and " +
+                s"v${cur.version} and are also staged — rebase refused " +
+                "(lost update)")
+        }
+      }
+      val tables = mergeStaged(spark, root, staged, cur.tables)
+      val version = cur.version + 1
+      swapIn(root, version, tables, cur.batches)
+      version
+    }
+  }
+
+  /** Exactly-once publish for a streaming `foreachBatch` sink: the
+    * manifest records, per sink id, the highest batchId applied; a
+    * re-delivered batch (crash after commit, before the checkpoint
+    * advanced) is recognized and NOT re-applied — the ledger and the
+    * data share the single manifest swap, so there is no window where
+    * one is updated and the other is not. Returns the current version
+    * and whether this call published.
+    */
+  def commitBatch(
+      spark: SparkSession,
+      root: String,
+      staged: Seq[Staged],
+      sinkId: String,
+      batchId: Long
+  ): (Long, Boolean) = {
+    require(staged.nonEmpty, "nothing staged")
+    lockFor(root).synchronized {
+      val prev =
+        if (exists(spark, root)) Some(snapshot(spark, root)) else None
+      val applied = prev.flatMap(_.batches.get(sinkId))
+      if (applied.exists(_ >= batchId)) {
+        (prev.get.version, false)
+      } else {
+        val tables =
+          mergeStaged(spark, root, staged, prev.map(_.tables).getOrElse(Map.empty))
+        val version = prev.map(_.version + 1).getOrElse(1L)
+        val batches =
+          prev.map(_.batches).getOrElse(Map.empty) + (sinkId -> batchId)
+        swapIn(root, version, tables, batches)
+        (version, true)
+      }
+    }
+  }
+
+  /** Partition keys of `table` whose file lists differ between two
+    * snapshots (added, removed, or rewritten) — the file-granular
+    * unit a change-data-feed read touches.
+    */
+  def changedPartitionKeys(a: Snapshot, b: Snapshot, table: String = MAIN): Set[String] = {
+    val pa = a.tables.get(table).map(_.partitions).getOrElse(Map.empty)
+    val pb = b.tables.get(table).map(_.partitions).getOrElse(Map.empty)
+    (pa.keySet ++ pb.keySet).filter { k =>
+      pa.get(k).map(_.files.map(_.path)) != pb.get(k).map(_.files.map(_.path))
+    }
+  }
+
+  /** File-granular version diff: (files only in `to`, files only in
+    * `from`) for `table` — the change-data-feed scan set. Everything
+    * both versions share is untouched BY CONSTRUCTION (commits never
+    * rewrite a referenced file in place), so a CDF read scans only
+    * this delta, never the store.
+    */
+  def fileDiff(
+      from: Snapshot,
+      to: Snapshot,
+      table: String = MAIN
+  ): (Seq[FileEntry], Seq[FileEntry]) = {
+    def files(s: Snapshot): Seq[FileEntry] =
+      s.tables.get(table).map(_.partitions.values.flatMap(_.files).toSeq)
+        .getOrElse(Seq.empty)
+    val fa = files(from)
+    val fb = files(to)
+    val pa = fa.map(_.path).toSet
+    val pb = fb.map(_.path).toSet
+    (fb.filterNot(f => pa.contains(f.path)), fa.filterNot(f => pb.contains(f.path)))
   }
 
   /** Column names and types must match the manifest's (nullability
@@ -359,14 +635,26 @@ object ManifestStore {
         "through Replace (the q110 path), not a silent merge")
   }
 
-  /** Delete every `_data` file the CURRENT manifest no longer
-    * references (superseded versions, aborted stagings) — the reader
-    * isolation window ends here. Returns the number of files removed.
+  /** Delete every `_data` file the last `retainVersions` manifests no
+    * longer reference (superseded versions, aborted stagings), plus
+    * the manifest history older than the retention window — the
+    * reader-isolation and time-travel window ends here. The default
+    * retains only the current version (the pre-history contract).
+    * Returns the number of data files removed.
     */
-  def vacuum(spark: SparkSession, root: String): Int = {
+  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1): Int = {
+    require(retainVersions >= 1, "must retain at least the current version")
     val snap = snapshot(spark, root)
-    val live: Set[String] = snap.tables.values.flatMap(
-      _.partitions.values.flatMap(_.files.map(_.path))).toSet
+    val keepFrom = math.max(1L, snap.version - retainVersions + 1)
+    val retained: Seq[Snapshot] = snap +:
+      versions(spark, root)
+        .filter(v => v >= keepFrom && v < snap.version)
+        .map(v => snapshotAt(spark, root, v))
+    versions(spark, root).filter(_ < keepFrom).foreach { v =>
+      java.nio.file.Files.deleteIfExists(localPath(versionPath(root, v)))
+    }
+    val live: Set[String] = retained.flatMap(_.tables.values.flatMap(
+      _.partitions.values.flatMap(_.files.map(_.path)))).toSet
     val dataDir = localPath(root + "/_data")
     if (!java.nio.file.Files.exists(dataDir)) return 0
     val rootP = localPath(root)
@@ -398,11 +686,16 @@ object ManifestStore {
   private def swapIn(
       root: String,
       version: Long,
-      tables: Map[String, TableState]
+      tables: Map[String, TableState],
+      batches: Map[String, Long]
   ): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val doc = mapper.createObjectNode()
     doc.put("version", version)
+    if (batches.nonEmpty) {
+      val bn = doc.putObject("batches")
+      batches.toSeq.sortBy(_._1).foreach { case (k, v) => bn.put(k, v) }
+    }
     val tablesNode = doc.putObject("tables")
     tables.toSeq.sortBy(_._1).foreach { case (name, st) =>
       val t = tablesNode.putObject(name)
@@ -420,16 +713,24 @@ object ManifestStore {
           fn.put("path", f.path)
           fn.put("bytes", f.bytes)
           fn.put("rows", f.rows)
+          if (f.stats.nonEmpty) {
+            val sn = fn.putObject("stats")
+            f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+              val a = sn.putArray(c); a.add(mn); a.add(mx)
+            }
+          }
         }
       }
     }
     val dir = localPath(manifestDir(root))
     java.nio.file.Files.createDirectories(dir)
+    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(doc)
+    // History first: the versioned copy time travel and rebase diff
+    // against. A crash here leaves an orphan vN the next commit (which
+    // still sees v(N-1) as current) simply overwrites.
+    java.nio.file.Files.write(localPath(versionPath(root, version)), bytes)
     val tmp = dir.resolve(s".staged-${java.util.UUID.randomUUID()}.json")
-    java.nio.file.Files.write(
-      tmp,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(doc)
-    )
+    java.nio.file.Files.write(tmp, bytes)
     // THE commit point: one rename(2). Before it, readers resolve the
     // previous manifest; after it, the new one — nothing in between.
     java.nio.file.Files.move(
@@ -439,8 +740,11 @@ object ManifestStore {
     )
   }
 
-  def snapshot(spark: SparkSession, root: String): Snapshot = {
-    val bytes = java.nio.file.Files.readAllBytes(localPath(manifestPath(root)))
+  private def parse(
+      spark: SparkSession,
+      root: String,
+      bytes: Array[Byte]
+  ): Snapshot = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val doc = mapper.readTree(bytes)
     import scala.jdk.CollectionConverters._
@@ -452,17 +756,60 @@ object ManifestStore {
         val p = pe.getValue
         val values = p.get("values").elements().asScala.map(_.asText()).toSeq
         val files = p.get("files").elements().asScala.map { f =>
+          val stats = Option(f.get("stats")) match {
+            case Some(sn) =>
+              sn.properties().asScala.map { se =>
+                se.getKey ->
+                  (se.getValue.get(0).asLong(), se.getValue.get(1).asLong())
+              }.toMap
+            case None => Map.empty[String, (Long, Long)]
+          }
           FileEntry(
             f.get("path").asText(),
             f.get("bytes").asLong(),
-            f.get("rows").asLong()
+            f.get("rows").asLong(),
+            stats
           )
         }.toSeq
         pe.getKey -> PartitionEntry(values, files)
       }.toMap
       e.getKey -> TableState(pcols, t.get("schemaDdl").asText(), parts)
     }.toMap
-    new Snapshot(spark, root, doc.get("version").asLong(), tables)
+    val batches = Option(doc.get("batches")) match {
+      case Some(bn) =>
+        bn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      case None => Map.empty[String, Long]
+    }
+    new Snapshot(spark, root, doc.get("version").asLong(), tables, batches)
+  }
+
+  def snapshot(spark: SparkSession, root: String): Snapshot =
+    parse(spark, root,
+      java.nio.file.Files.readAllBytes(localPath(manifestPath(root))))
+
+  /** Time travel: the store exactly as commit `version` published it,
+    * every table at once — valid until [[vacuum]]'s retention window
+    * passes the version by.
+    */
+  def snapshotAt(spark: SparkSession, root: String, version: Long): Snapshot = {
+    val p = localPath(versionPath(root, version))
+    require(java.nio.file.Files.exists(p),
+      s"no manifest for version $version at $root — never committed, " +
+        "or vacuumed past the retention window")
+    parse(spark, root, java.nio.file.Files.readAllBytes(p))
+  }
+
+  /** Versions still readable via [[snapshotAt]], ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = localPath(manifestDir(root))
+    if (!java.nio.file.Files.exists(dir)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong
+      }
+      .toSeq.sorted
   }
 
   // ---------------------------------------------------------------

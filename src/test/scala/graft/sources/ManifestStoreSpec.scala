@@ -204,6 +204,154 @@ class ManifestStoreSpec extends SparkSpec {
     } finally Scratch.deleteRecursively(root)
   }
 
+  test("time travel: every committed version stays readable until vacuumed past") {
+    val root = Scratch.tempDir("graft-mstore-tt")
+    try {
+      ManifestStore.write(docs, root, Seq("source"))
+      val target = docs.select(min(col("source"))).head.getString(0)
+      def shifted(by: Long) = docs.filter(col("source") === target)
+        .withColumn("n_chars", col("n_chars") + by)
+      // two successive upserts of the SAME partition, so each version
+      // holds a target file the next one supersedes — the retention
+      // window has real work to do
+      ManifestStore.upsertPartitions(shifted(1000000L), root, Seq("source"))
+      ManifestStore.upsertPartitions(shifted(2000000L), root, Seq("source"))
+
+      assert(ManifestStore.versions(spark, root) === Seq(1L, 2L, 3L))
+      // each version reads back EXACTLY as its commit published it
+      val others = docs.filter(col("source") =!= target)
+      assert(canon(ManifestStore.snapshotAt(spark, root, 1).read()) ===
+        canon(docs))
+      val expect2 = others.unionByName(shifted(1000000L))
+      assert(canon(ManifestStore.snapshotAt(spark, root, 2).read()) ===
+        canon(expect2))
+      assert(canon(ManifestStore.snapshotAt(spark, root, 3).read()) ===
+        canon(others.unionByName(shifted(2000000L))))
+
+      // retention window 2: v2 survives vacuum READABLE even though v3
+      // superseded its target file; v1 (manifest and its only-v1 file)
+      // goes
+      val removed = ManifestStore.vacuum(spark, root, retainVersions = 2)
+      assert(removed > 0, "v1's superseded target file must be collected")
+      assert(ManifestStore.versions(spark, root) === Seq(2L, 3L))
+      assert(canon(ManifestStore.snapshotAt(spark, root, 2).read()) ===
+        canon(expect2), "retained version must survive vacuum readable")
+      intercept[IllegalArgumentException] {
+        ManifestStore.snapshotAt(spark, root, 1)
+      }
+    } finally Scratch.deleteRecursively(root)
+  }
+
+  test("CAS commit: the losing writer fails with nothing published") {
+    val root = Scratch.tempDir("graft-mstore-cas")
+    try {
+      ManifestStore.write(docs, root, Seq("source"))
+      val target = docs.select(min(col("source"))).head.getString(0)
+      def shifted(by: Long) = docs.filter(col("source") === target)
+        .withColumn("n_chars", col("n_chars") + by)
+      // both writers read v1 and stage; A swaps first
+      val stA = ManifestStore.stage(shifted(1000000L), root,
+        ManifestStore.MAIN, Seq("source"), ManifestStore.Upsert)
+      val stB = ManifestStore.stage(shifted(2000000L), root,
+        ManifestStore.MAIN, Seq("source"), ManifestStore.Upsert)
+      assert(ManifestStore.commit(spark, root, Seq(stA),
+        expectedVersion = 1L) === 2L)
+      intercept[ManifestStore.ConcurrentCommitException] {
+        ManifestStore.commit(spark, root, Seq(stB), expectedVersion = 1L)
+      }
+      // the loser published NOTHING: current state is exactly A's
+      val cur = ManifestStore.snapshot(spark, root)
+      assert(cur.version === 2L)
+      assert(canon(cur.read()) ===
+        canon(docs.filter(col("source") =!= target).unionByName(shifted(1000000L))))
+    } finally Scratch.deleteRecursively(root)
+  }
+
+  test("rebase: disjoint partitions re-apply; overlapping refuse the lost update") {
+    val root = Scratch.tempDir("graft-mstore-rb")
+    try {
+      ManifestStore.write(docs, root, Seq("source"))
+      val sources = docs.select("source").distinct().collect()
+        .map(_.getString(0)).sorted
+      assert(sources.length > 1)
+      val (s1, s2) = (sources.head, sources.last)
+      def shifted(src: String, by: Long) = docs.filter(col("source") === src)
+        .withColumn("n_chars", col("n_chars") + by)
+      // A and B both stage from v1; A lands s1, B holds s2
+      val stB = ManifestStore.stage(shifted(s2, 2000000L), root,
+        ManifestStore.MAIN, Seq("source"), ManifestStore.Upsert)
+      ManifestStore.upsertPartitions(shifted(s1, 1000000L), root, Seq("source"))
+      // disjoint: B's stale-base commit re-applies on top of A's
+      assert(ManifestStore.commitRebase(spark, root, Seq(stB),
+        baseVersion = 1L) === 3L)
+      val expect = docs
+        .filter(col("source") =!= s1 && col("source") =!= s2)
+        .unionByName(shifted(s1, 1000000L))
+        .unionByName(shifted(s2, 2000000L))
+      assert(canon(ManifestStore.read(spark, root)) === canon(expect))
+      // overlapping: C also staged s1 from v1 — rebasing would publish
+      // a lost update over A's s1; it must refuse
+      val stC = ManifestStore.stage(shifted(s1, 3000000L), root,
+        ManifestStore.MAIN, Seq("source"), ManifestStore.Upsert)
+      intercept[ManifestStore.ConcurrentCommitException] {
+        ManifestStore.commitRebase(spark, root, Seq(stC), baseVersion = 1L)
+      }
+      assert(canon(ManifestStore.read(spark, root)) === canon(expect))
+    } finally Scratch.deleteRecursively(root)
+  }
+
+  test("batch ledger: a re-delivered foreachBatch batch publishes exactly once") {
+    val root = Scratch.tempDir("graft-mstore-ledger")
+    try {
+      def batch(b: Long) = docs.limit(30)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L * (b + 1)))
+      def stagedFor(b: Long) = Seq(ManifestStore.stage(batch(b), root,
+        ManifestStore.MAIN, Seq("source"), ManifestStore.Append))
+      assert(ManifestStore.commitBatch(spark, root, stagedFor(0),
+        "sink", 0L) === ((1L, true)))
+      assert(ManifestStore.commitBatch(spark, root, stagedFor(1),
+        "sink", 1L) === ((2L, true)))
+      val afterTwo = ManifestStore.read(spark, root).count()
+      assert(afterTwo === 60L)
+      // the crash-redelivery case: batch 1 arrives again — recognized
+      // through the manifest's own ledger, NOT re-applied
+      assert(ManifestStore.commitBatch(spark, root, stagedFor(1),
+        "sink", 1L) === ((2L, false)))
+      assert(ManifestStore.read(spark, root).count() === afterTwo)
+      assert(ManifestStore.snapshot(spark, root).version === 2L)
+      // progress resumes past the redelivery
+      assert(ManifestStore.commitBatch(spark, root, stagedFor(2),
+        "sink", 2L) === ((3L, true)))
+      assert(ManifestStore.read(spark, root).count() === 90L)
+      // a DIFFERENT sink's ledger is independent
+      assert(ManifestStore.commitBatch(spark, root, stagedFor(10),
+        "other", 1L) === ((4L, true)))
+    } finally Scratch.deleteRecursively(root)
+  }
+
+  test("stats range read prunes files and matches the full-scan filter") {
+    val root = Scratch.tempDir("graft-mstore-skip")
+    try {
+      // bucket by doc_id range so each file carries a tight (min, max)
+      val bucketed = docs.withColumn("bucket", (col("doc_id") / 100).cast("long"))
+      ManifestStore.write(bucketed, root, Seq("bucket"))
+      val snap = ManifestStore.snapshot(spark, root)
+      val (lo, hi) = (150L, 349L)
+      val (kept, total) = snap.rangeFiles(ManifestStore.MAIN, "doc_id", lo, hi)
+      assert(total >= 4, s"fixture too small to demonstrate skipping: $total files")
+      assert(kept.nonEmpty && kept.length < total,
+        s"range [$lo,$hi] must prune: kept ${kept.length} of $total")
+      // result identity: pruned scan + residual filter ≡ full filter
+      val ranged = snap.readRange(ManifestStore.MAIN, "doc_id", lo, hi)
+      assert(canon(ranged) ===
+        canon(bucketed.filter(col("doc_id") >= lo && col("doc_id") <= hi)))
+      // IO evidence: the scan opened ONLY the kept files
+      val gotFiles = ranged.inputFiles
+        .map(f => f.substring(f.indexOf("_data/"))).toSet
+      assert(gotFiles === kept.map(_.path).toSet)
+    } finally Scratch.deleteRecursively(root)
+  }
+
   test("an empty table reads back as its schema with zero rows") {
     val root = Scratch.tempDir("graft-mstore-empty")
     try {
