@@ -33,7 +33,8 @@ object SparkEntry {
       ops.PrivacyQueries.queries ++
       ops.TimeSeriesQueries.queries ++
       ops.MediaQueries.queries ++
-      ops.MiscQueries.queries
+      ops.MiscQueries.queries ++
+      ops.StorageQueries.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Relational2.oracle ++
@@ -53,5 +54,6 @@ object SparkEntry {
       ops.PrivacyQueries.oracle ++
       ops.TimeSeriesQueries.oracle ++
       ops.MediaQueries.oracle ++
-      ops.MiscQueries.oracle
+      ops.MiscQueries.oracle ++
+      ops.StorageQueries.oracle
 }

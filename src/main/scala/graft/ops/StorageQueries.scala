@@ -1,0 +1,281 @@
+package graft.ops
+
+import graft.Tables
+import graft.sources.ManifestStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-lifecycle rows over the manifest's VERSION dimension — the
+  * three reads a production table format exists to serve beyond the
+  * atomic swap itself (q112): time travel to any retained version,
+  * change-data-feed between two versions touching ONLY the files that
+  * changed, and min/max-stats data skipping on non-partition columns.
+  * The reference's one storage guarantee is transactionality
+  * (quarkus_cloud_run/src/main/java/.../MessageResource.java:19
+  * `@Transactional`); these rows are what that guarantee buys an
+  * ANALYTICAL store once versions are kept instead of overwritten —
+  * the Delta/Iceberg read surface re-expressed at its minimum.
+  */
+object StorageQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def h32l(c: org.apache.spark.sql.Column) =
+    graft.functions.PortableHash.h32(c.cast("string")).cast("long")
+
+  private def baseDocs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+
+  /** q113: TIME TRAVEL gated — the read q112's retained-versions
+    * design pays for. Inside a scratch root the store lives three
+    * commits: (v1) the corpus, partitioned by source; (v2) the lowest
+    * source's partition upserted with shifted payloads; (v3) every
+    * fifth doc re-appended under a disambiguated id. The gated row
+    * then reads ALL THREE versions back through
+    * [[ManifestStore.snapshotAt]] — count, payload sum, and the
+    * Σ h32(doc_id) identity per version — against an oracle that
+    * re-derives each version's content from the fixture alone. A
+    * history that loses a version, serves the current files under an
+    * old version number, or lets a later commit leak backwards
+    * diverges at the gate. The read is metadata-routed: each
+    * version's scan opens exactly the files ITS manifest lists
+    * (ManifestStoreSpec pins the vacuum/retention window).
+    */
+  private val timeTravel: Q = (s, dir) => {
+    val docs = baseDocs(s, dir)
+    graft.sources.Scratch.withTempDir("graft-q113") { path =>
+      ManifestStore.write(docs, path, Seq("source"))
+      val target = docs.select(min(col("source"))).head.getString(0)
+      ManifestStore.upsertPartitions(
+        docs.filter(col("source") === target)
+          .withColumn("n_chars", col("n_chars") + lit(1000000L)),
+        path, Seq("source"))
+      ManifestStore.append(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(7000000L)),
+        path, Seq("source"))
+      val perVersion = ManifestStore.versions(s, path).map { v =>
+        ManifestStore.snapshotAt(s, path, v)
+          .read()
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars_sum"),
+            sum(h32l(col("doc_id"))).as("doc_fp")
+          )
+          .withColumn("version", lit(v))
+      }
+      perVersion
+        .reduce(_ unionByName _)
+        .select(col("version"), col("n_docs"), col("chars_sum"), col("doc_fp"))
+        .orderBy("version")
+        .localCheckpoint(true)
+    }
+  }
+
+  /** cdc19: CHANGE DATA FEED between two manifest versions — the
+    * downstream-incremental read (Delta CDF / Iceberg incremental
+    * scan) that turns a versioned store into a CDC SOURCE, closing
+    * the loop the repo opened by consuming CDC (cdc01). One commit
+    * rewrites the lowest source's partition: a third of its docs
+    * shifted (updates), a third dropped (deletes), a third rewritten
+    * byte-equal (noise the feed must NOT emit), plus re-keyed inserts.
+    * The feed diffs the two manifests file-granularly
+    * ([[ManifestStore.fileDiff]]) and scans ONLY the added/removed
+    * files — never the untouched partitions, which is the property
+    * that makes CDF O(changed), not O(store), at 100 TB. Row-level
+    * classification is one full-outer self-join of the two file sets
+    * on the key: present-only-new = insert, present-only-old =
+    * delete, both-but-different = update, both-and-equal = silenced.
+    * The oracle re-derives all three op rows from fixture arithmetic.
+    */
+  private val changeFeed: Q = (s, dir) => {
+    val docs = baseDocs(s, dir)
+    graft.sources.Scratch.withTempDir("graft-cdc19") { path =>
+      ManifestStore.write(docs, path, Seq("source"))
+      val target = docs.select(min(col("source"))).head.getString(0)
+      val tgtDocs = docs.filter(col("source") === target)
+      val cls = pmod(col("doc_id"), lit(3))
+      val next = tgtDocs.filter(cls === 0)
+        .withColumn("n_chars", col("n_chars") + lit(1000000L)) // updates
+        .unionByName(tgtDocs.filter(cls === 2))                // unchanged
+        .unionByName(tgtDocs.filter(cls === 0)                 // inserts
+          .withColumn("doc_id", col("doc_id") + lit(7000000L)))
+      ManifestStore.upsertPartitions(next, path, Seq("source"))
+
+      val v1 = ManifestStore.snapshotAt(s, path, 1)
+      val v2 = ManifestStore.snapshotAt(s, path, 2)
+      val (added, removed) = ManifestStore.fileDiff(v1, v2)
+      def readDelta(files: Seq[ManifestStore.FileEntry]): DataFrame = {
+        val st = v2.state(ManifestStore.MAIN)
+        val paths = files.map(f => path + "/" + f.path)
+        s.read.schema(org.apache.spark.sql.types.StructType
+          .fromDDL(st.schemaDdl)).parquet(paths: _*)
+      }
+      val newSide = readDelta(added)
+        .select(col("doc_id"), col("n_chars").as("chars_new"))
+      val oldSide = readDelta(removed)
+        .select(col("doc_id"), col("n_chars").as("chars_old"))
+      val feed = newSide
+        .join(oldSide, Seq("doc_id"), "full_outer")
+        .withColumn("op",
+          when(col("chars_old").isNull, lit("insert"))
+            .when(col("chars_new").isNull, lit("delete"))
+            .when(col("chars_new") =!= col("chars_old"), lit("update")))
+        .filter(col("op").isNotNull)
+        .withColumn("payload", coalesce(col("chars_new"), col("chars_old")))
+      import s.implicits._
+      Seq("delete", "insert", "update").toDF("op")
+        .join(
+          feed.groupBy(col("op")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(h32l(col("doc_id"))).as("doc_fp"),
+            sum(col("payload")).as("chars_sum")
+          ),
+          Seq("op"), "left")
+        .select(
+          col("op"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("doc_fp"), lit(0L)).as("doc_fp"),
+          coalesce(col("chars_sum"), lit(0L)).as("chars_sum")
+        )
+        .orderBy("op")
+        .localCheckpoint(true)
+    }
+  }
+
+  /** Bucket width for q114's id-clustered layout: ingest clustered on
+    * the key, so each file's footer (min, max) is a tight zone map —
+    * the layout Z-ordering (q101/q102) manufactures for multi-column
+    * keys, in its single-column form.
+    */
+  private[ops] val SKIP_BUCKET = 100L
+
+  /** q114: manifest-stats DATA SKIPPING gated — range pruning on a
+    * NON-partition column, the zone-map read q87's docstring promised
+    * ("min/max from the manifest"). The corpus commits clustered into
+    * [[SKIP_BUCKET]]-wide doc_id buckets (one file per bucket, each
+    * file's parquet footer carrying its doc_id (min, max) INTO the
+    * manifest at commit time); the row then answers a doc_id range
+    * query [lo, hi] = [mn + span/4, mn + span/2] through
+    * [[ManifestStore.Snapshot.readRange]], reporting the total and
+    * kept file counts from the MANIFEST plus count / payload sum /
+    * Σ h32 identity from the pruned scan. The oracle recomputes the
+    * file census (bucket-level min/max intersection — the same
+    * arithmetic, derived from the data) and the range aggregates from
+    * the fixture, so stats that drift from footer truth, a prune that
+    * drops a boundary file, or a residual filter that's skipped all
+    * diverge at the gate. ManifestStoreSpec pins the IO half: the
+    * pruned scan opens EXACTLY the kept files.
+    */
+  private val dataSkipping: Q = (s, dir) => {
+    val docs = baseDocs(s, dir).drop("source")
+      .withColumn("bucket", expr(s"CAST(doc_id DIV $SKIP_BUCKET AS BIGINT)"))
+    graft.sources.Scratch.withTempDir("graft-q114") { path =>
+      ManifestStore.write(docs, path, Seq("bucket"))
+      val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val lo = mn + (mx - mn) / 4
+      val hi = mn + (mx - mn) / 2
+      val snap = ManifestStore.snapshot(s, path)
+      val (kept, total) = snap.rangeFiles(ManifestStore.MAIN, "doc_id", lo, hi)
+      snap.readRange(ManifestStore.MAIN, "doc_id", lo, hi)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(h32l(col("doc_id"))).as("doc_fp")
+        )
+        .select(
+          lit(total.toLong).as("files_total"),
+          lit(kept.length.toLong).as("files_kept"),
+          col("n_docs"), col("chars_sum"), col("doc_fp")
+        )
+        .localCheckpoint(true)
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q113_time_travel" -> timeTravel,
+    "cdc19_change_feed" -> changeFeed,
+    "q114_data_skipping" -> dataSkipping
+  )
+
+  private def h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
+
+  val oracle: Map[String, String] = Map(
+    // each version's content from first principles: v1 = the corpus,
+    // v2 = lowest source's payloads +1e6, v3 = v2 ∪ every-fifth-doc
+    // re-appended at doc_id+7e6 with ORIGINAL payloads
+    "q113_time_travel" ->
+      s"""WITH t AS (SELECT MIN(source) AS tgt FROM documents),
+         |v1 AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+         |  FROM documents),
+         |v2 AS (SELECT doc_id,
+         |    CAST(CASE WHEN source = (SELECT tgt FROM t)
+         |      THEN n_chars + 1000000 ELSE n_chars END AS BIGINT) AS n_chars
+         |  FROM documents),
+         |extra AS (SELECT doc_id + 7000000 AS doc_id,
+         |    CAST(n_chars AS BIGINT) AS n_chars
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM extra),
+         |r AS (
+         |  SELECT 1 AS version, COUNT(*) AS n_docs, SUM(n_chars) AS cs,
+         |    SUM($h) AS fp FROM v1
+         |  UNION ALL
+         |  SELECT 2, COUNT(*), SUM(n_chars), SUM($h) FROM v2
+         |  UNION ALL
+         |  SELECT 3, COUNT(*), SUM(n_chars), SUM($h) FROM v3)
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(cs AS BIGINT) AS chars_sum,
+         |  CAST(fp AS BIGINT) AS doc_fp
+         |FROM r ORDER BY version""".stripMargin,
+    // the three op rows from fixture arithmetic over the rewritten
+    // partition: mod-3 class 0 = update (+1e6) AND the insert seed
+    // (+7e6 re-key), class 1 = delete, class 2 = rewritten-equal
+    // (emitted NOWHERE — a feed that reports rewrite noise diverges)
+    "cdc19_change_feed" ->
+      s"""WITH t AS (SELECT MIN(source) AS tgt FROM documents),
+         |td AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+         |  FROM documents WHERE source = (SELECT tgt FROM t)),
+         |ins AS (SELECT doc_id + 7000000 AS doc_id, n_chars FROM td
+         |  WHERE doc_id % 3 = 0),
+         |upd AS (SELECT doc_id, n_chars + 1000000 AS n_chars FROM td
+         |  WHERE doc_id % 3 = 0),
+         |del AS (SELECT doc_id, n_chars FROM td WHERE doc_id % 3 = 1),
+         |r AS (
+         |  SELECT 'delete' AS op, COUNT(*) AS n, SUM($h) AS fp,
+         |    SUM(n_chars) AS cs FROM del
+         |  UNION ALL
+         |  SELECT 'insert', COUNT(*), SUM($h), SUM(n_chars) FROM ins
+         |  UNION ALL
+         |  SELECT 'update', COUNT(*), SUM($h), SUM(n_chars) FROM upd)
+         |SELECT op, CAST(n AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(fp, 0) AS BIGINT) AS doc_fp,
+         |  CAST(COALESCE(cs, 0) AS BIGINT) AS chars_sum
+         |FROM r ORDER BY op""".stripMargin,
+    // the file census from the data (bucket min/max ≡ the footer
+    // stats the manifest carries) + the range aggregates
+    "q114_data_skipping" ->
+      s"""WITH b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
+         |  FROM documents),
+         |r AS (SELECT mn + (mx - mn) // 4 AS lo, mn + (mx - mn) // 2 AS hi
+         |  FROM b),
+         |f AS (SELECT doc_id // ${SKIP_BUCKET} AS bucket,
+         |    MIN(doc_id) AS fmn, MAX(doc_id) AS fmx
+         |  FROM documents GROUP BY 1),
+         |kept AS (SELECT COUNT(*) AS k FROM f, r
+         |  WHERE fmx >= lo AND fmn <= hi),
+         |tot AS (SELECT COUNT(*) AS t FROM f),
+         |sel AS (SELECT COUNT(*) AS n,
+         |    SUM(CAST(n_chars AS BIGINT)) AS cs, SUM($h) AS fp
+         |  FROM documents, r WHERE doc_id BETWEEN lo AND hi)
+         |SELECT CAST(t AS BIGINT) AS files_total,
+         |  CAST(k AS BIGINT) AS files_kept,
+         |  CAST(n AS BIGINT) AS n_docs,
+         |  CAST(cs AS BIGINT) AS chars_sum,
+         |  CAST(fp AS BIGINT) AS doc_fp
+         |FROM tot, kept, sel""".stripMargin
+  )
+}

@@ -464,18 +464,21 @@ class PlanBudgetSpec extends SparkSpec {
   // scale-killer CLASSES; these pins catch a lost pushdown or an
   // accidental extra exchange per query). sim26 / cdc15-16 / the
   // stream* replays (incl. stream22 and stream23) — and the
-  // store-action rows q109 / q110 / q111 / q112 / cdc18 / sim27 /
-  // sim28 / sim29 — return checkpoint-materialized frames, so an
+  // store-action rows q109 / q110 / q111 / q112 / q113 / q114 /
+  // cdc18 / cdc19 / sim27 / sim28 / sim29 / pipe06 / mm17 / mm18 —
+  // return checkpoint-materialized frames, so an
   // exchange count on their OUTPUT is vacuous — their plan shapes
   // are pinned where they execute (IvfServeSpec's one-pruned-scan +
   // broadcast-routes pin, IvfMaintainSpec's touched-files pins,
   // CompactionExecuteSpec/CompactionMaintainSpec's manifest file
   // counts, IvfRetrainSpec's touched-cell identity,
-  // ManifestStoreSpec's commit isolation, DriftRecoverySpec and
+  // ManifestStoreSpec's commit isolation, time-travel retention,
+  // change-feed delta-file-set, and kept-file range pruning,
+  // DriftRecoverySpec and
   // FilteredAnnSpec's serving shapes, SchemaEvolutionSpec and
   // FileFormatsSpec's round-trips, StreamWinsorClipSpec's and
-  // StreamBottomKSpec's bounded state, the replay specs' O(1)-state
-  // equivalences).
+  // StreamBottomKSpec's bounded state, MediaNearDupSpec's banded
+  // candidate counts, the replay specs' O(1)-state equivalences).
 
   test("q100 OHLC bars: one packed-key hash agg + presentation sort") {
     val (s, _) = exchanges(run("q100_ohlc_bars"))

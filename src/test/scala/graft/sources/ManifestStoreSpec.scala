@@ -329,6 +329,39 @@ class ManifestStoreSpec extends SparkSpec {
     } finally Scratch.deleteRecursively(root)
   }
 
+  test("fileDiff: the change-feed scan set is exactly the changed partition's files") {
+    val root = Scratch.tempDir("graft-mstore-cdf")
+    try {
+      ManifestStore.write(docs, root, Seq("source"))
+      val target = docs.select(min(col("source"))).head.getString(0)
+      ManifestStore.upsertPartitions(
+        docs.filter(col("source") === target)
+          .withColumn("n_chars", col("n_chars") + 1000000L),
+        root, Seq("source"))
+      val v1 = ManifestStore.snapshotAt(spark, root, 1)
+      val v2 = ManifestStore.snapshotAt(spark, root, 2)
+      val (added, removed) = ManifestStore.fileDiff(v1, v2)
+      // O(changed), not O(store): the delta is the target partition's
+      // old and new files — NOTHING from the untouched partitions
+      def targetFiles(s: ManifestStore.Snapshot) =
+        s.state(ManifestStore.MAIN).partitions.values
+          .filter(_.values.head == target).flatMap(_.files.map(_.path)).toSet
+      assert(added.map(_.path).toSet === targetFiles(v2))
+      assert(removed.map(_.path).toSet === targetFiles(v1))
+      assert(ManifestStore.changedPartitionKeys(v1, v2) === Set(target))
+      // an append-only commit diffs as added-only
+      val extra = docs.limit(20)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .localCheckpoint(true)
+      ManifestStore.append(extra, root, Seq("source"))
+      val v3 = ManifestStore.snapshotAt(spark, root, 3)
+      val (a2, r2) = ManifestStore.fileDiff(v2, v3)
+      assert(r2.isEmpty, "append removes nothing")
+      assert(a2.map(_.rows).sum === 20L)
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(extra)
+    } finally Scratch.deleteRecursively(root)
+  }
+
   test("stats range read prunes files and matches the full-scan filter") {
     val root = Scratch.tempDir("graft-mstore-skip")
     try {
