@@ -195,10 +195,43 @@ object StorageQueries {
     }
   }
 
+  /** stream24: exactly-once streaming ingest INTO the manifest store —
+    * the corpus arrives in 4 doc_id-sliced micro-batches and EVERY
+    * batch is delivered twice (the crash-between-commit-and-checkpoint
+    * redelivery, applied to each batch), published through
+    * [[graft.streaming.StreamManifestIngest]]'s batchId ledger. The
+    * gated readback is per-source count / payload sum / Σ h32(doc_id)
+    * ≡ the plain corpus (a sink that double-applies any batch doubles
+    * a slice and diverges), plus the manifest version — exactly 4,
+    * counting only first deliveries (a ledger that publishes the
+    * redelivery as a new version diverges on this column even if it
+    * deduplicates rows). The live foreachBatch path and the
+    * ledger-and-data-share-one-swap property run in
+    * StreamManifestIngestSpec.
+    */
+  private val manifestIngest: Q = (s, dir) => {
+    val docs = baseDocs(s, dir)
+    graft.sources.Scratch.withTempDir("graft-stream24") { path =>
+      val out = graft.streaming.StreamManifestIngest.replay(docs, path)
+      val version = ManifestStore.snapshot(s, path).version
+      out
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(h32l(col("doc_id"))).as("doc_fp")
+        )
+        .withColumn("version", lit(version))
+        .orderBy("source")
+        .localCheckpoint(true)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q113_time_travel" -> timeTravel,
     "cdc19_change_feed" -> changeFeed,
-    "q114_data_skipping" -> dataSkipping
+    "q114_data_skipping" -> dataSkipping,
+    "stream24_manifest_ingest" -> manifestIngest
   )
 
   private def h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
@@ -255,6 +288,15 @@ object StorageQueries {
          |  CAST(COALESCE(fp, 0) AS BIGINT) AS doc_fp,
          |  CAST(COALESCE(cs, 0) AS BIGINT) AS chars_sum
          |FROM r ORDER BY op""".stripMargin,
+    // exactly-once ingest ≡ the plain corpus, version = one commit
+    // per FIRST delivery only
+    "stream24_manifest_ingest" ->
+      s"""SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_sum,
+         |  CAST(SUM($h) AS BIGINT) AS doc_fp,
+         |  CAST(4 AS BIGINT) AS version
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // the file census from the data (bucket min/max ≡ the footer
     // stats the manifest carries) + the range aggregates
     "q114_data_skipping" ->

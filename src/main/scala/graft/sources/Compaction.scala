@@ -71,7 +71,8 @@ object Compaction {
       path: String,
       partitionCol: String,
       binCol: String,
-      dynamic: Boolean
+      dynamic: Boolean,
+      expectedVersion: Long = ManifestStore.ANY_VERSION
   ): Unit = {
     val spark = df.sparkSession
     val keyed = df.withColumn(
@@ -117,7 +118,7 @@ object Compaction {
       Seq(partitionCol),
       df.schema.toDDL,
       if (dynamic) ManifestStore.Upsert else ManifestStore.Replace
-    )))
+    )), expectedVersion)
   }
 
   /** Execute a bin plan against the store at `path`: `binPlan` maps
@@ -128,6 +129,15 @@ object Compaction {
     * otherwise drop the uncovered files in the overwrite. The store
     * is materialized (localCheckpoint) before the self-overwrite and
     * the checkpoint is released after the commit.
+    *
+    * The rewrite is a read-modify-write, so the commit is PINNED to
+    * the manifest version the read resolved (compare-and-swap): a
+    * concurrent ingest landing in a touched partition between read
+    * and commit would otherwise be silently dropped by the partition
+    * overwrite — instead the commit throws
+    * [[ManifestStore.ConcurrentCommitException]] with nothing
+    * published, and the caller re-plans from the fresh manifest (the
+    * OPTIMIZE-vs-ingest race every table format resolves this way).
     */
   def execute(
       spark: SparkSession,
@@ -136,10 +146,11 @@ object Compaction {
       keyCols: Seq[String],
       binPlan: DataFrame
   ): Unit = {
+    val snap = ManifestStore.snapshot(spark, path)
     // the plan's binning supersedes whatever binning rides the store
     // (a planted store carries bin = its ingest file; a previously
     // compacted store carries the last plan's bins)
-    val store = ManifestStore.read(spark, path).drop("bin")
+    val store = snap.read().drop("bin")
     val planSlim =
       binPlan.select((partitionCol +: keyCols :+ "bin").map(col): _*)
     val frame = store
@@ -156,7 +167,8 @@ object Compaction {
           s"partitions (covered ${frame.count()} of $expected rows) — " +
           "refusing a rewrite that would drop data"
       )
-      writeBinned(frame, path, partitionCol, "bin", dynamic = true)
+      writeBinned(frame, path, partitionCol, "bin", dynamic = true,
+        expectedVersion = snap.version)
     } finally
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(frame)
   }

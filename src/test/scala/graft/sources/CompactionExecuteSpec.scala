@@ -39,6 +39,66 @@ class CompactionExecuteSpec extends SparkSpec {
       .select(col("source"), col("file_id"), col("bin"))
   }
 
+  test("OPTIMIZE racing ingest: a stale-base rewrite publishes nothing; re-plan succeeds") {
+    Scratch.withTempDir("graft-cx-race") { path =>
+      Compaction.writeBinned(plantedDocs, path, "source", "file_id",
+        dynamic = false)
+      val v1 = ManifestStore.snapshot(spark, path).version
+      // the compactor's view of the store, frozen at v1 (a live frame
+      // would silently re-read the post-append manifest)
+      val stalePlan = binPlanFor(path).localCheckpoint(true)
+      val staleFrame = ManifestStore.read(spark, path).drop("bin")
+        .join(broadcast(stalePlan), Seq("source", "file_id"))
+        .localCheckpoint(true)
+      try {
+        // ingest lands between the compactor's read and its commit
+        val churn = graft.Tables(spark, sfDir).documents
+          .filter(pmod(col("doc_id"), lit(7)) === 1)
+          .select(
+            (col("doc_id") + lit(1000000L)).as("doc_id"),
+            col("source"), col("n_chars"),
+            lit(1000001L).as("file_id"))
+          .withColumn("bin", col("file_id"))
+        ManifestStore.append(churn, path, Seq("source"))
+        val afterChurn = listParquet(path)
+        val churnRows = ManifestStore.snapshot(spark, path).totalRows()
+
+        // CAS arm: the commit pinned at v1 refuses — NOTHING published,
+        // the appended files are still the current state
+        intercept[ManifestStore.ConcurrentCommitException] {
+          Compaction.writeBinned(staleFrame, path, "source", "bin",
+            dynamic = true, expectedVersion = v1)
+        }
+        assert(listParquet(path) === afterChurn,
+          "a refused commit must leave the manifest untouched")
+
+        // plan-staleness arm: execute with the v1 plan against the
+        // post-churn store — the coverage guard refuses BEFORE any
+        // write (the plan does not cover the appended files)
+        intercept[IllegalArgumentException] {
+          Compaction.execute(spark, path, "source", Seq("file_id"), stalePlan)
+        }
+        assert(listParquet(path) === afterChurn)
+
+        // recovery: re-plan from the FRESH manifest; the rewrite now
+        // covers base ∪ churn and commits at the current version
+        Compaction.execute(spark, path, "source", Seq("file_id"),
+          binPlanFor(path))
+        val snap = ManifestStore.snapshot(spark, path)
+        assert(snap.totalRows() === churnRows,
+          "compaction must preserve every row including the churn")
+        assert(listParquet(path).values.map(_.size).sum <
+          afterChurn.values.map(_.size).sum,
+          "the re-planned rewrite must still compact")
+      } finally {
+        org.apache.spark.sql.graftshim.GraftSqlShims
+          .unpersistCheckpoint(stalePlan)
+        org.apache.spark.sql.graftshim.GraftSqlShims
+          .unpersistCheckpoint(staleFrame)
+      }
+    }
+  }
+
   test("execution lands exactly one physical file per planned bin") {
     Scratch.withTempDir("graft-cx1") { path =>
       Compaction.writeBinned(plantedDocs, path, "source", "file_id",
