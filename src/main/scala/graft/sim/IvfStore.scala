@@ -340,11 +340,17 @@ object IvfStore {
     * validated index rewrite, publish BOTH in one atomic manifest
     * commit, and release the checkpoints. Every maintenance path
     * funnels through here — the store/sidecar pair has exactly one
-    * commit point.
+    * commit point, and the commit is PINNED to the manifest version
+    * the maintenance read resolved (compare-and-swap): maintenance is
+    * read-modify-write over the touched cells, so a concurrent commit
+    * landing in between would be silently overwritten — instead the
+    * CAS throws with nothing published and the caller re-runs against
+    * the fresh manifest (the Compaction.execute discipline).
     */
   private def commitRewrites(
       spark: SparkSession,
       path: String,
+      baseVersion: Long,
       storeFrame: DataFrame,
       idxFrame: Option[DataFrame]
   ): Unit = {
@@ -354,7 +360,7 @@ object IvfStore {
         idxFrame.map(f =>
           ManifestStore.stage(f, path, INDEX, Seq("ibucket"),
             ManifestStore.Upsert))
-    ManifestStore.commit(spark, path, staged)
+    ManifestStore.commit(spark, path, staged, expectedVersion = baseVersion)
     org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(storeFrame)
     idxFrame.foreach(
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(_))
@@ -407,7 +413,7 @@ object IvfStore {
         preparedIndexRewrite(snap, ids, bkts,
           assigned.select("vec_id", "cell"), guardEmpty = false, buckets)
       else None
-    commitRewrites(spark, path, storeFrame, idxFrame)
+    commitRewrites(spark, path, snap.version, storeFrame, idxFrame)
     org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(assigned)
   }
 
@@ -452,7 +458,7 @@ object IvfStore {
               ids.select(col("vec_id"), lit(0L).as("cell")).limit(0),
               guardEmpty = true, buckets)
           else None
-        commitRewrites(spark, path, storeFrame, idxFrame)
+        commitRewrites(spark, path, snap.version, storeFrame, idxFrame)
       }
     } finally
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(ids)
@@ -592,7 +598,7 @@ object IvfStore {
           preparedIndexRewrite(snap, ids, bucketsOf(ids, buckets),
             moved.select("vec_id", "cell"), guardEmpty = false, buckets)
         else None
-      commitRewrites(spark, path, storeFrame, idxFrame)
+      commitRewrites(spark, path, snap.version, storeFrame, idxFrame)
       RebalanceStats(total, nMoved, touched)
     } finally
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(moved)
