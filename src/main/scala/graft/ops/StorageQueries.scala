@@ -227,11 +227,84 @@ object StorageQueries {
     }
   }
 
+  /** q115's key space: 64×64; linear layout cuts x into 8-wide file
+    * stripes, z-order layout cuts the 12-bit Morton curve into 16
+    * buckets (= 16×16 tiles). Both layouts hold IDENTICAL rows.
+    */
+  private[ops] val LAYOUT_DIM = 64L
+  private[ops] val LIN_STRIPE = 8L
+  private[ops] val Z_DIV = 256L
+
+  /** q115: LINEAR vs Z-ORDER layout as a MEASURED zone-map comparison
+    * (the sim29 pre/post-filter discipline applied to storage layout
+    * — the reason OPTIMIZE ZORDER BY exists, in numbers). The same
+    * keyed corpus commits twice: striped by x (the 1-D sort every
+    * naive ingest produces) and tiled by the q101 Morton curve; both
+    * manifests carry each file's footer (min, max) for x AND y. Two
+    * band probes then prune through [[ManifestStore.Snapshot.prunedFiles]]:
+    * the x-band, where BOTH layouts skip (stripes and tiles each
+    * intersect only the band's column), and the y-band, where the
+    * linear layout keeps EVERY file (each x-stripe spans all of y —
+    * 1-D clustering is blind to the second dimension) while the tiles
+    * still skip. The gated row reports, per probe, both layouts'
+    * total/kept file counts (manifest metadata) plus the box read's
+    * count / payload sum / Σ h32 from the z layout AND the Σ h32 from
+    * the linear layout — the oracle re-derives every column from
+    * bucket arithmetic (per-file min/max ≡ GROUP BY fid over the
+    * data), and equal fingerprints on both layout reads prove neither
+    * pruned a row it needed. At 100 TB the kept-file ratio IS the
+    * scan-cost ratio; the y-band row is the measured case for paying
+    * the z-order rewrite.
+    */
+  private val layoutCompare: Q = (s, dir) => {
+    import graft.functions.{Morton, PortableHash}
+    val keyed = baseDocs(s, dir).select(
+      col("doc_id"),
+      col("n_chars"),
+      pmod(col("doc_id"), lit(LAYOUT_DIM)).as("x"),
+      pmod(PortableHash.h32(col("doc_id").cast("string")), lit(LAYOUT_DIM))
+        .cast("long").as("y")
+    )
+    graft.sources.Scratch.withTempDir("graft-q115") { path =>
+      ManifestStore.write(
+        keyed.withColumn("fid", expr(s"CAST(x DIV $LIN_STRIPE AS BIGINT)")),
+        path + "/linear", Seq("fid"))
+      ManifestStore.write(
+        keyed.withColumn("fid",
+          (Morton.zValue(col("x"), col("y"), 6) / lit(Z_DIV)).cast("long")),
+        path + "/zorder", Seq("fid"))
+      val lin = ManifestStore.snapshot(s, path + "/linear")
+      val zed = ManifestStore.snapshot(s, path + "/zorder")
+      val probes = Seq(
+        ("x_band", 16L, 31L, 0L, LAYOUT_DIM - 1),
+        ("y_band", 0L, LAYOUT_DIM - 1, 16L, 31L)
+      )
+      val rows = probes.map { case (name, xlo, xhi, ylo, yhi) =>
+        val ranges = Seq(("x", xlo, xhi), ("y", ylo, yhi))
+        val (lk, lt) = lin.prunedFiles(ManifestStore.MAIN, ranges)
+        val (zk, zt) = zed.prunedFiles(ManifestStore.MAIN, ranges)
+        val zAgg = zed.readBox(ManifestStore.MAIN, ranges)
+          .agg(count(lit(1)), sum(col("n_chars")), sum(h32l(col("doc_id"))))
+          .head
+        val lAgg = lin.readBox(ManifestStore.MAIN, ranges)
+          .agg(sum(h32l(col("doc_id")))).head
+        (name, lt.toLong, lk.length.toLong, zt.toLong, zk.length.toLong,
+          zAgg.getLong(0), zAgg.getLong(1), zAgg.getLong(2), lAgg.getLong(0))
+      }
+      import s.implicits._
+      rows.toDF("probe", "files_lin_total", "files_lin_kept",
+        "files_z_total", "files_z_kept", "n_docs", "chars_sum",
+        "doc_fp", "doc_fp_lin")
+        .orderBy("probe")
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q113_time_travel" -> timeTravel,
     "cdc19_change_feed" -> changeFeed,
     "q114_data_skipping" -> dataSkipping,
-    "stream24_manifest_ingest" -> manifestIngest
+    "stream24_manifest_ingest" -> manifestIngest,
+    "q115_layout_compare" -> layoutCompare
   )
 
   private def h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
@@ -297,6 +370,50 @@ object StorageQueries {
          |  CAST(SUM($h) AS BIGINT) AS doc_fp,
          |  CAST(4 AS BIGINT) AS version
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // both layouts' per-file (min,max) re-derived as GROUP BY fid
+    // over the data (≡ the parquet footer stats the manifest carries),
+    // kept counts by box intersection, aggregates from the box itself
+    "q115_layout_compare" -> {
+      val z = graft.functions.Morton.sqlZValue("x", "y", 6)
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |    doc_id % $LAYOUT_DIM AS x, ($h) % $LAYOUT_DIM AS y
+         |  FROM documents),
+         |probes AS (SELECT * FROM (VALUES
+         |    ('x_band', 16, 31, 0, ${LAYOUT_DIM - 1}),
+         |    ('y_band', 0, ${LAYOUT_DIM - 1}, 16, 31))
+         |  AS p(probe, xlo, xhi, ylo, yhi)),
+         |lin AS (SELECT x // $LIN_STRIPE AS fid,
+         |    MIN(x) AS mnx, MAX(x) AS mxx, MIN(y) AS mny, MAX(y) AS mxy
+         |  FROM d GROUP BY 1),
+         |zed AS (SELECT ($z) // $Z_DIV AS fid,
+         |    MIN(x) AS mnx, MAX(x) AS mxx, MIN(y) AS mny, MAX(y) AS mxy
+         |  FROM d GROUP BY 1),
+         |lk AS (SELECT probe, COUNT(*) AS kept FROM probes, lin
+         |  WHERE mxx >= xlo AND mnx <= xhi AND mxy >= ylo AND mny <= yhi
+         |  GROUP BY probe),
+         |zk AS (SELECT probe, COUNT(*) AS kept FROM probes, zed
+         |  WHERE mxx >= xlo AND mnx <= xhi AND mxy >= ylo AND mny <= yhi
+         |  GROUP BY probe),
+         |sel AS (SELECT probe, COUNT(*) AS n, SUM(n_chars) AS cs,
+         |    SUM($h) AS fp
+         |  FROM probes, d
+         |  WHERE x BETWEEN xlo AND xhi AND y BETWEEN ylo AND yhi
+         |  GROUP BY probe)
+         |SELECT probes.probe,
+         |  CAST((SELECT COUNT(*) FROM lin) AS BIGINT) AS files_lin_total,
+         |  CAST(lk.kept AS BIGINT) AS files_lin_kept,
+         |  CAST((SELECT COUNT(*) FROM zed) AS BIGINT) AS files_z_total,
+         |  CAST(zk.kept AS BIGINT) AS files_z_kept,
+         |  CAST(sel.n AS BIGINT) AS n_docs,
+         |  CAST(sel.cs AS BIGINT) AS chars_sum,
+         |  CAST(sel.fp AS BIGINT) AS doc_fp,
+         |  CAST(sel.fp AS BIGINT) AS doc_fp_lin
+         |FROM probes
+         |JOIN lk ON lk.probe = probes.probe
+         |JOIN zk ON zk.probe = probes.probe
+         |JOIN sel ON sel.probe = probes.probe
+         |ORDER BY probes.probe""".stripMargin
+    },
     // the file census from the data (bucket min/max ≡ the footer
     // stats the manifest carries) + the range aggregates
     "q114_data_skipping" ->

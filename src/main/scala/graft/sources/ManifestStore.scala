@@ -224,36 +224,47 @@ object ManifestStore {
         p.files.map(f => (p.values.mkString("/"), f.path, f.bytes, f.rows))
       }.toSeq.sortBy(_._2)
 
-    /** Manifest-level data skipping on a NON-partition column: the
-      * files whose footer (min, max) for `column` intersects
-      * [lo, hi], plus the table's total file count. A file without
-      * stats for the column is conservatively kept.
+    /** Manifest-level data skipping on NON-partition columns: the
+      * files whose footer (min, max) intersects EVERY (column, lo,
+      * hi) range, plus the table's total file count. A file without
+      * stats for a column is conservatively kept by that column.
       */
-    def rangeFiles(
+    def prunedFiles(
         table: String,
-        column: String,
-        lo: Long,
-        hi: Long
+        ranges: Seq[(String, Long, Long)]
     ): (Seq[FileEntry], Int) = {
       val all = state(table).partitions.values.flatMap(_.files).toSeq
       val kept = all.filter { f =>
-        f.stats.get(column) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None           => true
+        ranges.forall { case (c, lo, hi) =>
+          f.stats.get(c) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None           => true
+          }
         }
       }
       (kept, all.length)
     }
 
-    /** Range read through the stats: scan ONLY the files [[rangeFiles]]
-      * keeps, with the residual predicate still applied — result is
+    def rangeFiles(
+        table: String,
+        column: String,
+        lo: Long,
+        hi: Long
+    ): (Seq[FileEntry], Int) = prunedFiles(table, Seq((column, lo, hi)))
+
+    /** Box read through the stats: scan ONLY the files [[prunedFiles]]
+      * keeps, with the residual predicates still applied — result is
       * identical to filtering the full table, minus the skipped IO.
       */
-    def readRange(table: String, column: String, lo: Long, hi: Long): DataFrame = {
-      val (kept, _) = rangeFiles(table, column, lo, hi)
-      readFiles(state(table), resolve(kept))
-        .filter(col(column) >= lo && col(column) <= hi)
+    def readBox(table: String, ranges: Seq[(String, Long, Long)]): DataFrame = {
+      val (kept, _) = prunedFiles(table, ranges)
+      ranges.foldLeft(readFiles(state(table), resolve(kept))) {
+        case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
+      }
     }
+
+    def readRange(table: String, column: String, lo: Long, hi: Long): DataFrame =
+      readBox(table, Seq((column, lo, hi)))
   }
 
   private def manifestDir(root: String) = root + "/_graft"

@@ -385,6 +385,22 @@ class ManifestStoreSpec extends SparkSpec {
     } finally Scratch.deleteRecursively(root)
   }
 
+  test("q115 asymmetry: the 1-D layout is blind to y where the tiles still skip") {
+    val rows = graft.SparkEntry
+      .queries("q115_layout_compare")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    val yb = rows("y_band")
+    assert(yb.getAs[Long]("files_lin_kept") === yb.getAs[Long]("files_lin_total"),
+      "an x-striped layout must keep EVERY file for a y-only band")
+    assert(yb.getAs[Long]("files_z_kept") < yb.getAs[Long]("files_z_total"),
+      "the Morton tiles must still skip on y")
+    val xb = rows("x_band")
+    assert(xb.getAs[Long]("files_lin_kept") < xb.getAs[Long]("files_lin_total"))
+    assert(xb.getAs[Long]("files_z_kept") < xb.getAs[Long]("files_z_total"))
+  }
+
   test("an empty table reads back as its schema with zero rows") {
     val root = Scratch.tempDir("graft-mstore-empty")
     try {
