@@ -170,13 +170,71 @@ object Scale10x {
       r
     }
 
+    /** The O(changed)-not-O(store) claim of the change-data-feed read
+      * (cdc19), measured: a manifest store built from the corpus takes
+      * a FIXED-size appended churn (2000 rows at every scale), and the
+      * arm times ONLY the feed — fileDiff between the two versions,
+      * scan of the delta files, row-level classification. Flat secs
+      * and shuffle bytes from 1× to 10× is the property; a feed that
+      * secretly rescans the store shows a ~10× ratio here.
+      */
+    def cdfArm(dir: String, mult: Int): Map[String, Double] = {
+      import graft.sources.ManifestStore
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      val root = graft.sources.Scratch.tempDir(s"graft-scale-cdf$mult")
+      ManifestStore.write(docs, root, Seq("source"))
+      ManifestStore.append(
+        docs.filter(col("doc_id") < 2000)
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L)),
+        root, Seq("source"))
+      val v1 = ManifestStore.snapshotAt(spark, root, 1)
+      val v2 = ManifestStore.snapshotAt(spark, root, 2)
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL(v2.state(ManifestStore.MAIN).schemaDdl)
+      def rd(fs: Seq[ManifestStore.FileEntry]) =
+        if (fs.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(fs.map(root + "/" + _.path): _*)
+      def feedOnce(): Double = {
+        val t0 = System.nanoTime()
+        val (added, removed) = ManifestStore.fileDiff(v1, v2)
+        rd(added).select(col("doc_id"), col("n_chars").as("cn"))
+          .join(rd(removed).select(col("doc_id"), col("n_chars").as("co")),
+            Seq("doc_id"), "full_outer")
+          .withColumn("op",
+            when(col("co").isNull, lit("insert"))
+              .when(col("cn").isNull, lit("delete"))
+              .when(col("cn") =!= col("co"), lit("update")))
+          .filter(col("op").isNotNull)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      feedOnce() // warm
+      metrics.reset()
+      val secs = feedOnce()
+      val r = Map(
+        "secs" -> math.round(secs * 1000) / 1000.0,
+        "changed_rows" -> 2000.0,
+        "shuffle_read_mb" -> mb(metrics.shuffleRead.get),
+        "shuffle_write_mb" -> mb(metrics.shuffleWrite.get),
+        "spill_mb" -> mb(metrics.spill.get)
+      )
+      graft.sources.Scratch.deleteRecursively(root)
+      r
+    }
+
     val dir1 = gen(1)
     val x1 = measure(dir1) +
-      ("ann_serve_fixed_batch" -> servingArm(dir1, 1))
+      ("ann_serve_fixed_batch" -> servingArm(dir1, 1)) +
+      ("cdf_fixed_churn" -> cdfArm(dir1, 1))
     graft.sources.Scratch.deleteRecursively(dir1)
     val dir10 = gen(10)
     val x10 = measure(dir10) +
-      ("ann_serve_fixed_batch" -> servingArm(dir10, 10))
+      ("ann_serve_fixed_batch" -> servingArm(dir10, 10)) +
+      ("cdf_fixed_churn" -> cdfArm(dir10, 10))
     graft.sources.Scratch.deleteRecursively(dir10)
 
     def js(m: Map[String, Map[String, Double]]): String =
@@ -185,7 +243,7 @@ object Scale10x {
           "\"" + k + "\":" + v
         }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
-    val ratios = (HEADLINE :+ "ann_serve_fixed_batch").map { q =>
+    val ratios = x1.keys.toSeq.sorted.map { q =>
       q -> Map(
         "secs" ->
           math.round(x10(q)("secs") / math.max(x1(q)("secs"), 1e-9) * 100) / 100.0,

@@ -74,6 +74,64 @@ object StorageQueries {
     }
   }
 
+  /** The mod-3 churn scenario cdc19/cdc20 share: commit the corpus
+    * (v1), then rewrite the lowest source's partition — class 0
+    * shifted (updates) and re-keyed (inserts), class 1 dropped
+    * (deletes), class 2 rewritten byte-equal (noise) — as v2.
+    */
+  private def churnScenario(s: SparkSession, dir: String, path: String): Unit = {
+    val docs = baseDocs(s, dir)
+    ManifestStore.write(docs, path, Seq("source"))
+    val target = docs.select(min(col("source"))).head.getString(0)
+    val tgtDocs = docs.filter(col("source") === target)
+    val cls = pmod(col("doc_id"), lit(3))
+    val next = tgtDocs.filter(cls === 0)
+      .withColumn("n_chars", col("n_chars") + lit(1000000L)) // updates
+      .unionByName(tgtDocs.filter(cls === 2))                // unchanged
+      .unionByName(tgtDocs.filter(cls === 0)                 // inserts
+        .withColumn("doc_id", col("doc_id") + lit(7000000L)))
+    ManifestStore.upsertPartitions(next, path, Seq("source"))
+  }
+
+  /** Row-level change feed between two snapshots: scans ONLY
+    * [[ManifestStore.fileDiff]]'s delta files, classifies by key, and
+    * silences rewritten-byte-equal rows. Returns (doc_id, source,
+    * chars_new, chars_old, op) — ONE definition shared by the cdc19
+    * report and the cdc20 incremental apply, so source and consumer
+    * cannot drift.
+    */
+  private def feedBetween(
+      s: SparkSession,
+      path: String,
+      v1: ManifestStore.Snapshot,
+      v2: ManifestStore.Snapshot
+  ): DataFrame = {
+    val (added, removed) = ManifestStore.fileDiff(v1, v2)
+    def readDelta(files: Seq[ManifestStore.FileEntry]): DataFrame = {
+      val st = v2.state(ManifestStore.MAIN)
+      val paths = files.map(f => path + "/" + f.path)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(st.schemaDdl)
+      if (paths.isEmpty)
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else s.read.schema(schema).parquet(paths: _*)
+    }
+    val newSide = readDelta(added).select(col("doc_id"),
+      col("source").as("src_new"), col("n_chars").as("chars_new"))
+    val oldSide = readDelta(removed).select(col("doc_id"),
+      col("source").as("src_old"), col("n_chars").as("chars_old"))
+    newSide
+      .join(oldSide, Seq("doc_id"), "full_outer")
+      .withColumn("op",
+        when(col("chars_old").isNull, lit("insert"))
+          .when(col("chars_new").isNull, lit("delete"))
+          .when(col("chars_new") =!= col("chars_old"), lit("update")))
+      .filter(col("op").isNotNull)
+      .select(col("doc_id"),
+        coalesce(col("src_new"), col("src_old")).as("source"),
+        col("chars_new"), col("chars_old"), col("op"))
+  }
+
   /** cdc19: CHANGE DATA FEED between two manifest versions — the
     * downstream-incremental read (Delta CDF / Iceberg incremental
     * scan) that turns a versioned store into a CDC SOURCE, closing
@@ -91,39 +149,11 @@ object StorageQueries {
     * The oracle re-derives all three op rows from fixture arithmetic.
     */
   private val changeFeed: Q = (s, dir) => {
-    val docs = baseDocs(s, dir)
     graft.sources.Scratch.withTempDir("graft-cdc19") { path =>
-      ManifestStore.write(docs, path, Seq("source"))
-      val target = docs.select(min(col("source"))).head.getString(0)
-      val tgtDocs = docs.filter(col("source") === target)
-      val cls = pmod(col("doc_id"), lit(3))
-      val next = tgtDocs.filter(cls === 0)
-        .withColumn("n_chars", col("n_chars") + lit(1000000L)) // updates
-        .unionByName(tgtDocs.filter(cls === 2))                // unchanged
-        .unionByName(tgtDocs.filter(cls === 0)                 // inserts
-          .withColumn("doc_id", col("doc_id") + lit(7000000L)))
-      ManifestStore.upsertPartitions(next, path, Seq("source"))
-
-      val v1 = ManifestStore.snapshotAt(s, path, 1)
-      val v2 = ManifestStore.snapshotAt(s, path, 2)
-      val (added, removed) = ManifestStore.fileDiff(v1, v2)
-      def readDelta(files: Seq[ManifestStore.FileEntry]): DataFrame = {
-        val st = v2.state(ManifestStore.MAIN)
-        val paths = files.map(f => path + "/" + f.path)
-        s.read.schema(org.apache.spark.sql.types.StructType
-          .fromDDL(st.schemaDdl)).parquet(paths: _*)
-      }
-      val newSide = readDelta(added)
-        .select(col("doc_id"), col("n_chars").as("chars_new"))
-      val oldSide = readDelta(removed)
-        .select(col("doc_id"), col("n_chars").as("chars_old"))
-      val feed = newSide
-        .join(oldSide, Seq("doc_id"), "full_outer")
-        .withColumn("op",
-          when(col("chars_old").isNull, lit("insert"))
-            .when(col("chars_new").isNull, lit("delete"))
-            .when(col("chars_new") =!= col("chars_old"), lit("update")))
-        .filter(col("op").isNotNull)
+      churnScenario(s, dir, path)
+      val feed = feedBetween(s, path,
+        ManifestStore.snapshotAt(s, path, 1),
+        ManifestStore.snapshotAt(s, path, 2))
         .withColumn("payload", coalesce(col("chars_new"), col("chars_old")))
       import s.implicits._
       Seq("delete", "insert", "update").toDF("op")
@@ -299,9 +329,60 @@ object StorageQueries {
     }
   }
 
+  /** cdc20: INCREMENTAL VIEW MAINTENANCE driven by the change feed —
+    * the downstream half cdc19's CDF exists for. A per-source
+    * (count, payload-sum) view materialized at v1 is advanced to v2
+    * by applying ONLY the feed's deltas (insert: +1/+chars_new,
+    * delete: −1/−chars_old, update: ±diff — silenced rewrites
+    * contribute nothing by construction), O(changed) work against an
+    * O(store) full recompute. The gated row emits BOTH derivations
+    * side by side per source (the q106 both-engines-compute-both
+    * discipline): incremental ≠ recompute diverges at the gate, and
+    * the oracle re-derives the v2 state once from fixture arithmetic
+    * and emits it twice.
+    */
+  private val feedApply: Q = (s, dir) => {
+    graft.sources.Scratch.withTempDir("graft-cdc20") { path =>
+      churnScenario(s, dir, path)
+      val v1 = ManifestStore.snapshotAt(s, path, 1)
+      val v2 = ManifestStore.snapshotAt(s, path, 2)
+      val view1 = v1.read().groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_sum"))
+      val deltas = feedBetween(s, path, v1, v2)
+        .select(
+          col("source"),
+          when(col("op") === "insert", lit(1L))
+            .when(col("op") === "delete", lit(-1L))
+            .otherwise(lit(0L)).as("d_docs"),
+          (coalesce(col("chars_new"), lit(0L)) -
+            coalesce(col("chars_old"), lit(0L))).as("d_chars"))
+        .groupBy(col("source"))
+        .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_chars")).as("d_chars"))
+      val incremental = view1
+        .join(deltas, Seq("source"), "full_outer")
+        .select(
+          col("source"),
+          (coalesce(col("n_docs"), lit(0L)) +
+            coalesce(col("d_docs"), lit(0L))).as("n_docs_inc"),
+          (coalesce(col("chars_sum"), lit(0L)) +
+            coalesce(col("d_chars"), lit(0L))).as("chars_inc"))
+      val full = v2.read().groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs_full"),
+        sum(col("n_chars")).as("chars_full"))
+      incremental
+        .join(full, Seq("source"))
+        .select(col("source"), col("n_docs_inc"), col("chars_inc"),
+          col("n_docs_full"), col("chars_full"))
+        .orderBy("source")
+        .localCheckpoint(true)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q113_time_travel" -> timeTravel,
     "cdc19_change_feed" -> changeFeed,
+    "cdc20_feed_apply" -> feedApply,
     "q114_data_skipping" -> dataSkipping,
     "stream24_manifest_ingest" -> manifestIngest,
     "q115_layout_compare" -> layoutCompare
@@ -361,6 +442,30 @@ object StorageQueries {
          |  CAST(COALESCE(fp, 0) AS BIGINT) AS doc_fp,
          |  CAST(COALESCE(cs, 0) AS BIGINT) AS chars_sum
          |FROM r ORDER BY op""".stripMargin,
+    // the v2 state from fixture arithmetic, emitted TWICE — a drifted
+    // incremental apply diverges from its own recompute columns
+    "cdc20_feed_apply" ->
+      s"""WITH t AS (SELECT MIN(source) AS tgt FROM documents),
+         |d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+         |  FROM documents),
+         |v2 AS (
+         |  SELECT doc_id, source, n_chars FROM d
+         |    WHERE source <> (SELECT tgt FROM t)
+         |  UNION ALL
+         |  SELECT doc_id, source, n_chars + 1000000 FROM d
+         |    WHERE source = (SELECT tgt FROM t) AND doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id, source, n_chars FROM d
+         |    WHERE source = (SELECT tgt FROM t) AND doc_id % 3 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 7000000, source, n_chars FROM d
+         |    WHERE source = (SELECT tgt FROM t) AND doc_id % 3 = 0)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs_inc,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_inc,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs_full,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_full
+         |FROM v2 GROUP BY source ORDER BY source""".stripMargin,
     // exactly-once ingest ≡ the plain corpus, version = one commit
     // per FIRST delivery only
     "stream24_manifest_ingest" ->
