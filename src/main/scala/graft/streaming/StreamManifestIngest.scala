@@ -34,17 +34,28 @@ object StreamManifestIngest {
 
   /** The `foreachBatch` body: stage, then publish through the ledger.
     * Returns whether this call published (false = recognized
-    * redelivery, nothing changed).
+    * redelivery, nothing changed). A redelivery already visible in
+    * the manifest is recognized BEFORE staging — the batch's write is
+    * skipped entirely, not just its publish (at scale the staged
+    * files are the cost, the manifest read is free); the authoritative
+    * check still runs inside [[ManifestStore.commitBatch]]'s critical
+    * section, so the pre-check is a fast path, never the guard.
     */
-  def applyBatch(batch: DataFrame, root: String, batchId: Long): Boolean =
-    ManifestStore.commitBatch(
-      batch.sparkSession,
-      root,
-      Seq(ManifestStore.stage(batch, root, ManifestStore.MAIN,
-        Seq("source"), ManifestStore.Append)),
-      SINK,
-      batchId
-    )._2
+  def applyBatch(batch: DataFrame, root: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val applied = ManifestStore.exists(spark, root) &&
+      ManifestStore.snapshot(spark, root).batches.get(SINK).exists(_ >= batchId)
+    if (applied) false
+    else
+      ManifestStore.commitBatch(
+        spark,
+        root,
+        Seq(ManifestStore.stage(batch, root, ManifestStore.MAIN,
+          Seq("source"), ManifestStore.Append)),
+        SINK,
+        batchId
+      )._2
+  }
 
   /** Deterministic replay for the gated row: the corpus arrives in
     * `batches` doc_id-sliced micro-batches and EVERY batch is

@@ -68,8 +68,17 @@ class StreamManifestIngestSpec extends SparkSpec {
       assert(afterPhase1.totalRows() === slice(0).count() + slice(1).count())
 
       // the crash window: batch 1 re-delivered with the same id —
-      // recognized through the ledger, NOTHING published
+      // recognized through the ledger, NOTHING published (fast path:
+      // the staging write itself is skipped)
       assert(!StreamManifestIngest.applyBatch(slice(1), root, 1L))
+      assert(ManifestStore.snapshot(spark, root).version === 2L)
+      // and the authoritative in-lock check: even a redelivery that
+      // already STAGED its files (raced past any pre-check) publishes
+      // nothing
+      val restaged = ManifestStore.stage(slice(1), root,
+        ManifestStore.MAIN, Seq("source"), ManifestStore.Append)
+      assert(ManifestStore.commitBatch(spark, root, Seq(restaged),
+        StreamManifestIngest.SINK, 1L) === ((2L, false)))
       assert(ManifestStore.snapshot(spark, root).version === 2L)
 
       // phase 2: the last slice arrives while the query is down;
