@@ -379,13 +379,89 @@ object StorageQueries {
     }
   }
 
+  /** stream25: TAILING the change feed across a commit history — the
+    * streaming-source-from-a-table shape (Delta's streaming source /
+    * Iceberg incremental scan as a consumer loop). The store lives
+    * four commits: corpus (v1), the mod-3 mixed churn (v2), an
+    * append of re-keyed docs (v3), and an RTBF-style delete of the
+    * surviving original class-2 docs in the target partition (v4). A
+    * per-source (count, sum) view materialized at v1 is then advanced
+    * THREE ways: tailing consecutive version pairs (the streaming
+    * consumer), one skip-level diff v1→v4 (a consumer that fell
+    * behind — the telescoping property: version diffs compose), and
+    * the O(store) recompute. All three land on identical columns per
+    * source; the oracle derives v4 once from fixture arithmetic and
+    * emits it three times, so a tail that double-counts a hop, a
+    * skip-diff that misclassifies a twice-touched row, or a feed that
+    * leaks rewrite noise all diverge at the gate. Every hop scans
+    * only fileDiff's delta files — consumer cost is O(changed per
+    * hop), never O(store).
+    */
+  private val feedTail: Q = (s, dir) => {
+    graft.sources.Scratch.withTempDir("graft-stream25") { path =>
+      churnScenario(s, dir, path) // v1 + v2
+      val docs = baseDocs(s, dir)
+      ManifestStore.append( // v3
+        docs.filter(pmod(col("doc_id"), lit(7)) === 1)
+          .withColumn("doc_id", col("doc_id") + lit(21000000L)),
+        path, Seq("source"))
+      val target = docs.select(min(col("source"))).head.getString(0)
+      val v3 = ManifestStore.snapshotAt(s, path, 3)
+      ManifestStore.upsertPartitions( // v4: drop surviving orig class-2
+        v3.readPartitions(ManifestStore.MAIN, Seq(target))
+          .filter(!(col("doc_id") < 7000000L &&
+            pmod(col("doc_id"), lit(3)) === 2)),
+        path, Seq("source"))
+
+      def snap(v: Long) = ManifestStore.snapshotAt(s, path, v)
+      def viewOf(df: DataFrame, n: String, c: String) =
+        df.groupBy(col("source")).agg(
+          count(lit(1)).as(n), sum(col("n_chars")).as(c))
+      def deltasOf(a: Long, b: Long) = feedBetween(s, path, snap(a), snap(b))
+        .select(
+          col("source"),
+          when(col("op") === "insert", lit(1L))
+            .when(col("op") === "delete", lit(-1L))
+            .otherwise(lit(0L)).as("d_docs"),
+          (coalesce(col("chars_new"), lit(0L)) -
+            coalesce(col("chars_old"), lit(0L))).as("d_chars"))
+      def applied(view1: DataFrame, deltas: DataFrame, n: String, c: String) =
+        view1
+          .join(
+            deltas.groupBy(col("source"))
+              .agg(sum(col("d_docs")).as("dd"), sum(col("d_chars")).as("dc")),
+            Seq("source"), "full_outer")
+          .select(col("source"),
+            (coalesce(col("v_docs"), lit(0L)) +
+              coalesce(col("dd"), lit(0L))).as(n),
+            (coalesce(col("v_chars"), lit(0L)) +
+              coalesce(col("dc"), lit(0L))).as(c))
+
+      val view1 = viewOf(snap(1).read(), "v_docs", "v_chars")
+        .localCheckpoint(true)
+      val tail = applied(view1,
+        deltasOf(1, 2).unionByName(deltasOf(2, 3)).unionByName(deltasOf(3, 4)),
+        "n_docs_tail", "chars_tail")
+      val skip = applied(view1, deltasOf(1, 4), "n_docs_skip", "chars_skip")
+      val full = viewOf(snap(4).read(), "n_docs_full", "chars_full")
+      val out = tail
+        .join(skip, Seq("source"))
+        .join(full, Seq("source"))
+        .orderBy("source")
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(view1)
+      out
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q113_time_travel" -> timeTravel,
     "cdc19_change_feed" -> changeFeed,
     "cdc20_feed_apply" -> feedApply,
     "q114_data_skipping" -> dataSkipping,
     "stream24_manifest_ingest" -> manifestIngest,
-    "q115_layout_compare" -> layoutCompare
+    "q115_layout_compare" -> layoutCompare,
+    "stream25_feed_tail" -> feedTail
   )
 
   private def h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
@@ -475,6 +551,37 @@ object StorageQueries {
          |  CAST(SUM($h) AS BIGINT) AS doc_fp,
          |  CAST(4 AS BIGINT) AS version
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // v4 from fixture arithmetic, emitted THREE times: tail ≡ skip ≡
+    // recompute (the telescoping property of version diffs)
+    "stream25_feed_tail" ->
+      s"""WITH t AS (SELECT MIN(source) AS tgt FROM documents),
+         |d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+         |  FROM documents),
+         |app AS (SELECT doc_id + 21000000 AS doc_id, source, n_chars
+         |  FROM d WHERE doc_id % 7 = 1),
+         |v4 AS (
+         |  SELECT doc_id, source, n_chars + 1000000 AS n_chars FROM d
+         |    WHERE source = (SELECT tgt FROM t) AND doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 7000000, source, n_chars FROM d
+         |    WHERE source = (SELECT tgt FROM t) AND doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id, source, n_chars FROM app
+         |    WHERE source = (SELECT tgt FROM t)
+         |  UNION ALL
+         |  SELECT doc_id, source, n_chars FROM d
+         |    WHERE source <> (SELECT tgt FROM t)
+         |  UNION ALL
+         |  SELECT doc_id, source, n_chars FROM app
+         |    WHERE source <> (SELECT tgt FROM t))
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs_tail,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_tail,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs_skip,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_skip,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs_full,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_full
+         |FROM v4 GROUP BY source ORDER BY source""".stripMargin,
     // both layouts' per-file (min,max) re-derived as GROUP BY fid
     // over the data (≡ the parquet footer stats the manifest carries),
     // kept counts by box intersection, aggregates from the box itself

@@ -41,4 +41,56 @@ object GraftSqlShims {
         }
       case _ => ()
     }
+
+  /** A parquet scan whose file listing comes from CALLER metadata —
+    * zero filesystem list/stat calls at read time. This is how a
+    * table format serves reads: the manifest already knows every
+    * file's path and length, so handing Spark an explicit-path
+    * `spark.read.parquet(paths:_*)` (which re-stats each path to
+    * build its InMemoryFileIndex — a driver-side O(files) round of
+    * IO per read) pays for metadata the caller is holding. The
+    * `FileIndex` below serves `listFiles` straight from the provided
+    * (path, bytes) pairs; partition pruning already happened at the
+    * manifest, so the index is partition-less and the data columns
+    * carry any partition values.
+    */
+  def readParquetKnownFiles(
+      spark0: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      files: Seq[(String, Long)]
+  ): DataFrame = {
+    import org.apache.spark.sql.execution.datasources._
+    val spark = spark0.asInstanceOf[SparkSession]
+    val statuses = files.map { case (p, len) =>
+      new org.apache.hadoop.fs.FileStatus(
+        len, false, 1, 128L * 1024 * 1024, 0L,
+        new org.apache.hadoop.fs.Path(p))
+    }
+    val index = new FileIndex {
+      override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
+        statuses.map(_.getPath)
+      override def listFiles(
+          partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+          dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+      ): Seq[PartitionDirectory] =
+        Seq(PartitionDirectory(
+          org.apache.spark.sql.catalyst.InternalRow.empty, statuses.toArray))
+      override def inputFiles: Array[String] =
+        statuses.map(_.getPath.toString).toArray
+      override def refresh(): Unit = ()
+      override def sizeInBytes: Long = statuses.map(_.getLen).sum
+      override def partitionSchema: org.apache.spark.sql.types.StructType =
+        new org.apache.spark.sql.types.StructType()
+    }
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = new org.apache.spark.sql.types.StructType(),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty
+    )(spark)
+    Dataset.ofRows(spark, LogicalRelation(relation))
+  }
 }

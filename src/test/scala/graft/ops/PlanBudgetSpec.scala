@@ -465,7 +465,7 @@ class PlanBudgetSpec extends SparkSpec {
   // accidental extra exchange per query). sim26 / cdc15-16 / the
   // stream* replays (incl. stream22 and stream23) — and the
   // store-action rows q109 / q110 / q111 / q112 / q113 / q114 /
-  // stream24 / cdc20 / q115 (driver-built literal rows) /
+  // stream24 / cdc20 / stream25 / q115 (driver-built literal rows) /
   // cdc18 / cdc19 / sim27 / sim28 / sim29 / pipe06 / mm17 / mm18 —
   // return checkpoint-materialized frames, so an
   // exchange count on their OUTPUT is vacuous — their plan shapes
