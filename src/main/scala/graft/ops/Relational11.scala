@@ -875,24 +875,43 @@ object Relational11 {
     * verdicts, gated independently; the plan pin asserts
     * WindowGroupLimit actually appears.
     */
-  private val urlQuotaAdmission: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val d = normalizedUrls(s, dir)
+  /** The dense (domain, nurl, n_refs) frame both admission consumers
+    * read. */
+  private[graft] def urlDense(s: SparkSession, dir: String): DataFrame =
+    normalizedUrls(s, dir)
       .groupBy(col("domain"), col("nurl"))
       .agg(count(lit(1)).as("n_refs"))
+
+  /** q108's kept set: `row_number() <= Q` as a FILTER — the shape
+    * Spark rewrites to WindowGroupLimit (rank pushdown). Exposed so
+    * the plan pin asserts on the SAME definition the gated row
+    * executes (the row's returned frame is checkpoint-materialized).
+    */
+  private[graft] def admissionKept(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window
       .partitionBy(col("domain"))
       .orderBy(PortableHash.h32(col("nurl")), col("nurl"))
-    val kept = d
-      .withColumn("rn", row_number().over(w))
+    d.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= URL_QUOTA)
+  }
+
+  private val urlQuotaAdmission: Q = (s, dir) => {
+    // materialized ONCE: two consumers (kept window + full counts)
+    // would otherwise each recompute the whole normalization + PSL
+    // pipeline — runtime ReusedExchange never fired on this shape
+    // (pre- or post-PSL; probed r8 and r9), and the frame is dense
+    // (distinct (domain, nurl)), so eager materialization is the
+    // dedup17 single-execution-by-construction pattern
+    val d = urlDense(s, dir).localCheckpoint(true)
+    val kept = admissionKept(d)
     val counts = d
       .groupBy(col("domain"))
       .agg(
         sum(col("n_refs")).as("n_urls"),
         count(lit(1)).as("n_distinct_norm")
       )
-    kept
+    val out = kept
       .groupBy(col("domain"))
       .agg(
         count(lit(1)).as("n_kept"),
@@ -910,6 +929,9 @@ object Relational11 {
         col("kept_fp")
       )
       .orderBy("domain")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(d)
+    out
   }
 
   val queries: Map[String, Q] = Map(

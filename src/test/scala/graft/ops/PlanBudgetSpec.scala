@@ -662,13 +662,25 @@ class PlanBudgetSpec extends SparkSpec {
   test("q108 admission form: the rank filter runs as WindowGroupLimit") {
     // the two-aggregate shape's whole point: rn <= Q as a FILTER gets
     // rank pushdown (per-task top-Q before the window shuffle), which
-    // the report-form q107's conditional SUM structurally cannot
-    val df = run("q108_url_admission_form")
+    // the report-form q107's conditional SUM structurally cannot.
+    // Pinned on the SAME admissionKept definition the gated row
+    // executes (the row's returned frame — and its dense input — are
+    // checkpoint-materialized, so the registry output's plan is a
+    // LogicalRDD leaf)
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.adaptive.enabled")
+    val df =
+      try {
+        conf.set("spark.sql.adaptive.enabled", "false")
+        val d = Relational11.admissionKept(Relational11.urlDense(spark, sfDir))
+        d.queryExecution.executedPlan
+        d
+      } finally conf.set("spark.sql.adaptive.enabled", orig)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
       s"q108 rank filter lost WindowGroupLimit pushdown:\n$plan")
     val (s, _) = exchanges(df)
-    assert(s <= 6, s"q108 shuffles=$s")
+    assert(s <= 3, s"q108 kept-set shuffles=$s")
   }
 
   test("q107 URL quota: normalization map-side, (domain,nurl) agg + quota window + sort") {
