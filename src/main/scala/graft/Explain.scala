@@ -35,6 +35,16 @@ object Explain {
       .get("SPARK_GRAFT_EXECUTED")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // SPARK_GRAFT_MANIFEST_EXHIBIT: also dump the INNER manifest reads
+    // of the storage rows (q114/q115/q116). The gated rows themselves
+    // return checkpoint-materialized frames (their dump is a LogicalRDD
+    // leaf), but the round's pushdown story is the scan BEHIND them:
+    // the file list is pruned from manifest stats BEFORE Spark lists
+    // anything, and the Scan node's Location/paths count is the
+    // evidence. This exhibit rebuilds the same scratch stores and
+    // prints the pruned-read plans plus kept/total file counts.
+    if (sys.env.contains("SPARK_GRAFT_MANIFEST_EXHIBIT"))
+      manifestExhibit(spark, sfDir)
     names.foreach { n =>
       println(s"\n==== $n ====")
       try {
@@ -52,5 +62,76 @@ object Explain {
       }
     }
     spark.stop()
+  }
+
+  private def manifestExhibit(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{ManifestStore, Scratch}
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+
+    println("\n==== manifest_read_pruning:q114_int_zonemap ====")
+    Scratch.withTempDir("graft-exhibit-q114") { path =>
+      val bucketed = docs.drop("source")
+        .withColumn("bucket", expr("CAST(doc_id DIV 100 AS BIGINT)"))
+      ManifestStore.write(bucketed, path, Seq("bucket"))
+      val b = bucketed.agg(min("doc_id"), max("doc_id")).head
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+      val snap = ManifestStore.snapshot(spark, path)
+      val (kept, total) = snap.rangeFiles(ManifestStore.MAIN, "doc_id", lo, hi)
+      println(s"-- doc_id range [$lo, $hi]: kept ${kept.length} of " +
+        s"$total files via manifest (min,max) BEFORE any listing --")
+      snap.readRange(ManifestStore.MAIN, "doc_id", lo, hi).explain("formatted")
+      ()
+    }
+
+    println("\n==== manifest_read_pruning:q116_string_zonemap ====")
+    Scratch.withTempDir("graft-exhibit-q116") { path =>
+      import org.apache.spark.sql.expressions.Window
+      val ranked = docs.withColumn("fid",
+        ((dense_rank().over(Window.orderBy(col("source"))) - 1)
+          .cast("long") / lit(5)).cast("long"))
+      ManifestStore.write(ranked, path, Seq("fid"))
+      val srcs = ranked.select("source").distinct()
+        .orderBy("source").collect().map(_.getString(0))
+      val (lo, hi) = (srcs(srcs.length / 4), srcs(srcs.length / 2))
+      val snap = ManifestStore.snapshot(spark, path)
+      val (kept, total) =
+        snap.prunedFilesStr(ManifestStore.MAIN, Seq(("source", lo, hi)))
+      println(s"-- source range ['$lo', '$hi']: kept ${kept.length} of " +
+        s"$total files via truncated string bounds --")
+      snap.readRangeStr(ManifestStore.MAIN, "source", lo, hi)
+        .explain("formatted")
+      ()
+    }
+
+    println("\n==== manifest_read_pruning:q115_layout_compare ====")
+    Scratch.withTempDir("graft-exhibit-q115") { path =>
+      import graft.functions.{Morton, PortableHash}
+      val keyed = docs.select(
+        col("doc_id"), col("n_chars"),
+        pmod(col("doc_id"), lit(64L)).as("x"),
+        pmod(PortableHash.h32(col("doc_id").cast("string")), lit(64L))
+          .cast("long").as("y"))
+      ManifestStore.write(
+        keyed.withColumn("fid", expr("CAST(x DIV 8 AS BIGINT)")),
+        path + "/linear", Seq("fid"))
+      ManifestStore.write(
+        keyed.withColumn("fid",
+          (Morton.zValue(col("x"), col("y"), 6) / lit(256L)).cast("long")),
+        path + "/zorder", Seq("fid"))
+      val lin = ManifestStore.snapshot(spark, path + "/linear")
+      val zed = ManifestStore.snapshot(spark, path + "/zorder")
+      val yBand = Seq(("x", 0L, 63L), ("y", 16L, 31L))
+      val (lk, lt) = lin.prunedFiles(ManifestStore.MAIN, yBand)
+      val (zk, zt) = zed.prunedFiles(ManifestStore.MAIN, yBand)
+      println(s"-- y-band probe: linear kept ${lk.length}/$lt (1-D layout " +
+        s"is blind to y), z-order kept ${zk.length}/$zt --")
+      println("-- z-order y-band read (scan lists ONLY the kept tiles): --")
+      zed.readBox(ManifestStore.MAIN, yBand).explain("formatted")
+      ()
+    }
   }
 }

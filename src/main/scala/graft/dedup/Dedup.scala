@@ -136,25 +136,40 @@ object Dedup {
       textCol: String,
       k: Int = 32,
       bands: Int = 8
-  ): DataFrame = {
-    // Fully fused per-row sketch (plans.MinHashBands): text → band
-    // signatures in one generated pass, so candidate generation's ONLY
-    // shuffle is the band-signature join below. The staged explode →
-    // groupBy signature forms remain above for the parity specs.
-    // posexplode_outer, deliberately: plain posexplode triggers
-    // InferFiltersFromGenerate, whose injected size()>0 filter holds a
-    // second copy of the sketch expression — outer semantics are
-    // identical here (the bands array is never empty).
-    val exploded = df.select(
+  ): DataFrame =
+    // single-pass bucket grouping: the fused sketch is computed once
+    // and shuffled once (vs twice each for a bucket self-join)
+    graft.ops.PairJoins.bucketedPairs(
+      lshBandBuckets(df, idCol, textCol, k, bands),
+      Seq("band", "band_sig"), idCol)
+
+  /** The LSH band-bucket memberships [[lshCandidatePairs]] pairs on:
+    * one row per (doc, band) with the band signature — also the input
+    * to [[graft.ops.PairJoins.bucketAudit]]'s hot-bucket census
+    * (pipe04).
+    *
+    * Fully fused per-row sketch (plans.MinHashBands): text → band
+    * signatures in one generated pass, so candidate generation's ONLY
+    * shuffle is the band-signature grouping downstream. The staged
+    * explode → groupBy signature forms remain above for the parity
+    * specs. posexplode_outer, deliberately: plain posexplode triggers
+    * InferFiltersFromGenerate, whose injected size()>0 filter holds a
+    * second copy of the sketch expression — outer semantics are
+    * identical here (the bands array is never empty).
+    */
+  def lshBandBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 32,
+      bands: Int = 8
+  ): DataFrame =
+    df.select(
       col(idCol),
       posexplode_outer(
         graft.plans.MinHashBands(df.sparkSession, col(textCol), k, bands)
       ).as(Seq("band", "band_sig"))
     )
-    // single-pass bucket grouping: the fused sketch is computed once
-    // and shuffled once (vs twice each for a bucket self-join)
-    graft.ops.PairJoins.bucketedPairs(exploded, Seq("band", "band_sig"), idCol)
-  }
 
   /** Exact word-shingle Jaccard between two shingle-array columns. */
   def jaccard(aSh: Column, bSh: Column): Column =

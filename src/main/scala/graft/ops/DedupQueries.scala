@@ -949,6 +949,21 @@ object DedupQueries {
   private def bloomPosSql(e: String, i: Int) =
     s"${PortableHash.sqlH32(e, 9100 + i)} % 4096"
 
+  /** Scalar hot-bucket census mirror: COUNT of LSH band buckets whose
+    * population exceeds `cap` — the audit column pipe04 carries next
+    * to its curation numbers (the enforcement itself is
+    * [[PairJoins.bucketedPairs]]' `maxBucket` gate).
+    */
+  private[ops] def hotBucketCountSql(cap: Int): String =
+    s"""(WITH $prepCte,
+       |sig AS (SELECT doc_id, sh, $sigSql AS sig FROM shh),
+       |band AS (SELECT doc_id, r.b AS band, bands[r.b + 1] AS band_sig
+       |         FROM (SELECT doc_id, $bandsSql AS bands FROM sig) s
+       |         CROSS JOIN range(0, $BANDS) r(b)),
+       |pop AS (SELECT band, band_sig, COUNT(*) AS n FROM band
+       |        GROUP BY 1, 2)
+       |SELECT COUNT(*) FROM pop WHERE n > $cap)""".stripMargin
+
   /** dedup04 mirror (LSH candidates + exact Jaccard verify); shared
     * verbatim by dedup16's composition. */
   private[ops] val minhashVerifiedOracle =

@@ -454,8 +454,172 @@ object StorageQueries {
     }
   }
 
+  /** Sorted-source file grouping for q116: adjacent (string-ordered)
+    * sources share a file, so each file's footer carries a TIGHT
+    * (min, max) for the `source` STRING column into the manifest.
+    */
+  private[ops] val STR_GROUP = 5L
+
+  /** q116: STRING zone-map DATA SKIPPING gated — q114's discipline on
+    * a string column, where real curation predicates live (`source`,
+    * `lang`). The corpus commits grouped into files of [[STR_GROUP]]
+    * adjacent sources (dense rank over the string order), so each
+    * file's parquet footer carries a tight `source` (min, max) that
+    * the commit truncates per [[graft.sources.ManifestStore.STR_TRUNC]]
+    * (a no-op here — fixture sources are short; ManifestStatsSpec
+    * pins the truncate-and-increment bounds on long strings). The row
+    * answers a source range [lo, hi] — the sources ranked n/4 and n/2
+    * — through [[graft.sources.ManifestStore.Snapshot.readRangeStr]],
+    * reporting total/kept file counts from the manifest plus
+    * count / payload sum / Σ h32 identity from the pruned scan. The
+    * oracle re-derives the kept census from data (per-group min/max ≡
+    * the footer stats) and the range aggregates from the fixture.
+    */
+  private val stringSkipping: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = baseDocs(s, dir).withColumn(
+      "fid",
+      ((dense_rank().over(Window.orderBy(col("source"))) - 1)
+        .cast("long") / lit(STR_GROUP)).cast("long")
+    )
+    graft.sources.Scratch.withTempDir("graft-q116") { path =>
+      ManifestStore.write(ranked, path, Seq("fid"))
+      val srcs = ranked.select(col("source")).distinct()
+        .orderBy("source").collect().map(_.getString(0))
+      val (lo, hi) = (srcs(srcs.length / 4), srcs(srcs.length / 2))
+      val snap = ManifestStore.snapshot(s, path)
+      val (kept, total) =
+        snap.prunedFilesStr(ManifestStore.MAIN, Seq(("source", lo, hi)))
+      snap.readRangeStr(ManifestStore.MAIN, "source", lo, hi)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(h32l(col("doc_id"))).as("doc_fp")
+        )
+        .select(
+          lit(total.toLong).as("files_total"),
+          lit(kept.length.toLong).as("files_kept"),
+          col("n_docs"), col("chars_sum"), col("doc_fp")
+        )
+        .localCheckpoint(true)
+    }
+  }
+
+  /** Every ~97th doc — q117's RTBF delete set, k ≪ corpus. */
+  private[ops] val DV_MOD = 97L
+
+  /** q117: DELETION VECTORS (merge-on-read) gated — the O(k) delete
+    * the copy-on-write path (dedup33, cdc19's delete class) cannot
+    * give. Inside a scratch root: (v1) the corpus commits partitioned
+    * by source; (v2) every [[DV_MOD]]-th doc_id is DELETED by
+    * committing ONLY the ids into the `__dv` sidecar
+    * ([[graft.sources.DeletionVectors.delete]] — the log delta is
+    * O(k) bytes, no data file touched; DeletionVectorsSpec pins the
+    * byte bound); (v3) [[graft.sources.DeletionVectors.materialize]]
+    * rewrites only zone-map-candidate partitions and clears the
+    * vector. The gated row emits, per source, THREE derivations of
+    * the post-delete state (the cdc20 both-engines discipline):
+    * merge-on-read at v2, the copy-on-write answer recomputed from
+    * the fixture, and the plain v3 read after materialization — plus
+    * the change feed across the materialize commit, which must
+    * classify EXACTLY the deleted rows as deletes (byte-equal
+    * rewrites of covering-but-clean partitions are silenced). The
+    * oracle derives the surviving and deleted sets once from fixture
+    * arithmetic.
+    */
+  private val deletionVectors: Q = (s, dir) => {
+    import graft.sources.DeletionVectors
+    val docs = baseDocs(s, dir)
+    graft.sources.Scratch.withTempDir("graft-q117") { path =>
+      ManifestStore.write(docs, path, Seq("source"))
+      DeletionVectors.delete(s, path, ManifestStore.MAIN, "doc_id",
+        docs.filter(pmod(col("doc_id"), lit(DV_MOD)) === 0)
+          .select(col("doc_id")))
+      val v2 = ManifestStore.snapshot(s, path)
+      def viewOf(df: DataFrame, n: String, c: String) =
+        df.groupBy(col("source"))
+          .agg(count(lit(1)).as(n), sum(col("n_chars")).as(c))
+      val mor = viewOf(DeletionVectors.read(v2), "n_mor", "chars_mor")
+      val cow = viewOf(
+        docs.filter(pmod(col("doc_id"), lit(DV_MOD)) =!= 0),
+        "n_cow", "chars_cow")
+      DeletionVectors.materialize(s, path, ManifestStore.MAIN, "doc_id")
+      val v3 = ManifestStore.snapshot(s, path)
+      val mat = viewOf(v3.read(), "n_mat", "chars_mat")
+      val feedDel = feedBetween(s, path,
+        ManifestStore.snapshotAt(s, path, 2), v3)
+        .filter(col("op") === "delete")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_del_feed"),
+          sum(h32l(col("doc_id"))).as("del_fp"))
+      mor
+        .join(cow, Seq("source"))
+        .join(mat, Seq("source"))
+        .join(feedDel, Seq("source"), "left")
+        .select(col("source"), col("n_mor"), col("chars_mor"),
+          col("n_cow"), col("chars_cow"), col("n_mat"), col("chars_mat"),
+          coalesce(col("n_del_feed"), lit(0L)).as("n_del_feed"),
+          coalesce(col("del_fp"), lit(0L)).as("del_fp"))
+        .orderBy("source")
+        .localCheckpoint(true)
+    }
+  }
+
+  /** q118: `AS OF TIMESTAMP` time travel gated — q113's history
+    * addressed by the commit wall-clock instead of the version
+    * number (the auditor's "the store as of Tuesday"). The store
+    * lives q113's three commits; each log delta carries a STRICTLY
+    * monotonic commit timestamp, so
+    * [[graft.sources.ManifestStore.snapshotAsOf]] resolves any
+    * instant unambiguously: an exact commit instant resolves to that
+    * commit (inclusive boundary), the instant just before a commit
+    * resolves to its predecessor, and a later instant to the newest
+    * version. Four probes pin all three behaviors; each probe's
+    * aggregates must equal ITS resolved version's fixture-derived
+    * content (a resolver off by one version diverges on every
+    * column). The pre-first-commit error is spec-pinned
+    * (ManifestStatsSpec).
+    */
+  private val timeTravelTs: Q = (s, dir) => {
+    val docs = baseDocs(s, dir)
+    graft.sources.Scratch.withTempDir("graft-q118") { path =>
+      ManifestStore.write(docs, path, Seq("source"))
+      val target = docs.select(min(col("source"))).head.getString(0)
+      ManifestStore.upsertPartitions(
+        docs.filter(col("source") === target)
+          .withColumn("n_chars", col("n_chars") + lit(1000000L)),
+        path, Seq("source"))
+      ManifestStore.append(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(7000000L)),
+        path, Seq("source"))
+      val ts = ManifestStore.versionInfos(s, path).toMap
+      val probes = Seq(
+        ("p1_at_v1", ts(1L)),
+        ("p2_at_v2", ts(2L)),
+        ("p3_pre_v3", ts(3L) - 1), // ≥ ts(2) by strict monotonicity
+        ("p4_post_v3", ts(3L) + 1000L)
+      )
+      probes.map { case (name, t) =>
+        val snap = ManifestStore.snapshotAsOf(s, path, t)
+        snap.read().agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(h32l(col("doc_id"))).as("doc_fp")
+        ).select(lit(name).as("probe"), lit(snap.version).as("version"),
+          col("n_docs"), col("chars_sum"), col("doc_fp"))
+      }
+        .reduce(_ unionByName _)
+        .orderBy("probe")
+        .localCheckpoint(true)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q113_time_travel" -> timeTravel,
+    "q116_string_skipping" -> stringSkipping,
+    "q117_deletion_vectors" -> deletionVectors,
+    "q118_time_travel_ts" -> timeTravelTs,
     "cdc19_change_feed" -> changeFeed,
     "cdc20_feed_apply" -> feedApply,
     "q114_data_skipping" -> dataSkipping,
@@ -467,6 +631,84 @@ object StorageQueries {
   private def h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
 
   val oracle: Map[String, String] = Map(
+    // per-group (min,max) over the string order ≡ the footer stats
+    // the manifest carries; probe bounds are the n/4- and n/2-ranked
+    // distinct sources; kept census by range intersection
+    "q116_string_skipping" ->
+      s"""WITH ranked AS (SELECT source,
+         |    row_number() OVER (ORDER BY source) - 1 AS r
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |nn AS (SELECT COUNT(*) AS cnt FROM ranked),
+         |pr AS (SELECT
+         |    (SELECT source FROM ranked, nn WHERE r = cnt // 4) AS lo,
+         |    (SELECT source FROM ranked, nn WHERE r = cnt // 2) AS hi),
+         |d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |    d0.source, r // $STR_GROUP AS fid
+         |  FROM documents d0 JOIN ranked ON ranked.source = d0.source),
+         |f AS (SELECT fid, MIN(source) AS mns, MAX(source) AS mxs
+         |  FROM d GROUP BY 1),
+         |kept AS (SELECT COUNT(*) AS k FROM f, pr
+         |  WHERE mxs >= lo AND mns <= hi),
+         |tot AS (SELECT COUNT(*) AS t FROM f),
+         |sel AS (SELECT COUNT(*) AS n, SUM(n_chars) AS cs, SUM($h) AS fp
+         |  FROM d, pr WHERE source BETWEEN lo AND hi)
+         |SELECT CAST(t AS BIGINT) AS files_total,
+         |  CAST(k AS BIGINT) AS files_kept,
+         |  CAST(n AS BIGINT) AS n_docs,
+         |  CAST(cs AS BIGINT) AS chars_sum,
+         |  CAST(fp AS BIGINT) AS doc_fp
+         |FROM tot, kept, sel""".stripMargin,
+    // the surviving set emitted THREE ways (merge-on-read ≡
+    // copy-on-write ≡ materialized) + the deleted set as the feed's
+    // delete classification — all from fixture arithmetic
+    "q117_deletion_vectors" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+         |sv AS (SELECT source, COUNT(*) AS n, SUM(n_chars) AS cs
+         |  FROM d WHERE doc_id % $DV_MOD <> 0 GROUP BY source),
+         |dl AS (SELECT source, COUNT(*) AS n, SUM($h) AS fp
+         |  FROM d WHERE doc_id % $DV_MOD = 0 GROUP BY source)
+         |SELECT sv.source,
+         |  CAST(sv.n AS BIGINT) AS n_mor,
+         |  CAST(sv.cs AS BIGINT) AS chars_mor,
+         |  CAST(sv.n AS BIGINT) AS n_cow,
+         |  CAST(sv.cs AS BIGINT) AS chars_cow,
+         |  CAST(sv.n AS BIGINT) AS n_mat,
+         |  CAST(sv.cs AS BIGINT) AS chars_mat,
+         |  CAST(COALESCE(dl.n, 0) AS BIGINT) AS n_del_feed,
+         |  CAST(COALESCE(dl.fp, 0) AS BIGINT) AS del_fp
+         |FROM sv LEFT JOIN dl ON dl.source = sv.source
+         |ORDER BY sv.source""".stripMargin,
+    // four probes, resolved versions pinned (1, 2, 2, 3): exact
+    // commit instants resolve inclusively, the pre-v3 instant
+    // resolves to v2 (strict clock monotonicity), a later instant to
+    // the newest version; contents re-derived per version as in q113
+    "q118_time_travel_ts" ->
+      s"""WITH t AS (SELECT MIN(source) AS tgt FROM documents),
+         |v1 AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+         |  FROM documents),
+         |v2 AS (SELECT doc_id,
+         |    CAST(CASE WHEN source = (SELECT tgt FROM t)
+         |      THEN n_chars + 1000000 ELSE n_chars END AS BIGINT) AS n_chars
+         |  FROM documents),
+         |extra AS (SELECT doc_id + 7000000 AS doc_id,
+         |    CAST(n_chars AS BIGINT) AS n_chars
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM extra),
+         |r AS (
+         |  SELECT 'p1_at_v1' AS probe, 1 AS version, COUNT(*) AS n,
+         |    SUM(n_chars) AS cs, SUM($h) AS fp FROM v1
+         |  UNION ALL
+         |  SELECT 'p2_at_v2', 2, COUNT(*), SUM(n_chars), SUM($h) FROM v2
+         |  UNION ALL
+         |  SELECT 'p3_pre_v3', 2, COUNT(*), SUM(n_chars), SUM($h) FROM v2
+         |  UNION ALL
+         |  SELECT 'p4_post_v3', 3, COUNT(*), SUM(n_chars), SUM($h) FROM v3)
+         |SELECT probe, CAST(version AS BIGINT) AS version,
+         |  CAST(n AS BIGINT) AS n_docs,
+         |  CAST(cs AS BIGINT) AS chars_sum,
+         |  CAST(fp AS BIGINT) AS doc_fp
+         |FROM r ORDER BY probe""".stripMargin,
     // each version's content from first principles: v1 = the corpus,
     // v2 = lowest source's payloads +1e6, v3 = v2 ∪ every-fifth-doc
     // re-appended at doc_id+7e6 with ORIGINAL payloads

@@ -251,9 +251,22 @@ object TextQueries2 {
     * + partial), never a driver-side set; token counts are map-side
     * array lengths. K sources → K output rows regardless of corpus
     * size.
+    *
+    * `hot_buckets` is the near-dup net's SKEW AUDIT: the count of LSH
+    * band buckets (dedup04's banding) whose population exceeds
+    * [[HOT_BUCKET_REPORT_CAP]] — the buckets
+    * [[PairJoins.bucketedPairs]]' `maxBucket` gate would drop rather
+    * than let one degenerate signature emit O(population²) candidate
+    * pairs. A corpus release documents what its dedup pass skipped;
+    * the oracle recomputes the census from the same banding mirror.
     */
   private val corpusReport: Q = (s, dir) => {
     import graft.functions.TextFunctions
+    val hot = graft.ops.PairJoins.bucketAudit(
+      graft.dedup.Dedup.lshBandBuckets(
+        Tables(s, dir).documents, "doc_id", "text"),
+      Seq("band", "band_sig"), "doc_id", HOT_BUCKET_REPORT_CAP
+    ).count()
     val d = Tables(s, dir).documents
       .select(
         col("source"),
@@ -279,8 +292,16 @@ object TextQueries2 {
         col("total_tokens"),
         (col("total_tokens").cast("double") / col("n_docs")).as("mean_tokens")
       )
+      .withColumn("hot_buckets", lit(hot))
       .orderBy("source")
   }
+
+  /** The report threshold for pipe04's hot-bucket audit — a
+    * diagnostics bar (populations worth documenting), deliberately
+    * far below [[PairJoins.DefaultMaxBucket]]'s enforcement ceiling
+    * so the census is a live number on the fixture.
+    */
+  private[ops] val HOT_BUCKET_REPORT_CAP = 8
 
   /** Gopher stopword-containment list (Rae et al. 2021 §A1.1): a doc
     * should contain ≥ 2 of these to count as running English prose.
@@ -770,7 +791,9 @@ object TextQueries2 {
          |  CAST(n_docs - n_uniq AS DOUBLE) / n_docs AS dup_rate,
          |  n_en, CAST(n_en AS DOUBLE) / n_docs AS pct_en,
          |  total_tokens,
-         |  CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens
+         |  CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens,
+         |  CAST(${DedupQueries.hotBucketCountSql(HOT_BUCKET_REPORT_CAP)}
+         |    AS BIGINT) AS hot_buckets
          |FROM a ORDER BY source""".stripMargin,
     "text26_gopher_rules" -> {
       val stopsSql = gopherStops.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+/** Row-level deletes as MERGE-ON-READ deletion vectors — the
+  * O(deleted ids) delete a production store needs where copy-on-write
+  * pays O(touched partitions). An RTBF request for k documents out of
+  * a 100 TB corpus must not rewrite terabytes: [[delete]] commits the
+  * k ids into a `<table>__dv` sidecar TABLE of the same
+  * [[ManifestStore]] root (one log delta, O(k) bytes on disk), and
+  * [[read]] serves the table with the vector anti-joined out — a
+  * broadcast of the (small) deleted-id set, zero extra shuffles.
+  * Because the sidecar lives in the SAME manifest, a snapshot is
+  * always a consistent (data, vector) pair — the single-commit
+  * atomicity the store already guarantees makes the DV design safe
+  * for free, and time travel reproduces the pre-delete view.
+  *
+  * [[materialize]] is the compaction half: rewrite ONLY the
+  * partitions that can hold deleted rows (candidates located through
+  * the manifest's own per-file zone maps — metadata, no scan) with
+  * the vector applied, and clear the vector, in ONE commit. Readers
+  * before the swap see (old files + DV); after, (new files + empty
+  * DV) — identical rows either side. Superseded files fall to
+  * [[ManifestStore.vacuum]] as usual.
+  *
+  * This is Delta's deletion-vector / Iceberg's positional-delete
+  * design re-expressed at its minimum: id-keyed rather than
+  * (file, position)-keyed, which trades a broadcast anti-join on the
+  * key for not tracking row positions — the right point when every
+  * table has a primary key (the reference's `message.id`,
+  * hello_cloud_run/src/main/java/.../Message.java:11-13).
+  */
+object DeletionVectors {
+
+  /** The deletion-vector sidecar's table name for `table`. */
+  def dvTable(table: String): String = table + "__dv"
+
+  /** Commit `ids` (one column, the key) as deletions of `table` —
+    * O(k) bytes staged and logged, no data file touched. Returns the
+    * new version. Idempotent by semantics: deleting an id twice (the
+    * DV is read `distinct`) or deleting an absent id (anti-join
+    * no-op) changes nothing — the reference's idempotent-DELETE
+    * contract.
+    */
+  def delete(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      idCol: String,
+      ids: DataFrame
+  ): Long =
+    ManifestStore.commit(spark, root, Seq(
+      ManifestStore.stage(
+        // one file per delete commit: the vector is ids, not data
+        ids.select(col(idCol)).coalesce(1),
+        root, dvTable(table), Seq.empty, ManifestStore.Append)))
+
+  /** Merge-on-read: `table` with the deletion vector applied. The DV
+    * is broadcast (it is small by construction — deletes that rewrite
+    * a large fraction of the table should compact instead), so the
+    * read plan is the plain manifest scan plus one broadcast anti
+    * join.
+    */
+  def read(
+      snap: ManifestStore.Snapshot,
+      table: String = ManifestStore.MAIN,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val base = snap.read(table)
+    if (!snap.hasTable(dvTable(table))) base
+    else {
+      val dv = snap.read(dvTable(table)).select(col(idCol)).distinct()
+      base.join(broadcast(dv), Seq(idCol), "left_anti")
+    }
+  }
+
+  /** Apply the vector physically and clear it, in ONE commit: rewrite
+    * only the partitions whose manifest zone maps admit a deleted id
+    * (a partition none of whose files' (min, max) covers any deleted
+    * id provably holds none — its files are not even read), anti-join
+    * the vector out, and Replace the DV table with empty. The
+    * candidate set is conservative (a covering range may still hold
+    * no deleted row — that partition rewrites byte-equal, which the
+    * change feed silences), never lossy. Requires an integral key
+    * with footer stats and a single partition column (zero columns =
+    * whole-table rewrite). Returns the new version.
+    */
+  def materialize(
+      spark: SparkSession,
+      root: String,
+      table: String = ManifestStore.MAIN,
+      idCol: String = "doc_id"
+  ): Long = {
+    val snap = ManifestStore.snapshot(spark, root)
+    val dvName = dvTable(table)
+    require(snap.hasTable(dvName), s"no deletion vector for '$table'")
+    val st = snap.state(table)
+    require(st.partitionCols.length <= 1,
+      s"materialize handles ≤1 partition column, '$table' has " +
+        st.partitionCols.mkString(","))
+    val dv = snap.read(dvName).select(col(idCol)).distinct()
+    // the vector is k rows by contract — a metadata-sized read, the
+    // same discipline as the store's other audited collect sites
+    val ids = dv.collect().map(_.getLong(0))
+    val emptyDv = dv.limit(0)
+    val dvStage = ManifestStore.stage(
+      emptyDv, root, dvName, Seq.empty, ManifestStore.Replace)
+    if (st.partitionCols.isEmpty) {
+      val kept = snap.read(table).join(broadcast(dv), Seq(idCol), "left_anti")
+      ManifestStore.commit(spark, root, Seq(
+        ManifestStore.stage(kept, root, table, Seq.empty,
+          ManifestStore.Replace),
+        dvStage
+      ), expectedVersion = snap.version)
+    } else {
+      val touched = st.partitions.values.collect {
+        case p if p.files.exists { f =>
+          f.stats.get(idCol) match {
+            case Some((mn, mx)) => ids.exists(id => id >= mn && id <= mx)
+            case None           => true // no stats: cannot prove clean
+          }
+        } => p.values.head
+      }.toSeq.sorted
+      if (touched.isEmpty)
+        // nothing to rewrite — still clear the vector (all ids absent)
+        ManifestStore.commit(spark, root, Seq(dvStage),
+          expectedVersion = snap.version)
+      else {
+        val kept = snap.readPartitions(table, touched)
+          .join(broadcast(dv), Seq(idCol), "left_anti")
+        ManifestStore.commit(spark, root, Seq(
+          ManifestStore.stage(kept, root, table, st.partitionCols,
+            ManifestStore.Upsert),
+          dvStage
+        ), expectedVersion = snap.version)
+      }
+    }
+  }
+}

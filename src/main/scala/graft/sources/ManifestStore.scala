@@ -4,89 +4,148 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
-/** Manifest-committed multi-table store — the transactional primitive
-  * [[PartitionedStore]] lacks: writers stage new files under paths no
-  * reader resolves, then publish by atomically swapping ONE manifest
-  * file; readers resolve every file through the manifest, so a read
-  * observes a complete committed version or the previous one — never
-  * a half-rewritten store, and never a store/sidecar pair from two
-  * different commits (one manifest covers ALL tables of the root, so
-  * a store + its index publish as a single commit). This is the core
-  * of every production table format (Delta's `_delta_log`, Iceberg's
-  * snapshot + manifest lists) re-expressed at its minimum: on an
-  * object store the swap becomes a conditional PUT / metastore CAS;
-  * on the local filesystem it is `Files.move(ATOMIC_MOVE)` — rename(2),
-  * atomic by POSIX contract.
+/** Log-structured manifest-committed multi-table store — the
+  * transactional primitive [[PartitionedStore]] lacks: writers stage
+  * new files under paths no reader resolves, then publish by
+  * atomically CREATING one commit-log entry; readers resolve every
+  * file through the log, so a read observes a complete committed
+  * version or the previous one — never a half-rewritten store, and
+  * never a store/sidecar pair from two different commits (one commit
+  * covers ALL tables of the root, so a store + its index publish as a
+  * single commit). This is the core of every production table format
+  * (Delta's `_delta_log`, Iceberg's snapshot + manifest lists)
+  * re-expressed at its minimum.
   *
   * Layout under a root:
   * {{{
-  *   _graft/MANIFEST.json            the one swap target
+  *   _graft/d<version>.json          one DELTA per commit (the commit point)
+  *   _graft/c<version>.json          full-state CHECKPOINT every N commits
   *   _data/c<uuid>/<table>/__p_<col>=<v>/part-*.parquet
   * }}}
   * Both top-level names start with `_`, so a raw parquet read of the
   * root sees nothing — there IS no path to the data except through
-  * the manifest. Partition columns stay in the data files (the write
+  * the log. Partition columns stay in the data files (the write
   * partitions by a `__p_`-prefixed duplicate), so partition pruning
-  * is a MANIFEST lookup — the file list is pruned before Spark ever
+  * is a metadata lookup — the file list is pruned before Spark ever
   * lists a directory, strictly earlier than Hive-layout
   * `PartitionFilters` — and readers still get row-group pruning from
   * the retained data column.
   *
+  * '''The log, not a snapshot, is what each commit writes.''' A delta
+  * records ONLY the commit's own actions — per staged table its mode
+  * and the staged files' entries — so commit cost is O(changed files)
+  * regardless of how many files the store holds (the monolithic
+  * full-snapshot-per-commit design pays O(total files) serialization
+  * on every commit, which a streaming ingest pays per micro-batch).
+  * Every [[CKPT_EVERY]] commits a full checkpoint is also written, so
+  * state reconstruction replays a bounded tail: `snapshot(v)` = the
+  * newest checkpoint ≤ v plus the deltas after it.
+  *
+  * '''The commit point is an atomic create-new.''' The delta is
+  * written to an invisible dotfile and published with
+  * `Files.createLink` — link(2), which fails with
+  * `FileAlreadyExistsException` if version N already exists. Two
+  * racing committers (even ACROSS PROCESSES sharing the root — the
+  * in-JVM per-root lock only serializes same-JVM writers) cannot both
+  * create `d<N>.json`; the loser throws
+  * [[ConcurrentCommitException]] with nothing published. A linked
+  * delta is complete by construction (its bytes were fully written
+  * before the link), so a crash anywhere leaves either no commit or a
+  * whole one — there is no orphan-version state, and time travel can
+  * never serve a never-committed version. On an object store the
+  * create-new becomes a conditional PUT (`If-None-Match: *`).
+  *
   * Commits never delete data files: superseded versions stay on disk
   * until [[vacuum]], which is what isolates an in-flight reader that
-  * resolved the previous manifest. Crash-safety falls out of the same
+  * resolved the previous version. Crash-safety falls out of the same
   * order: staging is invisible, so a crash after any subset of staged
   * writes — e.g. after the store's files, before the sidecar's —
-  * leaves the manifest pointing at the old, mutually-consistent pair.
+  * leaves the log resolving the old, mutually-consistent pair.
   *
-  * Beyond the swap, the manifest carries the rest of the table-format
-  * core, each a metadata-only read:
-  *   - every committed version also persists as `_graft/v%06d.json`,
-  *     so [[snapshotAt]] TIME-TRAVELS to any retained version and
-  *     [[changedPartitions]] diffs two versions file-granularly (the
-  *     change-data-feed read touches ONLY files added/removed between
-  *     the versions, never the whole store);
-  *   - [[commit]] takes an `expectedVersion` — compare-and-swap, the
-  *     optimistic concurrency every multi-writer table needs (in-JVM
-  *     the check runs under a per-root lock; on an object store it IS
-  *     the conditional PUT); [[commitRebase]] retries a lost race
+  * Beyond the commit itself, the log carries the rest of the
+  * table-format core, each a metadata-only read:
+  *   - [[snapshotAt]] TIME-TRAVELS to any retained version, and every
+  *     delta carries a strictly-monotonic commit wall-clock so
+  *     [[snapshotAsOf]] resolves `AS OF TIMESTAMP` (the newest version
+  *     committed at-or-before the instant);
+  *   - [[fileDiff]] / [[changedPartitions]] diff two versions
+  *     file-granularly (the change-data-feed read touches ONLY files
+  *     added/removed between the versions, never the whole store);
+  *   - [[commit]] takes an `expectedVersion` — compare-and-swap
+  *     optimistic concurrency; [[commitRebase]] retries a lost race
   *     when the staged partitions are disjoint from what landed in
   *     between, and refuses (never silently merges) when they overlap;
-  *   - [[commitBatch]] records a (sink, batchId) ledger IN the
-  *     manifest, so a streaming `foreachBatch` sink re-delivered a
-  *     batch after a crash publishes exactly once — the ledger and
-  *     the data commit share the single swap;
-  *   - [[FileEntry]] carries per-file min/max for integral columns
-  *     (read from the parquet footers at commit time), so
-  *     [[Snapshot.readRange]] prunes files by value range BEFORE
+  *   - [[commitBatch]] records a (sink, batchId) ledger IN the log, so
+  *     a streaming `foreachBatch` sink re-delivered a batch after a
+  *     crash publishes exactly once — the ledger and the data commit
+  *     are one delta;
+  *   - [[FileEntry]] carries per-file min/max for integral AND string
+  *     columns (string bounds truncated to [[STR_TRUNC]] code points,
+  *     the truncate-and-increment upper-bound discipline), read from
+  *     the parquet footers ON THE EXECUTORS at commit time (a Spark
+  *     job over the staged file list — the driver opens no footers,
+  *     so an initial 100 TB corpus commit never serializes millions of
+  *     footer reads through one process), so [[Snapshot.readRange]] /
+  *     [[Snapshot.readRangeStr]] prune files by value range BEFORE
   *     Spark lists anything — manifest-level data skipping on
   *     non-partition columns.
   */
 object ManifestStore {
 
-  /** A commit lost the optimistic-concurrency race: the manifest
-    * version moved past `expectedVersion` (or past a rebase's
-    * conflict window) between stage and swap.
+  /** A commit lost the optimistic-concurrency race: the log version
+    * moved past `expectedVersion` (or past a rebase's conflict
+    * window) between stage and publish, or another process created
+    * the same delta first.
     */
   final class ConcurrentCommitException(msg: String)
       extends RuntimeException(msg)
 
-  /** Per-root in-JVM commit lock — the local stand-in for an object
-    * store's conditional PUT: version check and swap are one critical
-    * section, so two racing committers serialize and the loser's
-    * expectedVersion check fails deterministically.
+  /** Per-root in-JVM commit lock, so same-JVM racing committers
+    * serialize and the loser's expectedVersion check fails
+    * deterministically (cross-process racers are caught by the
+    * create-new commit point itself). Keyed by the NORMALIZED local
+    * path — `file:/x` and `/x` must share one lock — and weak-valued,
+    * so locks for long-gone scratch roots are collectable instead of
+    * accumulating one entry per temp store for the life of the
+    * driver.
     */
-  private val rootLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val rootLocks: com.google.common.cache.LoadingCache[String, Object] =
+    com.google.common.cache.CacheBuilder
+      .newBuilder()
+      .weakValues()
+      .build(new com.google.common.cache.CacheLoader[String, Object] {
+        override def load(key: String): Object = new Object
+      })
 
   private def lockFor(root: String): Object =
-    rootLocks.computeIfAbsent(root, _ => new Object)
+    rootLocks.get(localPath(root).toAbsolutePath.normalize.toString)
 
   /** The main table's name — single-table callers never spell it. */
   val MAIN = "store"
 
   /** [[commit]]'s `expectedVersion` sentinel: skip the CAS check. */
   val ANY_VERSION: Long = -1L
+
+  /** A full-state checkpoint is written every this-many commits; in
+    * between, readers replay at most this many deltas on top of the
+    * newest checkpoint.
+    */
+  val CKPT_EVERY: Int = 8
+
+  /** String zone-map bounds are truncated to this many code points
+    * (Iceberg's 16-byte truncation discipline): the lower bound is a
+    * plain prefix (≤ the true min), the upper bound is the prefix
+    * with its last code point incremented (> every value sharing the
+    * prefix), so pruning stays sound while the log never carries
+    * megabyte string values.
+    */
+  val STR_TRUNC: Int = 16
+
+  /** Parquet footers opened ON THE DRIVER (diagnostic): the commit
+    * path reads footers in a Spark job, so commits leave this counter
+    * untouched — ManifestStatsSpec pins that.
+    */
+  val driverFooterOpens = new java.util.concurrent.atomic.AtomicLong(0L)
 
   sealed trait Mode
 
@@ -105,18 +164,32 @@ object ManifestStore {
     */
   case object Append extends Mode
 
-  /** One parquet file the manifest references: `path` relative to the
+  private def modeName(m: Mode): String = m match {
+    case Replace => "replace"
+    case Upsert  => "upsert"
+    case Append  => "append"
+  }
+
+  private def modeOf(s: String): Mode = s match {
+    case "replace" => Replace
+    case "upsert"  => Upsert
+    case "append"  => Append
+  }
+
+  /** One parquet file the log references: `path` relative to the
     * root, plus the stats every planner wants — bytes from the file
-    * status, rows from the parquet footer, and per-column (min, max)
-    * for the file's integral columns (footer column statistics
-    * aggregated across row groups — metadata, not data). A column
-    * absent from `stats` simply cannot prune this file.
+    * status, rows from the parquet footer, per-column (min, max) for
+    * the file's integral columns and truncated (min, max) for its
+    * string columns (footer column statistics aggregated across row
+    * groups — metadata, not data). A column absent from the stats
+    * maps simply cannot prune this file.
     */
   final case class FileEntry(
       path: String,
       bytes: Long,
       rows: Long,
-      stats: Map[String, (Long, Long)] = Map.empty
+      stats: Map[String, (Long, Long)] = Map.empty,
+      strStats: Map[String, (String, String)] = Map.empty
   )
 
   final case class PartitionEntry(values: Seq[String], files: Seq[FileEntry]) {
@@ -131,8 +204,8 @@ object ManifestStore {
   )
 
   /** A staged-but-unpublished write: files exist on disk under
-    * `dir` (unreferenced by any manifest), nothing is visible until
-    * [[commit]] swaps them in.
+    * `dir` (unreferenced by any log entry), nothing is visible until
+    * [[commit]] publishes them.
     */
   final case class Staged(
       table: String,
@@ -142,26 +215,42 @@ object ManifestStore {
       mode: Mode
   )
 
-  /** One parsed manifest: every read through the same snapshot sees
-    * one committed version across ALL tables — the isolation unit.
+  /** One commit's effect on one table — exactly what the delta file
+    * persists and replay re-applies: the staged partitions plus the
+    * mode that merges them into the previous state. O(staged files),
+    * never O(store files).
+    */
+  private final case class Action(
+      table: String,
+      mode: Mode,
+      partitionCols: Seq[String],
+      schemaDdl: String,
+      partitions: Map[String, PartitionEntry]
+  )
+
+  /** One reconstructed version: every read through the same snapshot
+    * sees one committed version across ALL tables — the isolation
+    * unit. `ts` is the commit's wall-clock (epoch millis, strictly
+    * increasing across versions — the `AS OF TIMESTAMP` axis).
     */
   final class Snapshot private[ManifestStore] (
       val spark: SparkSession,
       val root: String,
       val version: Long,
       val tables: Map[String, TableState],
-      val batches: Map[String, Long] = Map.empty
+      val batches: Map[String, Long] = Map.empty,
+      val ts: Long = 0L
   ) {
     def hasTable(table: String): Boolean = tables.contains(table)
 
     private def resolve(files: Seq[FileEntry]): Seq[(String, Long)] =
       files.map(f => (root + "/" + f.path, f.bytes))
 
-    /** Every read resolves through the manifest's OWN metadata: the
+    /** Every read resolves through the log's OWN metadata: the
       * (path, bytes) pairs feed a caller-provided FileIndex, so a read
       * costs ZERO filesystem list/stat calls — `spark.read.parquet`
       * with explicit paths re-stats each file on the driver per read,
-      * an O(files) IO round the manifest already paid at commit time.
+      * an O(files) IO round the log already paid at commit time.
       */
     private def readFiles(st: TableState, files: Seq[(String, Long)]): DataFrame = {
       val schema = StructType.fromDDL(st.schemaDdl)
@@ -208,7 +297,7 @@ object ManifestStore {
 
     /** Per-partition (value, nFiles, rows, bytes) — the driver-side
       * stats read that replaces full-scan counts (a rebalance's
-      * `total`, q86's file census) with manifest metadata.
+      * `total`, q86's file census) with log metadata.
       */
     def partitionStats(table: String = MAIN): Seq[(String, Int, Long, Long)] =
       state(table).partitions.values
@@ -224,8 +313,8 @@ object ManifestStore {
       state(table).partitions.values.flatMap(_.files.map(_.path)).toSeq.sorted
 
     /** (partition value string, root-relative path, bytes, rows) per
-      * current file — the manifest AS a table, for file-census
-      * queries (q86's production input).
+      * current file — the log AS a table, for file-census queries
+      * (q86's production input).
       */
     def fileStats(table: String = MAIN): Seq[(String, String, Long, Long)] =
       state(table).partitions.values.flatMap { p =>
@@ -245,6 +334,27 @@ object ManifestStore {
       val kept = all.filter { f =>
         ranges.forall { case (c, lo, hi) =>
           f.stats.get(c) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None           => true
+          }
+        }
+      }
+      (kept, all.length)
+    }
+
+    /** [[prunedFiles]] for STRING columns: the stored bounds are a
+      * truncated-prefix lower bound and a truncate-and-increment
+      * upper bound, so the intersection test is sound verbatim — a
+      * file is kept iff its upper ≥ lo and its lower ≤ hi.
+      */
+    def prunedFilesStr(
+        table: String,
+        ranges: Seq[(String, String, String)]
+    ): (Seq[FileEntry], Int) = {
+      val all = state(table).partitions.values.flatMap(_.files).toSeq
+      val kept = all.filter { f =>
+        ranges.forall { case (c, lo, hi) =>
+          f.strStats.get(c) match {
             case Some((mn, mx)) => mx >= lo && mn <= hi
             case None           => true
           }
@@ -273,31 +383,68 @@ object ManifestStore {
 
     def readRange(table: String, column: String, lo: Long, hi: Long): DataFrame =
       readBox(table, Seq((column, lo, hi)))
+
+    /** [[readBox]] on string ranges, pruning through [[prunedFilesStr]]. */
+    def readBoxStr(table: String, ranges: Seq[(String, String, String)]): DataFrame = {
+      val (kept, _) = prunedFilesStr(table, ranges)
+      ranges.foldLeft(readFiles(state(table), resolve(kept))) {
+        case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
+      }
+    }
+
+    def readRangeStr(table: String, column: String, lo: String, hi: String): DataFrame =
+      readBoxStr(table, Seq((column, lo, hi)))
   }
 
-  private def manifestDir(root: String) = root + "/_graft"
-  private def manifestPath(root: String) = manifestDir(root) + "/MANIFEST.json"
-  private def versionPath(root: String, v: Long) =
-    manifestDir(root) + f"/v$v%06d.json"
+  private def logDir(root: String) = root + "/_graft"
+  private def deltaPath(root: String, v: Long) =
+    logDir(root) + f"/d$v%06d.json"
+  private def ckptPath(root: String, v: Long) =
+    logDir(root) + f"/c$v%06d.json"
 
   /** Local filesystem path of a possibly `file:`-prefixed root. */
   private def localPath(p: String): java.nio.file.Path = {
     val u = new org.apache.hadoop.fs.Path(p).toUri
     require(u.getScheme == null || u.getScheme == "file",
-      s"ManifestStore's atomic swap is local-filesystem (rename(2)); " +
-        s"an object store deployment swaps via conditional PUT: $p")
+      s"ManifestStore's atomic commit is local-filesystem (link(2)); " +
+        s"an object store deployment commits via conditional PUT: $p")
     java.nio.file.Paths.get(u.getPath)
   }
 
-  def exists(spark: SparkSession, root: String): Boolean =
-    java.nio.file.Files.exists(localPath(manifestPath(root)))
+  /** Versions present in the log as (deltas, checkpoints). */
+  private def logEntries(root: String): (Set[Long], Set[Long]) = {
+    val dir = localPath(logDir(root))
+    if (!java.nio.file.Files.exists(dir)) return (Set.empty, Set.empty)
+    import scala.jdk.CollectionConverters._
+    val names = {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString).toVector
+      finally s.close()
+    }
+    def nums(prefix: String): Set[Long] = names.collect {
+      case n if n.startsWith(prefix) && n.endsWith(".json") &&
+        n.length > prefix.length + 5 =>
+        n.stripPrefix(prefix).stripSuffix(".json")
+    }.flatMap(s => scala.util.Try(s.toLong).toOption).toSet
+    (nums("d"), nums("c"))
+  }
+
+  def exists(spark: SparkSession, root: String): Boolean = {
+    val (d, c) = logEntries(root)
+    d.nonEmpty || c.nonEmpty
+  }
 
   // ---------------------------------------------------------------
   // Staging
   // ---------------------------------------------------------------
 
+  /** Full UUID: a truncated one risks a birthday collision on a
+    * long-lived root, and staging writes with mode("overwrite") — a
+    * collision would silently delete a directory of live, referenced
+    * data files rather than fail a commit.
+    */
   private def newCommitDir(root: String, table: String): String =
-    s"$root/_data/c${java.util.UUID.randomUUID().toString.take(8)}/$table"
+    s"$root/_data/c${java.util.UUID.randomUUID().toString}/$table"
 
   /** Physically write `df`'s files under a fresh, unreferenced commit
     * directory — clustered by the partition columns so each partition
@@ -333,7 +480,7 @@ object ManifestStore {
     newCommitDir(root, table)
 
   // ---------------------------------------------------------------
-  // Commit
+  // Staged listing + footer stats (executor-side)
   // ---------------------------------------------------------------
 
   /** Decode the `%xx` escapes Spark's partitioned write applies to
@@ -357,23 +504,23 @@ object ManifestStore {
   }
 
   /** List one staged directory's parquet files, grouped by partition
-    * values parsed from the `__p_<col>=<v>` path segments. Driver-side
-    * and manifest-sized; rows come from each file's parquet footer
-    * (metadata, never a data scan).
+    * values parsed from the `__p_<col>=<v>` path segments. The walk
+    * (name + size, no file opens) is a driver-side NIO pass —
+    * microseconds per file; the footer stats are a SPARK JOB over the
+    * listed files ([[footerEntry]] runs in tasks), so the per-file
+    * metadata IO parallelizes across the cluster and the driver opens
+    * no footers — at an initial 100 TB corpus commit that is the
+    * difference between minutes of executor fan-out and millions of
+    * serial driver reads.
     */
   private def listStaged(
       spark: SparkSession,
       root: String,
       st: Staged
   ): Map[String, PartitionEntry] = {
-    val conf = spark.sparkContext.hadoopConfiguration
     val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-    // NIO walk, not fs.listFiles(recursive): the store is local-FS by
-    // contract (the atomic rename), and Hadoop's recursive listing
-    // paid ~4 ms/file on exactly the small-file plants the compaction
-    // rows stage (measured 2.7 s for 640 files — the commit's
-    // dominant cost); the walk is microseconds per file
-    val statuses: Seq[org.apache.hadoop.fs.FileStatus] = {
+    // (absolute path, bytes, root-relative path, partition values)
+    val metas: Seq[(String, Long, String, Seq[String])] = {
       import scala.jdk.CollectionConverters._
       val dirNio = localPath(st.dir)
       if (!java.nio.file.Files.exists(dirNio)) Seq.empty
@@ -383,89 +530,115 @@ object ManifestStore {
           val name = p.getFileName.toString
           if (java.nio.file.Files.isRegularFile(p) &&
             name.endsWith(".parquet") &&
-            !name.startsWith("_") && !name.startsWith("."))
-            Some(new org.apache.hadoop.fs.FileStatus(
-              java.nio.file.Files.size(p), false, 1, 128L * 1024 * 1024,
-              0L, new org.apache.hadoop.fs.Path(p.toUri)))
-          else None
+            !name.startsWith("_") && !name.startsWith(".")) {
+            val full = p.toUri.getPath
+            require(full.startsWith(rootUri + "/"), s"$full outside $root")
+            val rel = full.stripPrefix(rootUri + "/")
+            val segs = full.split('/')
+            val values = st.partitionCols.map { c =>
+              val pfx = s"__p_$c="
+              segs.collectFirst { case s if s.startsWith(pfx) =>
+                unescape(s.stripPrefix(pfx))
+              }.getOrElse(throw new IllegalStateException(
+                s"staged file $rel has no $pfx segment"))
+            }
+            Some((full, java.nio.file.Files.size(p), rel, values))
+          } else None
         }.toVector
         finally walk.close()
       }
     }
-    // footer reads are independent IO — a small-file plant stages
-    // hundreds of them, and opening each serially on the driver turns
-    // an O(files) metadata pass into the commit's dominant cost (the
-    // r9 A/B caught compaction at 3× for exactly this)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
-    // Hadoop Configuration is internally synchronized — sharing one
-    // across the pool serializes the footer readers (measured: the
-    // pool bought nothing); each thread gets its own copy
-    val localConf = ThreadLocal.withInitial(
-      new java.util.function.Supplier[org.apache.hadoop.conf.Configuration] {
-        override def get() = new org.apache.hadoop.conf.Configuration(conf)
-      })
-    val entries =
-      try {
-        import scala.jdk.CollectionConverters._
-        pool.invokeAll(
-          statuses.map { status =>
-            new java.util.concurrent.Callable[(Seq[String], FileEntry)] {
-              override def call(): (Seq[String], FileEntry) = {
-                val full = status.getPath.toUri.getPath
-                require(full.startsWith(rootUri + "/"), s"$full outside $root")
-                val rel = full.stripPrefix(rootUri + "/")
-                val segs = full.split('/')
-                val values = st.partitionCols.map { c =>
-                  val pfx = s"__p_$c="
-                  segs.collectFirst { case s if s.startsWith(pfx) =>
-                    unescape(s.stripPrefix(pfx))
-                  }.getOrElse(throw new IllegalStateException(
-                    s"staged file $rel has no $pfx segment"))
-                }
-                val (rows, colStats) = {
-                  val in = org.apache.parquet.hadoop.util.HadoopInputFile
-                    .fromStatus(status, localConf.get())
-                  val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-                  try (rdr.getRecordCount, footerRangeStats(rdr))
-                  finally rdr.close()
-                }
-                (values, FileEntry(rel, status.getLen, rows, colStats))
-              }
-            }
-          }.asJava
-        ).asScala.map(_.get()).toSeq
-      } finally pool.shutdown()
+    if (metas.isEmpty) return Map.empty
+    // one footer open per file, in executor tasks — a few files per
+    // task so micro-batch commits stay one short local job
+    val slices = math.max(1, math.min(metas.length / 4 + 1,
+      spark.sparkContext.defaultParallelism))
+    val entries: Seq[(Seq[String], FileEntry)] = spark.sparkContext
+      .parallelize(metas, slices)
+      .map { case (abs, bytes, rel, values) =>
+        (values, footerEntry(abs, bytes, rel))
+      }
+      .collect()
+      .toSeq
     entries
       .groupBy(_._1.mkString("/"))
       .map { case (key, group) =>
-        // deterministic manifest content: files sorted by path
+        // deterministic log content: files sorted by path
         key -> PartitionEntry(group.head._1,
           group.map(_._2).sortBy(_.path))
       }
   }
 
-  /** Aggregate each integral column's (min, max) across the open
-    * file's row groups — the footer statistics parquet already wrote.
+  /** Open ONE parquet footer and build its [[FileEntry]] — row count
+    * plus integral and truncated-string (min, max). Runs inside Spark
+    * tasks on the commit path; the driver counter only moves when a
+    * caller (spec, diagnostic) invokes it outside a task.
+    */
+  private[sources] def footerEntry(
+      absPath: String,
+      bytes: Long,
+      rel: String
+  ): FileEntry = {
+    if (org.apache.spark.TaskContext.get() == null)
+      driverFooterOpens.incrementAndGet()
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(absPath), conf)
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val (stats, strStats) = footerRangeStats(rdr)
+      FileEntry(rel, bytes, rdr.getRecordCount, stats, strStats)
+    } finally rdr.close()
+  }
+
+  /** Aggregate each column's (min, max) across the open file's row
+    * groups — the footer statistics parquet already wrote. Integral
+    * columns carry exact Long bounds; string columns carry
+    * [[STR_TRUNC]]-truncated bounds (prefix lower, incremented upper).
     * Columns with missing/empty stats in ANY row group are dropped
-    * (they could not prove a bound for the whole file).
+    * (they could not prove a bound for the whole file), as is a
+    * string column whose upper bound cannot be truncated soundly.
     */
   private def footerRangeStats(
       rdr: org.apache.parquet.hadoop.ParquetFileReader
-  ): Map[String, (Long, Long)] = {
+  ): (Map[String, (Long, Long)], Map[String, (String, String)]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import scala.jdk.CollectionConverters._
     val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val sacc = scala.collection.mutable.Map.empty[String, (String, String)]
     val poisoned = scala.collection.mutable.Set.empty[String]
     rdr.getFooter.getBlocks.asScala.foreach { block =>
       block.getColumns.asScala.foreach { c =>
         if (c.getPath.size() == 1) {
           val name = c.getPath.toDotString
           val tn = c.getPrimitiveType.getPrimitiveTypeName
-          if ((tn == INT32 || tn == INT64) && !poisoned.contains(name)) {
+          val isStr = tn == BINARY &&
+            (c.getPrimitiveType.getLogicalTypeAnnotation match {
+              case _: org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
+              case _ => false
+            })
+          if ((tn == INT32 || tn == INT64 || isStr) && !poisoned.contains(name)) {
             val s = c.getStatistics
             if (s == null || s.isEmpty || !s.hasNonNullValue) {
-              poisoned += name; acc.remove(name)
+              poisoned += name; acc.remove(name); sacc.remove(name)
+            } else if (isStr) {
+              val mn = new String(
+                s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .getBytes, java.nio.charset.StandardCharsets.UTF_8)
+              val mx = new String(
+                s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .getBytes, java.nio.charset.StandardCharsets.UTF_8)
+              truncUpper(mx) match {
+                case None => poisoned += name; sacc.remove(name)
+                case Some(up) =>
+                  val lo = truncLower(mn)
+                  sacc.get(name) match {
+                    case Some((a, b)) =>
+                      sacc.update(name,
+                        (if (lo < a) lo else a, if (up > b) up else b))
+                    case None => sacc.update(name, (lo, up))
+                  }
+              }
             } else {
               val (mn, mx) = s.genericGetMin match {
                 case i: java.lang.Integer =>
@@ -486,31 +659,70 @@ object ManifestStore {
         }
       }
     }
-    acc.toMap
+    (acc.toMap, sacc.toMap)
   }
 
-  /** Merge staged tables into the previous state per their [[Mode]]s —
-    * the pure half of a commit, shared by [[commit]] and
-    * [[commitRebase]].
+  /** Truncated LOWER bound: the first [[STR_TRUNC]] code points — a
+    * prefix is ≤ the full value in string order, so it stays a sound
+    * lower bound.
     */
-  private def mergeStaged(
-      spark: SparkSession,
-      root: String,
-      staged: Seq[Staged],
+  private[sources] def truncLower(s: String): String =
+    if (s.codePointCount(0, s.length) <= STR_TRUNC) s
+    else s.substring(0, s.offsetByCodePoints(0, STR_TRUNC))
+
+  /** Truncated UPPER bound: if the value fits, itself; else the
+    * [[STR_TRUNC]]-prefix with its rightmost incrementable code point
+    * bumped and the tail dropped — strictly greater than EVERY string
+    * sharing the prefix. Increments stay inside the same UTF-16 width
+    * class (BMP caps at U+FFFF, the surrogate gap is skipped) so the
+    * bound also orders correctly under code-unit comparison. `None`
+    * when no code point is incrementable — the caller drops the stat
+    * (conservative keep).
+    */
+  private[sources] def truncUpper(s: String): Option[String] = {
+    if (s.codePointCount(0, s.length) <= STR_TRUNC) return Some(s)
+    val end = s.offsetByCodePoints(0, STR_TRUNC)
+    val cps = s.substring(0, end).codePoints().toArray
+    def inc(cp: Int): Option[Int] =
+      if (cp == 0xFFFF || cp >= Character.MAX_CODE_POINT) None
+      else {
+        val n = cp + 1
+        Some(if (n >= 0xD800 && n <= 0xDFFF) 0xE000 else n)
+      }
+    var i = cps.length - 1
+    while (i >= 0 && inc(cps(i)).isEmpty) i -= 1
+    if (i < 0) None
+    else {
+      val out = cps.take(i + 1)
+      out(i) = inc(cps(i)).get
+      Some(new String(out, 0, out.length))
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Commit
+  // ---------------------------------------------------------------
+
+  /** Merge listed staged tables into the previous state per their
+    * [[Mode]]s — the pure half of a commit, shared by the live commit
+    * path and delta REPLAY (an [[Action]] is exactly one element of
+    * `listed`, persisted).
+    */
+  private def applyActions(
+      actions: Seq[Action],
       prevTables: Map[String, TableState]
   ): Map[String, TableState] = {
     var tables = prevTables
-    staged.foreach { st =>
-      val found = listStaged(spark, root, st)
-      val next = (tables.get(st.table), st.mode) match {
+    actions.foreach { a =>
+      val next = (tables.get(a.table), a.mode) match {
         case (_, Replace) | (None, _) =>
-          TableState(st.partitionCols, st.schemaDdl, found)
+          TableState(a.partitionCols, a.schemaDdl, a.partitions)
         case (Some(cur), Upsert) =>
-          requireCompatible(st, cur)
-          cur.copy(partitions = cur.partitions ++ found)
+          requireCompatible(a, cur)
+          cur.copy(partitions = cur.partitions ++ a.partitions)
         case (Some(cur), Append) =>
-          requireCompatible(st, cur)
-          val merged = found.foldLeft(cur.partitions) { case (acc, (k, p)) =>
+          requireCompatible(a, cur)
+          val merged = a.partitions.foldLeft(cur.partitions) { case (acc, (k, p)) =>
             acc.get(k) match {
               case Some(old) => acc.updated(k, old.copy(files = old.files ++ p.files))
               case None      => acc.updated(k, p)
@@ -518,23 +730,73 @@ object ManifestStore {
           }
           cur.copy(partitions = merged)
       }
-      tables = tables.updated(st.table, next)
+      tables = tables.updated(a.table, next)
     }
     tables
   }
 
-  /** Publish staged writes as ONE new manifest version: merge each
-    * staged table into the previous manifest per its [[Mode]], write
-    * the new manifest to a dotfile, and atomically swap it in. All
-    * staged tables become visible together or — on any failure or
-    * crash before the swap — not at all; the previous version's files
-    * are untouched either way.
+  private def toActions(
+      spark: SparkSession,
+      root: String,
+      staged: Seq[Staged]
+  ): Seq[Action] =
+    staged.map { st =>
+      Action(st.table, st.mode, st.partitionCols, st.schemaDdl,
+        listStaged(spark, root, st))
+    }
+
+  /** Internal resolved state at a version (snapshot minus the spark
+    * handle).
+    */
+  private final case class StoreState(
+      version: Long,
+      ts: Long,
+      tables: Map[String, TableState],
+      batches: Map[String, Long]
+  )
+
+  private val emptyState = StoreState(0L, 0L, Map.empty, Map.empty)
+
+  /** Reconstruct the state at `version`: the newest checkpoint ≤
+    * version, plus the delta tail after it — O(CKPT_EVERY × changed
+    * files), never O(store files × versions).
+    */
+  private def stateAt(root: String, version: Long): StoreState = {
+    val (deltas, ckpts) = logEntries(root)
+    val base = ckpts.filter(_ <= version) match {
+      case s if s.isEmpty => emptyState
+      case s              => readCkpt(root, s.max)
+    }
+    val tail = (base.version + 1) to version
+    val missing = tail.filterNot(deltas.contains)
+    require(missing.isEmpty,
+      s"no manifest for version $version at $root — never committed, " +
+        "or vacuumed past the retention window")
+    tail.foldLeft(base) { (st, v) => applyDelta(st, readDelta(root, v)) }
+  }
+
+  private def currentVersionOpt(root: String): Option[Long] = {
+    val (deltas, ckpts) = logEntries(root)
+    val all = deltas ++ ckpts
+    if (all.isEmpty) None else Some(all.max)
+  }
+
+  private def loadState(root: String): Option[StoreState] =
+    currentVersionOpt(root).map(stateAt(root, _))
+
+  /** Publish staged writes as ONE new log version: list + stat each
+    * staged table ONCE (executor-side footers), merge into the
+    * previous state per its [[Mode]], and atomically CREATE the delta
+    * entry. All staged tables become visible together or — on any
+    * failure or crash before the create — not at all; the previous
+    * version's files are untouched either way.
     *
     * `expectedVersion` makes the publish a compare-and-swap: the
-    * commit applies only if the current manifest version still equals
-    * it (0 for a fresh root; [[ANY_VERSION]] skips the check), else
-    * throws [[ConcurrentCommitException]] with nothing published —
-    * the optimistic-concurrency contract a multi-writer table needs.
+    * commit applies only if the current version still equals it (0
+    * for a fresh root; [[ANY_VERSION]] skips the check), else throws
+    * [[ConcurrentCommitException]] with nothing published — the
+    * optimistic-concurrency contract a multi-writer table needs. The
+    * create-new commit point backstops the check across processes.
     */
   def commit(
       spark: SparkSession,
@@ -544,21 +806,14 @@ object ManifestStore {
   ): Long = {
     require(staged.nonEmpty, "nothing staged")
     lockFor(root).synchronized {
-      val prev =
-        if (exists(spark, root)) Some(snapshot(spark, root)) else None
-      if (expectedVersion != ANY_VERSION) {
-        val got = prev.map(_.version).getOrElse(0L)
-        if (got != expectedVersion)
-          throw new ConcurrentCommitException(
-            s"commit at $root expected version $expectedVersion " +
-              s"but found $got — another writer committed first; " +
-              "stage is unpublished")
-      }
-      val tables =
-        mergeStaged(spark, root, staged, prev.map(_.tables).getOrElse(Map.empty))
-      val version = prev.map(_.version + 1).getOrElse(1L)
-      swapIn(root, version, tables, prev.map(_.batches).getOrElse(Map.empty))
-      version
+      val prev = loadState(root).getOrElse(emptyState)
+      if (expectedVersion != ANY_VERSION && prev.version != expectedVersion)
+        throw new ConcurrentCommitException(
+          s"commit at $root expected version $expectedVersion " +
+            s"but found ${prev.version} — another writer committed first; " +
+            "stage is unpublished")
+      val actions = toActions(spark, root, staged)
+      publish(root, prev, actions, None)
     }
   }
 
@@ -570,6 +825,8 @@ object ManifestStore {
     * between, the writer's inputs are stale and the commit refuses —
     * a silent merge would publish a lost update. `Replace` mode
     * always conflicts across versions (it claims the whole table).
+    * Each staged table is listed/statted exactly once; the conflict
+    * check and the merge share the listing.
     */
   def commitRebase(
       spark: SparkSession,
@@ -579,40 +836,41 @@ object ManifestStore {
   ): Long = {
     require(staged.nonEmpty, "nothing staged")
     lockFor(root).synchronized {
-      val cur = snapshot(spark, root)
+      val cur = loadState(root).getOrElse(
+        throw new IllegalStateException(s"no committed store at $root"))
+      val actions = toActions(spark, root, staged)
       if (cur.version != baseVersion) {
-        val base = snapshotAt(spark, root, baseVersion)
-        staged.foreach { st =>
-          if (st.mode == Replace)
+        val base = stateAt(root, baseVersion)
+        def snapOf(st: StoreState) =
+          new Snapshot(spark, root, st.version, st.tables, st.batches, st.ts)
+        actions.foreach { a =>
+          if (a.mode == Replace)
             throw new ConcurrentCommitException(
-              s"table '${st.table}': Replace staged at v$baseVersion " +
+              s"table '${a.table}': Replace staged at v$baseVersion " +
                 s"cannot rebase onto v${cur.version} — it claims every " +
                 "partition")
-          val touched = listStaged(spark, root, st).keySet
-          val changed = changedPartitionKeys(base, cur, st.table)
+          val touched = a.partitions.keySet
+          val changed = changedPartitionKeys(snapOf(base), snapOf(cur), a.table)
           val overlap = touched.intersect(changed)
           if (overlap.nonEmpty)
             throw new ConcurrentCommitException(
-              s"table '${st.table}': partitions ${overlap.toSeq.sorted
+              s"table '${a.table}': partitions ${overlap.toSeq.sorted
                 .mkString(",")} changed between v$baseVersion and " +
                 s"v${cur.version} and are also staged — rebase refused " +
                 "(lost update)")
         }
       }
-      val tables = mergeStaged(spark, root, staged, cur.tables)
-      val version = cur.version + 1
-      swapIn(root, version, tables, cur.batches)
-      version
+      publish(root, cur, actions, None)
     }
   }
 
   /** Exactly-once publish for a streaming `foreachBatch` sink: the
-    * manifest records, per sink id, the highest batchId applied; a
+    * log records, per sink id, the highest batchId applied; a
     * re-delivered batch (crash after commit, before the checkpoint
-    * advanced) is recognized and NOT re-applied — the ledger and the
-    * data share the single manifest swap, so there is no window where
-    * one is updated and the other is not. Returns the current version
-    * and whether this call published.
+    * advanced) is recognized and NOT re-applied — the ledger update
+    * and the data actions are ONE delta entry, so there is no window
+    * where one is committed and the other is not. Returns the current
+    * version and whether this call published.
     */
   def commitBatch(
       spark: SparkSession,
@@ -623,21 +881,65 @@ object ManifestStore {
   ): (Long, Boolean) = {
     require(staged.nonEmpty, "nothing staged")
     lockFor(root).synchronized {
-      val prev =
-        if (exists(spark, root)) Some(snapshot(spark, root)) else None
-      val applied = prev.flatMap(_.batches.get(sinkId))
-      if (applied.exists(_ >= batchId)) {
-        (prev.get.version, false)
+      val prev = loadState(root).getOrElse(emptyState)
+      if (prev.batches.get(sinkId).exists(_ >= batchId)) {
+        (prev.version, false)
       } else {
-        val tables =
-          mergeStaged(spark, root, staged, prev.map(_.tables).getOrElse(Map.empty))
-        val version = prev.map(_.version + 1).getOrElse(1L)
-        val batches =
-          prev.map(_.batches).getOrElse(Map.empty) + (sinkId -> batchId)
-        swapIn(root, version, tables, batches)
-        (version, true)
+        val actions = toActions(spark, root, staged)
+        (publish(root, prev, actions, Some(sinkId -> batchId)), true)
       }
     }
+  }
+
+  /** Write + atomically create the next delta (THE commit point),
+    * then the periodic checkpoint. The delta is fully written to an
+    * invisible dotfile before the link, so a published delta is
+    * complete by construction; a create-new collision means another
+    * process committed the same version first.
+    */
+  private def publish(
+      root: String,
+      prev: StoreState,
+      actions: Seq[Action],
+      batchUpdate: Option[(String, Long)]
+  ): Long = {
+    val version = prev.version + 1
+    // strictly monotonic commit clock: AS OF TIMESTAMP resolution
+    // needs ts to order exactly like versions even when two commits
+    // land in one millisecond
+    val ts = math.max(prev.ts + 1, System.currentTimeMillis())
+    linkDelta(root, version, deltaBytes(version, ts, actions, batchUpdate))
+    if (version % CKPT_EVERY == 0) {
+      val next = applyDelta(prev,
+        Delta(version, ts, actions, batchUpdate))
+      writeCkpt(root, next)
+    }
+    version
+  }
+
+  /** The atomic commit point, isolated for direct pinning: write the
+    * delta to an invisible dotfile, publish via `Files.createLink` —
+    * link(2) fails with EEXIST ATOMICALLY, so of any number of
+    * processes racing version N, exactly one wins and the rest throw
+    * [[ConcurrentCommitException]] having published nothing.
+    */
+  private[sources] def linkDelta(
+      root: String,
+      version: Long,
+      bytes: Array[Byte]
+  ): Unit = {
+    val dir = localPath(logDir(root))
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s".d-${java.util.UUID.randomUUID()}.json")
+    java.nio.file.Files.write(tmp, bytes)
+    try
+      java.nio.file.Files.createLink(localPath(deltaPath(root, version)), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(
+          s"commit at $root lost the race for version $version — " +
+            "another process created the delta first; stage is unpublished")
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   /** Partition keys of `table` whose file lists differ between two
@@ -673,7 +975,7 @@ object ManifestStore {
     (fb.filterNot(f => pa.contains(f.path)), fa.filterNot(f => pb.contains(f.path)))
   }
 
-  /** Column names and types must match the manifest's (nullability
+  /** Column names and types must match the table's (nullability
     * and column order are deliberately ignored — both drift across
     * lineages of the same logical frame, and parquet reconciles
     * columns by name, not position).
@@ -683,191 +985,323 @@ object ManifestStore {
       .map(f => f.name + ":" + f.dataType.sql)
       .sorted
 
-  private def requireCompatible(st: Staged, cur: TableState): Unit = {
-    require(st.partitionCols == cur.partitionCols,
-      s"table '${st.table}': partition columns ${st.partitionCols} != " +
+  private def requireCompatible(a: Action, cur: TableState): Unit = {
+    require(a.partitionCols == cur.partitionCols,
+      s"table '${a.table}': partition columns ${a.partitionCols} != " +
         s"manifest's ${cur.partitionCols}")
-    require(shapeOf(st.schemaDdl) == shapeOf(cur.schemaDdl),
-      s"table '${st.table}': staged schema <${st.schemaDdl}> != " +
+    require(shapeOf(a.schemaDdl) == shapeOf(cur.schemaDdl),
+      s"table '${a.table}': staged schema <${a.schemaDdl}> != " +
         s"manifest's <${cur.schemaDdl}> — additive evolution goes " +
         "through Replace (the q110 path), not a silent merge")
   }
 
-  /** Delete every `_data` file the last `retainVersions` manifests no
+  /** Delete every `_data` file the last `retainVersions` versions no
     * longer reference (superseded versions, aborted stagings), plus
-    * the manifest history older than the retention window — the
-    * reader-isolation and time-travel window ends here. The default
-    * retains only the current version (the pre-history contract).
-    * Returns the number of data files removed.
+    * the log history older than the retention window — the
+    * reader-isolation and time-travel window ends here. Before
+    * trimming, a checkpoint is written at the oldest retained version
+    * so the trimmed tail stays reconstructible. The default retains
+    * only the current version (the pre-history contract). Returns the
+    * number of data files removed.
     */
   def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1): Int = {
     require(retainVersions >= 1, "must retain at least the current version")
-    val snap = snapshot(spark, root)
-    val keepFrom = math.max(1L, snap.version - retainVersions + 1)
-    val retained: Seq[Snapshot] = snap +:
-      versions(spark, root)
-        .filter(v => v >= keepFrom && v < snap.version)
-        .map(v => snapshotAt(spark, root, v))
-    versions(spark, root).filter(_ < keepFrom).foreach { v =>
-      java.nio.file.Files.deleteIfExists(localPath(versionPath(root, v)))
-    }
-    val live: Set[String] = retained.flatMap(_.tables.values.flatMap(
-      _.partitions.values.flatMap(_.files.map(_.path)))).toSet
-    val dataDir = localPath(root + "/_data")
-    if (!java.nio.file.Files.exists(dataDir)) return 0
-    val rootP = localPath(root)
-    var removed = 0
-    import scala.jdk.CollectionConverters._
-    val all = java.nio.file.Files.walk(dataDir).iterator().asScala.toSeq
-    all.foreach { p =>
-      if (java.nio.file.Files.isRegularFile(p)) {
-        val rel = rootP.relativize(p).toString
-        if (!live.contains(rel)) {
-          java.nio.file.Files.delete(p)
-          removed += 1
+    lockFor(root).synchronized {
+      val cur = currentVersionOpt(root).getOrElse(
+        throw new IllegalStateException(s"no committed store at $root"))
+      val keepFrom = math.max(1L, cur - retainVersions + 1)
+      val retained: Seq[StoreState] =
+        (keepFrom to cur).map(v => stateAt(root, v))
+      // anchor the retained window: the oldest retained version gets a
+      // checkpoint so deleting the deltas below it loses nothing
+      val (deltas0, ckpts0) = logEntries(root)
+      if (!ckpts0.contains(keepFrom)) writeCkpt(root, retained.head)
+      (deltas0.filter(_ < keepFrom) ++ Seq(keepFrom).filter(deltas0.contains))
+        .foreach { v =>
+          java.nio.file.Files.deleteIfExists(localPath(deltaPath(root, v)))
+        }
+      ckpts0.filter(_ < keepFrom).foreach { v =>
+        java.nio.file.Files.deleteIfExists(localPath(ckptPath(root, v)))
+      }
+      // sweep crashed commits' invisible temp dotfiles
+      locally {
+        import scala.jdk.CollectionConverters._
+        val dir = localPath(logDir(root))
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("."))
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally s.close()
+      }
+      val live: Set[String] = retained.flatMap(_.tables.values.flatMap(
+        _.partitions.values.flatMap(_.files.map(_.path)))).toSet
+      val dataDir = localPath(root + "/_data")
+      if (!java.nio.file.Files.exists(dataDir)) return 0
+      val rootP = localPath(root)
+      var removed = 0
+      import scala.jdk.CollectionConverters._
+      val all = java.nio.file.Files.walk(dataDir).iterator().asScala.toSeq
+      all.foreach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val rel = rootP.relativize(p).toString
+          if (!live.contains(rel)) {
+            java.nio.file.Files.delete(p)
+            removed += 1
+          }
         }
       }
+      // sweep now-empty directories bottom-up
+      all.sortBy(-_.getNameCount).foreach { p =>
+        if (java.nio.file.Files.isDirectory(p) &&
+          !java.nio.file.Files.list(p).iterator().hasNext)
+          java.nio.file.Files.delete(p)
+      }
+      removed
     }
-    // sweep now-empty directories bottom-up
-    all.sortBy(-_.getNameCount).foreach { p =>
-      if (java.nio.file.Files.isDirectory(p) &&
-        !java.nio.file.Files.list(p).iterator().hasNext)
-        java.nio.file.Files.delete(p)
-    }
-    removed
   }
 
   // ---------------------------------------------------------------
-  // Manifest serialization (Jackson tree API — on Spark's classpath)
+  // Log serialization (Jackson tree API — on Spark's classpath)
   // ---------------------------------------------------------------
 
-  private def swapIn(
-      root: String,
+  private final case class Delta(
       version: Long,
-      tables: Map[String, TableState],
-      batches: Map[String, Long]
-  ): Unit = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val doc = mapper.createObjectNode()
-    doc.put("version", version)
-    if (batches.nonEmpty) {
-      val bn = doc.putObject("batches")
-      batches.toSeq.sortBy(_._1).foreach { case (k, v) => bn.put(k, v) }
-    }
-    val tablesNode = doc.putObject("tables")
-    tables.toSeq.sortBy(_._1).foreach { case (name, st) =>
-      val t = tablesNode.putObject(name)
-      val pc = t.putArray("partitionCols")
-      st.partitionCols.foreach(pc.add)
-      t.put("schemaDdl", st.schemaDdl)
-      val parts = t.putObject("partitions")
-      st.partitions.toSeq.sortBy(_._1).foreach { case (key, p) =>
-        val pn = parts.putObject(key)
-        val vs = pn.putArray("values")
-        p.values.foreach(vs.add)
-        val fsN = pn.putArray("files")
-        p.files.foreach { f =>
-          val fn = fsN.addObject()
-          fn.put("path", f.path)
-          fn.put("bytes", f.bytes)
-          fn.put("rows", f.rows)
-          if (f.stats.nonEmpty) {
-            val sn = fn.putObject("stats")
-            f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
-              val a = sn.putArray(c); a.add(mn); a.add(mx)
-            }
+      ts: Long,
+      actions: Seq[Action],
+      batchUpdate: Option[(String, Long)]
+  )
+
+  private def applyDelta(prev: StoreState, d: Delta): StoreState =
+    StoreState(
+      d.version,
+      d.ts,
+      applyActions(d.actions, prev.tables),
+      d.batchUpdate.fold(prev.batches)(prev.batches + _)
+    )
+
+  private def writePartitions(
+      mapper: com.fasterxml.jackson.databind.ObjectMapper,
+      node: com.fasterxml.jackson.databind.node.ObjectNode,
+      partitions: Map[String, PartitionEntry]
+  ): Unit =
+    partitions.toSeq.sortBy(_._1).foreach { case (key, p) =>
+      val pn = node.putObject(key)
+      val vs = pn.putArray("values")
+      p.values.foreach(vs.add)
+      val fsN = pn.putArray("files")
+      p.files.foreach { f =>
+        val fn = fsN.addObject()
+        fn.put("path", f.path)
+        fn.put("bytes", f.bytes)
+        fn.put("rows", f.rows)
+        if (f.stats.nonEmpty) {
+          val sn = fn.putObject("stats")
+          f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+            val a = sn.putArray(c); a.add(mn); a.add(mx)
+          }
+        }
+        if (f.strStats.nonEmpty) {
+          val sn = fn.putObject("sstats")
+          f.strStats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+            val a = sn.putArray(c); a.add(mn); a.add(mx)
           }
         }
       }
     }
-    val dir = localPath(manifestDir(root))
+
+  private def parsePartitions(
+      node: com.fasterxml.jackson.databind.JsonNode
+  ): Map[String, PartitionEntry] = {
+    import scala.jdk.CollectionConverters._
+    node.properties().asScala.map { pe =>
+      val p = pe.getValue
+      val values = p.get("values").elements().asScala.map(_.asText()).toSeq
+      val files = p.get("files").elements().asScala.map { f =>
+        val stats = Option(f.get("stats")) match {
+          case Some(sn) =>
+            sn.properties().asScala.map { se =>
+              se.getKey ->
+                (se.getValue.get(0).asLong(), se.getValue.get(1).asLong())
+            }.toMap
+          case None => Map.empty[String, (Long, Long)]
+        }
+        val strStats = Option(f.get("sstats")) match {
+          case Some(sn) =>
+            sn.properties().asScala.map { se =>
+              se.getKey ->
+                (se.getValue.get(0).asText(), se.getValue.get(1).asText())
+            }.toMap
+          case None => Map.empty[String, (String, String)]
+        }
+        FileEntry(
+          f.get("path").asText(),
+          f.get("bytes").asLong(),
+          f.get("rows").asLong(),
+          stats,
+          strStats
+        )
+      }.toSeq
+      pe.getKey -> PartitionEntry(values, files)
+    }.toMap
+  }
+
+  private def deltaBytes(
+      version: Long,
+      ts: Long,
+      actions: Seq[Action],
+      batchUpdate: Option[(String, Long)]
+  ): Array[Byte] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val doc = mapper.createObjectNode()
+    doc.put("version", version)
+    doc.put("ts", ts)
+    batchUpdate.foreach { case (sink, id) =>
+      val bn = doc.putObject("batch")
+      bn.put("sink", sink)
+      bn.put("id", id)
+    }
+    val arr = doc.putArray("actions")
+    actions.foreach { a =>
+      val an = arr.addObject()
+      an.put("table", a.table)
+      an.put("mode", modeName(a.mode))
+      val pc = an.putArray("partitionCols")
+      a.partitionCols.foreach(pc.add)
+      an.put("schemaDdl", a.schemaDdl)
+      writePartitions(mapper, an.putObject("partitions"), a.partitions)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(doc)
+  }
+
+  private def readDelta(root: String, v: Long): Delta = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val doc = mapper.readTree(
+      java.nio.file.Files.readAllBytes(localPath(deltaPath(root, v))))
+    import scala.jdk.CollectionConverters._
+    val actions = doc.get("actions").elements().asScala.map { an =>
+      Action(
+        an.get("table").asText(),
+        modeOf(an.get("mode").asText()),
+        an.get("partitionCols").elements().asScala.map(_.asText()).toSeq,
+        an.get("schemaDdl").asText(),
+        parsePartitions(an.get("partitions"))
+      )
+    }.toSeq
+    val batch = Option(doc.get("batch")).map(bn =>
+      bn.get("sink").asText() -> bn.get("id").asLong())
+    Delta(doc.get("version").asLong(), doc.get("ts").asLong(), actions, batch)
+  }
+
+  private def writeCkpt(root: String, st: StoreState): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val doc = mapper.createObjectNode()
+    doc.put("version", st.version)
+    doc.put("ts", st.ts)
+    if (st.batches.nonEmpty) {
+      val bn = doc.putObject("batches")
+      st.batches.toSeq.sortBy(_._1).foreach { case (k, v) => bn.put(k, v) }
+    }
+    val tablesNode = doc.putObject("tables")
+    st.tables.toSeq.sortBy(_._1).foreach { case (name, t) =>
+      val tn = tablesNode.putObject(name)
+      val pc = tn.putArray("partitionCols")
+      t.partitionCols.foreach(pc.add)
+      tn.put("schemaDdl", t.schemaDdl)
+      writePartitions(mapper, tn.putObject("partitions"), t.partitions)
+    }
+    val dir = localPath(logDir(root))
     java.nio.file.Files.createDirectories(dir)
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(doc)
-    // History first: the versioned copy time travel and rebase diff
-    // against. A crash here leaves an orphan vN the next commit (which
-    // still sees v(N-1) as current) simply overwrites.
-    java.nio.file.Files.write(localPath(versionPath(root, version)), bytes)
-    val tmp = dir.resolve(s".staged-${java.util.UUID.randomUUID()}.json")
+    val tmp = dir.resolve(s".c-${java.util.UUID.randomUUID()}.json")
     java.nio.file.Files.write(tmp, bytes)
-    // THE commit point: one rename(2). Before it, readers resolve the
-    // previous manifest; after it, the new one — nothing in between.
+    // checkpoints are derived state: idempotent content, so an atomic
+    // replace (not create-new) is correct even if two writers race it
     java.nio.file.Files.move(
       tmp,
-      localPath(manifestPath(root)),
+      localPath(ckptPath(root, st.version)),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE
     )
   }
 
-  private def parse(
-      spark: SparkSession,
-      root: String,
-      bytes: Array[Byte]
-  ): Snapshot = {
+  private def readCkpt(root: String, v: Long): StoreState = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val doc = mapper.readTree(bytes)
+    val doc = mapper.readTree(
+      java.nio.file.Files.readAllBytes(localPath(ckptPath(root, v))))
     import scala.jdk.CollectionConverters._
     val tables = doc.get("tables").properties().asScala.map { e =>
       val t = e.getValue
       val pcols = t.get("partitionCols").elements().asScala
         .map(_.asText()).toSeq
-      val parts = t.get("partitions").properties().asScala.map { pe =>
-        val p = pe.getValue
-        val values = p.get("values").elements().asScala.map(_.asText()).toSeq
-        val files = p.get("files").elements().asScala.map { f =>
-          val stats = Option(f.get("stats")) match {
-            case Some(sn) =>
-              sn.properties().asScala.map { se =>
-                se.getKey ->
-                  (se.getValue.get(0).asLong(), se.getValue.get(1).asLong())
-              }.toMap
-            case None => Map.empty[String, (Long, Long)]
-          }
-          FileEntry(
-            f.get("path").asText(),
-            f.get("bytes").asLong(),
-            f.get("rows").asLong(),
-            stats
-          )
-        }.toSeq
-        pe.getKey -> PartitionEntry(values, files)
-      }.toMap
-      e.getKey -> TableState(pcols, t.get("schemaDdl").asText(), parts)
+      e.getKey -> TableState(pcols, t.get("schemaDdl").asText(),
+        parsePartitions(t.get("partitions")))
     }.toMap
     val batches = Option(doc.get("batches")) match {
       case Some(bn) =>
         bn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
       case None => Map.empty[String, Long]
     }
-    new Snapshot(spark, root, doc.get("version").asLong(), tables, batches)
+    StoreState(doc.get("version").asLong(), doc.get("ts").asLong(),
+      tables, batches)
   }
 
-  def snapshot(spark: SparkSession, root: String): Snapshot =
-    parse(spark, root,
-      java.nio.file.Files.readAllBytes(localPath(manifestPath(root))))
+  // ---------------------------------------------------------------
+  // Readers
+  // ---------------------------------------------------------------
+
+  def snapshot(spark: SparkSession, root: String): Snapshot = {
+    val cur = currentVersionOpt(root).getOrElse(
+      throw new java.nio.file.NoSuchFileException(
+        s"no committed store at $root"))
+    snapshotAt(spark, root, cur)
+  }
 
   /** Time travel: the store exactly as commit `version` published it,
     * every table at once — valid until [[vacuum]]'s retention window
     * passes the version by.
     */
   def snapshotAt(spark: SparkSession, root: String, version: Long): Snapshot = {
-    val p = localPath(versionPath(root, version))
-    require(java.nio.file.Files.exists(p),
-      s"no manifest for version $version at $root — never committed, " +
-        "or vacuumed past the retention window")
-    parse(spark, root, java.nio.file.Files.readAllBytes(p))
+    val st = stateAt(root, version)
+    new Snapshot(spark, root, st.version, st.tables, st.batches, st.ts)
   }
 
-  /** Versions still readable via [[snapshotAt]], ascending. */
+  /** `AS OF TIMESTAMP`: the newest version whose commit wall-clock is
+    * ≤ `tsMillis` — exactly the version a reader at that instant
+    * resolved. Commit clocks are strictly increasing, so resolution
+    * is unambiguous; an instant before the first retained commit has
+    * no store to serve and errors.
+    */
+  def snapshotAsOf(spark: SparkSession, root: String, tsMillis: Long): Snapshot = {
+    val infos = versionInfos(spark, root)
+    require(infos.nonEmpty, s"no committed store at $root")
+    val at = infos.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no version at $root committed at or before ts=$tsMillis " +
+        s"(earliest retained commit: ts=${infos.head._2})")
+    snapshotAt(spark, root, at.map(_._1).max)
+  }
+
+  /** Versions still readable via [[snapshotAt]], ascending: an entry
+    * is readable when a checkpoint at-or-below it survives with the
+    * full delta tail up to it.
+    */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
-    val dir = localPath(manifestDir(root))
-    if (!java.nio.file.Files.exists(dir)) return Seq.empty
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toLong
-      }
-      .toSeq.sorted
+    val (deltas, ckpts) = logEntries(root)
+    (deltas ++ ckpts).toSeq.sorted.filter { v =>
+      val base = ckpts.filter(_ <= v).maxOption.getOrElse(0L)
+      ((base + 1) to v).forall(deltas.contains)
+    }
+  }
+
+  /** (version, commit wall-clock millis) per readable version,
+    * ascending — the `AS OF TIMESTAMP` index, read from the log
+    * headers only.
+    */
+  def versionInfos(spark: SparkSession, root: String): Seq[(Long, Long)] = {
+    val (deltas, _) = logEntries(root)
+    versions(spark, root).map { v =>
+      if (deltas.contains(v)) v -> readDelta(root, v).ts
+      else v -> readCkpt(root, v).ts
+    }
   }
 
   // ---------------------------------------------------------------

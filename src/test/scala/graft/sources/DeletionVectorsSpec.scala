@@ -1,0 +1,123 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The merge-on-read delete contract: an RTBF delete of k docs
+  * commits O(k) bytes (no data file touched), reads back identically
+  * to the copy-on-write answer, survives time travel, and
+  * materialization rewrites ONLY zone-map-candidate partitions,
+  * clears the vector, and leaves the superseded files to vacuum.
+  */
+class DeletionVectorsSpec extends SparkSpec {
+
+  private def docs =
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("n_chars"), col("source"))
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+  private def lastDeltaBytes(root: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(root, "_graft")
+    val s = java.nio.file.Files.list(dir)
+    val last =
+      try s.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("d") && n.endsWith(".json")
+        }
+        .toSeq.maxBy(_.getFileName.toString)
+      finally s.close()
+    java.nio.file.Files.size(last)
+  }
+
+  test("a k-doc delete commits O(k) metadata and no data file") {
+    val root = Scratch.tempDir("graft-dv-okay")
+    try {
+      ManifestStore.write(docs, root, Seq("source"))
+      val v1 = ManifestStore.snapshot(spark, root)
+      val dataFiles = v1.filePaths()
+      val kill = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id"))
+      DeletionVectors.delete(spark, root, ManifestStore.MAIN, "doc_id", kill)
+      // O(k): the delete's delta is one tiny DV file entry — nowhere
+      // near the store's own commit (which listed every partition)
+      assert(lastDeltaBytes(root) < 2048,
+        s"DV delta must be O(k) bytes, got ${lastDeltaBytes(root)}")
+      val v2 = ManifestStore.snapshot(spark, root)
+      assert(v2.filePaths() === dataFiles,
+        "a DV delete must not touch one data file")
+      // merge-on-read ≡ copy-on-write
+      val expect = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      assert(canon(DeletionVectors.read(v2)) === canon(expect))
+      // idempotent: same ids again, plus absent ids — no row change
+      DeletionVectors.delete(spark, root, ManifestStore.MAIN, "doc_id", kill)
+      DeletionVectors.delete(spark, root, ManifestStore.MAIN, "doc_id",
+        kill.withColumn("doc_id", col("doc_id") + lit(90000000L)))
+      assert(canon(DeletionVectors.read(ManifestStore.snapshot(spark, root)))
+        === canon(expect))
+      // time travel reproduces the pre-delete view
+      assert(canon(DeletionVectors.read(
+        ManifestStore.snapshotAt(spark, root, 1))) === canon(docs))
+    } finally Scratch.deleteRecursively(root)
+  }
+
+  test("materialize rewrites only zone-map-candidate partitions, " +
+    "clears the vector, and vacuum collects the superseded files") {
+    val root = Scratch.tempDir("graft-dv-mat")
+    try {
+      // id-clustered partitions so the zone maps can EXONERATE most
+      // of the store: bucket b holds exactly doc_id in [100b, 100b+99]
+      val bucketed = docs
+        .withColumn("bucket", (col("doc_id") / 100).cast("long"))
+      ManifestStore.write(bucketed, root, Seq("bucket"))
+      // all deletions land in bucket 1
+      val kill = bucketed
+        .filter(col("doc_id") >= 120 && col("doc_id") <= 140)
+        .select(col("doc_id"))
+      DeletionVectors.delete(spark, root, ManifestStore.MAIN, "doc_id", kill)
+      val v2 = ManifestStore.snapshot(spark, root)
+      DeletionVectors.materialize(spark, root, ManifestStore.MAIN, "doc_id")
+      val v3 = ManifestStore.snapshot(spark, root)
+      // rows: materialized ≡ merge-on-read ≡ filter
+      val expect = bucketed
+        .filter(col("doc_id") < 120 || col("doc_id") > 140)
+      assert(canon(v3.read()) === canon(expect))
+      // the vector is CLEARED by the same commit
+      assert(DeletionVectors.read(v3).count() === v3.read().count())
+      assert(v3.read(DeletionVectors.dvTable(ManifestStore.MAIN)).count() === 0L)
+      // only the candidate partition's files changed — the zone maps
+      // spared every other bucket a rewrite
+      val changed = ManifestStore.changedPartitionKeys(v2, v3)
+      assert(changed === Set("1"),
+        s"only bucket 1 can hold ids 120..140, rewrote $changed")
+      // superseded bucket-1 files + old DV files fall to vacuum
+      assert(ManifestStore.vacuum(spark, root) > 0)
+      assert(canon(ManifestStore.snapshot(spark, root).read()) ===
+        canon(expect), "the current version must survive vacuum intact")
+    } finally Scratch.deleteRecursively(root)
+  }
+
+  test("the DV sidecar and the data publish atomically: a snapshot is " +
+    "always a consistent pair") {
+    val root = Scratch.tempDir("graft-dv-pair")
+    try {
+      ManifestStore.write(docs, root, Seq("source"))
+      val kill = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id"))
+      DeletionVectors.delete(spark, root, ManifestStore.MAIN, "doc_id", kill)
+      // v1's snapshot has NO vector (not an empty one — none), v2's
+      // has exactly the committed ids; both resolve consistently
+      val v1 = ManifestStore.snapshotAt(spark, root, 1)
+      val v2 = ManifestStore.snapshotAt(spark, root, 2)
+      assert(!v1.hasTable(DeletionVectors.dvTable(ManifestStore.MAIN)))
+      assert(v2.read(DeletionVectors.dvTable(ManifestStore.MAIN)).count()
+        === kill.count())
+      assert(DeletionVectors.read(v1).count() === docs.count())
+      assert(DeletionVectors.read(v2).count() ===
+        docs.count() - kill.count())
+    } finally Scratch.deleteRecursively(root)
+  }
+}
