@@ -565,6 +565,61 @@ object StorageQueries {
     }
   }
 
+  /** cdc21: the DV-AWARE LOGICAL change feed gated — Delta's "CDF
+    * with deletion vectors" semantics, which the file-level feed
+    * (cdc19) cannot give: a DV-only delete commit changes NO files
+    * (invisible to fileDiff), and a later materialization rewrites
+    * files whose logical rows already died (mass noise to fileDiff).
+    * [[graft.sources.DeletionVectors.logicalFeed]] diffs the LOGICAL
+    * state (files ∖ vector): the id-clustered store takes a DV
+    * delete of every [[DV_MOD]]-th doc (v2) and materializes it
+    * (v3); the feed announces the k deletes — WITH pre-delete
+    * payloads, served through the zone-map candidate files, never a
+    * store scan — exactly once, at the DV commit: hop v1→v2 = the
+    * deletes, hop v2→v3 = EMPTY (physical rewrite of dead rows is
+    * noise), and the skip-level hop v1→v3 telescopes to the same
+    * deletes a fell-behind consumer must see. A feed that re-announces
+    * at materialization, loses the payloads, or misses the DV commit
+    * diverges at the gate; the oracle derives the delete set once.
+    */
+  private val dvFeed: Q = (s, dir) => {
+    import graft.sources.DeletionVectors
+    val docs = baseDocs(s, dir).drop("source")
+      .withColumn("bucket", expr("CAST(doc_id DIV 100 AS BIGINT)"))
+    graft.sources.Scratch.withTempDir("graft-cdc21") { path =>
+      ManifestStore.write(docs, path, Seq("bucket"))
+      DeletionVectors.delete(s, path, ManifestStore.MAIN, "doc_id",
+        docs.filter(pmod(col("doc_id"), lit(DV_MOD)) === 0)
+          .select(col("doc_id")))
+      DeletionVectors.materialize(s, path, ManifestStore.MAIN, "doc_id")
+      def snap(v: Long) = ManifestStore.snapshotAt(s, path, v)
+      val hops = Seq(("h1_announce", 1L, 2L), ("h2_materialize", 2L, 3L),
+        ("h3_skip_level", 1L, 3L))
+      import s.implicits._
+      hops.map { case (name, a, b) =>
+        DeletionVectors.logicalFeed(s, path, snap(a), snap(b))
+          .agg(
+            sum(when(col("op") === "insert", 1L).otherwise(0L)).as("n_ins"),
+            sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_del"),
+            sum(when(col("op") === "update", 1L).otherwise(0L)).as("n_upd"),
+            sum(when(col("op") === "delete", h32l(col("doc_id")))
+              .otherwise(0L)).as("del_fp"),
+            sum(when(col("op") === "delete", col("payload_old"))
+              .otherwise(0L)).as("del_chars")
+          )
+          .select(lit(name).as("hop"),
+            coalesce(col("n_ins"), lit(0L)).as("n_ins"),
+            coalesce(col("n_del"), lit(0L)).as("n_del"),
+            coalesce(col("n_upd"), lit(0L)).as("n_upd"),
+            coalesce(col("del_fp"), lit(0L)).as("del_fp"),
+            coalesce(col("del_chars"), lit(0L)).as("del_chars"))
+      }
+        .reduce(_ unionByName _)
+        .orderBy("hop")
+        .localCheckpoint(true)
+    }
+  }
+
   /** q118: `AS OF TIMESTAMP` time travel gated — q113's history
     * addressed by the commit wall-clock instead of the version
     * number (the auditor's "the store as of Tuesday"). The store
@@ -620,6 +675,7 @@ object StorageQueries {
     "q116_string_skipping" -> stringSkipping,
     "q117_deletion_vectors" -> deletionVectors,
     "q118_time_travel_ts" -> timeTravelTs,
+    "cdc21_dv_feed" -> dvFeed,
     "cdc19_change_feed" -> changeFeed,
     "cdc20_feed_apply" -> feedApply,
     "q114_data_skipping" -> dataSkipping,
@@ -679,6 +735,25 @@ object StorageQueries {
          |  CAST(COALESCE(dl.fp, 0) AS BIGINT) AS del_fp
          |FROM sv LEFT JOIN dl ON dl.source = sv.source
          |ORDER BY sv.source""".stripMargin,
+    // one delete set, announced exactly once: the DV commit's hop and
+    // the skip-level hop carry it (identical rows), the materialize
+    // hop is empty — physical rewrites of dead rows are noise
+    "cdc21_dv_feed" ->
+      s"""WITH del AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+         |  FROM documents WHERE doc_id % $DV_MOD = 0),
+         |d AS (SELECT COUNT(*) AS n, SUM($h) AS fp, SUM(n_chars) AS cs
+         |  FROM del),
+         |r AS (
+         |  SELECT 'h1_announce' AS hop, n, fp, cs FROM d
+         |  UNION ALL SELECT 'h2_materialize', 0, 0, 0
+         |  UNION ALL SELECT 'h3_skip_level', n, fp, cs FROM d)
+         |SELECT hop,
+         |  CAST(0 AS BIGINT) AS n_ins,
+         |  CAST(n AS BIGINT) AS n_del,
+         |  CAST(0 AS BIGINT) AS n_upd,
+         |  CAST(COALESCE(fp, 0) AS BIGINT) AS del_fp,
+         |  CAST(COALESCE(cs, 0) AS BIGINT) AS del_chars
+         |FROM r ORDER BY hop""".stripMargin,
     // four probes, resolved versions pinned (1, 2, 2, 3): exact
     // commit instants resolve inclusively, the pre-v3 instant
     // resolves to v2 (strict clock monotonicity), a later instant to

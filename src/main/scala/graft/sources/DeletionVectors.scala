@@ -75,6 +75,90 @@ object DeletionVectors {
     }
   }
 
+  /** Change feed over the LOGICAL state (files ∖ vector) — the
+    * DV-aware CDF Delta ships as "change data feed with deletion
+    * vectors". [[ManifestStore.fileDiff]] alone sees files, so a
+    * DV-only delete commit is invisible to it and a later
+    * [[materialize]] looks like mass deletes; the LOGICAL feed fixes
+    * both ends: a row's change is announced when its logical state
+    * changes — deletion at the DV commit (payload served from the
+    * pre-delete version), NOTHING at materialization (the physical
+    * rewrite of already-dead rows is noise, exactly like the
+    * byte-equal rewrites the file feed already silences).
+    *
+    * O(changed) by construction: candidates are rows of the
+    * added/removed files plus the rows of the DV-diff ids — the
+    * latter fetched through [[ManifestStore.Snapshot.readForIds]]'
+    * zone-map candidate files, never a store scan. Version diffs
+    * still TELESCOPE (the classification depends only on the two
+    * endpoint logical states).
+    */
+  def logicalFeed(
+      spark: SparkSession,
+      root: String,
+      a: ManifestStore.Snapshot,
+      b: ManifestStore.Snapshot,
+      table: String = ManifestStore.MAIN,
+      idCol: String = "doc_id",
+      payloadCol: String = "n_chars"
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val dvName = dvTable(table)
+    def dvOf(s: ManifestStore.Snapshot): DataFrame =
+      if (s.hasTable(dvName)) s.read(dvName).select(col(idCol)).distinct()
+      else {
+        val base = s.read(table).select(col(idCol))
+        base.sparkSession.createDataFrame(
+          base.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          base.schema)
+      }
+    val dvA = dvOf(a)
+    val dvB = dvOf(b)
+    // ids whose VECTOR membership changed — k rows by the delete
+    // contract, the same metadata-sized read materialize audits
+    val changedIds = dvB.exceptAll(dvA).unionByName(dvA.exceptAll(dvB))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val (added, removed) = ManifestStore.fileDiff(a, b, table)
+    def readDelta(s: ManifestStore.Snapshot, files: Seq[ManifestStore.FileEntry]): DataFrame = {
+      val st = s.state(table)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(st.schemaDdl)
+      val paths = files.map(f => root + "/" + f.path)
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(paths: _*)
+    }
+    def side(s: ManifestStore.Snapshot, files: Seq[ManifestStore.FileEntry],
+        dv: DataFrame): DataFrame = {
+      val fromFiles = readDelta(s, files)
+      val fromDv =
+        if (changedIds.isEmpty) fromFiles.limit(0)
+        else s.readForIds(table, idCol, changedIds)
+      fromFiles.unionByName(fromDv)
+        .select(col(idCol), col(payloadCol))
+        // one value per id per version (a row can be both in a
+        // changed file and a changed vector)
+        .dropDuplicates(idCol)
+        // LOGICAL state: vector-dead rows do not exist on this side
+        .join(broadcast(dv), Seq(idCol), "left_anti")
+    }
+    val oldSide = side(a, removed, dvA)
+      .select(col(idCol), col(payloadCol).as("payload_old"))
+    val newSide = side(b, added, dvB)
+      .select(col(idCol), col(payloadCol).as("payload_new"))
+    newSide
+      .join(oldSide, Seq(idCol), "full_outer")
+      .withColumn("op",
+        when(col("payload_old").isNull, lit("insert"))
+          .when(col("payload_new").isNull, lit("delete"))
+          .when(col("payload_new") =!= col("payload_old"), lit("update")))
+      .filter(col("op").isNotNull)
+      // rows in neither a changed file nor the changed vector are
+      // identical on both sides by construction and were silenced by
+      // the equality filter; what remains is the true logical delta
+      .select(col(idCol), col("payload_new"), col("payload_old"), col("op"))
+  }
+
   /** Apply the vector physically and clear it, in ONE commit: rewrite
     * only the partitions whose manifest zone maps admit a deleted id
     * (a partition none of whose files' (min, max) covers any deleted

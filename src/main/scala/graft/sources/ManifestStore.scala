@@ -394,6 +394,26 @@ object ManifestStore {
 
     def readRangeStr(table: String, column: String, lo: String, hi: String): DataFrame =
       readBoxStr(table, Seq((column, lo, hi)))
+
+    /** Batched POINT LOOKUP through the zone maps: scan only the
+      * files whose footer (min, max) can hold ANY of `ids` — the
+      * metadata-routed row fetch a keyed store serves without an
+      * index (a file without stats is conservatively read). Cost is
+      * O(candidate files), so an id-clustered layout answers a k-id
+      * probe by opening ~k files no matter how large the table is.
+      * The residual `isin` filter still applies — result ≡ filtering
+      * the full table.
+      */
+    def readForIds(table: String, idCol: String, ids: Seq[Long]): DataFrame = {
+      val files = state(table).partitions.values.flatMap(_.files).filter { f =>
+        f.stats.get(idCol) match {
+          case Some((mn, mx)) => ids.exists(id => id >= mn && id <= mx)
+          case None           => true
+        }
+      }.toSeq
+      readFiles(state(table), resolve(files))
+        .filter(col(idCol).isin(ids: _*))
+    }
   }
 
   private def logDir(root: String) = root + "/_graft"
@@ -555,8 +575,13 @@ object ManifestStore {
       spark.sparkContext.defaultParallelism))
     val entries: Seq[(Seq[String], FileEntry)] = spark.sparkContext
       .parallelize(metas, slices)
-      .map { case (abs, bytes, rel, values) =>
-        (values, footerEntry(abs, bytes, rel))
+      .mapPartitions { it =>
+        // ONE Configuration per task: construction parses the XML
+        // defaults (~ms) — per-file it dominated small-file commits
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { case (abs, bytes, rel, values) =>
+          (values, footerEntry(abs, bytes, rel, conf))
+        }
       }
       .collect()
       .toSeq
@@ -578,10 +603,18 @@ object ManifestStore {
       absPath: String,
       bytes: Long,
       rel: String
+  ): FileEntry =
+    footerEntry(absPath, bytes, rel,
+      new org.apache.hadoop.conf.Configuration())
+
+  private[sources] def footerEntry(
+      absPath: String,
+      bytes: Long,
+      rel: String,
+      conf: org.apache.hadoop.conf.Configuration
   ): FileEntry = {
     if (org.apache.spark.TaskContext.get() == null)
       driverFooterOpens.incrementAndGet()
-    val conf = new org.apache.hadoop.conf.Configuration()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(absPath), conf)
     val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
