@@ -670,8 +670,57 @@ object StorageQueries {
     }
   }
 
+  /** q119: NAMED REFS (tags) + retention protection gated — the
+    * reproducibility anchor a training pipeline needs: "the golden
+    * snapshot we trained on" must survive routine vacuum no matter
+    * how far the store moves on. q113's three-commit history tags v2
+    * as `golden`, commits past it, then vacuums with the DEFAULT
+    * window (retain only current): the tagged version stays readable
+    * — [[graft.sources.ManifestStore.vacuum]] anchors a checkpoint at
+    * every protected tag and keeps its files live — while the
+    * untagged v1 leaves with the window (unreadability spec-pinned,
+    * with age-based [[graft.sources.ManifestStore.expireOlderThan]]
+    * beside it). The gated row reads the store by REF (`golden`) and
+    * by head after the vacuum; the oracle re-derives both versions'
+    * contents from fixture arithmetic, so a tag that drifts to the
+    * wrong version, loses files to the sweep, or reads through the
+    * head instead of the ref diverges at the gate.
+    */
+  private val versionTags: Q = (s, dir) => {
+    val docs = baseDocs(s, dir)
+    graft.sources.Scratch.withTempDir("graft-q119") { path =>
+      ManifestStore.write(docs, path, Seq("source"))
+      val target = docs.select(min(col("source"))).head.getString(0)
+      ManifestStore.upsertPartitions(
+        docs.filter(col("source") === target)
+          .withColumn("n_chars", col("n_chars") + lit(1000000L)),
+        path, Seq("source"))
+      ManifestStore.tag(s, path, "golden", 2L)
+      ManifestStore.append(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(7000000L)),
+        path, Seq("source"))
+      ManifestStore.vacuum(s, path) // default window: current only
+      val refs = Seq(
+        ("golden", ManifestStore.snapshotAtTag(s, path, "golden")),
+        ("head", ManifestStore.snapshot(s, path)))
+      refs.map { case (name, snap) =>
+        snap.read().agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(h32l(col("doc_id"))).as("doc_fp")
+        ).select(lit(name).as("ref"), lit(snap.version).as("version"),
+          col("n_docs"), col("chars_sum"), col("doc_fp"))
+      }
+        .reduce(_ unionByName _)
+        .orderBy("ref")
+        .localCheckpoint(true)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q113_time_travel" -> timeTravel,
+    "q119_version_tags" -> versionTags,
     "q116_string_skipping" -> stringSkipping,
     "q117_deletion_vectors" -> deletionVectors,
     "q118_time_travel_ts" -> timeTravelTs,
@@ -735,6 +784,29 @@ object StorageQueries {
          |  CAST(COALESCE(dl.fp, 0) AS BIGINT) AS del_fp
          |FROM sv LEFT JOIN dl ON dl.source = sv.source
          |ORDER BY sv.source""".stripMargin,
+    // ref rows: `golden` pinned to v2 (lowest source's payloads +1e6),
+    // `head` = v3 (v2 ∪ every-fifth-doc re-appended) — both survive
+    // the default-window vacuum
+    "q119_version_tags" ->
+      s"""WITH t AS (SELECT MIN(source) AS tgt FROM documents),
+         |v2 AS (SELECT doc_id,
+         |    CAST(CASE WHEN source = (SELECT tgt FROM t)
+         |      THEN n_chars + 1000000 ELSE n_chars END AS BIGINT) AS n_chars
+         |  FROM documents),
+         |extra AS (SELECT doc_id + 7000000 AS doc_id,
+         |    CAST(n_chars AS BIGINT) AS n_chars
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM extra),
+         |r AS (
+         |  SELECT 'golden' AS ref, 2 AS version, COUNT(*) AS n,
+         |    SUM(n_chars) AS cs, SUM($h) AS fp FROM v2
+         |  UNION ALL
+         |  SELECT 'head', 3, COUNT(*), SUM(n_chars), SUM($h) FROM v3)
+         |SELECT ref, CAST(version AS BIGINT) AS version,
+         |  CAST(n AS BIGINT) AS n_docs,
+         |  CAST(cs AS BIGINT) AS chars_sum,
+         |  CAST(fp AS BIGINT) AS doc_fp
+         |FROM r ORDER BY ref""".stripMargin,
     // one delete set, announced exactly once: the DV commit's hop and
     // the skip-level hop carry it (identical rows), the materialize
     // hop is empty — physical rewrites of dead rows are noise

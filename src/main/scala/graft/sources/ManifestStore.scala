@@ -1028,13 +1028,75 @@ object ManifestStore {
         "through Replace (the q110 path), not a silent merge")
   }
 
+  // ---------------------------------------------------------------
+  // Named refs (tags) — Iceberg's refs at their minimum
+  // ---------------------------------------------------------------
+
+  private def tagPath(root: String, name: String) = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"illegal tag name '$name'")
+    logDir(root) + s"/tag-$name.json"
+  }
+
+  /** Pin `name` to `version` (re-tagging replaces atomically): the
+    * tagged version stays READABLE across [[vacuum]]/[[expireOlderThan]]
+    * regardless of the retention window — a release/audit anchor (the
+    * "golden training snapshot" a reproducibility contract names),
+    * Iceberg's tags re-expressed at their minimum. Tags are refs, not
+    * commits: creating one changes no version.
+    */
+  def tag(spark: SparkSession, root: String, name: String, version: Long): Unit =
+    lockFor(root).synchronized {
+      stateAt(root, version) // must be readable NOW; protected after
+      val bytes = s"""{"version":$version}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val dir = localPath(logDir(root))
+      val tmp = dir.resolve(s".tag-${java.util.UUID.randomUUID()}.json")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, localPath(tagPath(root, name)),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+  /** All tags, name → version. */
+  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+    val dir = localPath(logDir(root))
+    if (!java.nio.file.Files.exists(dir)) return Map.empty
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(dir)
+    val names =
+      try s.iterator().asScala.map(_.getFileName.toString).toVector
+      finally s.close()
+    names.collect {
+      case n if n.startsWith("tag-") && n.endsWith(".json") =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val v = mapper.readTree(java.nio.file.Files.readAllBytes(
+          dir.resolve(n))).get("version").asLong()
+        n.stripPrefix("tag-").stripSuffix(".json") -> v
+    }.toMap
+  }
+
+  /** Remove the ref; the version's files fall back under the normal
+    * retention window at the next vacuum.
+    */
+  def dropTag(spark: SparkSession, root: String, name: String): Unit =
+    lockFor(root).synchronized {
+      java.nio.file.Files.deleteIfExists(localPath(tagPath(root, name)))
+    }
+
+  def snapshotAtTag(spark: SparkSession, root: String, name: String): Snapshot = {
+    val v = tags(spark, root).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' at $root"))
+    snapshotAt(spark, root, v)
+  }
+
   /** Delete every `_data` file the last `retainVersions` versions no
     * longer reference (superseded versions, aborted stagings), plus
     * the log history older than the retention window — the
-    * reader-isolation and time-travel window ends here. Before
-    * trimming, a checkpoint is written at the oldest retained version
-    * so the trimmed tail stays reconstructible. The default retains
-    * only the current version (the pre-history contract). Returns the
+    * reader-isolation and time-travel window ends here. TAGGED
+    * versions are always retained (readable, files live) regardless
+    * of the window. Before trimming, checkpoints are written at the
+    * oldest retained version and at each protected tagged version so
+    * the trimmed tail stays reconstructible. The default retains only
+    * the current version (the pre-history contract). Returns the
     * number of data files removed.
     */
   def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1): Int = {
@@ -1042,20 +1104,54 @@ object ManifestStore {
     lockFor(root).synchronized {
       val cur = currentVersionOpt(root).getOrElse(
         throw new IllegalStateException(s"no committed store at $root"))
-      val keepFrom = math.max(1L, cur - retainVersions + 1)
+      vacuumFrom(spark, root, cur, math.max(1L, cur - retainVersions + 1))
+    }
+  }
+
+  /** [[vacuum]] addressed by AGE instead of version count: retain
+    * every version committed at-or-after `tsMillis` (plus the current
+    * version and all tags) — "expire snapshots older than 7 days",
+    * the retention contract production stores schedule.
+    */
+  def expireOlderThan(spark: SparkSession, root: String, tsMillis: Long): Int =
+    lockFor(root).synchronized {
+      val infos = versionInfos(spark, root)
+      require(infos.nonEmpty, s"no committed store at $root")
+      val cur = infos.map(_._1).max
+      val keepFrom = infos.filter(_._2 >= tsMillis).map(_._1)
+        .minOption.getOrElse(cur)
+      vacuumFrom(spark, root, cur, keepFrom)
+    }
+
+  private def vacuumFrom(
+      spark: SparkSession,
+      root: String,
+      cur: Long,
+      keepFrom: Long
+  ): Int = {
+    locally {
+      val tagged = tags(spark, root).values.toSet
+      val protectedBelow = tagged.filter(_ < keepFrom).toSeq.sorted
       val retained: Seq[StoreState] =
-        (keepFrom to cur).map(v => stateAt(root, v))
-      // anchor the retained window: the oldest retained version gets a
-      // checkpoint so deleting the deltas below it loses nothing
+        (protectedBelow ++ (keepFrom to cur)).map(v => stateAt(root, v))
+      // anchor the retained window and each protected tag: a
+      // checkpoint per anchor makes the version readable without any
+      // delta below it
       val (deltas0, ckpts0) = logEntries(root)
-      if (!ckpts0.contains(keepFrom)) writeCkpt(root, retained.head)
+      (protectedBelow :+ keepFrom).foreach { v =>
+        if (!ckpts0.contains(v))
+          writeCkpt(root, retained(
+            if (v == keepFrom) protectedBelow.length
+            else protectedBelow.indexOf(v)))
+      }
       (deltas0.filter(_ < keepFrom) ++ Seq(keepFrom).filter(deltas0.contains))
         .foreach { v =>
           java.nio.file.Files.deleteIfExists(localPath(deltaPath(root, v)))
         }
-      ckpts0.filter(_ < keepFrom).foreach { v =>
-        java.nio.file.Files.deleteIfExists(localPath(ckptPath(root, v)))
-      }
+      ckpts0.filter(v => v < keepFrom && !protectedBelow.contains(v))
+        .foreach { v =>
+          java.nio.file.Files.deleteIfExists(localPath(ckptPath(root, v)))
+        }
       // sweep crashed commits' invisible temp dotfiles
       locally {
         import scala.jdk.CollectionConverters._

@@ -224,6 +224,59 @@ class ManifestLogSpec extends SparkSpec {
     } finally Scratch.deleteRecursively(root)
   }
 
+  test("tags protect their version through vacuum; dropTag releases it; " +
+    "expireOlderThan retains by commit age") {
+    val root = Scratch.tempDir("graft-mlog-tags")
+    try {
+      ManifestStore.write(docs, root, Seq("source"))                 // v1
+      val target = docs.select(min(col("source"))).head.getString(0)
+      ManifestStore.upsertPartitions(                                 // v2
+        docs.filter(col("source") === target)
+          .withColumn("n_chars", col("n_chars") + 1000000L),
+        root, Seq("source"))
+      ManifestStore.tag(spark, root, "golden", 2L)
+      ManifestStore.append(docs.limit(25), root, Seq("source"))      // v3
+      ManifestStore.append(docs.limit(10), root, Seq("source"))      // v4
+      // tagging an unreadable/unborn version refuses
+      intercept[IllegalArgumentException] {
+        ManifestStore.tag(spark, root, "later", 9L)
+      }
+      val expect2 = docs.filter(col("source") =!= target).unionByName(
+        docs.filter(col("source") === target)
+          .withColumn("n_chars", col("n_chars") + 1000000L))
+      ManifestStore.vacuum(spark, root) // default: current only
+      // the tag held v2 readable AND its files live; v1/v3 left
+      assert(ManifestStore.versions(spark, root).toSet === Set(2L, 4L))
+      assert(canon(ManifestStore.snapshotAtTag(spark, root, "golden").read())
+        === canon(expect2))
+      intercept[IllegalArgumentException] {
+        ManifestStore.snapshotAt(spark, root, 3)
+      }
+      // dropping the ref releases the version at the next vacuum
+      ManifestStore.dropTag(spark, root, "golden")
+      ManifestStore.vacuum(spark, root)
+      assert(ManifestStore.versions(spark, root) === Seq(4L))
+      intercept[IllegalArgumentException] {
+        ManifestStore.snapshotAt(spark, root, 2)
+      }
+      // age-addressed retention: expire strictly-older commits
+      val root2 = Scratch.tempDir("graft-mlog-age")
+      try {
+        ManifestStore.write(docs, root2, Seq("source"))
+        ManifestStore.append(docs.limit(20), root2, Seq("source"))
+        ManifestStore.append(docs.limit(10), root2, Seq("source"))
+        val ts = ManifestStore.versionInfos(spark, root2).toMap
+        ManifestStore.expireOlderThan(spark, root2, ts(2L))
+        assert(ManifestStore.versions(spark, root2).toSet === Set(2L, 3L))
+        intercept[IllegalArgumentException] {
+          ManifestStore.snapshotAt(spark, root2, 1)
+        }
+        assert(ManifestStore.snapshot(spark, root2).read().count() ===
+          docs.count() + 30)
+      } finally Scratch.deleteRecursively(root2)
+    } finally Scratch.deleteRecursively(root)
+  }
+
   test("vacuum sweeps orphaned temp dotfiles and keeps the window readable") {
     val root = Scratch.tempDir("graft-mlog-vac")
     try {
