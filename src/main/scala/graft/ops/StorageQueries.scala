@@ -466,7 +466,7 @@ object StorageQueries {
     * adjacent sources (dense rank over the string order), so each
     * file's parquet footer carries a tight `source` (min, max) that
     * the commit truncates per [[graft.sources.ManifestStore.STR_TRUNC]]
-    * (a no-op here — fixture sources are short; ManifestStatsSpec
+    * (a no-op here — fixture sources are short; ManifestLogSpec
     * pins the truncate-and-increment bounds on long strings). The row
     * answers a source range [lo, hi] — the sources ranked n/4 and n/2
     * — through [[graft.sources.ManifestStore.Snapshot.readRangeStr]],
@@ -633,7 +633,7 @@ object StorageQueries {
     * aggregates must equal ITS resolved version's fixture-derived
     * content (a resolver off by one version diverges on every
     * column). The pre-first-commit error is spec-pinned
-    * (ManifestStatsSpec).
+    * (ManifestLogSpec).
     */
   private val timeTravelTs: Q = (s, dir) => {
     val docs = baseDocs(s, dir)

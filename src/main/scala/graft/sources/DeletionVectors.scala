@@ -198,24 +198,31 @@ object DeletionVectors {
         dvStage
       ), expectedVersion = snap.version)
     } else {
-      val touched = st.partitions.values.collect {
-        case p if p.files.exists { f =>
+      val touched = st.partitions.collect {
+        case (key, p) if p.files.exists { f =>
           f.stats.get(idCol) match {
             case Some((mn, mx)) => ids.exists(id => id >= mn && id <= mx)
             case None           => true // no stats: cannot prove clean
           }
-        } => p.values.head
-      }.toSeq.sorted
+        } => (key, p.values.head)
+      }.toSeq.sortBy(_._1)
       if (touched.isEmpty)
         // nothing to rewrite — still clear the vector (all ids absent)
         ManifestStore.commit(spark, root, Seq(dvStage),
           expectedVersion = snap.version)
       else {
-        val kept = snap.readPartitions(table, touched)
+        val kept = snap.readPartitions(table, touched.map(_._2))
           .join(broadcast(dv), Seq(idCol), "left_anti")
+        // EVERY touched partition is first dropped, then re-added by
+        // whatever the survivors' write staged: a partition whose rows
+        // were ALL deleted stages nothing (Spark's partitioned write
+        // emits no directory for an empty frame), and without the
+        // explicit drop the Upsert would keep its superseded files
+        // while the same commit clears the vector — silently undoing
+        // the delete
         ManifestStore.commit(spark, root, Seq(
           ManifestStore.stage(kept, root, table, st.partitionCols,
-            ManifestStore.Upsert),
+            ManifestStore.Upsert).copy(drops = touched.map(_._1)),
           dvStage
         ), expectedVersion = snap.version)
       }

@@ -132,6 +132,12 @@ object ManifestStore {
     */
   val CKPT_EVERY: Int = 8
 
+  /** [[vacuum]]'s dotfile sweep only removes '.'-prefixed temp files
+    * OLDER than this (1 h): a younger one may be a concurrent
+    * process's in-flight commit temp, not a crashed commit's orphan.
+    */
+  val DOTFILE_GRACE_MS: Long = 60L * 60 * 1000
+
   /** String zone-map bounds are truncated to this many code points
     * (Iceberg's 16-byte truncation discipline): the lower bound is a
     * plain prefix (≤ the true min), the upper bound is the prefix
@@ -143,7 +149,7 @@ object ManifestStore {
 
   /** Parquet footers opened ON THE DRIVER (diagnostic): the commit
     * path reads footers in a Spark job, so commits leave this counter
-    * untouched — ManifestStatsSpec pins that.
+    * untouched — ManifestLogSpec pins that.
     */
   val driverFooterOpens = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -205,14 +211,22 @@ object ManifestStore {
 
   /** A staged-but-unpublished write: files exist on disk under
     * `dir` (unreferenced by any log entry), nothing is visible until
-    * [[commit]] publishes them.
+    * [[commit]] publishes them. `drops` (Upsert only) names partition
+    * KEYS to REMOVE from the table before the staged partitions merge
+    * in — the explicit form of "this partition's rewrite came back
+    * empty": Spark's partitioned write emits no directory for an
+    * empty partition, so without the drop list an all-rows-deleted
+    * partition would silently keep its superseded files
+    * ([[DeletionVectors.materialize]] passes every touched partition
+    * here; a dropped-then-restaged partition is a plain rewrite).
     */
   final case class Staged(
       table: String,
       dir: String,
       partitionCols: Seq[String],
       schemaDdl: String,
-      mode: Mode
+      mode: Mode,
+      drops: Seq[String] = Seq.empty
   )
 
   /** One commit's effect on one table — exactly what the delta file
@@ -225,7 +239,8 @@ object ManifestStore {
       mode: Mode,
       partitionCols: Seq[String],
       schemaDdl: String,
-      partitions: Map[String, PartitionEntry]
+      partitions: Map[String, PartitionEntry],
+      drops: Seq[String] = Seq.empty
   )
 
   /** One reconstructed version: every read through the same snapshot
@@ -355,8 +370,11 @@ object ManifestStore {
       val kept = all.filter { f =>
         ranges.forall { case (c, lo, hi) =>
           f.strStats.get(c) match {
-            case Some((mn, mx)) => mx >= lo && mn <= hi
-            case None           => true
+            // code-point order — the same comparator the footer
+            // bounds were merged under and the scan filters with
+            case Some((mn, mx)) =>
+              cpCompare(mx, lo) >= 0 && cpCompare(mn, hi) <= 0
+            case None => true
           }
         }
       }
@@ -668,7 +686,8 @@ object ManifestStore {
                   sacc.get(name) match {
                     case Some((a, b)) =>
                       sacc.update(name,
-                        (if (lo < a) lo else a, if (up > b) up else b))
+                        (if (cpCompare(lo, a) < 0) lo else a,
+                          if (cpCompare(up, b) > 0) up else b))
                     case None => sacc.update(name, (lo, up))
                   }
               }
@@ -695,6 +714,30 @@ object ManifestStore {
     (acc.toMap, sacc.toMap)
   }
 
+  /** Compare by CODE POINT — the order parquet footer min/max for
+    * UTF-8 binary carry (unsigned byte order ≡ code-point order) and
+    * the order Spark's `UTF8String` comparisons apply at query time.
+    * Java's `String.compareTo` is UTF-16 code-UNIT order, which
+    * DISAGREES for values mixing supplementary characters (surrogate
+    * pairs, ≥ U+10000) with U+E000–U+FFFF; merging or probing string
+    * zone maps under code-unit order could prune a file that holds
+    * matching rows. Every manifest-side string-bound comparison goes
+    * through here so the manifest, the footers, and the query-time
+    * comparator agree.
+    */
+  private[sources] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** Truncated LOWER bound: the first [[STR_TRUNC]] code points — a
     * prefix is ≤ the full value in string order, so it stays a sound
     * lower bound.
@@ -706,9 +749,11 @@ object ManifestStore {
   /** Truncated UPPER bound: if the value fits, itself; else the
     * [[STR_TRUNC]]-prefix with its rightmost incrementable code point
     * bumped and the tail dropped — strictly greater than EVERY string
-    * sharing the prefix. Increments stay inside the same UTF-16 width
-    * class (BMP caps at U+FFFF, the surrogate gap is skipped) so the
-    * bound also orders correctly under code-unit comparison. `None`
+    * sharing the prefix under [[cpCompare]]'s code-point order (the
+    * order all manifest string comparisons use). Increments stay
+    * inside the same UTF-16 width class (BMP caps at U+FFFF, the
+    * surrogate gap is skipped) — conservative: crossing into
+    * supplementary planes is never required for soundness. `None`
     * when no code point is incrementable — the caller drops the stat
     * (conservative keep).
     */
@@ -752,7 +797,7 @@ object ManifestStore {
           TableState(a.partitionCols, a.schemaDdl, a.partitions)
         case (Some(cur), Upsert) =>
           requireCompatible(a, cur)
-          cur.copy(partitions = cur.partitions ++ a.partitions)
+          cur.copy(partitions = (cur.partitions -- a.drops) ++ a.partitions)
         case (Some(cur), Append) =>
           requireCompatible(a, cur)
           val merged = a.partitions.foldLeft(cur.partitions) { case (acc, (k, p)) =>
@@ -775,7 +820,7 @@ object ManifestStore {
   ): Seq[Action] =
     staged.map { st =>
       Action(st.table, st.mode, st.partitionCols, st.schemaDdl,
-        listStaged(spark, root, st))
+        listStaged(spark, root, st), st.drops)
     }
 
   /** Internal resolved state at a version (snapshot minus the spark
@@ -795,6 +840,10 @@ object ManifestStore {
     * files), never O(store files × versions).
     */
   private def stateAt(root: String, version: Long): StoreState = {
+    require(version >= 1,
+      s"version $version at $root is not a committed version " +
+        "(the log starts at 1) — an off-by-one caller must error, " +
+        "never read an empty store")
     val (deltas, ckpts) = logEntries(root)
     val base = ckpts.filter(_ <= version) match {
       case s if s.isEmpty => emptyState
@@ -882,7 +931,7 @@ object ManifestStore {
               s"table '${a.table}': Replace staged at v$baseVersion " +
                 s"cannot rebase onto v${cur.version} — it claims every " +
                 "partition")
-          val touched = a.partitions.keySet
+          val touched = a.partitions.keySet ++ a.drops
           val changed = changedPartitionKeys(snapOf(base), snapOf(cur), a.table)
           val overlap = touched.intersect(changed)
           if (overlap.nonEmpty)
@@ -1152,13 +1201,24 @@ object ManifestStore {
         .foreach { v =>
           java.nio.file.Files.deleteIfExists(localPath(ckptPath(root, v)))
         }
-      // sweep crashed commits' invisible temp dotfiles
+      // sweep crashed commits' invisible temp dotfiles — but only
+      // past a grace window: the create-new commit protocol is
+      // explicitly cross-process, so a '.'-file younger than the
+      // window may be ANOTHER process's in-flight commit temp whose
+      // deletion would fail a valid commit with NoSuchFileException
+      // instead of ConcurrentCommitException
       locally {
         import scala.jdk.CollectionConverters._
         val dir = localPath(logDir(root))
+        val cutoff = System.currentTimeMillis() - DOTFILE_GRACE_MS
         val s = java.nio.file.Files.list(dir)
         try s.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("."))
+          .filter { p =>
+            p.getFileName.toString.startsWith(".") &&
+              (scala.util.Try(
+                java.nio.file.Files.getLastModifiedTime(p).toMillis)
+                .getOrElse(Long.MaxValue) < cutoff)
+          }
           .foreach(java.nio.file.Files.deleteIfExists(_))
         finally s.close()
       }
@@ -1297,6 +1357,10 @@ object ManifestStore {
       val pc = an.putArray("partitionCols")
       a.partitionCols.foreach(pc.add)
       an.put("schemaDdl", a.schemaDdl)
+      if (a.drops.nonEmpty) {
+        val dn = an.putArray("drops")
+        a.drops.sorted.foreach(dn.add)
+      }
       writePartitions(mapper, an.putObject("partitions"), a.partitions)
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(doc)
@@ -1313,7 +1377,9 @@ object ManifestStore {
         modeOf(an.get("mode").asText()),
         an.get("partitionCols").elements().asScala.map(_.asText()).toSeq,
         an.get("schemaDdl").asText(),
-        parsePartitions(an.get("partitions"))
+        parsePartitions(an.get("partitions")),
+        Option(an.get("drops")).map(
+          _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
       )
     }.toSeq
     val batch = Option(doc.get("batch")).map(bn =>

@@ -100,6 +100,42 @@ class DeletionVectorsSpec extends SparkSpec {
     } finally Scratch.deleteRecursively(root)
   }
 
+  test("materialize of a partition whose rows are ALL deleted removes " +
+    "the partition — the empty rewrite cannot resurrect the old files") {
+    val root = Scratch.tempDir("graft-dv-allgone")
+    try {
+      val bucketed = docs
+        .withColumn("bucket", (col("doc_id") / 100).cast("long"))
+      ManifestStore.write(bucketed, root, Seq("bucket"))
+      // kill EVERY row of bucket 2 (ids 200..299) plus a partial slice
+      // of bucket 0 — one all-deleted partition, one survivor rewrite
+      val kill = bucketed
+        .filter((col("doc_id") >= 200 && col("doc_id") <= 299) ||
+          (col("doc_id") >= 10 && col("doc_id") <= 19))
+        .select(col("doc_id"))
+      DeletionVectors.delete(spark, root, ManifestStore.MAIN, "doc_id", kill)
+      val v2 = ManifestStore.snapshot(spark, root)
+      DeletionVectors.materialize(spark, root, ManifestStore.MAIN, "doc_id")
+      val v3 = ManifestStore.snapshot(spark, root)
+      val expect = bucketed.filter(
+        !((col("doc_id") >= 200 && col("doc_id") <= 299) ||
+          (col("doc_id") >= 10 && col("doc_id") <= 19)))
+      // the RTBF contract: the deleted rows are GONE after materialize
+      // (before the fix, bucket 2's old files survived the Upsert
+      // while the same commit cleared the vector — silent resurrection)
+      assert(canon(v3.read()) === canon(expect))
+      // the all-deleted partition left the manifest entirely
+      assert(!v3.state(ManifestStore.MAIN).partitions.values
+        .exists(_.values == Seq("2")),
+        "an all-deleted partition must be dropped, not kept empty")
+      // the vector is cleared and the logical feed stays silent across
+      // the materialize hop (rows died at the DV commit, not here)
+      assert(v3.read(DeletionVectors.dvTable(ManifestStore.MAIN)).count() === 0L)
+      assert(DeletionVectors.logicalFeed(spark, root, v2, v3).count() === 0L,
+        "materialization of dead rows must announce nothing")
+    } finally Scratch.deleteRecursively(root)
+  }
+
   test("the DV sidecar and the data publish atomically: a snapshot is " +
     "always a consistent pair") {
     val root = Scratch.tempDir("graft-dv-pair")

@@ -277,19 +277,79 @@ class ManifestLogSpec extends SparkSpec {
     } finally Scratch.deleteRecursively(root)
   }
 
-  test("vacuum sweeps orphaned temp dotfiles and keeps the window readable") {
+  test("vacuum sweeps orphaned temp dotfiles past the grace window, " +
+    "spares a fresh in-flight temp, and keeps the window readable") {
     val root = Scratch.tempDir("graft-mlog-vac")
     try {
       ManifestStore.write(docs, root, Seq("source"))
       ManifestStore.append(docs.limit(10), root, Seq("source"))
-      // a crashed commit's invisible temp file
+      // a crashed commit's orphan (older than the grace window) and a
+      // concurrent process's IN-FLIGHT commit temp (fresh) — the sweep
+      // must distinguish them by age: deleting the fresh one would
+      // fail that process's valid commit with NoSuchFileException
+      // instead of ConcurrentCommitException
       val stray = java.nio.file.Paths.get(root, "_graft", ".d-crashed.json")
       java.nio.file.Files.write(stray, "{}".getBytes)
+      java.nio.file.Files.setLastModifiedTime(stray,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ManifestStore.DOTFILE_GRACE_MS - 60000))
+      val inflight = java.nio.file.Paths.get(root, "_graft", ".d-inflight.json")
+      java.nio.file.Files.write(inflight, "{}".getBytes)
       ManifestStore.vacuum(spark, root, retainVersions = 1)
-      assert(!java.nio.file.Files.exists(stray))
+      assert(!java.nio.file.Files.exists(stray),
+        "an orphan older than the grace window must be swept")
+      assert(java.nio.file.Files.exists(inflight),
+        "a fresh dotfile may be another process's in-flight commit temp")
+      java.nio.file.Files.delete(inflight)
       assert(ManifestStore.versions(spark, root) === Seq(2L))
       assert(ManifestStore.snapshot(spark, root).read().count() ===
         docs.count() + 10)
+    } finally Scratch.deleteRecursively(root)
+  }
+
+  test("reading version 0 (or below the first commit) errors instead of " +
+    "serving an empty store") {
+    val root = Scratch.tempDir("graft-mlog-v0")
+    try {
+      ManifestStore.write(docs, root, Seq("source"))
+      intercept[IllegalArgumentException] {
+        ManifestStore.snapshotAt(spark, root, 0L)
+      }
+      intercept[IllegalArgumentException] {
+        ManifestStore.snapshotAt(spark, root, -3L)
+      }
+    } finally Scratch.deleteRecursively(root)
+  }
+
+  test("string bounds merge and probe by code point, not UTF-16 code " +
+    "units: supplementary vs U+E000..U+FFFF values cannot mis-prune") {
+    // U+10000 (surrogate pair "𐀀") < U+E000 by code point,
+    // but Java code-unit order says the OPPOSITE (0xD800 < 0xE000 is
+    // true... the inversion bites on the min side: "" <
+    // "𐀀" by code unit). cpCompare must order by code point.
+    val supp = new String(Character.toChars(0x10000))
+    val priv = ""
+    assert(ManifestStore.cpCompare(priv, supp) < 0,
+      "U+E000 precedes U+10000 by code point")
+    assert(priv.compareTo(supp) > 0,
+      "Java code-unit order inverts the pair (the bug being pinned)")
+    // probe: a file holding both values has bounds (min=privE000,
+    // max=supp); a query for the supplementary value must keep it
+    val root = Scratch.tempDir("graft-mlog-cp")
+    try {
+      import org.apache.spark.sql.functions.lit
+      val two = docs.limit(2).select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(priv))
+          .otherwise(lit(supp)).as("k"))
+      ManifestStore.write(two, root, Seq.empty)
+      val snap = ManifestStore.snapshot(spark, root)
+      val (kept, total) =
+        snap.prunedFilesStr(ManifestStore.MAIN, Seq(("k", supp, supp)))
+      assert(total === 1 && kept.length === 1,
+        "code-unit probing would drop the file that holds the match")
+      assert(snap.readRangeStr(ManifestStore.MAIN, "k", supp, supp)
+        .count() === 1L)
     } finally Scratch.deleteRecursively(root)
   }
 }
