@@ -276,17 +276,67 @@ object Scale10x {
       r
     }
 
+    /** The DV-feed scale claim, measured: a FIXED store (same rows,
+      * same files at both scales) takes a DV delete of `2000·mult`
+      * scattered ids, and the arm times ONE logicalFeed hop across
+      * the delete commit. The feed's cost is the candidate-file scan
+      * plus a broadcast semi-join — near-flat seconds under 10× DV
+      * size is the property; the literal-expansion design this
+      * replaced paid O(ids) plan compilation and O(files × ids)
+      * driver screening and grows superlinearly here.
+      */
+    def dvFeedArm(mult: Int): Map[String, Double] = {
+      import graft.sources.{DeletionVectors, ManifestStore}
+      val rows = 60000L
+      val nIds = 2000L * mult // rows divisible by nIds at both scales
+      val root = graft.sources.Scratch.tempDir(s"graft-scale-dv$mult")
+      val docs = spark.read
+        .format("graft-docs")
+        .option("rows", rows)
+        .option("partitions", cpus.toInt)
+        .option("seed", 11)
+        .load()
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        .withColumn("bucket", expr("CAST(doc_id DIV 500 AS BIGINT)"))
+      ManifestStore.write(docs, root, Seq("bucket"))
+      DeletionVectors.delete(spark, root, ManifestStore.MAIN, "doc_id",
+        docs.filter(pmod(col("doc_id"), lit(rows / nIds)) === 0)
+          .select(col("doc_id")))
+      val v1 = ManifestStore.snapshotAt(spark, root, 1)
+      val v2 = ManifestStore.snapshotAt(spark, root, 2)
+      def feedOnce(): Double = {
+        val t0 = System.nanoTime()
+        DeletionVectors.logicalFeed(spark, root, v1, v2)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      feedOnce() // warm
+      metrics.reset()
+      val secs = feedOnce()
+      val r = Map(
+        "secs" -> math.round(secs * 1000) / 1000.0,
+        "dv_ids" -> nIds.toDouble,
+        "shuffle_read_mb" -> mb(metrics.shuffleRead.get),
+        "shuffle_write_mb" -> mb(metrics.shuffleWrite.get),
+        "spill_mb" -> mb(metrics.spill.get)
+      )
+      graft.sources.Scratch.deleteRecursively(root)
+      r
+    }
+
     val dir1 = gen(1)
     val x1 = measure(dir1) +
       ("ann_serve_fixed_batch" -> servingArm(dir1, 1)) +
       ("cdf_fixed_churn" -> cdfArm(dir1, 1)) +
-      ("manifest_fixed_churn" -> manifestArm(dir1, 1))
+      ("manifest_fixed_churn" -> manifestArm(dir1, 1)) +
+      ("dv_feed_fixed_store" -> dvFeedArm(1))
     graft.sources.Scratch.deleteRecursively(dir1)
     val dir10 = gen(10)
     val x10 = measure(dir10) +
       ("ann_serve_fixed_batch" -> servingArm(dir10, 10)) +
       ("cdf_fixed_churn" -> cdfArm(dir10, 10)) +
-      ("manifest_fixed_churn" -> manifestArm(dir10, 10))
+      ("manifest_fixed_churn" -> manifestArm(dir10, 10)) +
+      ("dv_feed_fixed_store" -> dvFeedArm(10))
     graft.sources.Scratch.deleteRecursively(dir10)
 
     def js(m: Map[String, Map[String, Double]]): String =

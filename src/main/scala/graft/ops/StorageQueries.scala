@@ -592,12 +592,19 @@ object StorageQueries {
         docs.filter(pmod(col("doc_id"), lit(DV_MOD)) === 0)
           .select(col("doc_id")))
       DeletionVectors.materialize(s, path, ManifestStore.MAIN, "doc_id")
-      def snap(v: Long) = ManifestStore.snapshotAt(s, path, v)
+      val snaps = (1L to 3L).map(v =>
+        v -> ManifestStore.snapshotAt(s, path, v)).toMap
+      // one DvView per ENDPOINT version, shared by every hop that
+      // touches it — a consumer tailing n hops reads each vector once
+      val views = snaps.map { case (v, sn) =>
+        v -> DeletionVectors.dvView(sn)
+      }
       val hops = Seq(("h1_announce", 1L, 2L), ("h2_materialize", 2L, 3L),
         ("h3_skip_level", 1L, 3L))
       import s.implicits._
       hops.map { case (name, a, b) =>
-        DeletionVectors.logicalFeed(s, path, snap(a), snap(b))
+        DeletionVectors.logicalFeed(s, path, snaps(a), snaps(b),
+          dvAView = Some(views(a)), dvBView = Some(views(b)))
           .agg(
             sum(when(col("op") === "insert", 1L).otherwise(0L)).as("n_ins"),
             sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_del"),

@@ -88,11 +88,63 @@ object DeletionVectors {
     *
     * O(changed) by construction: candidates are rows of the
     * added/removed files plus the rows of the DV-diff ids — the
-    * latter fetched through [[ManifestStore.Snapshot.readForIds]]'
-    * zone-map candidate files, never a store scan. Version diffs
-    * still TELESCOPE (the classification depends only on the two
-    * endpoint logical states).
+    * latter fetched through
+    * [[ManifestStore.Snapshot.readForIdsFrame]]'s zone-map candidate
+    * files (sorted-id binary-search screening, broadcast semi-join
+    * residual — no O(ids) plan literals, no O(files × ids) driver
+    * CPU, so a mass delete of millions of scattered ids feeds at
+    * candidate-scan cost). Version diffs still TELESCOPE (the
+    * classification depends only on the two endpoint logical
+    * states); a consumer tailing many hops passes cached [[DvView]]s
+    * so each endpoint vector is read once, not once per hop.
     */
+  /** One snapshot's deletion vector, read ONCE and held in both the
+    * shapes the feed needs: a broadcastable local frame (the
+    * anti-join / semi-join side — never plan literals) and the sorted
+    * id array (metadata file screening + driver-side set algebra). A
+    * consumer tailing many hops builds one view per ENDPOINT snapshot
+    * via [[dvView]] and reuses it across hops — without the cache,
+    * every hop re-derived both endpoint vectors (two `exceptAll` jobs
+    * + a collect each), which was most of cdc21's cost.
+    */
+  final case class DvView(ids: DataFrame, sorted: Array[Long])
+
+  /** Read `s`'s deletion vector into a [[DvView]] (empty when the
+    * snapshot has no vector). One Spark job; the collected array is
+    * O(vector) driver memory — bytes per deleted id, the same order
+    * as the manifest's own file metadata.
+    */
+  def dvView(
+      s: ManifestStore.Snapshot,
+      table: String = ManifestStore.MAIN,
+      idCol: String = "doc_id"
+  ): DvView = {
+    val dvName = dvTable(table)
+    val sorted: Array[Long] =
+      if (!s.hasTable(dvName)) Array.empty
+      else s.read(dvName).select(col(idCol)).distinct()
+        .collect().map(_.getLong(0)).sorted
+    import s.spark.implicits._
+    DvView(sorted.toSeq.toDF(idCol), sorted)
+  }
+
+  /** Symmetric difference of two sorted-distinct arrays — one driver
+    * merge pass, no Spark job.
+    */
+  private[sources] def symDiff(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = Array.newBuilder[Long]
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { i += 1; j += 1 }
+      else if (a(i) < b(j)) { out += a(i); i += 1 }
+      else { out += b(j); j += 1 }
+    }
+    while (i < a.length) { out += a(i); i += 1 }
+    while (j < b.length) { out += b(j); j += 1 }
+    out.result()
+  }
+
   def logicalFeed(
       spark: SparkSession,
       root: String,
@@ -100,24 +152,20 @@ object DeletionVectors {
       b: ManifestStore.Snapshot,
       table: String = ManifestStore.MAIN,
       idCol: String = "doc_id",
-      payloadCol: String = "n_chars"
+      payloadCol: String = "n_chars",
+      dvAView: Option[DvView] = None,
+      dvBView: Option[DvView] = None
   ): DataFrame = {
     import org.apache.spark.sql.functions.{lit, when}
-    val dvName = dvTable(table)
-    def dvOf(s: ManifestStore.Snapshot): DataFrame =
-      if (s.hasTable(dvName)) s.read(dvName).select(col(idCol)).distinct()
-      else {
-        val base = s.read(table).select(col(idCol))
-        base.sparkSession.createDataFrame(
-          base.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          base.schema)
-      }
-    val dvA = dvOf(a)
-    val dvB = dvOf(b)
-    // ids whose VECTOR membership changed — k rows by the delete
-    // contract, the same metadata-sized read materialize audits
-    val changedIds = dvB.exceptAll(dvA).unionByName(dvA.exceptAll(dvB))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    val va = dvAView.getOrElse(dvView(a, table, idCol))
+    val vb = dvBView.getOrElse(dvView(b, table, idCol))
+    // ids whose VECTOR membership changed — a driver merge of the two
+    // sorted views, no job; stays RELATIONAL downstream (semi-join),
+    // never re-expanded into plan literals, so a mass delete of
+    // millions of ids costs O(candidate files) scan + one broadcast
+    val changedSorted = symDiff(va.sorted, vb.sorted)
+    import spark.implicits._
+    val changedDf = changedSorted.toSeq.toDF(idCol)
     val (added, removed) = ManifestStore.fileDiff(a, b, table)
     def readDelta(s: ManifestStore.Snapshot, files: Seq[ManifestStore.FileEntry]): DataFrame = {
       val st = s.state(table)
@@ -129,22 +177,22 @@ object DeletionVectors {
       else spark.read.schema(schema).parquet(paths: _*)
     }
     def side(s: ManifestStore.Snapshot, files: Seq[ManifestStore.FileEntry],
-        dv: DataFrame): DataFrame = {
+        dv: DvView): DataFrame = {
       val fromFiles = readDelta(s, files)
       val fromDv =
-        if (changedIds.isEmpty) fromFiles.limit(0)
-        else s.readForIds(table, idCol, changedIds)
+        if (changedSorted.isEmpty) fromFiles.limit(0)
+        else s.readForIdsFrame(table, idCol, changedDf, changedSorted)
       fromFiles.unionByName(fromDv)
         .select(col(idCol), col(payloadCol))
         // one value per id per version (a row can be both in a
         // changed file and a changed vector)
         .dropDuplicates(idCol)
         // LOGICAL state: vector-dead rows do not exist on this side
-        .join(broadcast(dv), Seq(idCol), "left_anti")
+        .join(broadcast(dv.ids), Seq(idCol), "left_anti")
     }
-    val oldSide = side(a, removed, dvA)
+    val oldSide = side(a, removed, va)
       .select(col(idCol), col(payloadCol).as("payload_old"))
-    val newSide = side(b, added, dvB)
+    val newSide = side(b, added, vb)
       .select(col(idCol), col(payloadCol).as("payload_new"))
     newSide
       .join(oldSide, Seq(idCol), "full_outer")
@@ -185,8 +233,9 @@ object DeletionVectors {
         st.partitionCols.mkString(","))
     val dv = snap.read(dvName).select(col(idCol)).distinct()
     // the vector is k rows by contract — a metadata-sized read, the
-    // same discipline as the store's other audited collect sites
-    val ids = dv.collect().map(_.getLong(0))
+    // same discipline as the store's other audited collect sites;
+    // sorted so partition screening binary-searches (O(files·log k))
+    val ids = dv.collect().map(_.getLong(0)).sorted
     val emptyDv = dv.limit(0)
     val dvStage = ManifestStore.stage(
       emptyDv, root, dvName, Seq.empty, ManifestStore.Replace)
@@ -201,8 +250,10 @@ object DeletionVectors {
       val touched = st.partitions.collect {
         case (key, p) if p.files.exists { f =>
           f.stats.get(idCol) match {
-            case Some((mn, mx)) => ids.exists(id => id >= mn && id <= mx)
-            case None           => true // no stats: cannot prove clean
+            case Some((mn, mx)) =>
+              val i = ManifestStore.lowerBound(ids, mn)
+              i < ids.length && ids(i) <= mx
+            case None => true // no stats: cannot prove clean
           }
         } => (key, p.values.head)
       }.toSeq.sortBy(_._1)

@@ -413,25 +413,88 @@ object ManifestStore {
     def readRangeStr(table: String, column: String, lo: String, hi: String): DataFrame =
       readBoxStr(table, Seq((column, lo, hi)))
 
+    /** Files whose footer (min, max) can hold ANY of `sortedIds` —
+      * one binary search per file (O(files · log ids), never
+      * O(files · ids) driver CPU), so screening a mass delete of
+      * millions of scattered ids costs the same as screening ten. A
+      * file without stats is conservatively kept.
+      */
+    def candidateFilesForIds(
+        table: String,
+        idCol: String,
+        sortedIds: Array[Long]
+    ): Seq[FileEntry] =
+      state(table).partitions.values.flatMap(_.files).filter { f =>
+        f.stats.get(idCol) match {
+          case Some((mn, mx)) =>
+            // first id ≥ mn; a candidate iff it also ≤ mx
+            val i = lowerBound(sortedIds, mn)
+            i < sortedIds.length && sortedIds(i) <= mx
+          case None => true
+        }
+      }.toSeq
+
     /** Batched POINT LOOKUP through the zone maps: scan only the
       * files whose footer (min, max) can hold ANY of `ids` — the
       * metadata-routed row fetch a keyed store serves without an
       * index (a file without stats is conservatively read). Cost is
       * O(candidate files), so an id-clustered layout answers a k-id
       * probe by opening ~k files no matter how large the table is.
-      * The residual `isin` filter still applies — result ≡ filtering
-      * the full table.
+      * The residual filter still applies — result ≡ filtering the
+      * full table: a SMALL batch filters with `isin` (codegen'd AND
+      * pushed to parquet, so row groups skip too), a large one
+      * semi-joins against a broadcast id frame — never an
+      * O(ids)-literal expression in the plan.
       */
     def readForIds(table: String, idCol: String, ids: Seq[Long]): DataFrame = {
-      val files = state(table).partitions.values.flatMap(_.files).filter { f =>
-        f.stats.get(idCol) match {
-          case Some((mn, mx)) => ids.exists(id => id >= mn && id <= mx)
-          case None           => true
-        }
-      }.toSeq
-      readFiles(state(table), resolve(files))
-        .filter(col(idCol).isin(ids: _*))
+      val sorted = ids.distinct.sorted.toArray
+      val base =
+        readFiles(state(table), resolve(candidateFilesForIds(table, idCol, sorted)))
+      if (sorted.length <= ISIN_MAX) base.filter(col(idCol).isin(sorted: _*))
+      else {
+        import spark.implicits._
+        base.join(
+          org.apache.spark.sql.functions.broadcast(
+            sorted.toSeq.toDF(idCol)),
+          Seq(idCol), "left_semi")
+      }
     }
+
+    /** [[readForIds]] with the id set kept RELATIONAL: `idsDf` (one
+      * column named `idCol`) drives the residual semi-join while the
+      * caller-sorted `sortedIds` drives the metadata file screening —
+      * the shape a mass delete needs, where the ids come from a
+      * DataFrame diff and must never expand into plan literals.
+      */
+    def readForIdsFrame(
+        table: String,
+        idCol: String,
+        idsDf: DataFrame,
+        sortedIds: Array[Long]
+    ): DataFrame =
+      readFiles(state(table), resolve(
+        candidateFilesForIds(table, idCol, sortedIds)))
+        .join(org.apache.spark.sql.functions.broadcast(idsDf),
+          Seq(idCol), "left_semi")
+  }
+
+  /** Residual-filter shape threshold for [[Snapshot.readForIds]]:
+    * at-or-below this many ids, an `isin` literal list (parquet
+    * pushdown); above, a broadcast semi-join.
+    */
+  val ISIN_MAX: Int = 256
+
+  /** Index of the first element of `sorted` ≥ `key` (= sorted.length
+    * when none).
+    */
+  private[sources] def lowerBound(sorted: Array[Long], key: Long): Int = {
+    var lo = 0
+    var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid) < key) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   private def logDir(root: String) = root + "/_graft"

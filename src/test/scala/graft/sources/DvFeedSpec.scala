@@ -77,4 +77,51 @@ class DvFeedSpec extends SparkSpec {
       assert(announce.map(_.getLong(0)).sorted.toSeq === (120L to 140L))
     } finally Scratch.deleteRecursively(root)
   }
+
+  /** Largest In/InSet literal list anywhere in the plan — the
+    * scale-killer being pinned out of existence: a feed that expands
+    * the delete-id set into plan literals shows up here at O(ids).
+    */
+  private def maxInLiterals(df: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val sizes = df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case i: In    => i.list.size
+        case i: InSet => i.hset.size
+      })
+    }.flatten
+    if (sizes.isEmpty) 0 else sizes.max
+  }
+
+  test("mass delete (>=10k ids): the feed carries the id set " +
+    "relationally — no O(ids) plan literals, classification exact") {
+    val root = Scratch.tempDir("graft-dvfeed-mass")
+    try {
+      // 40 shifted copies of the fixture corpus: 20k distinct ids in
+      // id-clustered buckets (the RTBF-at-scale shape — a purge of an
+      // entire crawl source, ids scattered across the store)
+      val wide = (0 until 40).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(500L * i))
+      }.reduce(_ unionByName _)
+        .withColumn("bucket", expr("CAST(doc_id DIV 100 AS BIGINT)"))
+        .localCheckpoint(true)
+      ManifestStore.write(wide, root, Seq("bucket"))                // v1
+      DeletionVectors.delete(spark, root, ManifestStore.MAIN, "doc_id",
+        wide.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id")))                                   // v2
+      def snap(v: Long) = ManifestStore.snapshotAt(spark, root, v)
+      val feed = DeletionVectors.logicalFeed(spark, root, snap(1), snap(2))
+      assert(maxInLiterals(feed) <= ManifestStore.ISIN_MAX,
+        "a 10^4-id delete must not expand into In/InSet plan literals")
+      val got = feed.agg(
+        count(lit(1)), sum(col("doc_id")),
+        sum(when(col("op") === "delete", 1).otherwise(0))).head
+      assert(got.getLong(0) === 10000L, "every even id announced once")
+      assert(got.getLong(2) === 10000L, "all classified delete")
+      assert(got.getLong(1) === (0L until 20000L by 2).sum)
+      // and the relational path agrees with the brute-force diff
+      assert(canon(feed) === canon(bruteFeed(snap(1), snap(2))))
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(wide)
+    } finally Scratch.deleteRecursively(root)
+  }
 }
