@@ -37,9 +37,13 @@ import org.apache.spark.sql.types.StructType
   * regardless of how many files the store holds (the monolithic
   * full-snapshot-per-commit design pays O(total files) serialization
   * on every commit, which a streaming ingest pays per micro-batch).
-  * Every [[CKPT_EVERY]] commits a full checkpoint is also written, so
-  * state reconstruction replays a bounded tail: `snapshot(v)` = the
-  * newest checkpoint ≤ v plus the deltas after it.
+  * Every [[CKPT_EVERY]] commits a full checkpoint is also written —
+  * ASYNCHRONOUSLY, off the commit critical path, because a checkpoint
+  * is pure derived state (a missing or late one only lengthens the
+  * tail replay, never changes what a reader sees) — so state
+  * reconstruction replays a bounded tail: `snapshot(v)` = the newest
+  * checkpoint ≤ v plus the deltas after it, and no committer ever
+  * stalls on the O(store files) checkpoint serialization.
   *
   * '''The commit point is an atomic create-new.''' The delta is
   * written to an invisible dotfile and published with
@@ -1055,12 +1059,48 @@ object ManifestStore {
     val ts = math.max(prev.ts + 1, System.currentTimeMillis())
     linkDelta(root, version, deltaBytes(version, ts, actions, batchUpdate))
     if (version % CKPT_EVERY == 0) {
+      // OFF the commit critical path: the checkpoint is derived state
+      // (pure optimization — a missing/late one only lengthens the
+      // tail replay, ManifestLogSpec pins that), so at millions of
+      // files the every-Nth committer no longer stalls on an O(store
+      // files) serialization. The state to persist is captured HERE
+      // (inside the commit) so the async write is a pure serialize-
+      // and-move of an immutable value; the single executor thread
+      // applies writes in submission order.
       val next = applyDelta(prev,
         Delta(version, ts, actions, batchUpdate))
-      writeCkpt(root, next)
+      ckptExec.execute { () =>
+        try writeCkpt(root, next)
+        catch {
+          case e: Throwable =>
+            // non-fatal by design: readers replay the delta tail
+            System.err.println(
+              s"graft manifest: async checkpoint v$version at $root " +
+                s"failed (${e.getClass.getSimpleName}: ${e.getMessage}) " +
+                "— replay covers it")
+        }
+      }
     }
     version
   }
+
+  /** Single daemon writer for async checkpoints: FIFO, so
+    * [[awaitCheckpoints]] (an empty barrier task) drains everything
+    * submitted before it.
+    */
+  private val ckptExec: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-manifest-ckpt")
+      t.setDaemon(true)
+      t
+    }
+
+  /** Block until every checkpoint submitted so far has been written —
+    * for deterministic specs/benchmarks and before tearing down a
+    * scratch root (a late checkpoint would recreate its directory).
+    */
+  def awaitCheckpoints(): Unit =
+    ckptExec.submit(new Runnable { override def run(): Unit = () }).get()
 
   /** The atomic commit point, isolated for direct pinning: write the
     * delta to an invisible dotfile, publish via `Files.createLink` —
@@ -1242,6 +1282,10 @@ object ManifestStore {
       keepFrom: Long
   ): Int = {
     locally {
+      // drain pending async checkpoints: a queued write landing AFTER
+      // the sweep would resurrect a checkpoint for a vacuumed version
+      // whose data files are gone
+      awaitCheckpoints()
       val tagged = tags(spark, root).values.toSet
       val protectedBelow = tagged.filter(_ < keepFrom).toSeq.sorted
       val retained: Seq[StoreState] =

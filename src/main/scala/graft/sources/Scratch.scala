@@ -11,6 +11,9 @@ object Scratch {
 
   def deleteRecursively(path: String): Unit = {
     import scala.jdk.CollectionConverters._
+    // a manifest checkpoint still queued for this root would recreate
+    // the directory after the walk below — drain the writer first
+    ManifestStore.awaitCheckpoints()
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(p)) {
       java.nio.file.Files

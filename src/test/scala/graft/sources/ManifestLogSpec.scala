@@ -59,7 +59,8 @@ class ManifestLogSpec extends SparkSpec {
     } finally Scratch.deleteRecursively(root)
   }
 
-  test("checkpoint + delta tail reconstructs exactly the pure-replay state") {
+  test("checkpoint + delta tail reconstructs exactly the pure-replay " +
+    "state; a late/missing checkpoint only lengthens the replay") {
     val root = Scratch.tempDir("graft-mlog-ckpt")
     try {
       val base = docs.limit(100).localCheckpoint(true)
@@ -68,10 +69,18 @@ class ManifestLogSpec extends SparkSpec {
           base.withColumn("doc_id", col("doc_id") + lit(1000000L * i)),
           root, Seq("source"))
       }
+      // the checkpoint write is ASYNC (off the commit critical path);
+      // BEFORE it lands, the state must already read correctly via
+      // pure delta replay — that is exactly what makes async safe
+      val viaLate = ManifestStore.snapshot(spark, root)
+      val lateState = canon(viaLate.read())
+      ManifestStore.awaitCheckpoints()
       val ckpts = logFiles(root, "c")
       assert(ckpts.nonEmpty, "CKPT_EVERY commits must cut a checkpoint")
       val cur = ManifestStore.snapshot(spark, root)
       val viaCkpt = canon(cur.read())
+      assert(viaCkpt === lateState,
+        "a late checkpoint must not change the observed state")
       // remove the checkpoint: the reader must fall back to replaying
       // the full delta chain and land on the SAME state
       ckpts.foreach(java.nio.file.Files.delete(_))
