@@ -34,7 +34,7 @@ object SparkEntry {
       ops.TimeSeriesQueries.queries ++
       ops.MediaQueries.queries ++
       ops.MiscQueries.queries ++
-      ops.StorageQueries.queries
+      ops.StorageQueries.queries ++ ops.StorageQueries2.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Relational2.oracle ++
@@ -55,5 +55,5 @@ object SparkEntry {
       ops.TimeSeriesQueries.oracle ++
       ops.MediaQueries.oracle ++
       ops.MiscQueries.oracle ++
-      ops.StorageQueries.oracle
+      ops.StorageQueries.oracle ++ ops.StorageQueries2.oracle
 }

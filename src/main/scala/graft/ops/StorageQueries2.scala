@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.Tables
+import graft.sources.ManifestStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 storage rows: partition-spec evolution, keyed MERGE, the
+  * live manifest tail, row-group zone maps, column mapping — the
+  * remaining table-format surface a production lakehouse runs daily
+  * on top of the [[graft.sources.ManifestStore]] core (q112–q119).
+  * Same discipline as [[StorageQueries]]: every row builds a scratch
+  * store from the fixture, exercises the mechanism end to end, and
+  * emits ONLY fixture-derivable columns so the DuckDB oracle gates the
+  * whole path.
+  */
+object StorageQueries2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def h32l(c: org.apache.spark.sql.Column) =
+    graft.functions.PortableHash.h32(c.cast("string")).cast("long")
+
+  private def baseDocs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+
+  /** q120: PARTITION-SPEC EVOLUTION gated — re-partitioning a live
+    * table WITHOUT rewriting it (Iceberg's spec evolution; the
+    * alternative at 100 TB is a full-store Replace). Inside a scratch
+    * root: (v1) the even-id half commits partitioned by `source`;
+    * (v2) [[graft.sources.ManifestStore.evolvePartitionSpec]] flips
+    * the current spec to `lang` — a METADATA-ONLY commit, not one
+    * file moved; (v3) the odd-id half upserts under the NEW spec and
+    * lands beside the old generation. Three probes then pin the
+    * read surface: a `source`-value probe (prunes the source-spec
+    * generation to one entry, conservatively keeps every lang-spec
+    * entry — per-spec pruning, Iceberg's rule), a `lang`-value probe
+    * (the mirror image), and a time-travel read of v1 (the old spec,
+    * old generation only). Each probe reports the manifest's
+    * total/kept file census plus count / payload sum / Σ h32 from the
+    * pruned scan; the oracle re-derives the censuses from distinct
+    * counts and the aggregates from parity arithmetic — a probe that
+    * prunes an other-spec file (unsound), forgets the residual
+    * filter, or lets the generations collide diverges at the gate.
+    * PartitionSpecEvolutionSpec pins the metadata-only property, the
+    * spec-qualified partition keys, and the single-spec
+    * no-residual-filter plan.
+    */
+  private val specEvolution: Q = (s, dir) => {
+    val docs = baseDocs(s, dir)
+    graft.sources.Scratch.withTempDir("graft-q120") { path =>
+      val gen1 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val gen2 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      ManifestStore.write(gen1, path, Seq("source"))                // v1
+      ManifestStore.evolvePartitionSpec(s, path,
+        ManifestStore.MAIN, Seq("lang"))                            // v2
+      ManifestStore.upsertPartitions(gen2, path, Seq("lang"))      // v3
+      val v3 = ManifestStore.snapshot(s, path)
+      val src0 = docs.select(min(col("source"))).head.getString(0)
+      val lang0 = docs.select(min(col("lang"))).head.getString(0)
+      def probe(name: String, colName: String, value: String) = {
+        val (kept, total) = v3.partitionProbeFiles(
+          ManifestStore.MAIN, colName, Set(value))
+        v3.readPartitionCol(ManifestStore.MAIN, colName, Seq(value))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars_sum"),
+            sum(h32l(col("doc_id"))).as("doc_fp"))
+          .select(lit(name).as("probe"),
+            lit(total.toLong).as("files_total"),
+            lit(kept.length.toLong).as("files_kept"),
+            col("n_docs"), col("chars_sum"), col("doc_fp"))
+      }
+      val v1 = ManifestStore.snapshotAt(s, path, 1)
+      val pre = v1.read()
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(h32l(col("doc_id"))).as("doc_fp"))
+        .select(lit("p3_pre_evolve").as("probe"),
+          lit(v1.filePaths().length.toLong).as("files_total"),
+          lit(v1.filePaths().length.toLong).as("files_kept"),
+          col("n_docs"), col("chars_sum"), col("doc_fp"))
+      probe("p1_source", "source", src0)
+        .unionByName(probe("p2_lang", "lang", lang0))
+        .unionByName(pre)
+        .orderBy("probe")
+        .localCheckpoint(true)
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q120_spec_evolution" -> specEvolution
+  )
+
+  private def h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
+
+  val oracle: Map[String, String] = Map(
+    // censuses from distinct counts (1 file per partition value — the
+    // stage contract), aggregates from parity arithmetic: the source
+    // probe keeps 1 source file + every lang file (other-spec files
+    // cannot be pruned by a source value), the lang probe mirrors it,
+    // and the pre-evolve read sees the even generation only
+    "q120_spec_evolution" ->
+      s"""WITH d AS (SELECT doc_id, source, lang,
+         |    CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+         |g1 AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+         |g2 AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+         |ns AS (SELECT COUNT(DISTINCT source) AS n FROM g1),
+         |nl AS (SELECT COUNT(DISTINCT lang) AS n FROM g2),
+         |pr AS (SELECT (SELECT MIN(source) FROM d) AS src0,
+         |    (SELECT MIN(lang) FROM d) AS lang0),
+         |r AS (
+         |  SELECT 'p1_source' AS probe, ns.n + nl.n AS ft, nl.n + 1 AS fk,
+         |    (SELECT COUNT(*) FROM d, pr WHERE source = src0) AS n,
+         |    (SELECT SUM(n_chars) FROM d, pr WHERE source = src0) AS cs,
+         |    (SELECT SUM($h) FROM d, pr WHERE source = src0) AS fp
+         |  FROM ns, nl
+         |  UNION ALL
+         |  SELECT 'p2_lang', ns.n + nl.n, ns.n + 1,
+         |    (SELECT COUNT(*) FROM d, pr WHERE lang = lang0),
+         |    (SELECT SUM(n_chars) FROM d, pr WHERE lang = lang0),
+         |    (SELECT SUM($h) FROM d, pr WHERE lang = lang0)
+         |  FROM ns, nl
+         |  UNION ALL
+         |  SELECT 'p3_pre_evolve', ns.n, ns.n,
+         |    (SELECT COUNT(*) FROM g1),
+         |    (SELECT SUM(n_chars) FROM g1),
+         |    (SELECT SUM($h) FROM g1)
+         |  FROM ns)
+         |SELECT probe,
+         |  CAST(ft AS BIGINT) AS files_total,
+         |  CAST(fk AS BIGINT) AS files_kept,
+         |  CAST(n AS BIGINT) AS n_docs,
+         |  CAST(cs AS BIGINT) AS chars_sum,
+         |  CAST(fp AS BIGINT) AS doc_fp
+         |FROM r ORDER BY probe""".stripMargin
+  )
+}

@@ -262,7 +262,7 @@ object DeletionVectors {
         ManifestStore.commit(spark, root, Seq(dvStage),
           expectedVersion = snap.version)
       else {
-        val kept = snap.readPartitions(table, touched.map(_._2))
+        val kept = snap.readPartitionKeys(table, touched.map(_._1))
           .join(broadcast(dv), Seq(idCol), "left_anti")
         // EVERY touched partition is first dropped, then re-added by
         // whatever the survivors' write staged: a partition whose rows

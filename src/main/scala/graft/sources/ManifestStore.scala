@@ -174,16 +174,25 @@ object ManifestStore {
     */
   case object Append extends Mode
 
+  /** Metadata-only: change the table's CURRENT partition spec (the
+    * layout future Upsert/Append writes must use) without touching a
+    * single file — existing entries keep their own spec and stay
+    * readable ([[evolvePartitionSpec]] is the public face).
+    */
+  case object SetSpec extends Mode
+
   private def modeName(m: Mode): String = m match {
     case Replace => "replace"
     case Upsert  => "upsert"
     case Append  => "append"
+    case SetSpec => "setspec"
   }
 
   private def modeOf(s: String): Mode = s match {
     case "replace" => Replace
     case "upsert"  => Upsert
     case "append"  => Append
+    case "setspec" => SetSpec
   }
 
   /** One parquet file the log references: `path` relative to the
@@ -202,10 +211,28 @@ object ManifestStore {
       strStats: Map[String, (String, String)] = Map.empty
   )
 
-  final case class PartitionEntry(values: Seq[String], files: Seq[FileEntry]) {
+  /** One partition's entry, tagged with the SPEC (`cols`) it was
+    * written under — Iceberg's per-file spec-id at partition
+    * granularity. After [[evolvePartitionSpec]] a table carries
+    * entries of several specs side by side: reads union them, pruning
+    * applies per entry against its OWN spec, and only entries of the
+    * probed spec can be pruned by a partition value.
+    */
+  final case class PartitionEntry(
+      values: Seq[String],
+      files: Seq[FileEntry],
+      cols: Seq[String] = Seq.empty
+  ) {
     def rows: Long = files.map(_.rows).sum
     def bytes: Long = files.map(_.bytes).sum
   }
+
+  /** Spec-qualified partition key — `source=src3`, `bucket=1/lang=en`
+    * — so entries of different specs can never collide or silently
+    * replace each other across an [[evolvePartitionSpec]].
+    */
+  private[sources] def keyOf(cols: Seq[String], values: Seq[String]): String =
+    cols.zip(values).map { case (c, v) => s"$c=$v" }.mkString("/")
 
   final case class TableState(
       partitionCols: Seq[String],
@@ -291,18 +318,68 @@ object ManifestStore {
     /** Manifest-level partition pruning: only the named partitions'
       * files reach the scan — the reader never lists, let alone
       * opens, any other partition's files. `values` match on the
-      * stringified partition value (single partition column).
+      * stringified partition value (single partition column — the
+      * CURRENT spec's). On a table carrying older specs, entries of a
+      * different spec are conservatively scanned with a residual
+      * filter (see [[readPartitionCol]]); a single-spec table keeps
+      * the pure-prune plan.
       */
     def readPartitions(table: String, values: Seq[Any]): DataFrame = {
       val st = state(table)
       require(st.partitionCols.length == 1,
         s"readPartitions prunes on a single partition column, " +
           s"'$table' has ${st.partitionCols.mkString(",")}")
+      readPartitionCol(table, st.partitionCols.head, values)
+    }
+
+    /** Per-SPEC partition pruning (Iceberg's spec-id discipline): an
+      * entry written under spec `(colName)` prunes by value; an entry
+      * of ANY OTHER spec has no `colName` directory axis and is
+      * conservatively kept. Returns (files to scan, total files).
+      */
+    def partitionProbeFiles(
+        table: String,
+        colName: String,
+        values: Set[String]
+    ): (Seq[FileEntry], Int) = {
+      val all = state(table).partitions.values.toSeq
+      val kept = all.filter { p =>
+        p.cols != Seq(colName) || values.contains(p.values.head)
+      }
+      (kept.flatMap(_.files), all.map(_.files.length).sum)
+    }
+
+    /** Partition-value read by NAMED column across specs: entries of
+      * spec `(colName)` prune to the matching values; other-spec
+      * entries scan with the residual predicate applied (so the
+      * result is exactly "rows whose colName is in values" no matter
+      * which generation holds them). A table whose every entry is in
+      * the probed spec gets NO residual — the plan is the pure
+      * metadata prune, unchanged from before spec evolution existed.
+      */
+    def readPartitionCol(
+        table: String,
+        colName: String,
+        values: Seq[Any]
+    ): DataFrame = {
+      val st = state(table)
       val want = values.map(_.toString).toSet
-      val files = st.partitions.collect {
-        case (_, p) if want.contains(p.values.head) => p.files
-      }.flatten.toSeq
-      readFiles(st, resolve(files))
+      val (files, _) = partitionProbeFiles(table, colName, want)
+      val base = readFiles(st, resolve(files))
+      val mixed = st.partitions.values.exists(_.cols != Seq(colName))
+      if (mixed) base.filter(col(colName).isin(values: _*)) else base
+    }
+
+    /** Read exactly the named partition entries (by spec-qualified
+      * map key) — the spec-agnostic partition fetch rewrite paths use
+      * ([[DeletionVectors.materialize]] touches entries across specs).
+      */
+    def readPartitionKeys(table: String, keys: Seq[String]): DataFrame = {
+      val st = state(table)
+      val want = keys.toSet
+      readFiles(st, resolve(st.partitions.collect {
+        case (k, p) if want.contains(k) => p.files
+      }.flatten.toSeq))
     }
 
     def state(table: String): TableState =
@@ -671,11 +748,11 @@ object ManifestStore {
       .collect()
       .toSeq
     entries
-      .groupBy(_._1.mkString("/"))
+      .groupBy(e => keyOf(st.partitionCols, e._1))
       .map { case (key, group) =>
         // deterministic log content: files sorted by path
         key -> PartitionEntry(group.head._1,
-          group.map(_._2).sortBy(_.path))
+          group.map(_._2).sortBy(_.path), st.partitionCols)
       }
   }
 
@@ -860,6 +937,14 @@ object ManifestStore {
     var tables = prevTables
     actions.foreach { a =>
       val next = (tables.get(a.table), a.mode) match {
+        case (None, SetSpec) =>
+          throw new IllegalArgumentException(
+            s"table '${a.table}' does not exist — a partition spec " +
+              "needs a table to evolve")
+        case (Some(cur), SetSpec) =>
+          // metadata-only: existing entries keep their own spec (and
+          // their files); only the CURRENT spec for future writes moves
+          cur.copy(partitionCols = a.partitionCols)
         case (_, Replace) | (None, _) =>
           TableState(a.partitionCols, a.schemaDdl, a.partitions)
         case (Some(cur), Upsert) =>
@@ -966,6 +1051,39 @@ object ManifestStore {
     }
   }
 
+  /** Change `table`'s CURRENT partition spec — a METADATA-ONLY commit
+    * (no file touched, no data moved): existing entries keep the spec
+    * they were written under and stay readable/prunable against it;
+    * Upsert/Append writes from here on must use the new spec and land
+    * as new-spec entries beside the old ones (Iceberg's
+    * spec-evolution semantics — the alternative, a full table rewrite
+    * through Replace, is exactly what a 100 TB re-partition cannot
+    * afford). Reads union the generations; per-spec pruning applies
+    * through [[Snapshot.readPartitionCol]]/[[Snapshot.partitionProbeFiles]];
+    * time travel before this commit still reads the old spec. Returns
+    * the new version.
+    */
+  def evolvePartitionSpec(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      newCols: Seq[String]
+  ): Long =
+    lockFor(root).synchronized {
+      val prev = loadState(root).getOrElse(
+        throw new IllegalStateException(s"no committed store at $root"))
+      val cur = prev.tables.getOrElse(table,
+        throw new IllegalArgumentException(
+          s"no table '$table' at $root to evolve"))
+      require(newCols != cur.partitionCols,
+        s"table '$table' already has spec ${newCols.mkString(",")}")
+      val fields = StructType.fromDDL(cur.schemaDdl).fieldNames.toSet
+      newCols.foreach(c => require(fields.contains(c),
+        s"partition column '$c' is not a column of '$table'"))
+      publish(root, prev,
+        Seq(Action(table, SetSpec, newCols, cur.schemaDdl, Map.empty)), None)
+    }
+
   /** Retry a commit that lost the CAS race, Delta-style: if every
     * partition the staged write touches is UNCHANGED between
     * `baseVersion` (what the writer read) and the current version,
@@ -1057,18 +1175,21 @@ object ManifestStore {
     // needs ts to order exactly like versions even when two commits
     // land in one millisecond
     val ts = math.max(prev.ts + 1, System.currentTimeMillis())
+    // apply BEFORE the link: applyActions carries the compatibility
+    // checks (spec/schema), so an invalid action throws HERE with
+    // nothing published — were the delta linked first, every later
+    // replay of the log would hit the same failure (a poisoned log)
+    val next = applyDelta(prev, Delta(version, ts, actions, batchUpdate))
     linkDelta(root, version, deltaBytes(version, ts, actions, batchUpdate))
     if (version % CKPT_EVERY == 0) {
       // OFF the commit critical path: the checkpoint is derived state
       // (pure optimization — a missing/late one only lengthens the
       // tail replay, ManifestLogSpec pins that), so at millions of
       // files the every-Nth committer no longer stalls on an O(store
-      // files) serialization. The state to persist is captured HERE
+      // files) serialization. The state to persist was captured above
       // (inside the commit) so the async write is a pure serialize-
       // and-move of an immutable value; the single executor thread
       // applies writes in submission order.
-      val next = applyDelta(prev,
-        Delta(version, ts, actions, batchUpdate))
       ckptExec.execute { () =>
         try writeCkpt(root, next)
         catch {
@@ -1378,12 +1499,20 @@ object ManifestStore {
   private def writePartitions(
       mapper: com.fasterxml.jackson.databind.ObjectMapper,
       node: com.fasterxml.jackson.databind.node.ObjectNode,
-      partitions: Map[String, PartitionEntry]
+      partitions: Map[String, PartitionEntry],
+      defaultCols: Seq[String]
   ): Unit =
     partitions.toSeq.sortBy(_._1).foreach { case (key, p) =>
       val pn = node.putObject(key)
       val vs = pn.putArray("values")
       p.values.foreach(vs.add)
+      // spec tag persisted only when it differs from the enclosing
+      // context's (an action's staged spec, a checkpoint's current
+      // spec) — the common single-spec table pays zero extra bytes
+      if (p.cols != defaultCols) {
+        val cn = pn.putArray("cols")
+        p.cols.foreach(cn.add)
+      }
       val fsN = pn.putArray("files")
       p.files.foreach { f =>
         val fn = fsN.addObject()
@@ -1406,12 +1535,16 @@ object ManifestStore {
     }
 
   private def parsePartitions(
-      node: com.fasterxml.jackson.databind.JsonNode
+      node: com.fasterxml.jackson.databind.JsonNode,
+      defaultCols: Seq[String]
   ): Map[String, PartitionEntry] = {
     import scala.jdk.CollectionConverters._
     node.properties().asScala.map { pe =>
       val p = pe.getValue
       val values = p.get("values").elements().asScala.map(_.asText()).toSeq
+      val cols = Option(p.get("cols"))
+        .map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(defaultCols)
       val files = p.get("files").elements().asScala.map { f =>
         val stats = Option(f.get("stats")) match {
           case Some(sn) =>
@@ -1437,7 +1570,7 @@ object ManifestStore {
           strStats
         )
       }.toSeq
-      pe.getKey -> PartitionEntry(values, files)
+      pe.getKey -> PartitionEntry(values, files, cols)
     }.toMap
   }
 
@@ -1468,7 +1601,8 @@ object ManifestStore {
         val dn = an.putArray("drops")
         a.drops.sorted.foreach(dn.add)
       }
-      writePartitions(mapper, an.putObject("partitions"), a.partitions)
+      writePartitions(mapper, an.putObject("partitions"), a.partitions,
+        a.partitionCols)
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(doc)
   }
@@ -1484,7 +1618,8 @@ object ManifestStore {
         modeOf(an.get("mode").asText()),
         an.get("partitionCols").elements().asScala.map(_.asText()).toSeq,
         an.get("schemaDdl").asText(),
-        parsePartitions(an.get("partitions")),
+        parsePartitions(an.get("partitions"),
+          an.get("partitionCols").elements().asScala.map(_.asText()).toSeq),
         Option(an.get("drops")).map(
           _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
       )
@@ -1509,7 +1644,8 @@ object ManifestStore {
       val pc = tn.putArray("partitionCols")
       t.partitionCols.foreach(pc.add)
       tn.put("schemaDdl", t.schemaDdl)
-      writePartitions(mapper, tn.putObject("partitions"), t.partitions)
+      writePartitions(mapper, tn.putObject("partitions"), t.partitions,
+        t.partitionCols)
     }
     val dir = localPath(logDir(root))
     java.nio.file.Files.createDirectories(dir)
@@ -1535,7 +1671,7 @@ object ManifestStore {
       val pcols = t.get("partitionCols").elements().asScala
         .map(_.asText()).toSeq
       e.getKey -> TableState(pcols, t.get("schemaDdl").asText(),
-        parsePartitions(t.get("partitions")))
+        parsePartitions(t.get("partitions"), pcols))
     }.toMap
     val batches = Option(doc.get("batches")) match {
       case Some(bn) =>

@@ -91,7 +91,7 @@ class DeletionVectorsSpec extends SparkSpec {
       // only the candidate partition's files changed — the zone maps
       // spared every other bucket a rewrite
       val changed = ManifestStore.changedPartitionKeys(v2, v3)
-      assert(changed === Set("1"),
+      assert(changed === Set("bucket=1"),
         s"only bucket 1 can hold ids 120..140, rewrote $changed")
       // superseded bucket-1 files + old DV files fall to vacuum
       assert(ManifestStore.vacuum(spark, root) > 0)

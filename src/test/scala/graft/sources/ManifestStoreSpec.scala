@@ -348,7 +348,8 @@ class ManifestStoreSpec extends SparkSpec {
           .filter(_.values.head == target).flatMap(_.files.map(_.path)).toSet
       assert(added.map(_.path).toSet === targetFiles(v2))
       assert(removed.map(_.path).toSet === targetFiles(v1))
-      assert(ManifestStore.changedPartitionKeys(v1, v2) === Set(target))
+      assert(ManifestStore.changedPartitionKeys(v1, v2) ===
+        Set("source=" + target))
       // an append-only commit diffs as added-only
       val extra = docs.limit(20)
         .withColumn("doc_id", col("doc_id") + 10000000L)
