@@ -91,8 +91,63 @@ object StorageQueries2 {
     }
   }
 
+  /** cdc22: keyed MERGE INTO gated — the writer that joins the repo's
+    * two halves: [[graft.cdc.Materializer]]'s latest-wins semantics
+    * (cdc01/cdc05) and the manifest store's atomic commit (q112+).
+    * Two change batches hit the corpus store, EACH DELIVERED TWICE
+    * (the foreachBatch at-least-once schedule): batch 1 updates every
+    * 5th doc (+1e6), deletes every 7th≡3, inserts re-keyed copies of
+    * every 11th≡0; batch 2 deletes every 10th≡0 and RE-INSERTS the
+    * odd half of batch 1's deletes (+5e5) — the op every naive
+    * DV design breaks on (the vector entry must clear in the same
+    * commit or the new row stays dead). [[graft.sources.MergeInto]]
+    * lands each batch as ONE commit: zone-map-routed partition
+    * rewrites for upserts, O(k) vector ids for deletes, ledger-gated
+    * exactly-once (the version column pins that redeliveries mint
+    * nothing). The oracle derives the final state from modulus
+    * arithmetic — within-batch latest-wins included (a doc both
+    * updated and deleted in batch 1 dies; its odd half returns at
+    * +5e5). MergeIntoSpec pins merge ≡ one-shot materialize, the
+    * stale-row-resurrection guard, and emptied-partition drops.
+    */
+  private val mergeInto: Q = (s, dir) => {
+    import graft.sources.{DeletionVectors, MergeInto}
+    val docs = baseDocs(s, dir).drop("lang")
+    graft.sources.Scratch.withTempDir("graft-cdc22") { path =>
+      ManifestStore.write(docs, path, Seq("source"))               // v1
+      val k = col("doc_id")
+      def ev(df: DataFrame, op: String, ts: Long, seq: Long) =
+        df.select(col("doc_id"), col("source"), col("n_chars"),
+          lit(op).as("op"), lit(ts).as("ts"), lit(seq).as("seq"))
+      val b1 = ev(docs.filter(pmod(k, lit(5)) === 0)
+        .withColumn("n_chars", col("n_chars") + lit(1000000L)), "U", 1, 1)
+        .unionByName(ev(docs.filter(pmod(k, lit(7)) === 3), "D", 1, 2))
+        .unionByName(ev(docs.filter(pmod(k, lit(11)) === 0)
+          .withColumn("doc_id", k + lit(10000L)), "I", 1, 3))
+      val b2 = ev(docs.filter(pmod(k, lit(10)) === 0), "D", 2, 1)
+        .unionByName(ev(
+          docs.filter(pmod(k, lit(7)) === 3 && pmod(k, lit(2)) === 1)
+            .withColumn("n_chars", col("n_chars") + lit(500000L)), "I", 2, 2))
+      Seq((b1, 0L), (b2, 1L)).foreach { case (b, id) =>
+        MergeInto.merge(s, path, b, "cdc22", id)
+        MergeInto.merge(s, path, b, "cdc22", id) // redelivery: no-op
+      }
+      val snap = ManifestStore.snapshot(s, path)
+      DeletionVectors.read(snap)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(h32l(col("doc_id"))).as("doc_fp"))
+        .withColumn("version", lit(snap.version))
+        .orderBy("source")
+        .localCheckpoint(true)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
-    "q120_spec_evolution" -> specEvolution
+    "q120_spec_evolution" -> specEvolution,
+    "cdc22_merge_into" -> mergeInto
   )
 
   private def h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
@@ -136,6 +191,31 @@ object StorageQueries2 {
          |  CAST(n AS BIGINT) AS n_docs,
          |  CAST(cs AS BIGINT) AS chars_sum,
          |  CAST(fp AS BIGINT) AS doc_fp
-         |FROM r ORDER BY probe""".stripMargin
+         |FROM r ORDER BY probe""".stripMargin,
+    // the merged state from modulus arithmetic, latest-wins applied:
+    // dead = every 10th≡0 (batch 2) plus the even every-7th≡3 (batch
+    // 1 delete, not reinserted); a surviving 7th≡3 is odd and carries
+    // the +5e5 reinsert payload (beating the same batch's +1e6 update
+    // by seq); other 5th≡0 survivors carry +1e6; re-keyed inserts of
+    // every 11th≡0 live untouched; version = 3 (redeliveries mint no
+    // commit)
+    "cdc22_merge_into" ->
+      s"""WITH d AS (SELECT doc_id AS k, source,
+         |    CAST(n_chars AS BIGINT) AS c FROM documents),
+         |fin AS (
+         |  SELECT k AS doc_id, source,
+         |    CASE WHEN k % 7 = 3 THEN c + 500000
+         |         WHEN k % 5 = 0 THEN c + 1000000
+         |         ELSE c END AS n_chars
+         |  FROM d
+         |  WHERE NOT (k % 10 = 0 OR (k % 7 = 3 AND k % 2 = 0))
+         |  UNION ALL
+         |  SELECT k + 10000, source, c FROM d WHERE k % 11 = 0)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+         |  CAST(SUM($h) AS BIGINT) AS doc_fp,
+         |  CAST(3 AS BIGINT) AS version
+         |FROM fin GROUP BY source ORDER BY source""".stripMargin
   )
 }
