@@ -145,9 +145,91 @@ object StorageQueries2 {
     }
   }
 
+  /** stream26: the LIVE manifest tail gated — the store as a
+    * streaming CDC source end to end, the consume-side twin of
+    * stream24's exactly-once ingest and the live form of stream25's
+    * batch replay. The source lives four commits (corpus; bucket-0
+    * payload shift + re-keyed inserts; a DV delete of every 97th doc;
+    * its materialization — logically SILENT), and
+    * [[graft.streaming.StreamManifestTail]] drains it rate-limited to
+    * 2 hops per poll into a per-source (count, payload-sum) view
+    * committed to the consumer's OWN store, cursor = the target
+    * ledger's highest applied source version — persisted state riding
+    * the same atomic swap as the view (kill-and-restart and
+    * independent-sinks pinned in StreamManifestTailSpec). The gated
+    * row emits the drained view beside the one-hop skip-level fold
+    * (telescoping) and the head recompute; the oracle derives the
+    * final state once from fixture arithmetic and emits it three
+    * times — a tail that double-applies a hop, re-announces the
+    * materialization, or loses the DV deletes diverges at the gate.
+    */
+  private val manifestTail: Q = (s, dir) => {
+    import graft.sources.DeletionVectors
+    import graft.streaming.StreamManifestTail
+    val docs = baseDocs(s, dir).drop("lang")
+      .withColumn("bucket", expr("CAST(doc_id DIV 100 AS BIGINT)"))
+    def init(state: DataFrame): DataFrame =
+      state.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_sum"))
+    def fold(view: DataFrame, feed: DataFrame): DataFrame = {
+      val deltas = feed.select(col("source"),
+        when(col("op") === "insert", lit(1L))
+          .when(col("op") === "delete", lit(-1L))
+          .otherwise(lit(0L)).as("dd"),
+        (coalesce(col("payload_new"), lit(0L)) -
+          coalesce(col("payload_old"), lit(0L))).as("dc"))
+        .groupBy(col("source"))
+        .agg(sum(col("dd")).as("dd"), sum(col("dc")).as("dc"))
+      view.join(deltas, Seq("source"), "full_outer")
+        .select(col("source"),
+          (coalesce(col("n_docs"), lit(0L)) +
+            coalesce(col("dd"), lit(0L))).as("n_docs"),
+          (coalesce(col("chars_sum"), lit(0L)) +
+            coalesce(col("dc"), lit(0L))).as("chars_sum"))
+    }
+    graft.sources.Scratch.withTempDir("graft-stream26") { path =>
+      val src = path + "/src"
+      val tgt = path + "/tgt"
+      ManifestStore.write(docs, src, Seq("bucket"))                 // v1
+      ManifestStore.upsertPartitions(                                // v2
+        docs.filter(col("bucket") === 0)
+          .withColumn("n_chars", col("n_chars") + lit(1000000L))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+            .withColumn("doc_id", col("doc_id") + lit(7000L))
+            .withColumn("bucket", expr("CAST(doc_id DIV 100 AS BIGINT)"))),
+        src, Seq("bucket"))
+      DeletionVectors.delete(s, src, ManifestStore.MAIN, "doc_id",  // v3
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select(col("doc_id")))
+      DeletionVectors.materialize(s, src, ManifestStore.MAIN,       // v4
+        "doc_id")
+      StreamManifestTail.tailToEnd(s, src, tgt, "stream26",
+        maxVersions = 2, extraCols = Seq("source"))(init, fold)
+      val tail = ManifestStore.read(s, tgt)
+        .select(col("source"), col("n_docs").as("n_tail"),
+          col("chars_sum").as("chars_tail"))
+      val s1 = ManifestStore.snapshotAt(s, src, 1)
+      val s4 = ManifestStore.snapshotAt(s, src, 4)
+      val skip = fold(init(DeletionVectors.read(s1)),
+        DeletionVectors.logicalFeed(s, src, s1, s4,
+          extraCols = Seq("source")))
+        .select(col("source"), col("n_docs").as("n_skip"),
+          col("chars_sum").as("chars_skip"))
+      val full = init(DeletionVectors.read(s4))
+        .select(col("source"), col("n_docs").as("n_full"),
+          col("chars_sum").as("chars_full"))
+      tail.join(skip, Seq("source"))
+        .join(full, Seq("source"))
+        .orderBy("source")
+        .localCheckpoint(true)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q120_spec_evolution" -> specEvolution,
-    "cdc22_merge_into" -> mergeInto
+    "cdc22_merge_into" -> mergeInto,
+    "stream26_manifest_tail" -> manifestTail
   )
 
   private def h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
@@ -216,6 +298,27 @@ object StorageQueries2 {
          |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
          |  CAST(SUM($h) AS BIGINT) AS doc_fp,
          |  CAST(3 AS BIGINT) AS version
+         |FROM fin GROUP BY source ORDER BY source""".stripMargin,
+    // the drained state once, emitted three ways: bucket-0 docs
+    // (ids < 100) shifted +1e6, every 5th re-keyed at +7000 with its
+    // original payload, every 97th ORIGINAL id logically deleted —
+    // the materialize commit contributes nothing
+    "stream26_manifest_tail" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(n_chars AS BIGINT) AS c FROM documents),
+         |fin AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id < 100 THEN c + 1000000 ELSE c END AS c
+         |  FROM d WHERE doc_id % 97 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 7000, source, c FROM d WHERE doc_id % 5 = 0)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tail,
+         |  CAST(SUM(c) AS BIGINT) AS chars_tail,
+         |  CAST(COUNT(*) AS BIGINT) AS n_skip,
+         |  CAST(SUM(c) AS BIGINT) AS chars_skip,
+         |  CAST(COUNT(*) AS BIGINT) AS n_full,
+         |  CAST(SUM(c) AS BIGINT) AS chars_full
          |FROM fin GROUP BY source ORDER BY source""".stripMargin
   )
 }

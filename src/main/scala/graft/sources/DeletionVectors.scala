@@ -153,6 +153,7 @@ object DeletionVectors {
       table: String = ManifestStore.MAIN,
       idCol: String = "doc_id",
       payloadCol: String = "n_chars",
+      extraCols: Seq[String] = Seq.empty,
       dvAView: Option[DvView] = None,
       dvBView: Option[DvView] = None
   ): DataFrame = {
@@ -183,7 +184,7 @@ object DeletionVectors {
         if (changedSorted.isEmpty) fromFiles.limit(0)
         else s.readForIdsFrame(table, idCol, changedDf, changedSorted)
       fromFiles.unionByName(fromDv)
-        .select(col(idCol), col(payloadCol))
+        .select((idCol +: payloadCol +: extraCols).distinct.map(col): _*)
         // one value per id per version (a row can be both in a
         // changed file and a changed vector)
         .dropDuplicates(idCol)
@@ -191,9 +192,11 @@ object DeletionVectors {
         .join(broadcast(dv.ids), Seq(idCol), "left_anti")
     }
     val oldSide = side(a, removed, va)
-      .select(col(idCol), col(payloadCol).as("payload_old"))
+      .select(col(idCol) +: col(payloadCol).as("payload_old") +:
+        extraCols.map(c => col(c).as(c + "__old")): _*)
     val newSide = side(b, added, vb)
-      .select(col(idCol), col(payloadCol).as("payload_new"))
+      .select(col(idCol) +: col(payloadCol).as("payload_new") +:
+        extraCols.map(c => col(c).as(c + "__new")): _*)
     newSide
       .join(oldSide, Seq(idCol), "full_outer")
       .withColumn("op",
@@ -203,8 +206,14 @@ object DeletionVectors {
       .filter(col("op").isNotNull)
       // rows in neither a changed file nor the changed vector are
       // identical on both sides by construction and were silenced by
-      // the equality filter; what remains is the true logical delta
-      .select(col(idCol), col("payload_new"), col("payload_old"), col("op"))
+      // the equality filter; what remains is the true logical delta.
+      // extraCols are carried as new-side-wins coalesce — dimension
+      // attributes a consumer groups by (`source`), present on
+      // whichever side of the change exists
+      .select(col(idCol) +: col("payload_new") +: col("payload_old") +:
+        col("op") +: extraCols.map(c =>
+          org.apache.spark.sql.functions
+            .coalesce(col(c + "__new"), col(c + "__old")).as(c)): _*)
   }
 
   /** Apply the vector physically and clear it, in ONE commit: rewrite

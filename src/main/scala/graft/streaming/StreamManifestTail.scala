@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.sources.{DeletionVectors, ManifestStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A LIVE streaming source FROM the manifest log — the consume-side
+  * twin of [[StreamManifestIngest]], and the shape `stream25` only
+  * replayed in batch: a downstream consumer polls the source store's
+  * readable [[ManifestStore.versions]], emits the DV-aware
+  * [[DeletionVectors.logicalFeed]] for each new version (rate-limited
+  * to `maxVersions` hops per poll — Delta's `maxFilesPerTrigger`
+  * discipline), folds each hop into its derived view, and publishes
+  * the view into its OWN target [[ManifestStore]] through
+  * [[ManifestStore.commitBatch]] with `batchId = the hop's source
+  * version`.
+  *
+  * That last choice is the whole design: the consumer's CURSOR is the
+  * target ledger's highest applied source version — persisted state
+  * that rides the SAME atomic swap as the view it describes. Kill the
+  * consumer anywhere and restart: the next poll reads the cursor back
+  * and resumes at the first unapplied version; redeliver a hop (crash
+  * after the target commit, before any external ack) and the ledger
+  * recognizes it — nothing publishes twice. There is no second
+  * checkpoint store to drift from the data (the
+  * crash-between-commit-and-checkpoint window a separate cursor file
+  * would reopen).
+  *
+  * Scale posture: each poll costs O(changed per hop) — the logical
+  * feed scans only fileDiff's delta files plus DV-diff candidates,
+  * endpoint DV views are built once per poll and shared by adjacent
+  * hops, and the view commit is O(view). Falling behind is safe:
+  * hops TELESCOPE (stream25/DvFeedSpec), so a consumer may fold any
+  * contiguous span in one hop and land on the same view.
+  */
+object StreamManifestTail {
+
+  /** One polling round. `init` builds the baseline view from the
+    * FIRST readable source version (runs once per sink, its commit
+    * carries that version as the cursor); `fold` advances the current
+    * view by one hop's feed. Returns the source versions applied this
+    * round (empty = caught up).
+    */
+  def pollOnce(
+      spark: SparkSession,
+      sourceRoot: String,
+      targetRoot: String,
+      sinkId: String,
+      maxVersions: Int = 4,
+      table: String = ManifestStore.MAIN,
+      idCol: String = "doc_id",
+      payloadCol: String = "n_chars",
+      extraCols: Seq[String] = Seq.empty
+  )(
+      init: DataFrame => DataFrame,
+      fold: (DataFrame, DataFrame) => DataFrame
+  ): Seq[Long] = {
+    val versions = ManifestStore.versions(spark, sourceRoot)
+    require(versions.nonEmpty, s"no committed source store at $sourceRoot")
+    val cursor: Option[Long] =
+      if (!ManifestStore.exists(spark, targetRoot)) None
+      else ManifestStore.snapshot(spark, targetRoot).batches.get(sinkId)
+
+    cursor match {
+      case None =>
+        // first contact: materialize the baseline view at the OLDEST
+        // readable version (everything before it is vacuumed history)
+        val v0 = versions.head
+        val snap0 = ManifestStore.snapshotAt(spark, sourceRoot, v0)
+        val view0 = init(DeletionVectors.read(snap0, table, idCol))
+        ManifestStore.commitBatch(spark, targetRoot, Seq(
+          ManifestStore.stage(view0.coalesce(1), targetRoot,
+            ManifestStore.MAIN, Seq.empty, ManifestStore.Replace)),
+          sinkId, v0)
+        Seq(v0)
+      case Some(cur) =>
+        val todo = versions.filter(_ > cur).take(math.max(0, maxVersions))
+        if (todo.isEmpty) Seq.empty
+        else {
+          // endpoint snapshots + DV views built ONCE per poll —
+          // adjacent hops share them
+          val hopVs = cur +: todo
+          val snaps = hopVs.map(v =>
+            v -> ManifestStore.snapshotAt(spark, sourceRoot, v)).toMap
+          val dvs = hopVs.map(v =>
+            v -> DeletionVectors.dvView(snaps(v), table, idCol)).toMap
+          hopVs.sliding(2).foreach { case Seq(a, b) =>
+            val feed = DeletionVectors.logicalFeed(spark, sourceRoot,
+              snaps(a), snaps(b), table, idCol, payloadCol, extraCols,
+              dvAView = Some(dvs(a)), dvBView = Some(dvs(b)))
+            val curView = ManifestStore.read(spark, targetRoot)
+            val next = fold(curView, feed)
+            // view + cursor in ONE swap: batchId IS the source version
+            ManifestStore.commitBatch(spark, targetRoot, Seq(
+              ManifestStore.stage(next.coalesce(1), targetRoot,
+                ManifestStore.MAIN, Seq.empty, ManifestStore.Replace)),
+              sinkId, b)
+          }
+          todo
+        }
+    }
+  }
+
+  /** Drain the source: poll until caught up — the deterministic
+    * replay the gated row uses (a live deployment wraps [[pollOnce]]
+    * in its trigger loop instead). Returns all versions applied.
+    */
+  def tailToEnd(
+      spark: SparkSession,
+      sourceRoot: String,
+      targetRoot: String,
+      sinkId: String,
+      maxVersions: Int = 4,
+      table: String = ManifestStore.MAIN,
+      idCol: String = "doc_id",
+      payloadCol: String = "n_chars",
+      extraCols: Seq[String] = Seq.empty
+  )(
+      init: DataFrame => DataFrame,
+      fold: (DataFrame, DataFrame) => DataFrame
+  ): Seq[Long] = {
+    val out = Seq.newBuilder[Long]
+    var applied = pollOnce(spark, sourceRoot, targetRoot, sinkId,
+      maxVersions, table, idCol, payloadCol, extraCols)(init, fold)
+    while (applied.nonEmpty) {
+      out ++= applied
+      applied = pollOnce(spark, sourceRoot, targetRoot, sinkId,
+        maxVersions, table, idCol, payloadCol, extraCols)(init, fold)
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.sources.{DeletionVectors, ManifestStore, Scratch}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The live manifest tail's recovery contract (the StreamRecoverySpec
+  * discipline applied to the consume side): the cursor rides the
+  * target store's batch ledger, so a consumer killed ANYWHERE in the
+  * history resumes at the first unapplied version with nothing
+  * applied twice, rate limiting bounds each poll, independent sinks
+  * tail independently, and the drained view equals both the one-hop
+  * skip-level fold and the full recompute.
+  */
+class StreamManifestTailSpec extends SparkSpec {
+
+  private def docs =
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      .withColumn("bucket", expr("CAST(doc_id DIV 100 AS BIGINT)"))
+
+  private def canon(df: DataFrame) =
+    df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+  private def init(state: DataFrame): DataFrame =
+    state.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("chars_sum"))
+
+  private def fold(view: DataFrame, feed: DataFrame): DataFrame = {
+    val deltas = feed.select(col("source"),
+      when(col("op") === "insert", lit(1L))
+        .when(col("op") === "delete", lit(-1L))
+        .otherwise(lit(0L)).as("dd"),
+      (coalesce(col("payload_new"), lit(0L)) -
+        coalesce(col("payload_old"), lit(0L))).as("dc"))
+      .groupBy(col("source"))
+      .agg(sum(col("dd")).as("dd"), sum(col("dc")).as("dc"))
+    view.join(deltas, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("n_docs"), lit(0L)) +
+          coalesce(col("dd"), lit(0L))).as("n_docs"),
+        (coalesce(col("chars_sum"), lit(0L)) +
+          coalesce(col("dc"), lit(0L))).as("chars_sum"))
+  }
+
+  private def buildHistory(root: String): Unit = {
+    ManifestStore.write(docs, root, Seq("bucket"))                  // v1
+    ManifestStore.upsertPartitions(                                  // v2
+      docs.filter(col("bucket") === 0)
+        .withColumn("n_chars", col("n_chars") + lit(1000000L))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(7000L))
+          .withColumn("bucket", expr("CAST(doc_id DIV 100 AS BIGINT)"))),
+      root, Seq("bucket"))
+    DeletionVectors.delete(spark, root, ManifestStore.MAIN, "doc_id", // v3
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id")))
+    DeletionVectors.materialize(spark, root, ManifestStore.MAIN,     // v4
+      "doc_id")
+  }
+
+  private def poll(src: String, tgt: String, sink: String, max: Int) =
+    StreamManifestTail.pollOnce(spark, src, tgt, sink, max,
+      extraCols = Seq("source"))(init, fold)
+
+  test("kill-and-restart mid-history: the ledger cursor resumes " +
+    "exactly; rate limiting bounds each poll; drained ≡ skip ≡ recompute") {
+    val src = Scratch.tempDir("graft-tail-src")
+    val tgt = Scratch.tempDir("graft-tail-tgt") + "/t"
+    try {
+      buildHistory(src)
+      // poll 1: first contact materializes the baseline at v1
+      assert(poll(src, tgt, "tail-a", 2) === Seq(1L))
+      assert(ManifestStore.snapshot(spark, tgt).batches("tail-a") === 1L)
+      // poll 2: rate-limited to TWO hops (v2, v3) of the three pending
+      assert(poll(src, tgt, "tail-a", 2) === Seq(2L, 3L))
+      // ...the consumer dies here; a fresh "process" resumes from the
+      // persisted cursor — nothing re-applied, v4 picked up
+      assert(ManifestStore.snapshot(spark, tgt).batches("tail-a") === 3L)
+      assert(poll(src, tgt, "tail-a", 2) === Seq(4L))
+      // caught up: the next poll is a no-op
+      assert(poll(src, tgt, "tail-a", 2) === Seq.empty)
+      assert(ManifestStore.snapshot(spark, tgt).batches("tail-a") === 4L)
+
+      val tailView = ManifestStore.read(spark, tgt)
+      // skip-level fold: one telescoped hop v1 -> v4
+      val s1 = ManifestStore.snapshotAt(spark, src, 1)
+      val s4 = ManifestStore.snapshotAt(spark, src, 4)
+      val skipView = fold(init(DeletionVectors.read(s1)),
+        DeletionVectors.logicalFeed(spark, src, s1, s4,
+          extraCols = Seq("source")))
+      // recompute from the head state
+      val fullView = init(DeletionVectors.read(s4))
+      assert(canon(tailView) === canon(fullView), "tail ≡ recompute")
+      assert(canon(skipView) === canon(fullView), "skip ≡ recompute")
+    } finally {
+      Scratch.deleteRecursively(src)
+      Scratch.deleteRecursively(new java.io.File(tgt).getParent)
+    }
+  }
+
+  test("independent sinks tail independently from their own cursors") {
+    val src = Scratch.tempDir("graft-tail-src2")
+    val tgtA = Scratch.tempDir("graft-tail-ta") + "/a"
+    val tgtB = Scratch.tempDir("graft-tail-tb") + "/b"
+    try {
+      buildHistory(src)
+      // A drains fully; B stops mid-history, then catches up
+      while (poll(src, tgtA, "tail-a", 4).nonEmpty) ()
+      assert(poll(src, tgtB, "tail-b", 1) === Seq(1L))
+      assert(poll(src, tgtB, "tail-b", 1) === Seq(2L))
+      while (poll(src, tgtB, "tail-b", 1).nonEmpty) ()
+      assert(canon(ManifestStore.read(spark, tgtA)) ===
+        canon(ManifestStore.read(spark, tgtB)))
+    } finally {
+      Scratch.deleteRecursively(src)
+      Scratch.deleteRecursively(new java.io.File(tgtA).getParent)
+      Scratch.deleteRecursively(new java.io.File(tgtB).getParent)
+    }
+  }
+}
