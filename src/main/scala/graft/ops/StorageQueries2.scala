@@ -226,10 +226,61 @@ object StorageQueries2 {
     }
   }
 
+  /** q121: ROW-GROUP zone maps gated — intra-file skipping on a
+    * COMPACTED store, the granularity q114/q116's file-level stats
+    * lose the moment [[graft.sources.Compaction]] produces large
+    * multi-row-group files. The corpus (40 shifted copies — 20k
+    * docs with their text payloads) compacts into ONE id-sorted file
+    * written with a small parquet block size; the commit's footer
+    * pass records each ROW GROUP's (rows, doc_id bounds) into the
+    * manifest ([[graft.sources.ManifestStore.RowGroupStat]] — only
+    * for multi-group files, single-group files pay nothing). A
+    * quartile range probe then reads through
+    * [[graft.sources.ManifestStore.Snapshot.readBoxRG]]: the
+    * group-level census proves most of the file skips without
+    * opening it (`intra_skip`), and the pushed-down residual makes
+    * the scan itself read only the intersecting groups
+    * (RowGroupStatsSpec pins rows-scanned < file rows via scan
+    * metrics, plus the range-in-gap file drop and the exactness ≡
+    * plain filter). The oracle re-derives the range aggregates from
+    * the same 40-copy expansion; the census flags gate as 1/0
+    * columns — a store that lands single-group, or a census that
+    * cannot skip, diverges.
+    */
+  private val rowGroupSkipping: Q = (s, dir) => {
+    val wide = (0 until 40).map { i =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("text"),
+          col("n_chars").cast("long").as("n_chars"))
+        .withColumn("doc_id", col("doc_id") + lit(500L * i))
+    }.reduce(_ unionByName _)
+    graft.sources.Scratch.withTempDir("graft-q121") { path =>
+      ManifestStore.commit(s, path, Seq(ManifestStore.stage(
+        wide.coalesce(1).sortWithinPartitions("doc_id"),
+        path, ManifestStore.MAIN, Seq.empty, ManifestStore.Replace,
+        writerOptions = Map(
+          "parquet.block.size" -> (64 * 1024).toString,
+          "parquet.page.size" -> (8 * 1024).toString))))
+      val snap = ManifestStore.snapshot(s, path)
+      val ranges = Seq(("doc_id", 5000L, 7499L))
+      val (gk, gt, rk, rt) = snap.rowGroupPrune(ManifestStore.MAIN, ranges)
+      snap.readBoxRG(ManifestStore.MAIN, ranges)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(h32l(col("doc_id"))).as("doc_fp"))
+        .select(col("n_docs"), col("chars_sum"), col("doc_fp"),
+          lit(if (gt > 1) 1L else 0L).as("multi_group"),
+          lit(if (gk < gt && rk < rt) 1L else 0L).as("intra_skip"))
+        .localCheckpoint(true)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q120_spec_evolution" -> specEvolution,
     "cdc22_merge_into" -> mergeInto,
-    "stream26_manifest_tail" -> manifestTail
+    "stream26_manifest_tail" -> manifestTail,
+    "q121_rowgroup_skipping" -> rowGroupSkipping
   )
 
   private def h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
@@ -319,6 +370,21 @@ object StorageQueries2 {
          |  CAST(SUM(c) AS BIGINT) AS chars_skip,
          |  CAST(COUNT(*) AS BIGINT) AS n_full,
          |  CAST(SUM(c) AS BIGINT) AS chars_full
-         |FROM fin GROUP BY source ORDER BY source""".stripMargin
+         |FROM fin GROUP BY source ORDER BY source""".stripMargin,
+    // range aggregates over the same 40-copy expansion; the census
+    // flags are gated constants — a single-group landing or a
+    // skip-less census reads 0 and diverges
+    "q121_rowgroup_skipping" ->
+      s"""WITH w AS (SELECT d.doc_id + 500 * t.i AS doc_id,
+         |    CAST(d.n_chars AS BIGINT) AS c
+         |  FROM documents d CROSS JOIN range(0, 40) t(i)),
+         |sel AS (SELECT COUNT(*) AS n, SUM(c) AS cs, SUM($h) AS fp
+         |  FROM w WHERE doc_id BETWEEN 5000 AND 7499)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |  CAST(cs AS BIGINT) AS chars_sum,
+         |  CAST(fp AS BIGINT) AS doc_fp,
+         |  CAST(1 AS BIGINT) AS multi_group,
+         |  CAST(1 AS BIGINT) AS intra_skip
+         |FROM sel""".stripMargin
   )
 }

@@ -195,12 +195,24 @@ object ManifestStore {
     case "setspec" => SetSpec
   }
 
+  /** One row group's (rows, integral (min, max) per column) — kept in
+    * the log ONLY for multi-group files, where intra-file skipping
+    * exists to be had (compaction's large files); a single-group
+    * file's stats ARE its group stats and pay nothing twice.
+    */
+  final case class RowGroupStat(
+      rows: Long,
+      stats: Map[String, (Long, Long)]
+  )
+
   /** One parquet file the log references: `path` relative to the
     * root, plus the stats every planner wants — bytes from the file
     * status, rows from the parquet footer, per-column (min, max) for
     * the file's integral columns and truncated (min, max) for its
     * string columns (footer column statistics aggregated across row
-    * groups — metadata, not data). A column absent from the stats
+    * groups — metadata, not data), and per-ROW-GROUP integral bounds
+    * (`groups`, multi-group files only) for intra-file skipping
+    * ([[Snapshot.rowGroupPrune]]). A column absent from the stats
     * maps simply cannot prune this file.
     */
   final case class FileEntry(
@@ -208,7 +220,8 @@ object ManifestStore {
       bytes: Long,
       rows: Long,
       stats: Map[String, (Long, Long)] = Map.empty,
-      strStats: Map[String, (String, String)] = Map.empty
+      strStats: Map[String, (String, String)] = Map.empty,
+      groups: Seq[RowGroupStat] = Seq.empty
   )
 
   /** One partition's entry, tagged with the SPEC (`cols`) it was
@@ -494,6 +507,74 @@ object ManifestStore {
     def readRangeStr(table: String, column: String, lo: String, hi: String): DataFrame =
       readBoxStr(table, Seq((column, lo, hi)))
 
+    /** A file's row groups for pruning purposes: a single-group file
+      * (no `groups` persisted) IS one group with the file's stats.
+      */
+    private def groupsOf(f: FileEntry): Seq[RowGroupStat] =
+      if (f.groups.nonEmpty) f.groups
+      else Seq(RowGroupStat(f.rows, f.stats))
+
+    private def groupHits(g: RowGroupStat, ranges: Seq[(String, Long, Long)]) =
+      ranges.forall { case (c, lo, hi) =>
+        g.stats.get(c) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None           => true
+        }
+      }
+
+    /** INTRA-FILE skipping census: (groups kept, groups total, rows in
+      * kept groups, rows total) for a box probe — the metadata answer
+      * to "how much of a compacted multi-row-group file does this
+      * range actually read". The scan itself skips the dead groups
+      * through the pushed-down range predicate (parquet row-group
+      * pruning reads the same footer bounds); this census is the
+      * manifest-side proof, computed without opening a file.
+      */
+    def rowGroupPrune(
+        table: String,
+        ranges: Seq[(String, Long, Long)]
+    ): (Int, Int, Long, Long) = {
+      val all = state(table).partitions.values.flatMap(_.files).toSeq
+      var gk = 0
+      var gt = 0
+      var rk = 0L
+      var rt = 0L
+      all.foreach { f =>
+        groupsOf(f).foreach { g =>
+          gt += 1
+          rt += g.rows
+          if (groupHits(g, ranges)) { gk += 1; rk += g.rows }
+        }
+      }
+      (gk, gt, rk, rt)
+    }
+
+    /** [[prunedFiles]] sharpened by row-group bounds: a file is kept
+      * iff ANY of its groups intersects every range — strictly at most
+      * what the file-level bounds keep (a range falling in the gap
+      * between two groups' bounds exonerates the whole file even
+      * though the file's envelope covers it).
+      */
+    def prunedFilesRG(
+        table: String,
+        ranges: Seq[(String, Long, Long)]
+    ): (Seq[FileEntry], Int) = {
+      val all = state(table).partitions.values.flatMap(_.files).toSeq
+      (all.filter(f => groupsOf(f).exists(groupHits(_, ranges))), all.length)
+    }
+
+    /** [[readBox]] through the row-group-sharpened file screen; the
+      * residual range predicates are pushed to parquet, so the scan
+      * of a kept multi-group file reads ONLY its intersecting groups
+      * (RowGroupStatsSpec pins rows-scanned < file rows).
+      */
+    def readBoxRG(table: String, ranges: Seq[(String, Long, Long)]): DataFrame = {
+      val (kept, _) = prunedFilesRG(table, ranges)
+      ranges.foldLeft(readFiles(state(table), resolve(kept))) {
+        case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
+      }
+    }
+
     /** Files whose footer (min, max) can hold ANY of `sortedIds` —
       * one binary search per file (O(files · log ids), never
       * O(files · ids) driver CPU), so screening a mass delete of
@@ -639,7 +720,8 @@ object ManifestStore {
       root: String,
       table: String,
       partitionCols: Seq[String],
-      mode: Mode
+      mode: Mode,
+      writerOptions: Map[String, String] = Map.empty
   ): Staged = {
     val dir = newCommitDir(root, table)
     val dups = partitionCols.map("__p_" + _)
@@ -649,7 +731,7 @@ object ManifestStore {
       if (partitionCols.nonEmpty)
         withDups.repartition(partitionCols.map(col): _*)
       else withDups
-    val writer = clustered.write.mode("overwrite")
+    val writer = clustered.write.mode("overwrite").options(writerOptions)
     (if (dups.nonEmpty) writer.partitionBy(dups: _*) else writer).parquet(dir)
     Staged(table, dir, partitionCols, df.schema.toDDL, mode)
   }
@@ -781,8 +863,9 @@ object ManifestStore {
       .fromPath(new org.apache.hadoop.fs.Path(absPath), conf)
     val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      val (stats, strStats) = footerRangeStats(rdr)
-      FileEntry(rel, bytes, rdr.getRecordCount, stats, strStats)
+      val (stats, strStats, groups) = footerRangeStats(rdr)
+      FileEntry(rel, bytes, rdr.getRecordCount, stats, strStats,
+        if (groups.length > 1) groups else Seq.empty)
     } finally rdr.close()
   }
 
@@ -793,16 +876,22 @@ object ManifestStore {
     * Columns with missing/empty stats in ANY row group are dropped
     * (they could not prove a bound for the whole file), as is a
     * string column whose upper bound cannot be truncated soundly.
+    * Also returns the PER-ROW-GROUP integral bounds in block order
+    * (a group missing a column's stats simply omits it — that group
+    * is conservatively kept by that column).
     */
   private def footerRangeStats(
       rdr: org.apache.parquet.hadoop.ParquetFileReader
-  ): (Map[String, (Long, Long)], Map[String, (String, String)]) = {
+  ): (Map[String, (Long, Long)], Map[String, (String, String)],
+      Seq[RowGroupStat]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import scala.jdk.CollectionConverters._
     val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
     val sacc = scala.collection.mutable.Map.empty[String, (String, String)]
     val poisoned = scala.collection.mutable.Set.empty[String]
+    val groups = Seq.newBuilder[RowGroupStat]
     rdr.getFooter.getBlocks.asScala.foreach { block =>
+      val gacc = scala.collection.mutable.Map.empty[String, (Long, Long)]
       block.getColumns.asScala.foreach { c =>
         if (c.getPath.size() == 1) {
           val name = c.getPath.toDotString
@@ -845,6 +934,7 @@ object ManifestStore {
                     s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
                 case _ => (0L, -1L) // unreachable for INT32/INT64
               }
+              gacc.update(name, (mn, mx))
               acc.get(name) match {
                 case Some((a, b)) =>
                   acc.update(name, (math.min(a, mn), math.max(b, mx)))
@@ -854,8 +944,9 @@ object ManifestStore {
           }
         }
       }
+      groups += RowGroupStat(block.getRowCount, gacc.toMap)
     }
-    (acc.toMap, sacc.toMap)
+    (acc.toMap, sacc.toMap, groups.result())
   }
 
   /** Compare by CODE POINT — the order parquet footer min/max for
@@ -1531,6 +1622,17 @@ object ManifestStore {
             val a = sn.putArray(c); a.add(mn); a.add(mx)
           }
         }
+        if (f.groups.nonEmpty) {
+          val gn = fn.putArray("groups")
+          f.groups.foreach { g =>
+            val go = gn.addObject()
+            go.put("rows", g.rows)
+            val gs = go.putObject("stats")
+            g.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+              val a = gs.putArray(c); a.add(mn); a.add(mx)
+            }
+          }
+        }
       }
     }
 
@@ -1562,12 +1664,25 @@ object ManifestStore {
             }.toMap
           case None => Map.empty[String, (String, String)]
         }
+        val groups = Option(f.get("groups")) match {
+          case Some(gn) =>
+            gn.elements().asScala.map { go =>
+              RowGroupStat(
+                go.get("rows").asLong(),
+                go.get("stats").properties().asScala.map { se =>
+                  se.getKey ->
+                    (se.getValue.get(0).asLong(), se.getValue.get(1).asLong())
+                }.toMap)
+            }.toSeq
+          case None => Seq.empty[RowGroupStat]
+        }
         FileEntry(
           f.get("path").asText(),
           f.get("bytes").asLong(),
           f.get("rows").asLong(),
           stats,
-          strStats
+          strStats,
+          groups
         )
       }.toSeq
       pe.getKey -> PartitionEntry(values, files, cols)
