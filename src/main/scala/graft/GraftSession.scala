@@ -29,6 +29,13 @@ object GraftSession {
       // read under the pinned UTC session).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // column mapping (ManifestStore.renameColumn): stores stamp
+      // stable field ids into their parquet files and resolve columns
+      // by id at read time; ignoreMissing keeps plain fixture parquet
+      // (no ids) resolving by name as before
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -276,11 +276,63 @@ object StorageQueries2 {
     }
   }
 
+  /** q122: COLUMN MAPPING gated — rename without rewrite (Delta's
+    * id-based column mapping / Iceberg field ids), the schema
+    * evolution q110's additive path cannot give: every data file
+    * carries its columns' STABLE field ids in the parquet schema
+    * (written at stage time), reads resolve by id, so
+    * [[graft.sources.ManifestStore.renameColumn]] is one metadata
+    * commit after which the OLD generation's files serve the NEW name
+    * byte-for-byte. The scenario: the even half commits with a
+    * `content` column (v1); `content` renames to `body` (v2 — not a
+    * file moved, ColumnMappingSpec pins filePaths equality); the odd
+    * half appends under `body` (v3). The gated row reads BOTH
+    * generations at head under `body` (per-parity counts, payload
+    * sums, Σ h32 of the TEXT — a by-name fallback would null the old
+    * generation's column and zero its fingerprint) plus the
+    * time-travel read at v1 under the ORIGINAL name. The oracle
+    * derives all three from fixture parity arithmetic.
+    * ColumnMappingSpec additionally pins id stability across rename /
+    * Replace, no-id-recycling after a drop, partition-column refusal,
+    * checkpoint round-trip, and the feed across a rename.
+    */
+  private val columnMapping: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), col("text").as("content"),
+        col("n_chars").cast("long").as("n_chars"))
+    graft.sources.Scratch.withTempDir("graft-q122") { path =>
+      val gen1 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val gen2 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .withColumnRenamed("content", "body")
+      ManifestStore.write(gen1, path, Seq("source"))                // v1
+      ManifestStore.renameColumn(s, path,
+        ManifestStore.MAIN, "content", "body")                      // v2
+      ManifestStore.append(gen2, path, Seq("source"))               // v3
+      val head = ManifestStore.read(s, path)
+      def probe(name: String, df: DataFrame, textCol: String) =
+        df.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(h32l(col(textCol))).as("text_fp"))
+          .select(lit(name).as("probe"),
+            col("n_docs"), col("chars_sum"), col("text_fp"))
+      probe("g1_head_even",
+        head.filter(pmod(col("doc_id"), lit(2)) === 0), "body")
+        .unionByName(probe("g2_head_odd",
+          head.filter(pmod(col("doc_id"), lit(2)) === 1), "body"))
+        .unionByName(probe("g3_v1_content",
+          ManifestStore.snapshotAt(s, path, 1).read(), "content"))
+        .orderBy("probe")
+        .localCheckpoint(true)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q120_spec_evolution" -> specEvolution,
     "cdc22_merge_into" -> mergeInto,
     "stream26_manifest_tail" -> manifestTail,
-    "q121_rowgroup_skipping" -> rowGroupSkipping
+    "q121_rowgroup_skipping" -> rowGroupSkipping,
+    "q122_column_mapping" -> columnMapping
   )
 
   private def h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
@@ -385,6 +437,28 @@ object StorageQueries2 {
          |  CAST(fp AS BIGINT) AS doc_fp,
          |  CAST(1 AS BIGINT) AS multi_group,
          |  CAST(1 AS BIGINT) AS intra_skip
-         |FROM sel""".stripMargin
+         |FROM sel""".stripMargin,
+    // parity arithmetic over the fixture text: the head serves BOTH
+    // generations' text under the renamed column (an engine that
+    // falls back to by-name matching nulls the even generation's
+    // text and zeroes g1's fingerprint), v1 serves the original name
+    "q122_column_mapping" -> {
+      val ht = graft.functions.PortableHash.sqlH32("text")
+      s"""WITH d AS (SELECT doc_id, text,
+         |    CAST(n_chars AS BIGINT) AS c FROM documents),
+         |r AS (
+         |  SELECT 'g1_head_even' AS probe, COUNT(*) AS n, SUM(c) AS cs,
+         |    SUM($ht) AS fp FROM d WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT 'g2_head_odd', COUNT(*), SUM(c), SUM($ht)
+         |  FROM d WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT 'g3_v1_content', COUNT(*), SUM(c), SUM($ht)
+         |  FROM d WHERE doc_id % 2 = 0)
+         |SELECT probe, CAST(n AS BIGINT) AS n_docs,
+         |  CAST(cs AS BIGINT) AS chars_sum,
+         |  CAST(fp AS BIGINT) AS text_fp
+         |FROM r ORDER BY probe""".stripMargin
+    }
   )
 }

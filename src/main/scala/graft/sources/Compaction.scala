@@ -102,9 +102,11 @@ object Compaction {
       })
       .map(_._2)
     val staging = ManifestStore.stageDir(path, ManifestStore.MAIN)
-    spark
-      .createDataFrame(placed, schema)
-      .drop("__ckey")
+    ManifestStore.tagForStage(
+      spark
+        .createDataFrame(placed, schema)
+        .drop("__ckey"),
+      path, ManifestStore.MAIN)
       // the real column stays in the data; the write partitions on a
       // duplicate (the ManifestStore layout contract)
       .withColumn(s"__p_$partitionCol", col(partitionCol))

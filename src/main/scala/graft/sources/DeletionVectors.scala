@@ -170,7 +170,9 @@ object DeletionVectors {
     val (added, removed) = ManifestStore.fileDiff(a, b, table)
     def readDelta(s: ManifestStore.Snapshot, files: Seq[ManifestStore.FileEntry]): DataFrame = {
       val st = s.state(table)
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(st.schemaDdl)
+      val schema = ManifestStore.withFieldIds(
+        org.apache.spark.sql.types.StructType.fromDDL(st.schemaDdl),
+        st.fieldIds)
       val paths = files.map(f => root + "/" + f.path)
       if (paths.isEmpty)
         spark.createDataFrame(

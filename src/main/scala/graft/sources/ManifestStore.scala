@@ -181,11 +181,18 @@ object ManifestStore {
     */
   case object SetSpec extends Mode
 
+  /** Metadata-only: rename columns by their stable field ids — no
+    * file touched, old files keep serving by id
+    * ([[renameColumn]] is the public face).
+    */
+  case object Rename extends Mode
+
   private def modeName(m: Mode): String = m match {
     case Replace => "replace"
     case Upsert  => "upsert"
     case Append  => "append"
     case SetSpec => "setspec"
+    case Rename  => "rename"
   }
 
   private def modeOf(s: String): Mode = s match {
@@ -193,7 +200,52 @@ object ManifestStore {
     case "upsert"  => Upsert
     case "append"  => Append
     case "setspec" => SetSpec
+    case "rename"  => Rename
   }
+
+  /** Stable-id assignment for a (possibly evolved) schema: names
+    * already mapped keep their id; new names take ids ABOVE the
+    * high-water mark in field order. Deterministic, so the stage-time
+    * assignment (what the files are written with) and the replay-time
+    * assignment (what the log derives) agree. Returns (mapping, new
+    * high-water mark).
+    */
+  private[sources] def assignFieldIds(
+      prev: Map[String, Int],
+      lastId: Int,
+      schema: StructType
+  ): (Map[String, Int], Int) = {
+    var next = lastId
+    val out = Map.newBuilder[String, Int]
+    schema.fields.foreach { f =>
+      prev.get(f.name) match {
+        case Some(id) => out += (f.name -> id)
+        case None =>
+          next += 1
+          out += (f.name -> next)
+      }
+    }
+    (out.result(), next)
+  }
+
+  /** Schema with each mapped column's `parquet.field.id` metadata set
+    * — what makes writes emit ids and reads resolve by them.
+    */
+  private[sources] def withFieldIds(
+      schema: StructType,
+      ids: Map[String, Int]
+  ): StructType =
+    if (ids.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      ids.get(f.name) match {
+        case Some(id) =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("parquet.field.id", id.toLong)
+            .build())
+        case None => f
+      }
+    })
 
   /** One row group's (rows, integral (min, max) per column) — kept in
     * the log ONLY for multi-group files, where intra-file skipping
@@ -247,10 +299,21 @@ object ManifestStore {
   private[sources] def keyOf(cols: Seq[String], values: Seq[String]): String =
     cols.zip(values).map { case (c, v) => s"$c=$v" }.mkString("/")
 
+  /** `fieldIds` is the COLUMN MAPPING (Delta's id-based mapping /
+    * Iceberg's field ids): every column carries a stable id assigned
+    * at first appearance and NEVER reused (`lastFieldId` is the
+    * high-water mark, so a dropped column's id cannot be recycled
+    * onto a later addition and silently serve its bytes). Data files
+    * are written with the ids in their parquet schema and reads
+    * resolve columns BY ID, so [[renameColumn]] is a metadata-only
+    * commit that old files keep serving correctly.
+    */
   final case class TableState(
       partitionCols: Seq[String],
       schemaDdl: String,
-      partitions: Map[String, PartitionEntry]
+      partitions: Map[String, PartitionEntry],
+      fieldIds: Map[String, Int] = Map.empty,
+      lastFieldId: Int = 0
   )
 
   /** A staged-but-unpublished write: files exist on disk under
@@ -284,7 +347,8 @@ object ManifestStore {
       partitionCols: Seq[String],
       schemaDdl: String,
       partitions: Map[String, PartitionEntry],
-      drops: Seq[String] = Seq.empty
+      drops: Seq[String] = Seq.empty,
+      renames: Seq[(String, String)] = Seq.empty
   )
 
   /** One reconstructed version: every read through the same snapshot
@@ -312,7 +376,9 @@ object ManifestStore {
       * an O(files) IO round the log already paid at commit time.
       */
     private def readFiles(st: TableState, files: Seq[(String, Long)]): DataFrame = {
-      val schema = StructType.fromDDL(st.schemaDdl)
+      // resolve columns BY FIELD ID where the table has a mapping:
+      // a renamed column's old files serve the new name through the id
+      val schema = withFieldIds(StructType.fromDDL(st.schemaDdl), st.fieldIds)
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row],
@@ -724,8 +790,14 @@ object ManifestStore {
       writerOptions: Map[String, String] = Map.empty
   ): Staged = {
     val dir = newCommitDir(root, table)
+    // write the stable field ids INTO the parquet schema — what makes
+    // renameColumn metadata-only: every file self-describes its
+    // columns by id, so reads survive any later name. The assignment
+    // here must match what applyActions derives at commit/replay
+    // (same assignFieldIds over the same current state).
+    val tagged = tagFieldIds(df, stageFieldIds(root, table, df.schema))
     val dups = partitionCols.map("__p_" + _)
-    val withDups = partitionCols.foldLeft(df)((d, c) =>
+    val withDups = partitionCols.foldLeft(tagged)((d, c) =>
       d.withColumn("__p_" + c, col(c)))
     val clustered =
       if (partitionCols.nonEmpty)
@@ -738,10 +810,52 @@ object ManifestStore {
 
   /** A fresh unreferenced directory for callers that run their own
     * physical write (exact file placement — [[Compaction.writeBinned]]);
-    * pair with [[Staged]] and [[commit]].
+    * pair with [[Staged]] and [[commit]], and run the frame through
+    * [[tagForStage]] so the files carry the table's field ids.
     */
   def stageDir(root: String, table: String): String =
     newCommitDir(root, table)
+
+  /** The table's current field-id assignment for `schema` — what a
+    * [[stage]]-time write stamps into the parquet files (new columns
+    * get fresh ids above the high-water mark, exactly as the commit
+    * will derive them).
+    */
+  private def stageFieldIds(
+      root: String,
+      table: String,
+      schema: StructType
+  ): Map[String, Int] = {
+    val cur = scala.util.Try(loadState(root)).toOption.flatten
+      .flatMap(_.tables.get(table))
+    assignFieldIds(
+      cur.map(_.fieldIds).getOrElse(Map.empty),
+      cur.map(_.lastFieldId).getOrElse(0),
+      schema)._1
+  }
+
+  /** `df` with each mapped column's `parquet.field.id` metadata set
+    * (a select with re-aliased metadata — no data movement).
+    */
+  private def tagFieldIds(df: DataFrame, ids: Map[String, Int]): DataFrame =
+    if (ids.isEmpty) df
+    else df.select(df.schema.fields.map { f =>
+      ids.get(f.name) match {
+        case Some(id) =>
+          col(f.name).as(f.name,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("parquet.field.id", id.toLong)
+              .build())
+        case None => col(f.name)
+      }
+    }.toSeq: _*)
+
+  /** Tag a caller-written frame (the [[stageDir]] path) with the
+    * table's field ids before its own physical write.
+    */
+  def tagForStage(df: DataFrame, root: String, table: String): DataFrame =
+    tagFieldIds(df, stageFieldIds(root, table, df.schema))
 
   // ---------------------------------------------------------------
   // Staged listing + footer stats (executor-side)
@@ -1028,16 +1142,33 @@ object ManifestStore {
     var tables = prevTables
     actions.foreach { a =>
       val next = (tables.get(a.table), a.mode) match {
-        case (None, SetSpec) =>
+        case (None, SetSpec) | (None, Rename) =>
           throw new IllegalArgumentException(
-            s"table '${a.table}' does not exist — a partition spec " +
-              "needs a table to evolve")
+            s"table '${a.table}' does not exist — nothing to evolve")
         case (Some(cur), SetSpec) =>
           // metadata-only: existing entries keep their own spec (and
           // their files); only the CURRENT spec for future writes moves
           cur.copy(partitionCols = a.partitionCols)
-        case (_, Replace) | (None, _) =>
-          TableState(a.partitionCols, a.schemaDdl, a.partitions)
+        case (Some(cur), Rename) =>
+          // metadata-only: names move, ids stay — files serve by id
+          val ids = a.renames.foldLeft(cur.fieldIds) { case (m, (o, n)) =>
+            require(m.contains(o), s"no column '$o' to rename")
+            require(!m.contains(n), s"column '$n' already exists")
+            (m - o) + (n -> m(o))
+          }
+          cur.copy(schemaDdl = a.schemaDdl, fieldIds = ids)
+        case (cur, Replace) =>
+          // ids persist across Replace generations (the q110 additive
+          // path): kept names keep their id, new names take fresh ones
+          val (ids, last) = assignFieldIds(
+            cur.map(_.fieldIds).getOrElse(Map.empty),
+            cur.map(_.lastFieldId).getOrElse(0),
+            StructType.fromDDL(a.schemaDdl))
+          TableState(a.partitionCols, a.schemaDdl, a.partitions, ids, last)
+        case (None, _) =>
+          val (ids, last) = assignFieldIds(Map.empty, 0,
+            StructType.fromDDL(a.schemaDdl))
+          TableState(a.partitionCols, a.schemaDdl, a.partitions, ids, last)
         case (Some(cur), Upsert) =>
           requireCompatible(a, cur)
           cur.copy(partitions = (cur.partitions -- a.drops) ++ a.partitions)
@@ -1173,6 +1304,44 @@ object ManifestStore {
         s"partition column '$c' is not a column of '$table'"))
       publish(root, prev,
         Seq(Action(table, SetSpec, newCols, cur.schemaDdl, Map.empty)), None)
+    }
+
+  /** Rename `table`.`oldName` to `newName` — METADATA-ONLY (Delta's
+    * id-based column mapping): the column's stable field id does not
+    * move, data files (old and new generations alike) carry the id in
+    * their parquet schema, and reads resolve by id, so not one file
+    * is touched and by-name reads work on BOTH sides of the rename
+    * (time travel before this commit serves the old name). Renaming a
+    * partition column is refused — its name is baked into the
+    * on-disk layout and every entry's spec. Returns the new version.
+    */
+  def renameColumn(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      oldName: String,
+      newName: String
+  ): Long =
+    lockFor(root).synchronized {
+      val prev = loadState(root).getOrElse(
+        throw new IllegalStateException(s"no committed store at $root"))
+      val cur = prev.tables.getOrElse(table,
+        throw new IllegalArgumentException(
+          s"no table '$table' at $root to rename in"))
+      require(cur.fieldIds.contains(oldName),
+        s"no column '$oldName' in '$table' " +
+          s"(columns: ${cur.fieldIds.keys.toSeq.sorted.mkString(",")})")
+      require(!cur.fieldIds.contains(newName),
+        s"column '$newName' already exists in '$table'")
+      require(!cur.partitionCols.contains(oldName) &&
+        !cur.partitions.values.exists(_.cols.contains(oldName)),
+        s"'$oldName' is (or was) a partition column — its name is the " +
+          "on-disk layout; re-partition before renaming")
+      val schema = StructType.fromDDL(cur.schemaDdl)
+      val newDdl = StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f)).toDDL
+      publish(root, prev, Seq(Action(table, Rename, cur.partitionCols,
+        newDdl, Map.empty, renames = Seq((oldName, newName)))), None)
     }
 
   /** Retry a commit that lost the CAS race, Delta-style: if every
@@ -1716,6 +1885,12 @@ object ManifestStore {
         val dn = an.putArray("drops")
         a.drops.sorted.foreach(dn.add)
       }
+      if (a.renames.nonEmpty) {
+        val rn = an.putArray("renames")
+        a.renames.foreach { case (o, n) =>
+          val e = rn.addArray(); e.add(o); e.add(n)
+        }
+      }
       writePartitions(mapper, an.putObject("partitions"), a.partitions,
         a.partitionCols)
     }
@@ -1736,7 +1911,11 @@ object ManifestStore {
         parsePartitions(an.get("partitions"),
           an.get("partitionCols").elements().asScala.map(_.asText()).toSeq),
         Option(an.get("drops")).map(
-          _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+          _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty),
+        Option(an.get("renames")).map(
+          _.elements().asScala.map(e =>
+            (e.get(0).asText(), e.get(1).asText())).toSeq)
+          .getOrElse(Seq.empty)
       )
     }.toSeq
     val batch = Option(doc.get("batch")).map(bn =>
@@ -1759,6 +1938,11 @@ object ManifestStore {
       val pc = tn.putArray("partitionCols")
       t.partitionCols.foreach(pc.add)
       tn.put("schemaDdl", t.schemaDdl)
+      if (t.fieldIds.nonEmpty) {
+        val fn = tn.putObject("fieldIds")
+        t.fieldIds.toSeq.sortBy(_._1).foreach { case (n, id) => fn.put(n, id) }
+        tn.put("lastFieldId", t.lastFieldId)
+      }
       writePartitions(mapper, tn.putObject("partitions"), t.partitions,
         t.partitionCols)
     }
@@ -1785,8 +1969,15 @@ object ManifestStore {
       val t = e.getValue
       val pcols = t.get("partitionCols").elements().asScala
         .map(_.asText()).toSeq
+      val fids = Option(t.get("fieldIds")) match {
+        case Some(fn) =>
+          fn.properties().asScala.map(x => x.getKey -> x.getValue.asInt()).toMap
+        case None => Map.empty[String, Int]
+      }
       e.getKey -> TableState(pcols, t.get("schemaDdl").asText(),
-        parsePartitions(t.get("partitions"), pcols))
+        parsePartitions(t.get("partitions"), pcols), fids,
+        Option(t.get("lastFieldId")).map(_.asInt())
+          .getOrElse(if (fids.isEmpty) 0 else fids.values.max))
     }.toMap
     val batches = Option(doc.get("batches")) match {
       case Some(bn) =>

@@ -348,7 +348,7 @@ class IvfMaintainSpec extends SparkSpec {
         .join(batch.select("vec_id"), Seq("vec_id"), "left_semi")
         .select(col("cell").cast("long"))
         .collect()
-        .map(_.getLong(0))).map(_.toString)
+        .map(_.getLong(0))).map(c => s"cell=$c") // spec-qualified keys
     IvfStore.upsert(spark, dir, cents, batch)
 
     val after = entries()

@@ -47,7 +47,7 @@ class IvfRetrainSpec extends SparkSpec {
       // retrain may touch every cell — the deterministic
       // untouched-identity pin lives in the split-cell test below;
       // here we pin the complement exactly)
-      val touched = stats.touchedCells.map(_.toString).toSet
+      val touched = stats.touchedCells.map(c => s"cell=$c").toSet
       val afterEntries = entryMap(path, ManifestStore.MAIN)
       beforeEntries.foreach { case (c, files) =>
         if (!touched(c))
@@ -115,7 +115,9 @@ class IvfRetrainSpec extends SparkSpec {
       assert(stats.moved === 7L, s"expected vec 3..9 to move, got ${stats.moved}")
       assert(stats.touchedCells.toSet === Set(1L, 6L))
       val after = entryMap(path, ManifestStore.MAIN)
-      val untouched = before.filter { case (c, _) => c != "1" && c != "6" }
+      val untouched = before.filter { case (c, _) =>
+        c != "cell=1" && c != "cell=6"
+      }
       assert(untouched.nonEmpty)
       untouched.foreach { case (c, files) =>
         assert(after.get(c).contains(files), s"untouched cell $c re-pointed")
