@@ -136,5 +136,53 @@ object Explain {
       zed.readBox(ManifestStore.MAIN, yBand).explain("formatted")
       ()
     }
+
+    println("\n==== manifest_read_pruning:q120_per_spec_probe ====")
+    Scratch.withTempDir("graft-exhibit-q120") { path =>
+      val full = Tables(spark, sfDir).documents
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      ManifestStore.write(
+        full.filter(pmod(col("doc_id"), lit(2)) === 0), path, Seq("source"))
+      ManifestStore.evolvePartitionSpec(spark, path,
+        ManifestStore.MAIN, Seq("lang"))
+      ManifestStore.upsertPartitions(
+        full.filter(pmod(col("doc_id"), lit(2)) === 1), path, Seq("lang"))
+      val snap = ManifestStore.snapshot(spark, path)
+      val lang0 = full.select(min(col("lang"))).head.getString(0)
+      val (kept, total) = snap.partitionProbeFiles(
+        ManifestStore.MAIN, "lang", Set(lang0))
+      println(s"-- lang probe on a MIXED-SPEC table: kept ${kept.length} " +
+        s"of $total files (1 lang-spec entry + every source-spec entry, " +
+        "per-spec pruning) — residual filter applies: --")
+      snap.readPartitionCol(ManifestStore.MAIN, "lang", Seq(lang0))
+        .explain("formatted")
+      ()
+    }
+
+    println("\n==== manifest_read_pruning:q121_rowgroup_zonemap ====")
+    Scratch.withTempDir("graft-exhibit-q121") { path =>
+      val wide = (0 until 40).map { i =>
+        Tables(spark, sfDir).documents
+          .select(col("doc_id"), col("text"),
+            col("n_chars").cast("long").as("n_chars"))
+          .withColumn("doc_id", col("doc_id") + lit(500L * i))
+      }.reduce(_ unionByName _)
+      ManifestStore.commit(spark, path, Seq(ManifestStore.stage(
+        wide.coalesce(1).sortWithinPartitions("doc_id"),
+        path, ManifestStore.MAIN, Seq.empty, ManifestStore.Replace,
+        writerOptions = Map(
+          "parquet.block.size" -> (64 * 1024).toString,
+          "parquet.page.size" -> (8 * 1024).toString))))
+      val snap = ManifestStore.snapshot(spark, path)
+      val ranges = Seq(("doc_id", 5000L, 7499L))
+      val (gk, gt, rk, rt) = snap.rowGroupPrune(ManifestStore.MAIN, ranges)
+      println(s"-- quartile probe on ONE compacted multi-group file: " +
+        s"$gk of $gt row groups kept, $rk of $rt rows in kept groups " +
+        "(manifest census, zero file opens) — the pushed range skips " +
+        "the dead groups at scan: --")
+      snap.readBoxRG(ManifestStore.MAIN, ranges).explain("formatted")
+      ()
+    }
   }
 }
