@@ -52,8 +52,11 @@ object DeletionVectors {
   ): Long =
     ManifestStore.commit(spark, root, Seq(
       ManifestStore.stage(
-        // one file per delete commit: the vector is ids, not data
-        ids.select(col(idCol)).coalesce(1),
+        // one file per delete commit: the vector is ids, not data —
+        // SORTED, so parquet's delta/RLE encoding collapses dense
+        // delete runs (a whole-crawl purge is ranges, not scatter)
+        // and the file's (min,max) stays a tight zone map
+        ids.select(col(idCol)).coalesce(1).sortWithinPartitions(idCol),
         root, dvTable(table), Seq.empty, ManifestStore.Append)))
 
   /** Merge-on-read: `table` with the deletion vector applied. The DV

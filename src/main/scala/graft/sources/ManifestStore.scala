@@ -1174,11 +1174,16 @@ object ManifestStore {
           cur.copy(partitions = (cur.partitions -- a.drops) ++ a.partitions)
         case (Some(cur), Append) =>
           requireCompatible(a, cur)
-          val merged = a.partitions.foldLeft(cur.partitions) { case (acc, (k, p)) =>
-            acc.get(k) match {
-              case Some(old) => acc.updated(k, old.copy(files = old.files ++ p.files))
-              case None      => acc.updated(k, p)
-            }
+          // drops apply FIRST (a dropped key that is also staged comes
+          // back fresh): [[migrateSpec]] appends old-spec rows into
+          // their current-spec partitions while dropping the old-spec
+          // entries, without ever reading a current-spec file
+          val merged = a.partitions.foldLeft(cur.partitions -- a.drops) {
+            case (acc, (k, p)) =>
+              acc.get(k) match {
+                case Some(old) => acc.updated(k, old.copy(files = old.files ++ p.files))
+                case None      => acc.updated(k, p)
+              }
           }
           cur.copy(partitions = merged)
       }
@@ -1305,6 +1310,39 @@ object ManifestStore {
       publish(root, prev,
         Seq(Action(table, SetSpec, newCols, cur.schemaDdl, Map.empty)), None)
     }
+
+  /** Rewrite every entry still living under an OLD partition spec
+    * into the table's CURRENT spec — the maintenance half of
+    * [[evolvePartitionSpec]] (Iceberg's `rewrite_data_files` against
+    * a spec filter): old-spec entries are read (their files only),
+    * re-clustered under the current spec, and APPENDED into their
+    * current-spec partitions with the old entries dropped, in ONE
+    * CAS-pinned commit. Current-spec files are untouched — not read,
+    * not rewritten; an overlapping partition's entry just gains the
+    * migrated files (small-file debt falls to compaction, the usual
+    * OPTIMIZE economics). After this, per-spec probes need no
+    * residual filter again and [[MergeInto.merge]] (which refuses
+    * mixed-spec tables) can resume. No-op (no new version) when the
+    * table is already single-spec. Returns the current version.
+    */
+  def migrateSpec(
+      spark: SparkSession,
+      root: String,
+      table: String = MAIN
+  ): Long = {
+    val snap = snapshot(spark, root)
+    val st = snap.state(table)
+    val old = st.partitions.filter(_._2.cols != st.partitionCols)
+    if (old.isEmpty) snap.version
+    else {
+      val keys = old.keys.toSeq.sorted
+      val df = snap.readPartitionKeys(table, keys)
+      commit(spark, root, Seq(
+        stage(df, root, table, st.partitionCols, Append)
+          .copy(drops = keys)),
+        expectedVersion = snap.version)
+    }
+  }
 
   /** Rename `table`.`oldName` to `newName` — METADATA-ONLY (Delta's
     * id-based column mapping): the column's stable field id does not

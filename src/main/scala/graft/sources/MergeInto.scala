@@ -69,9 +69,9 @@ object MergeInto {
       s"merge targets the table's partition spec (${st.partitionCols
         .mkString(",")}), got '$partitionCol'")
     require(st.partitions.values.forall(_.cols == st.partitionCols),
-      s"merge requires a single-spec table — rewrite the old-spec " +
-        "entries (materialize/compaction) before merging across an " +
-        "evolvePartitionSpec")
+      s"merge requires a single-spec table — run " +
+        "ManifestStore.migrateSpec to rewrite the old-spec entries " +
+        "before merging across an evolvePartitionSpec")
     val tableCols = org.apache.spark.sql.types.StructType
       .fromDDL(st.schemaDdl).fieldNames.toSeq
 
@@ -126,7 +126,8 @@ object MergeInto {
       val nextDv = curDv.unionByName(delIds).distinct()
         .join(broadcast(upserts.select(col(idCol))), Seq(idCol), "left_anti")
       val dvStage = ManifestStore.stage(
-        nextDv.coalesce(1), root, dvName, Seq.empty, ManifestStore.Replace)
+        nextDv.coalesce(1).sortWithinPartitions(idCol),
+        root, dvName, Seq.empty, ManifestStore.Replace)
 
       ManifestStore.commitBatch(spark, root, dataStages :+ dvStage,
         sinkId, batchId)

@@ -97,6 +97,58 @@ class PartitionSpecEvolutionSpec extends SparkSpec {
     } finally Scratch.deleteRecursively(root)
   }
 
+  test("migrateSpec rewrites ONLY the old-spec entries into the current " +
+    "spec; current-spec files keep their identity; MERGE resumes") {
+    val root = Scratch.tempDir("graft-specmig")
+    try {
+      val gen1 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val gen2 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      ManifestStore.write(gen1, root, Seq("source"))                // v1
+      ManifestStore.evolvePartitionSpec(spark, root,
+        ManifestStore.MAIN, Seq("lang"))                            // v2
+      ManifestStore.upsertPartitions(gen2, root, Seq("lang"))       // v3
+      // MERGE refuses the mixed-spec table — the seam migrate closes
+      import org.apache.spark.sql.functions.{lit => L}
+      val change = gen2.limit(1)
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), L("U").as("op"), L(1L).as("ts"), L(1L).as("seq"))
+      intercept[IllegalArgumentException] {
+        MergeInto.merge(spark, root, change, "mig-sink", 0L,
+          partitionCol = "lang")
+      }
+      val before = ManifestStore.snapshot(spark, root)
+        .state(ManifestStore.MAIN).partitions
+      val langFiles = before.collect {
+        case (k, p) if p.cols == Seq("lang") => k -> p.files.map(_.path)
+      }
+      ManifestStore.migrateSpec(spark, root)                        // v4
+      val v4 = ManifestStore.snapshot(spark, root)
+      val after = v4.state(ManifestStore.MAIN).partitions
+      // single-spec again, rows identical, and every current-spec
+      // FILE survived untouched: migrate APPENDS the migrated rows'
+      // files into overlapping partitions (never reads or rewrites a
+      // current-spec file — the small-file debt falls to compaction)
+      assert(after.values.forall(_.cols == Seq("lang")))
+      assert(canon(v4.read()) === canon(gen1.unionByName(gen2)))
+      langFiles.foreach { case (k, files) =>
+        assert(after(k).files.map(_.path).startsWith(files),
+          s"current-spec entry $k must keep its original files first")
+      }
+      // migrate is a no-op on a single-spec table: no new version
+      assert(ManifestStore.migrateSpec(spark, root) === v4.version)
+      assert(ManifestStore.snapshot(spark, root).version === v4.version)
+      // and MERGE now works
+      val (_, applied) = MergeInto.merge(spark, root, change, "mig-sink", 0L,
+        partitionCol = "lang")
+      assert(applied)
+      // time travel across evolve + migrate still serves each version
+      assert(canon(ManifestStore.snapshotAt(spark, root, 1).read()) ===
+        canon(gen1))
+      assert(canon(ManifestStore.snapshotAt(spark, root, 3).read()) ===
+        canon(gen1.unionByName(gen2)))
+    } finally Scratch.deleteRecursively(root)
+  }
+
   test("evolving a missing table or to an unknown column refuses; " +
     "the spec change survives checkpoint replay") {
     val root = Scratch.tempDir("graft-specevo-err")
