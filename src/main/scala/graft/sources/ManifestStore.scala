@@ -247,14 +247,16 @@ object ManifestStore {
       }
     })
 
-  /** One row group's (rows, integral (min, max) per column) — kept in
-    * the log ONLY for multi-group files, where intra-file skipping
-    * exists to be had (compaction's large files); a single-group
-    * file's stats ARE its group stats and pay nothing twice.
+  /** One row group's (rows, integral (min, max) per column, truncated
+    * string (min, max) per column) — kept in the log ONLY for
+    * multi-group files, where intra-file skipping exists to be had
+    * (compaction's large files); a single-group file's stats ARE its
+    * group stats and pay nothing twice.
     */
   final case class RowGroupStat(
       rows: Long,
-      stats: Map[String, (Long, Long)]
+      stats: Map[String, (Long, Long)],
+      strStats: Map[String, (String, String)] = Map.empty
   )
 
   /** One parquet file the log references: `path` relative to the
@@ -578,13 +580,22 @@ object ManifestStore {
       */
     private def groupsOf(f: FileEntry): Seq[RowGroupStat] =
       if (f.groups.nonEmpty) f.groups
-      else Seq(RowGroupStat(f.rows, f.stats))
+      else Seq(RowGroupStat(f.rows, f.stats, f.strStats))
 
     private def groupHits(g: RowGroupStat, ranges: Seq[(String, Long, Long)]) =
       ranges.forall { case (c, lo, hi) =>
         g.stats.get(c) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None           => true
+        }
+      }
+
+    private def groupHitsStr(g: RowGroupStat, ranges: Seq[(String, String, String)]) =
+      ranges.forall { case (c, lo, hi) =>
+        g.strStats.get(c) match {
+          case Some((mn, mx)) =>
+            cpCompare(mx, lo) >= 0 && cpCompare(mn, hi) <= 0
+          case None => true
         }
       }
 
@@ -636,6 +647,49 @@ object ManifestStore {
       */
     def readBoxRG(table: String, ranges: Seq[(String, Long, Long)]): DataFrame = {
       val (kept, _) = prunedFilesRG(table, ranges)
+      ranges.foldLeft(readFiles(state(table), resolve(kept))) {
+        case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
+      }
+    }
+
+    /** [[rowGroupPrune]] for STRING columns — per-group
+      * truncate-and-increment bounds probed under code-point order,
+      * the same soundness argument as [[prunedFilesStr]].
+      */
+    def rowGroupPruneStr(
+        table: String,
+        ranges: Seq[(String, String, String)]
+    ): (Int, Int, Long, Long) = {
+      val all = state(table).partitions.values.flatMap(_.files).toSeq
+      var gk = 0
+      var gt = 0
+      var rk = 0L
+      var rt = 0L
+      all.foreach { f =>
+        groupsOf(f).foreach { g =>
+          gt += 1
+          rt += g.rows
+          if (groupHitsStr(g, ranges)) { gk += 1; rk += g.rows }
+        }
+      }
+      (gk, gt, rk, rt)
+    }
+
+    /** [[prunedFilesRG]] on string ranges. */
+    def prunedFilesStrRG(
+        table: String,
+        ranges: Seq[(String, String, String)]
+    ): (Seq[FileEntry], Int) = {
+      val all = state(table).partitions.values.flatMap(_.files).toSeq
+      (all.filter(f => groupsOf(f).exists(groupHitsStr(_, ranges))), all.length)
+    }
+
+    /** [[readBoxStr]] through the row-group-sharpened file screen. */
+    def readBoxStrRG(
+        table: String,
+        ranges: Seq[(String, String, String)]
+    ): DataFrame = {
+      val (kept, _) = prunedFilesStrRG(table, ranges)
       ranges.foldLeft(readFiles(state(table), resolve(kept))) {
         case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
       }
@@ -1006,6 +1060,7 @@ object ManifestStore {
     val groups = Seq.newBuilder[RowGroupStat]
     rdr.getFooter.getBlocks.asScala.foreach { block =>
       val gacc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val gsacc = scala.collection.mutable.Map.empty[String, (String, String)]
       block.getColumns.asScala.foreach { c =>
         if (c.getPath.size() == 1) {
           val name = c.getPath.toDotString
@@ -1030,6 +1085,7 @@ object ManifestStore {
                 case None => poisoned += name; sacc.remove(name)
                 case Some(up) =>
                   val lo = truncLower(mn)
+                  gsacc.update(name, (lo, up))
                   sacc.get(name) match {
                     case Some((a, b)) =>
                       sacc.update(name,
@@ -1058,7 +1114,7 @@ object ManifestStore {
           }
         }
       }
-      groups += RowGroupStat(block.getRowCount, gacc.toMap)
+      groups += RowGroupStat(block.getRowCount, gacc.toMap, gsacc.toMap)
     }
     (acc.toMap, sacc.toMap, groups.result())
   }
@@ -1838,6 +1894,12 @@ object ManifestStore {
             g.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
               val a = gs.putArray(c); a.add(mn); a.add(mx)
             }
+            if (g.strStats.nonEmpty) {
+              val ss = go.putObject("sstats")
+              g.strStats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+                val a = ss.putArray(c); a.add(mn); a.add(mx)
+              }
+            }
           }
         }
       }
@@ -1879,7 +1941,16 @@ object ManifestStore {
                 go.get("stats").properties().asScala.map { se =>
                   se.getKey ->
                     (se.getValue.get(0).asLong(), se.getValue.get(1).asLong())
-                }.toMap)
+                }.toMap,
+                Option(go.get("sstats")) match {
+                  case Some(sn) =>
+                    sn.properties().asScala.map { se =>
+                      se.getKey ->
+                        (se.getValue.get(0).asText(),
+                          se.getValue.get(1).asText())
+                    }.toMap
+                  case None => Map.empty[String, (String, String)]
+                })
             }.toSeq
           case None => Seq.empty[RowGroupStat]
         }

@@ -103,6 +103,42 @@ class RowGroupStatsSpec extends SparkSpec {
     } finally Scratch.deleteRecursively(root)
   }
 
+  test("string row-group bounds: a source-sorted compacted file skips " +
+    "groups on a string probe; the sharpened read stays exact") {
+    val root = Scratch.tempDir("graft-rg-str")
+    try {
+      // 40 shifted copies, sorted by SOURCE then id: each row group
+      // holds a contiguous source run, so its truncated (min,max)
+      // string bounds are tight
+      val wide = (0 until 40).map { i =>
+        Tables(spark, sfDir).documents
+          .select(col("doc_id"), col("source"), col("text"),
+            col("n_chars").cast("long").as("n_chars"))
+          .withColumn("doc_id", col("doc_id") + lit(500L * i))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      ManifestStore.commit(spark, root, Seq(ManifestStore.stage(
+        wide.coalesce(1).sortWithinPartitions("source", "doc_id"),
+        root, ManifestStore.MAIN, Seq.empty, ManifestStore.Replace,
+        writerOptions = Map(
+          "parquet.block.size" -> (64 * 1024).toString,
+          "parquet.page.size" -> (8 * 1024).toString))))
+      val snap = ManifestStore.snapshot(spark, root)
+      val f = snap.state(ManifestStore.MAIN)
+        .partitions.values.flatMap(_.files).head
+      assert(f.groups.length > 1)
+      assert(f.groups.forall(_.strStats.contains("source")),
+        "every group must carry truncated source bounds")
+      val ranges = Seq(("source", "src13", "src15"))
+      val (gk, gt, rk, rt) = snap.rowGroupPruneStr(ManifestStore.MAIN, ranges)
+      assert(gk < gt && gk > 0, s"string probe must skip groups: $gk of $gt")
+      assert(rk < rt)
+      val got = snap.readBoxStrRG(ManifestStore.MAIN, ranges)
+      assert(canon(got) === canon(
+        wide.filter(col("source") >= "src13" && col("source") <= "src15")))
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(wide)
+    } finally Scratch.deleteRecursively(root)
+  }
+
   test("single-group files carry no group list (zero log overhead) and " +
     "prune identically at group granularity") {
     val root = Scratch.tempDir("graft-rg-single")
