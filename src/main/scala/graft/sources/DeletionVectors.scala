@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, col, lit, max, struct}
 
 /** Row-level deletes as MERGE-ON-READ deletion vectors — the
   * O(deleted ids) delete a production store needs where copy-on-write
@@ -16,7 +16,19 @@ import org.apache.spark.sql.functions.{broadcast, col}
   * atomicity the store already guarantees makes the DV design safe
   * for free, and time travel reproduces the pre-delete view.
   *
-  * [[materialize]] is the compaction half: rewrite ONLY the
+  * The sidecar is LOG-STRUCTURED (an LSM at its minimum): each write
+  * APPENDS one sorted run of `(id, dv_seq, dv_del)` records — `true`
+  * marks a delete, `false` a revival (a MERGE re-insert of a
+  * DV-dead key, [[MergeInto]]) — and readers reduce latest-wins per
+  * id ([[liveIds]]). No writer ever rewrites the vector, so a
+  * sustained CDC churn pays O(batch) per commit while the vector
+  * holds millions of ids; the pile collapses through [[compactDv]]
+  * (vector-only, data untouched) or [[materialize]] (vector applied
+  * to the data and cleared). `dv_seq` is the committing version, so
+  * later records win; on a seq tie (two uncoordinated writers in one
+  * version slot) the DELETE record wins — the conservative side.
+  *
+  * [[materialize]] is the full compaction: rewrite ONLY the
   * partitions that can hold deleted rows (candidates located through
   * the manifest's own per-file zone maps — metadata, no scan) with
   * the vector applied, and clear the vector, in ONE commit. Readers
@@ -36,12 +48,61 @@ object DeletionVectors {
   /** The deletion-vector sidecar's table name for `table`. */
   def dvTable(table: String): String = table + "__dv"
 
+  /** Record sequence column: the committing version, so later DV
+    * writes supersede earlier ones id by id.
+    */
+  val SEQ_COL = "dv_seq"
+
+  /** Record op column: `true` = delete, `false` = revive. */
+  val DEL_COL = "dv_del"
+
+  /** The sequence the NEXT commit against `root` will occupy — the
+    * version the publish will mint. Writers serialized by the ledger
+    * ([[MergeInto]]) or CAS get distinct seqs for free; the delete-
+    * wins tie-break in [[liveIds]] covers uncoordinated overlap.
+    */
+  private def nextSeq(spark: SparkSession, root: String): Long =
+    if (!ManifestStore.exists(spark, root)) 1L
+    else ManifestStore.snapshot(spark, root).version + 1
+
+  /** `ids` (one column, the key) as delete records at `seq`, sorted
+    * into one run: parquet's delta/RLE encoding collapses dense
+    * delete runs (a whole-crawl purge is ranges, not scatter) and
+    * the file's (min,max) stays a tight zone map.
+    */
+  private[sources] def deleteRecords(
+      ids: DataFrame,
+      idCol: String,
+      seq: Long
+  ): DataFrame =
+    ids.select(col(idCol), lit(seq).as(SEQ_COL), lit(true).as(DEL_COL))
+
+  private[sources] def reviveRecords(
+      ids: DataFrame,
+      idCol: String,
+      seq: Long
+  ): DataFrame =
+    ids.select(col(idCol), lit(seq).as(SEQ_COL), lit(false).as(DEL_COL))
+
+  /** One sorted single-file staged run of DV records — O(batch) data
+    * bytes and one O(batch) write task per commit, never O(vector).
+    */
+  private[sources] def stageRecords(
+      records: DataFrame,
+      root: String,
+      table: String,
+      idCol: String
+  ): ManifestStore.Staged =
+    ManifestStore.stage(
+      records.coalesce(1).sortWithinPartitions(idCol),
+      root, dvTable(table), Seq.empty, ManifestStore.Append)
+
   /** Commit `ids` (one column, the key) as deletions of `table` —
-    * O(k) bytes staged and logged, no data file touched. Returns the
-    * new version. Idempotent by semantics: deleting an id twice (the
-    * DV is read `distinct`) or deleting an absent id (anti-join
-    * no-op) changes nothing — the reference's idempotent-DELETE
-    * contract.
+    * O(k) bytes staged and logged (one appended run), no data file
+    * and no existing vector file touched. Returns the new version.
+    * Idempotent by semantics: deleting an id twice (latest-wins over
+    * two delete records) or deleting an absent id (anti-join no-op)
+    * changes nothing — the reference's idempotent-DELETE contract.
     */
   def delete(
       spark: SparkSession,
@@ -51,13 +112,27 @@ object DeletionVectors {
       ids: DataFrame
   ): Long =
     ManifestStore.commit(spark, root, Seq(
-      ManifestStore.stage(
-        // one file per delete commit: the vector is ids, not data —
-        // SORTED, so parquet's delta/RLE encoding collapses dense
-        // delete runs (a whole-crawl purge is ranges, not scatter)
-        // and the file's (min,max) stays a tight zone map
-        ids.select(col(idCol)).coalesce(1).sortWithinPartitions(idCol),
-        root, dvTable(table), Seq.empty, ManifestStore.Append)))
+      stageRecords(
+        deleteRecords(ids.select(col(idCol)), idCol, nextSeq(spark, root)),
+        root, table, idCol)))
+
+  /** The vector's LIVE ids — the latest-wins reduction over the
+    * record pile: an id is deleted iff its greatest `(dv_seq,
+    * dv_del)` record is a delete (`true > false`, so on a seq tie
+    * the delete wins). One shuffle over the pile, which is O(churn)
+    * rows between compactions — nowhere near the data.
+    */
+  def liveIds(
+      snap: ManifestStore.Snapshot,
+      table: String = ManifestStore.MAIN,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val dv = snap.read(dvTable(table))
+    dv.groupBy(col(idCol))
+      .agg(max(struct(col(SEQ_COL), col(DEL_COL))).as("__m"))
+      .filter(col("__m")(DEL_COL))
+      .select(col(idCol))
+  }
 
   /** Merge-on-read: `table` with the deletion vector applied. The DV
     * is broadcast (it is small by construction — deletes that rewrite
@@ -72,10 +147,24 @@ object DeletionVectors {
   ): DataFrame = {
     val base = snap.read(table)
     if (!snap.hasTable(dvTable(table))) base
-    else {
-      val dv = snap.read(dvTable(table)).select(col(idCol)).distinct()
-      base.join(broadcast(dv), Seq(idCol), "left_anti")
-    }
+    else base.join(broadcast(liveIds(snap, table, idCol)), Seq(idCol), "left_anti")
+  }
+
+  /** [[ManifestStore.Snapshot.readForIds]] with the vector applied —
+    * the point lookup a store with live deletes must serve: a DV-dead
+    * id returns NO row before materialization (the physical bytes
+    * exist; the logical row does not). Without this composition every
+    * caller must remember the anti-join.
+    */
+  def readForIds(
+      snap: ManifestStore.Snapshot,
+      table: String,
+      idCol: String,
+      ids: Seq[Long]
+  ): DataFrame = {
+    val base = snap.readForIds(table, idCol, ids)
+    if (!snap.hasTable(dvTable(table))) base
+    else base.join(broadcast(liveIds(snap, table, idCol)), Seq(idCol), "left_anti")
   }
 
   /** Change feed over the LOGICAL state (files ∖ vector) — the
@@ -125,8 +214,7 @@ object DeletionVectors {
     val dvName = dvTable(table)
     val sorted: Array[Long] =
       if (!s.hasTable(dvName)) Array.empty
-      else s.read(dvName).select(col(idCol)).distinct()
-        .collect().map(_.getLong(0)).sorted
+      else liveIds(s, table, idCol).collect().map(_.getLong(0)).sorted
     import s.spark.implicits._
     DvView(sorted.toSeq.toDF(idCol), sorted)
   }
@@ -221,6 +309,36 @@ object DeletionVectors {
             .coalesce(col(c + "__new"), col(c + "__old")).as(c)): _*)
   }
 
+  /** Collapse the record pile WITHOUT touching data files — the
+    * vector-only compaction a long-lived CDC sink schedules between
+    * [[materialize]] runs: Replace the sidecar with one sorted run of
+    * the surviving delete records (each at its own winning seq, so
+    * later appends still supersede correctly). One commit, O(live
+    * vector) bytes; dead records (revived ids, superseded runs) fall
+    * out, and the superseded run files fall to vacuum. Returns the
+    * new version.
+    */
+  def compactDv(
+      spark: SparkSession,
+      root: String,
+      table: String = ManifestStore.MAIN,
+      idCol: String = "doc_id"
+  ): Long = {
+    val snap = ManifestStore.snapshot(spark, root)
+    val dvName = dvTable(table)
+    require(snap.hasTable(dvName), s"no deletion vector for '$table'")
+    val live = snap.read(dvName)
+      .groupBy(col(idCol))
+      .agg(max(struct(col(SEQ_COL), col(DEL_COL))).as("__m"))
+      .filter(col("__m")(DEL_COL))
+      .select(col(idCol), col("__m")(SEQ_COL).as(SEQ_COL),
+        col("__m")(DEL_COL).as(DEL_COL))
+    ManifestStore.commit(spark, root, Seq(
+      ManifestStore.stage(live.coalesce(1).sortWithinPartitions(idCol),
+        root, dvName, Seq.empty, ManifestStore.Replace)),
+      expectedVersion = snap.version)
+  }
+
   /** Apply the vector physically and clear it, in ONE commit: rewrite
     * only the partitions whose manifest zone maps admit a deleted id
     * (a partition none of whose files' (min, max) covers any deleted
@@ -229,8 +347,9 @@ object DeletionVectors {
     * candidate set is conservative (a covering range may still hold
     * no deleted row — that partition rewrites byte-equal, which the
     * change feed silences), never lossy. Requires an integral key
-    * with footer stats and a single partition column (zero columns =
-    * whole-table rewrite). Returns the new version.
+    * with footer stats and ≤1 CURRENT partition column (zero columns
+    * = whole-table rewrite); a table carrying older specs is handled
+    * — see the staging-mode note below. Returns the new version.
     */
   def materialize(
       spark: SparkSession,
@@ -245,12 +364,14 @@ object DeletionVectors {
     require(st.partitionCols.length <= 1,
       s"materialize handles ≤1 partition column, '$table' has " +
         st.partitionCols.mkString(","))
-    val dv = snap.read(dvName).select(col(idCol)).distinct()
+    val dv = liveIds(snap, table, idCol)
     // the vector is k rows by contract — a metadata-sized read, the
     // same discipline as the store's other audited collect sites;
     // sorted so partition screening binary-searches (O(files·log k))
     val ids = dv.collect().map(_.getLong(0)).sorted
-    val emptyDv = dv.limit(0)
+    // clear with the RECORD schema, so post-materialize appends stay
+    // shape-compatible with the pile's contract
+    val emptyDv = snap.read(dvName).limit(0)
     val dvStage = ManifestStore.stage(
       emptyDv, root, dvName, Seq.empty, ManifestStore.Replace)
     if (st.partitionCols.isEmpty) {
@@ -269,25 +390,30 @@ object DeletionVectors {
               i < ids.length && ids(i) <= mx
             case None => true // no stats: cannot prove clean
           }
-        } => (key, p.values.head)
-      }.toSeq.sortBy(_._1)
+        } => key
+      }.toSeq.sorted
       if (touched.isEmpty)
         // nothing to rewrite — still clear the vector (all ids absent)
         ManifestStore.commit(spark, root, Seq(dvStage),
           expectedVersion = snap.version)
       else {
-        val kept = snap.readPartitionKeys(table, touched.map(_._1))
+        val kept = snap.readPartitionKeys(table, touched)
           .join(broadcast(dv), Seq(idCol), "left_anti")
         // EVERY touched partition is first dropped, then re-added by
         // whatever the survivors' write staged: a partition whose rows
         // were ALL deleted stages nothing (Spark's partitioned write
         // emits no directory for an empty frame), and without the
-        // explicit drop the Upsert would keep its superseded files
-        // while the same commit clears the vector — silently undoing
-        // the delete
+        // explicit drop an all-rows-deleted partition would silently
+        // keep its superseded files while the same commit clears the
+        // vector. The staged merge is APPEND + drops (migrateSpec's
+        // composition), NOT Upsert: on a mixed-spec table a touched
+        // old-spec partition's survivors restage under the CURRENT
+        // spec and may land on a key an UNTOUCHED entry already holds
+        // — Append merges the files into that entry, where Upsert's
+        // whole-entry replace would silently drop the untouched files
         ManifestStore.commit(spark, root, Seq(
           ManifestStore.stage(kept, root, table, st.partitionCols,
-            ManifestStore.Upsert).copy(drops = touched.map(_._1)),
+            ManifestStore.Append).copy(drops = touched),
           dvStage
         ), expectedVersion = snap.version)
       }

@@ -430,6 +430,29 @@ object ManifestStore {
       (kept.flatMap(_.files), all.map(_.files.length).sum)
     }
 
+    /** Per-SPEC pruning over a VALUE BOX on several named columns —
+      * the multi-column generalization of [[partitionProbeFiles]]:
+      * an entry prunes by EVERY probed column its OWN spec carries
+      * (sound per axis — an entry keyed `source=s1/lang=en` provably
+      * holds only that source AND that lang, so pruning by any
+      * subset of its axes is exact), and a column absent from the
+      * entry's spec cannot prune it. Returns (files to scan, total
+      * files).
+      */
+    def partitionProbeFilesBox(
+        table: String,
+        box: Seq[(String, Set[String])]
+    ): (Seq[FileEntry], Int) = {
+      val all = state(table).partitions.values.toSeq
+      val kept = all.filter { p =>
+        box.forall { case (c, vs) =>
+          val i = p.cols.indexOf(c)
+          i < 0 || vs.contains(p.values(i))
+        }
+      }
+      (kept.flatMap(_.files), all.map(_.files.length).sum)
+    }
+
     /** Partition-value read by NAMED column across specs: entries of
       * spec `(colName)` prune to the matching values; other-spec
       * entries scan with the residual predicate applied (so the
@@ -449,6 +472,30 @@ object ManifestStore {
       val base = readFiles(st, resolve(files))
       val mixed = st.partitions.values.exists(_.cols != Seq(colName))
       if (mixed) base.filter(col(colName).isin(values: _*)) else base
+    }
+
+    /** [[readPartitionCol]] generalized to a multi-column value box:
+      * files route through [[partitionProbeFilesBox]], and the
+      * residual predicates apply only when SOME kept entry's spec
+      * misses a probed column (its rows are not guaranteed to
+      * satisfy that axis). A table whose every entry carries every
+      * probed column gets the pure metadata prune — no residual in
+      * the plan (MultiColSpecSpec pins it).
+      */
+    def readPartitionBox(
+        table: String,
+        box: Seq[(String, Seq[Any])]
+    ): DataFrame = {
+      val st = state(table)
+      val boxSets = box.map { case (c, vs) => (c, vs.map(_.toString).toSet) }
+      val (files, _) = partitionProbeFilesBox(table, boxSets)
+      val base = readFiles(st, resolve(files))
+      val needResidual = st.partitions.values.exists(p =>
+        !box.forall { case (c, _) => p.cols.contains(c) })
+      if (!needResidual) base
+      else box.foldLeft(base) { case (df, (c, vs)) =>
+        df.filter(col(c).isin(vs: _*))
+      }
     }
 
     /** Read exactly the named partition entries (by spec-qualified
@@ -2056,7 +2103,13 @@ object ManifestStore {
         t.partitionCols)
     }
     val dir = localPath(logDir(root))
-    java.nio.file.Files.createDirectories(dir)
+    // an async checkpoint can land AFTER the root is torn down (this
+    // JVM drains via awaitCheckpoints, but the protocol is cross-
+    // process): never recreate a deleted log directory for derived
+    // state — skip, the checkpoint was pure optimization. A late
+    // cross-process checkpoint BELOW a vacuum's keepFrom is swept by
+    // the next vacuum's ckpt re-sweep.
+    if (!java.nio.file.Files.isDirectory(dir)) return
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(doc)
     val tmp = dir.resolve(s".c-${java.util.UUID.randomUUID()}.json")
     java.nio.file.Files.write(tmp, bytes)

@@ -16,12 +16,17 @@ import org.apache.spark.sql.functions._
   *     ONLY the partitions that hold a matched key's old row or
   *     receive a new one — located through the manifest's zone maps
   *     ([[ManifestStore.Snapshot.readForIds]]), never a store scan;
-  *   - deletes (final op D) land as O(k) deletion-vector ids
-  *     ([[DeletionVectors]]) — no partition rewrite at all;
-  *   - a re-inserted key LEAVES the vector in the same commit (else
-  *     the DV would keep killing the new row), and a key whose old
-  *     physical row is DV-dead gets its partition rewritten so the
-  *     stale row cannot resurrect when the vector entry clears;
+  *   - deletes (final op D) land as O(k) deletion-vector records
+  *     APPENDED to the log-structured sidecar ([[DeletionVectors]])
+  *     — no partition rewrite, and no existing vector file touched:
+  *     the vector may hold millions of ids while each batch commits
+  *     O(batch) bytes (the r11 design rewrote the whole vector per
+  *     batch through one task — O(|DV|) at sustained churn);
+  *   - a re-inserted DV-dead key gets a REVIVE record at the same
+  *     seq in the same commit (else the vector would keep killing
+  *     the new row; [[DeletionVectors.liveIds]] reduces latest-wins),
+  *     and a key whose old physical row is DV-dead gets its
+  *     partition rewritten so the stale row cannot resurrect;
   *   - a partition whose every row moved away is DROPPED (the
   *     [[ManifestStore.Staged.drops]] contract).
   *
@@ -35,8 +40,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: one batch-sized shuffle (the latest-wins window),
   * batch-sized broadcasts for the key anti-joins, zone-map-routed
-  * partition reads — commit cost is O(touched partitions + k), never
-  * O(store).
+  * partition reads, and an O(batch) vector append — commit cost is
+  * O(touched partitions + k) per batch, with NO O(|vector|) term
+  * (MergeIntoSpec's churn arm pins the appended DV bytes flat while
+  * the vector grows). The pile the appends build is collapsed by
+  * [[DeletionVectors.compactDv]] / [[DeletionVectors.materialize]]
+  * on the usual OPTIMIZE schedule.
   */
 object MergeInto {
 
@@ -117,20 +126,34 @@ object MergeInto {
               ManifestStore.keyOf(st.partitionCols, Seq(v)))))
         }
 
-      // vector algebra in the SAME commit: + final deletes,
-      // − re-inserted keys (all relational, batch-sized broadcasts)
+      // vector algebra in the SAME commit, APPEND-ONLY: the batch's
+      // final deletes land as delete records, and upserted keys that
+      // are currently DV-dead get revive records at the same seq —
+      // O(batch) bytes staged whatever the vector holds, no vector
+      // file read for rewriting (the revive screen is one parallel
+      // scan of the pile against a batch-sized broadcast)
       val dvName = DeletionVectors.dvTable(table)
-      val curDv =
-        if (snap.hasTable(dvName)) snap.read(dvName).select(col(idCol))
-        else delIds.limit(0)
-      val nextDv = curDv.unionByName(delIds).distinct()
-        .join(broadcast(upserts.select(col(idCol))), Seq(idCol), "left_anti")
-      val dvStage = ManifestStore.stage(
-        nextDv.coalesce(1).sortWithinPartitions(idCol),
-        root, dvName, Seq.empty, ManifestStore.Replace)
-
-      ManifestStore.commitBatch(spark, root, dataStages :+ dvStage,
-        sinkId, batchId)
+      val seq = snap.version + 1 // this commit's slot (ledger-serialized)
+      val revives =
+        if (!snap.hasTable(dvName)) delIds.limit(0)
+        else DeletionVectors.liveIds(snap, table, idCol)
+          .join(broadcast(upserts.select(col(idCol))), Seq(idCol), "left_semi")
+      val dvRecords = DeletionVectors
+        .deleteRecords(delIds, idCol, seq)
+        .unionByName(DeletionVectors.reviveRecords(revives, idCol, seq))
+        .localCheckpoint(true)
+      try {
+        // a record-less batch (pure updates of live keys) appends no
+        // run file at all — unless the commit would otherwise stage
+        // nothing and still owes the ledger its batch mark
+        val dvStages =
+          if (dataStages.nonEmpty && dvRecords.isEmpty) Seq.empty
+          else Seq(DeletionVectors.stageRecords(dvRecords, root, table, idCol))
+        ManifestStore.commitBatch(spark, root, dataStages ++ dvStages,
+          sinkId, batchId)
+      } finally
+        org.apache.spark.sql.graftshim.GraftSqlShims
+          .unpersistCheckpoint(dvRecords)
     } finally
       org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(net)
   }

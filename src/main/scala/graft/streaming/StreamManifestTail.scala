@@ -23,7 +23,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * recognizes it — nothing publishes twice. There is no second
   * checkpoint store to drift from the data (the
   * crash-between-commit-and-checkpoint window a separate cursor file
-  * would reopen).
+  * would reopen). A consumer that falls behind SOURCE RETENTION
+  * (vacuum trimmed history past its cursor) is not wedged: the poll
+  * detects the unreadable cursor and re-baselines through the init
+  * path at the oldest readable version — correct because the view is
+  * a pure function of source state (the telescoping contract).
   *
   * Scale posture: each poll costs O(changed per hop) — the logical
   * feed scans only fileDiff's delta files plus DV-diff candidates,
@@ -64,6 +68,24 @@ object StreamManifestTail {
       case None =>
         // first contact: materialize the baseline view at the OLDEST
         // readable version (everything before it is vacuumed history)
+        val v0 = versions.head
+        val snap0 = ManifestStore.snapshotAt(spark, sourceRoot, v0)
+        val view0 = init(DeletionVectors.read(snap0, table, idCol))
+        ManifestStore.commitBatch(spark, targetRoot, Seq(
+          ManifestStore.stage(view0.coalesce(1), targetRoot,
+            ManifestStore.MAIN, Seq.empty, ManifestStore.Replace)),
+          sinkId, v0)
+        Seq(v0)
+      case Some(cur) if cur < versions.head =>
+        // the source vacuumed past the cursor: the hop base is gone,
+        // so the consumer can never feed from cur again. Re-baseline
+        // through the init path — the derived view is a pure function
+        // of source state (the telescoping contract), so re-deriving
+        // it at the oldest readable version IS the correct resume
+        // point; the Replace + ledger mark swap atomically, exactly
+        // like first contact. Without this the consumer is wedged
+        // forever on an unreadable snapshotAt (source retention would
+        // have to be guaranteed to exceed consumer lag).
         val v0 = versions.head
         val snap0 = ManifestStore.snapshotAt(spark, sourceRoot, v0)
         val view0 = init(DeletionVectors.read(snap0, table, idCol))

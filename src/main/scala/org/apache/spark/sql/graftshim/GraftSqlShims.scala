@@ -42,6 +42,20 @@ object GraftSqlShims {
       case _ => ()
     }
 
+  /** Re-tag a batch DataFrame's plan as STREAMING — what a V1
+    * streaming `Source.getBatch` must return (the Kafka source's
+    * `internalCreateDataFrame(..., isStreaming = true)` pattern):
+    * the engine splices the plan into the micro-batch and asserts
+    * the streaming flag. The wrapped RDD is the frame's own
+    * physical plan, planned lazily here and executed only when the
+    * micro-batch runs — fully distributed, nothing collected.
+    */
+  def asStreamingFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
+
   /** A parquet scan whose file listing comes from CALLER metadata —
     * zero filesystem list/stat calls at read time. This is how a
     * table format serves reads: the manifest already knows every

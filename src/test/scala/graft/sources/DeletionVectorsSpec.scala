@@ -136,6 +136,67 @@ class DeletionVectorsSpec extends SparkSpec {
     } finally Scratch.deleteRecursively(root)
   }
 
+  test("materialize on a MIXED-SPEC table merges migrated survivors " +
+    "into colliding untouched current-spec entries — no silent drop") {
+    val root = Scratch.tempDir("graft-dv-mixedspec")
+    try {
+      val base = docs.withColumn("grp",
+        pmod(col("doc_id"), lit(3)).cast("string"))
+      ManifestStore.write(base, root, Seq("source"))               // v1
+      ManifestStore.evolvePartitionSpec(spark, root,
+        ManifestStore.MAIN, Seq("grp"))                            // v2
+      // the UNTOUCHED current-spec generation: fresh ids far above the
+      // old generation's zone maps, landing on every grp value
+      val shifted = base
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      ManifestStore.upsertPartitions(shifted, root, Seq("grp"))    // v3
+      // delete ids that live ONLY in old-spec (source) entries
+      val kill = base.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"))
+      DeletionVectors.delete(spark, root, ManifestStore.MAIN, "doc_id", kill)
+      val v4 = ManifestStore.snapshot(spark, root)
+      val newGenFiles = v4.state(ManifestStore.MAIN).partitions.collect {
+        case (_, p) if p.cols == Seq("grp") => p.files.map(_.path)
+      }.flatten.toSet
+      DeletionVectors.materialize(spark, root, ManifestStore.MAIN, "doc_id")
+      val v5 = ManifestStore.snapshot(spark, root)
+      // the untouched generation's files survive IN the manifest: the
+      // migrated old-spec survivors merged into the colliding grp
+      // entries instead of replacing them (pre-fix, Upsert dropped
+      // every v3 file whose grp value a migrated survivor landed on)
+      assert(newGenFiles.subsetOf(v5.filePaths().toSet),
+        "untouched current-spec files must survive materialize")
+      val expect = base.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .unionByName(shifted)
+      assert(canon(v5.read()) === canon(expect))
+      assert(v5.read(DeletionVectors.dvTable(ManifestStore.MAIN))
+        .count() === 0L)
+    } finally Scratch.deleteRecursively(root)
+  }
+
+  test("readForIds through the vector: a DV-dead id point-fetch " +
+    "returns no row before materialization") {
+    val root = Scratch.tempDir("graft-dv-pointfetch")
+    try {
+      ManifestStore.write(docs, root, Seq("source"))
+      val two = docs.orderBy("doc_id").limit(2).collect()
+      val (dead, alive) = (two(0).getLong(0), two(1).getLong(0))
+      import spark.implicits._
+      DeletionVectors.delete(spark, root, ManifestStore.MAIN, "doc_id",
+        Seq(dead).toDF("doc_id"))
+      val snap = ManifestStore.snapshot(spark, root)
+      // the raw physical fetch still surfaces the bytes…
+      assert(snap.readForIds(ManifestStore.MAIN, "doc_id", Seq(dead))
+        .count() === 1L)
+      // …the DV-aware fetch must not
+      assert(DeletionVectors.readForIds(snap, ManifestStore.MAIN,
+        "doc_id", Seq(dead)).count() === 0L)
+      assert(DeletionVectors.readForIds(snap, ManifestStore.MAIN,
+        "doc_id", Seq(dead, alive)).select("doc_id").collect()
+        .map(_.getLong(0)).toSeq === Seq(alive))
+    } finally Scratch.deleteRecursively(root)
+  }
+
   test("the DV sidecar and the data publish atomically: a snapshot is " +
     "always a consistent pair") {
     val root = Scratch.tempDir("graft-dv-pair")

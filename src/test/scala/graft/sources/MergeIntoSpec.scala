@@ -89,6 +89,62 @@ class MergeIntoSpec extends SparkSpec {
     } finally Scratch.deleteRecursively(root)
   }
 
+  test("N-batch churn: each merge APPENDS O(batch) vector bytes while " +
+    "the vector grows — no O(|DV|) rewrite; compactDv collapses the pile") {
+    val root = Scratch.tempDir("graft-merge-churn")
+    try {
+      ManifestStore.write(docs, root, Seq("source"))
+      val dvName = DeletionVectors.dvTable(ManifestStore.MAIN)
+      // seed a LARGE vector: 1/3 of the corpus DV-dead before the
+      // churn starts — the r11 design re-wrote all of it every batch
+      DeletionVectors.delete(spark, root, ManifestStore.MAIN, "doc_id",
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("doc_id")))
+      val seeded = ManifestStore.snapshot(spark, root)
+        .read(dvName).count()
+      assert(seeded >= 100L, s"fixture too small to seed a vector ($seeded)")
+      // five fixed-size delete batches (40 fresh ids each) through MERGE
+      val perBatch = (0 until 5).map { i =>
+        val prev = ManifestStore.snapshot(spark, root)
+        val b = ev(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .orderBy("doc_id").limit(200).filter(
+            pmod(col("doc_id"), lit(5)) === (i % 5).toLong), "D", 10 + i, 1)
+        MergeInto.merge(spark, root, b, "churn", i.toLong)
+        val cur = ManifestStore.snapshot(spark, root)
+        val (added, removed) = ManifestStore.fileDiff(prev, cur, dvName)
+        assert(removed.isEmpty,
+          s"batch $i rewrote ${removed.map(_.path)} — the vector must " +
+            "only be appended to")
+        added.map(_.bytes).sum
+      }
+      // flat: every batch's appended run is batch-sized, not
+      // vector-sized (the seeded vector alone is 10x a batch)
+      assert(perBatch.max <= perBatch.min * 2 + 1024,
+        s"per-batch DV bytes must stay flat at fixed batch size, got " +
+          perBatch.mkString(","))
+      // the pile collapses without touching data; reads are unchanged
+      val before = canon(DeletionVectors.read(
+        ManifestStore.snapshot(spark, root)))
+      val dataBefore = ManifestStore.snapshot(spark, root).filePaths()
+      DeletionVectors.compactDv(spark, root, ManifestStore.MAIN, "doc_id")
+      val snap = ManifestStore.snapshot(spark, root)
+      assert(snap.filePaths() === dataBefore,
+        "compactDv must not touch one data file")
+      assert(snap.state(dvName).partitions.values
+        .map(_.files.length).sum === 1,
+        "the compacted vector is one sorted run")
+      assert(canon(DeletionVectors.read(snap)) === before)
+      // appends after compaction still supersede: revive one victim
+      val vic = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .orderBy("doc_id").limit(1).localCheckpoint(true)
+      MergeInto.merge(spark, root,
+        ev(vic.withColumn("n_chars", lit(777L)), "I", 99, 1), "churn", 99L)
+      val got = DeletionVectors.read(ManifestStore.snapshot(spark, root))
+        .filter(col("doc_id") === vic.head.getLong(0)).collect()
+      assert(got.length === 1 && got.head.getAs[Long]("n_chars") === 777L)
+      org.apache.spark.sql.graftshim.GraftSqlShims.unpersistCheckpoint(vic)
+    } finally Scratch.deleteRecursively(root)
+  }
+
   test("a partition emptied by moves is dropped from the manifest") {
     val root = Scratch.tempDir("graft-merge-empty")
     try {

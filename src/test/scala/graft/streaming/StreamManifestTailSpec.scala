@@ -102,6 +102,33 @@ class StreamManifestTailSpec extends SparkSpec {
     }
   }
 
+  test("source vacuumed past the cursor: the consumer re-baselines at " +
+    "the oldest readable version instead of wedging") {
+    val src = Scratch.tempDir("graft-tail-vac")
+    val tgt = Scratch.tempDir("graft-tail-vact") + "/t"
+    try {
+      buildHistory(src)
+      // consumer applies v1 only, then goes dark
+      assert(poll(src, tgt, "tail-v", 1) === Seq(1L))
+      // source retention moves on: only the head survives
+      ManifestStore.vacuum(spark, src, retainVersions = 1)
+      val readable = ManifestStore.versions(spark, src)
+      assert(readable.head > 1L, "v1 must be gone for this arm")
+      // the wedged-forever shape pre-fix: snapshotAt(cursor) threw on
+      // every subsequent poll. Now: one re-baseline poll at the oldest
+      // readable version, then business as usual
+      assert(poll(src, tgt, "tail-v", 2) === Seq(readable.head))
+      while (poll(src, tgt, "tail-v", 2).nonEmpty) ()
+      val fullView = init(DeletionVectors.read(
+        ManifestStore.snapshot(spark, src)))
+      assert(canon(ManifestStore.read(spark, tgt)) === canon(fullView),
+        "re-baselined tail ≡ recompute at head")
+    } finally {
+      Scratch.deleteRecursively(src)
+      Scratch.deleteRecursively(new java.io.File(tgt).getParent)
+    }
+  }
+
   test("independent sinks tail independently from their own cursors") {
     val src = Scratch.tempDir("graft-tail-src2")
     val tgtA = Scratch.tempDir("graft-tail-ta") + "/a"
