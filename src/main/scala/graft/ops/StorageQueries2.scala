@@ -204,8 +204,12 @@ object StorageQueries2 {
           .select(col("doc_id")))
       DeletionVectors.materialize(s, src, ManifestStore.MAIN,       // v4
         "doc_id")
+      // DELTA-FOLD maintenance: the view store is partitioned by
+      // `source`, each hop upserts only the partitions its feed
+      // touches — O(changed partitions) per hop, not O(view)
       StreamManifestTail.tailToEnd(s, src, tgt, "stream26",
-        maxVersions = 2, extraCols = Seq("source"))(init, fold)
+        maxVersions = 2, extraCols = Seq("source"),
+        viewPartitionCols = Seq("source"))(init, fold)
       val tail = ManifestStore.read(s, tgt)
         .select(col("source"), col("n_docs").as("n_tail"),
           col("chars_sum").as("chars_tail"))

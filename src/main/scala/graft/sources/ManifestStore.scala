@@ -298,7 +298,7 @@ object ManifestStore {
     * — so entries of different specs can never collide or silently
     * replace each other across an [[evolvePartitionSpec]].
     */
-  private[sources] def keyOf(cols: Seq[String], values: Seq[String]): String =
+  private[graft] def keyOf(cols: Seq[String], values: Seq[String]): String =
     cols.zip(values).map { case (c, v) => s"$c=$v" }.mkString("/")
 
   /** `fieldIds` is the COLUMN MAPPING (Delta's id-based mapping /
@@ -377,7 +377,11 @@ object ManifestStore {
       * with explicit paths re-stats each file on the driver per read,
       * an O(files) IO round the log already paid at commit time.
       */
-    private def readFiles(st: TableState, files: Seq[(String, Long)]): DataFrame = {
+    private def readFiles(
+        st: TableState,
+        files: Seq[(String, Long)],
+        rowCount: Option[Long] = None
+    ): DataFrame = {
       // resolve columns BY FIELD ID where the table has a mapping:
       // a renamed column's old files serve the new name through the id
       val schema = withFieldIds(StructType.fromDDL(st.schemaDdl), st.fieldIds)
@@ -388,12 +392,20 @@ object ManifestStore {
         )
       else
         org.apache.spark.sql.graftshim.GraftSqlShims
-          .readParquetKnownFiles(spark, schema, files)
+          .readParquetKnownFiles(spark, schema, files, rowCount)
     }
+
+    /** [[readFiles]] over manifest entries, carrying the entries' own
+      * ROW SUM to the optimizer as catalog statistics beside the byte
+      * sum — with CBO enabled, join planning sees true cardinality,
+      * not just file bytes (every read path routes through here).
+      */
+    private def readEntries(st: TableState, entries: Seq[FileEntry]): DataFrame =
+      readFiles(st, resolve(entries), Some(entries.map(_.rows).sum))
 
     def read(table: String = MAIN): DataFrame = {
       val st = state(table)
-      readFiles(st, resolve(st.partitions.values.flatMap(_.files).toSeq))
+      readEntries(st, st.partitions.values.flatMap(_.files).toSeq)
     }
 
     /** Manifest-level partition pruning: only the named partitions'
@@ -469,7 +481,7 @@ object ManifestStore {
       val st = state(table)
       val want = values.map(_.toString).toSet
       val (files, _) = partitionProbeFiles(table, colName, want)
-      val base = readFiles(st, resolve(files))
+      val base = readEntries(st, files)
       val mixed = st.partitions.values.exists(_.cols != Seq(colName))
       if (mixed) base.filter(col(colName).isin(values: _*)) else base
     }
@@ -489,7 +501,7 @@ object ManifestStore {
       val st = state(table)
       val boxSets = box.map { case (c, vs) => (c, vs.map(_.toString).toSet) }
       val (files, _) = partitionProbeFilesBox(table, boxSets)
-      val base = readFiles(st, resolve(files))
+      val base = readEntries(st, files)
       val needResidual = st.partitions.values.exists(p =>
         !box.forall { case (c, _) => p.cols.contains(c) })
       if (!needResidual) base
@@ -505,9 +517,9 @@ object ManifestStore {
     def readPartitionKeys(table: String, keys: Seq[String]): DataFrame = {
       val st = state(table)
       val want = keys.toSet
-      readFiles(st, resolve(st.partitions.collect {
+      readEntries(st, st.partitions.collect {
         case (k, p) if want.contains(k) => p.files
-      }.flatten.toSeq))
+      }.flatten.toSeq)
     }
 
     def state(table: String): TableState =
@@ -603,7 +615,7 @@ object ManifestStore {
       */
     def readBox(table: String, ranges: Seq[(String, Long, Long)]): DataFrame = {
       val (kept, _) = prunedFiles(table, ranges)
-      ranges.foldLeft(readFiles(state(table), resolve(kept))) {
+      ranges.foldLeft(readEntries(state(table), kept)) {
         case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
       }
     }
@@ -614,7 +626,7 @@ object ManifestStore {
     /** [[readBox]] on string ranges, pruning through [[prunedFilesStr]]. */
     def readBoxStr(table: String, ranges: Seq[(String, String, String)]): DataFrame = {
       val (kept, _) = prunedFilesStr(table, ranges)
-      ranges.foldLeft(readFiles(state(table), resolve(kept))) {
+      ranges.foldLeft(readEntries(state(table), kept)) {
         case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
       }
     }
@@ -694,7 +706,7 @@ object ManifestStore {
       */
     def readBoxRG(table: String, ranges: Seq[(String, Long, Long)]): DataFrame = {
       val (kept, _) = prunedFilesRG(table, ranges)
-      ranges.foldLeft(readFiles(state(table), resolve(kept))) {
+      ranges.foldLeft(readEntries(state(table), kept)) {
         case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
       }
     }
@@ -737,7 +749,7 @@ object ManifestStore {
         ranges: Seq[(String, String, String)]
     ): DataFrame = {
       val (kept, _) = prunedFilesStrRG(table, ranges)
-      ranges.foldLeft(readFiles(state(table), resolve(kept))) {
+      ranges.foldLeft(readEntries(state(table), kept)) {
         case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
       }
     }
@@ -778,7 +790,7 @@ object ManifestStore {
     def readForIds(table: String, idCol: String, ids: Seq[Long]): DataFrame = {
       val sorted = ids.distinct.sorted.toArray
       val base =
-        readFiles(state(table), resolve(candidateFilesForIds(table, idCol, sorted)))
+        readEntries(state(table), candidateFilesForIds(table, idCol, sorted))
       if (sorted.length <= ISIN_MAX) base.filter(col(idCol).isin(sorted: _*))
       else {
         import spark.implicits._
@@ -801,8 +813,8 @@ object ManifestStore {
         idsDf: DataFrame,
         sortedIds: Array[Long]
     ): DataFrame =
-      readFiles(state(table), resolve(
-        candidateFilesForIds(table, idCol, sortedIds)))
+      readEntries(state(table),
+        candidateFilesForIds(table, idCol, sortedIds))
         .join(org.apache.spark.sql.functions.broadcast(idsDf),
           Seq(idCol), "left_semi")
   }

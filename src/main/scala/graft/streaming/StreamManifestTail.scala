@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.sources.{DeletionVectors, ManifestStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** A LIVE streaming source FROM the manifest log — the consume-side
   * twin of [[StreamManifestIngest]], and the shape `stream25` only
@@ -32,8 +33,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale posture: each poll costs O(changed per hop) — the logical
   * feed scans only fileDiff's delta files plus DV-diff candidates,
   * endpoint DV views are built once per poll and shared by adjacent
-  * hops, and the view commit is O(view). Falling behind is safe:
-  * hops TELESCOPE (stream25/DvFeedSpec), so a consumer may fold any
+  * hops, and with `viewPartitionCols` set the view commit is
+  * O(changed partitions), not O(view): only the partitions the feed
+  * touches are read back, folded, and restaged (Upsert + drops),
+  * every other partition byte-identical — the discipline a consumer
+  * mirroring a LARGE table needs. Falling behind is safe: hops
+  * TELESCOPE (stream25/DvFeedSpec), so a consumer may fold any
   * contiguous span in one hop and land on the same view.
   */
 object StreamManifestTail {
@@ -43,6 +48,21 @@ object StreamManifestTail {
     * carries that version as the cursor); `fold` advances the current
     * view by one hop's feed. Returns the source versions applied this
     * round (empty = caught up).
+    *
+    * `viewPartitionCols` picks the view-maintenance discipline:
+    *   - empty (default): whole-view Replace per hop — O(view) commit
+    *     through one task, fine for a small aggregate;
+    *   - non-empty: DELTA-FOLD (the cdc20 IVM discipline) — the
+    *     target view is partitioned by these columns (they must be
+    *     view output columns the feed also carries), each hop reads
+    *     back ONLY the partitions the feed touches, `fold` sees that
+    *     slice (every current row it gets belongs to a touched
+    *     partition, and must return the touched partitions'
+    *     replacement rows), and the commit is Upsert + drops over
+    *     exactly those partitions. Untouched partitions are not
+    *     read, not rewritten, byte-identical across the hop — the
+    *     per-hop commit cost is O(changed partitions), so a consumer
+    *     mirroring a large table no longer pays O(view) per hop.
     */
   def pollOnce(
       spark: SparkSession,
@@ -53,7 +73,8 @@ object StreamManifestTail {
       table: String = ManifestStore.MAIN,
       idCol: String = "doc_id",
       payloadCol: String = "n_chars",
-      extraCols: Seq[String] = Seq.empty
+      extraCols: Seq[String] = Seq.empty,
+      viewPartitionCols: Seq[String] = Seq.empty
   )(
       init: DataFrame => DataFrame,
       fold: (DataFrame, DataFrame) => DataFrame
@@ -64,36 +85,34 @@ object StreamManifestTail {
       if (!ManifestStore.exists(spark, targetRoot)) None
       else ManifestStore.snapshot(spark, targetRoot).batches.get(sinkId)
 
-    cursor match {
-      case None =>
-        // first contact: materialize the baseline view at the OLDEST
-        // readable version (everything before it is vacuumed history)
-        val v0 = versions.head
-        val snap0 = ManifestStore.snapshotAt(spark, sourceRoot, v0)
-        val view0 = init(DeletionVectors.read(snap0, table, idCol))
-        ManifestStore.commitBatch(spark, targetRoot, Seq(
+    // first contact AND the vacuumed-past-cursor re-baseline share
+    // one shape: the derived view is a pure function of source state
+    // (the telescoping contract), so init at the oldest readable
+    // version is the correct (re)start, swapped atomically with the
+    // ledger mark exactly like any hop
+    def baseline(): Seq[Long] = {
+      val v0 = versions.head
+      val snap0 = ManifestStore.snapshotAt(spark, sourceRoot, v0)
+      val view0 = init(DeletionVectors.read(snap0, table, idCol))
+      val staged =
+        if (viewPartitionCols.isEmpty)
           ManifestStore.stage(view0.coalesce(1), targetRoot,
-            ManifestStore.MAIN, Seq.empty, ManifestStore.Replace)),
-          sinkId, v0)
-        Seq(v0)
+            ManifestStore.MAIN, Seq.empty, ManifestStore.Replace)
+        else ManifestStore.stage(view0, targetRoot, ManifestStore.MAIN,
+          viewPartitionCols, ManifestStore.Replace)
+      ManifestStore.commitBatch(spark, targetRoot, Seq(staged), sinkId, v0)
+      Seq(v0)
+    }
+
+    cursor match {
+      case None => baseline()
       case Some(cur) if cur < versions.head =>
         // the source vacuumed past the cursor: the hop base is gone,
-        // so the consumer can never feed from cur again. Re-baseline
-        // through the init path — the derived view is a pure function
-        // of source state (the telescoping contract), so re-deriving
-        // it at the oldest readable version IS the correct resume
-        // point; the Replace + ledger mark swap atomically, exactly
-        // like first contact. Without this the consumer is wedged
-        // forever on an unreadable snapshotAt (source retention would
-        // have to be guaranteed to exceed consumer lag).
-        val v0 = versions.head
-        val snap0 = ManifestStore.snapshotAt(spark, sourceRoot, v0)
-        val view0 = init(DeletionVectors.read(snap0, table, idCol))
-        ManifestStore.commitBatch(spark, targetRoot, Seq(
-          ManifestStore.stage(view0.coalesce(1), targetRoot,
-            ManifestStore.MAIN, Seq.empty, ManifestStore.Replace)),
-          sinkId, v0)
-        Seq(v0)
+        // so the consumer can never feed from cur again — without the
+        // re-baseline it would be wedged forever on an unreadable
+        // snapshotAt (source retention would have to be guaranteed to
+        // exceed consumer lag)
+        baseline()
       case Some(cur) =>
         val todo = versions.filter(_ > cur).take(math.max(0, maxVersions))
         if (todo.isEmpty) Seq.empty
@@ -109,13 +128,41 @@ object StreamManifestTail {
             val feed = DeletionVectors.logicalFeed(spark, sourceRoot,
               snaps(a), snaps(b), table, idCol, payloadCol, extraCols,
               dvAView = Some(dvs(a)), dvBView = Some(dvs(b)))
-            val curView = ManifestStore.read(spark, targetRoot)
-            val next = fold(curView, feed)
-            // view + cursor in ONE swap: batchId IS the source version
-            ManifestStore.commitBatch(spark, targetRoot, Seq(
-              ManifestStore.stage(next.coalesce(1), targetRoot,
-                ManifestStore.MAIN, Seq.empty, ManifestStore.Replace)),
-              sinkId, b)
+            if (viewPartitionCols.isEmpty) {
+              val curView = ManifestStore.read(spark, targetRoot)
+              val next = fold(curView, feed)
+              // view + cursor in ONE swap: batchId IS the source version
+              ManifestStore.commitBatch(spark, targetRoot, Seq(
+                ManifestStore.stage(next.coalesce(1), targetRoot,
+                  ManifestStore.MAIN, Seq.empty, ManifestStore.Replace)),
+                sinkId, b)
+            } else {
+              // DELTA-FOLD: the feed names the touched partitions (its
+              // dimension values), only THEIR current rows are read
+              // back, and only they restage — an untouched partition
+              // is never opened. The feed is checkpointed because both
+              // the touched-key collect and the fold consume it.
+              val feedChk = feed.localCheckpoint(true)
+              try {
+                val touched = feedChk
+                  .select(viewPartitionCols.map(col): _*).distinct()
+                  .collect()
+                  .map(r => ManifestStore.keyOf(viewPartitionCols,
+                    viewPartitionCols.indices.map(i => r.get(i).toString)))
+                  .toSeq.sorted
+                val tgtSnap = ManifestStore.snapshot(spark, targetRoot)
+                val curSlice = tgtSnap.readPartitionKeys(
+                  ManifestStore.MAIN, touched)
+                val next = fold(curSlice, feedChk)
+                ManifestStore.commitBatch(spark, targetRoot, Seq(
+                  ManifestStore.stage(next, targetRoot, ManifestStore.MAIN,
+                    viewPartitionCols, ManifestStore.Upsert)
+                    .copy(drops = touched)),
+                  sinkId, b)
+              } finally
+                org.apache.spark.sql.graftshim.GraftSqlShims
+                  .unpersistCheckpoint(feedChk)
+            }
           }
           todo
         }
@@ -135,18 +182,21 @@ object StreamManifestTail {
       table: String = ManifestStore.MAIN,
       idCol: String = "doc_id",
       payloadCol: String = "n_chars",
-      extraCols: Seq[String] = Seq.empty
+      extraCols: Seq[String] = Seq.empty,
+      viewPartitionCols: Seq[String] = Seq.empty
   )(
       init: DataFrame => DataFrame,
       fold: (DataFrame, DataFrame) => DataFrame
   ): Seq[Long] = {
     val out = Seq.newBuilder[Long]
     var applied = pollOnce(spark, sourceRoot, targetRoot, sinkId,
-      maxVersions, table, idCol, payloadCol, extraCols)(init, fold)
+      maxVersions, table, idCol, payloadCol, extraCols,
+      viewPartitionCols)(init, fold)
     while (applied.nonEmpty) {
       out ++= applied
       applied = pollOnce(spark, sourceRoot, targetRoot, sinkId,
-        maxVersions, table, idCol, payloadCol, extraCols)(init, fold)
+        maxVersions, table, idCol, payloadCol, extraCols,
+        viewPartitionCols)(init, fold)
     }
     out.result()
   }

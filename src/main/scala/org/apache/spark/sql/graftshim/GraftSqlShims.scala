@@ -72,6 +72,23 @@ object GraftSqlShims {
       spark0: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       files: Seq[(String, Long)]
+  ): DataFrame = readParquetKnownFiles(spark0, schema, files, None)
+
+  /** [[readParquetKnownFiles]] carrying the manifest's ROW COUNT into
+    * the optimizer alongside the byte sum: the scan's
+    * `LogicalRelation` gets `CatalogStatistics(sizeInBytes,
+    * rowCount)`, so with CBO/plan-stats enabled a narrow projection
+    * over a wide table re-estimates as rows × projected width — a
+    * small-row wide-payload dimension broadcasts where raw file
+    * bytes alone would refuse (ManifestJoinPlanningSpec pins both
+    * decisions). With CBO off the stats degrade to the same byte-sum
+    * `sizeInBytes` as before — plans unchanged.
+    */
+  def readParquetKnownFiles(
+      spark0: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      files: Seq[(String, Long)],
+      rowCount: Option[Long]
   ): DataFrame = {
     import org.apache.spark.sql.execution.datasources._
     val spark = spark0.asInstanceOf[SparkSession]
@@ -105,6 +122,24 @@ object GraftSqlShims {
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty
     )(spark)
-    Dataset.ofRows(spark, LogicalRelation(relation))
+    val plan = rowCount match {
+      case Some(rc) =>
+        // a minimal CatalogTable purely as the stats carrier (the
+        // identifier never resolves — nothing registers it)
+        val ct = org.apache.spark.sql.catalyst.catalog.CatalogTable(
+          identifier =
+            org.apache.spark.sql.catalyst.TableIdentifier("graft_manifest_scan"),
+          tableType =
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+          storage =
+            org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty,
+          schema = schema,
+          stats = Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+            sizeInBytes = BigInt(statuses.map(_.getLen).sum),
+            rowCount = Some(BigInt(rc)))))
+        LogicalRelation(relation, ct)
+      case None => LogicalRelation(relation)
+    }
+    Dataset.ofRows(spark, plan)
   }
 }

@@ -98,4 +98,78 @@ class ManifestJoinPlanningSpec extends SparkSpec {
       Scratch.deleteRecursively(small)
     }
   }
+
+  test("manifest ROW COUNTS reach the optimizer: a wide-payload " +
+    "small-row dim broadcasts under CBO where file bytes alone refuse") {
+    val dim = Scratch.tempDir("graft-jp-rows")
+    val origThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val origCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val origAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+    // the STATIC planner is the subject here: AQE would rescue the
+    // bytes-only misestimate at runtime, but only AFTER both sides
+    // paid their shuffle map stages — plan-time cardinality avoids
+    // scheduling the shuffle at all, which is the 100 TB win
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 25 rows, each dragging ~38 KB of hash-chain payload (hex —
+      // parquet still halves it): file bytes land far above the
+      // broadcast threshold while the projected join side is a few
+      // hundred bytes
+      val payload = concat_ws("", (0 until 300).map(i =>
+        sha2(concat(col("text"), lit(i.toString)), 512)): _*)
+      ManifestStore.write(
+        Tables(spark, sfDir).documents
+          .filter(col("source") === "src0")
+          .select(col("doc_id"), payload.as("blob")),
+        dim, Seq.empty)
+      val st = ManifestStore.snapshot(spark, dim).state(ManifestStore.MAIN)
+      val dimBytes = st.partitions.values.map(_.bytes).sum
+      assert(dimBytes > 180224L,
+        s"fixture must exceed the scaled threshold in bytes, got $dimBytes")
+      val dimRows = st.partitions.values.map(_.rows).sum
+
+      // the fact is 40 shifted copies — big enough that ITS estimate
+      // never broadcasts, so the decision under test is the dim's
+      def joined() = (0 until 40).map { i =>
+        Tables(spark, sfDir).documents
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+          .withColumn("doc_id", col("doc_id") + lit(500L * i))
+      }.reduce(_ unionByName _)
+        .join(ManifestStore.read(spark, dim).select(col("doc_id")),
+          Seq("doc_id"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+
+      // bytes-only sizing (CBO off): the projection scales the BYTE
+      // estimate by type widths — the blob's true weight never leaves
+      // the estimate, so the dim refuses to broadcast
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val planOff = planOf(joined())
+      assert(!planOff.contains("BroadcastHashJoin"),
+        s"bytes-only must refuse here (the arm's premise):\n" +
+          planOff.take(800))
+      val resultOff = joined().collect().head
+
+      // with CBO, the manifest's rowCount re-estimates the projected
+      // side as rows x projected width — and it rightly broadcasts
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val dimScan = ManifestStore.read(spark, dim).select(col("doc_id"))
+      val est = dimScan.queryExecution.optimizedPlan.stats
+      assert(est.rowCount.contains(BigInt(dimRows)),
+        s"the manifest row count must reach plan stats, got $est")
+      val planOn = planOf(joined())
+      assert(planOn.contains("BroadcastHashJoin"),
+        s"rowCount-driven sizing must broadcast the $dimRows-row dim:\n" +
+          planOn.take(800))
+      val resultOn = joined().collect().head
+      assert(resultOn === resultOff,
+        "the plan changed, the answer must not")
+      assert(resultOn.getLong(0) > 0L)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", origAqe)
+      spark.conf.set("spark.sql.cbo.enabled", origCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", origThresh)
+      Scratch.deleteRecursively(dim)
+    }
+  }
 }

@@ -129,6 +129,55 @@ class StreamManifestTailSpec extends SparkSpec {
     }
   }
 
+  test("delta-fold view maintenance: a hop commits O(changed " +
+    "partitions) — untouched view partitions are byte-identical") {
+    val src = Scratch.tempDir("graft-tail-delta")
+    val tgt = Scratch.tempDir("graft-tail-deltat") + "/t"
+    try {
+      ManifestStore.write(docs, src, Seq("bucket"))                  // v1
+      def pollD() = StreamManifestTail.pollOnce(spark, src, tgt,
+        "tail-d", 4, extraCols = Seq("source"),
+        viewPartitionCols = Seq("source"))(init, fold)
+      assert(pollD() === Seq(1L))
+      val t1 = ManifestStore.snapshot(spark, tgt)
+      assert(t1.state(ManifestStore.MAIN).partitionCols === Seq("source"),
+        "the delta-fold view is partitioned by its dimension")
+      // a hop that changes ONE source's docs only: bucket 0 rewrites
+      // whole (the Upsert unit), but only src0's payloads move — the
+      // logical feed silences the byte-equal rest
+      val src0 = docs.select(min(col("source"))).head.getString(0)
+      ManifestStore.upsertPartitions(                                // v2
+        docs.filter(col("bucket") === 0)
+          .withColumn("n_chars",
+            when(col("source") === src0, col("n_chars") + lit(1000000L))
+              .otherwise(col("n_chars"))),
+        src, Seq("bucket"))
+      assert(pollD() === Seq(2L))
+      val t2 = ManifestStore.snapshot(spark, tgt)
+      // ONLY the touched source's view partition changed
+      val changed = ManifestStore.changedPartitionKeys(t1, t2)
+      assert(changed === Set(s"source=$src0"),
+        s"one source changed, view rewrote $changed")
+      // ...and the hop's commit carried only that partition's bytes
+      val (added, _) = ManifestStore.fileDiff(t1, t2)
+      assert(added.nonEmpty && added.forall(_.path.contains(
+        s"__p_source=$src0")), s"added ${added.map(_.path)}")
+      // correctness unchanged: delta-folded view ≡ recompute
+      val full = init(DeletionVectors.read(
+        ManifestStore.snapshot(spark, src)))
+      assert(canon(ManifestStore.read(spark, tgt)) === canon(full))
+      // ... and ≡ the whole-view Replace tail over the same history
+      val tgtR = new java.io.File(tgt).getParent + "/r"
+      while (StreamManifestTail.pollOnce(spark, src, tgtR, "tail-r", 4,
+        extraCols = Seq("source"))(init, fold).nonEmpty) ()
+      assert(canon(ManifestStore.read(spark, tgt)) ===
+        canon(ManifestStore.read(spark, tgtR)))
+    } finally {
+      Scratch.deleteRecursively(src)
+      Scratch.deleteRecursively(new java.io.File(tgt).getParent)
+    }
+  }
+
   test("independent sinks tail independently from their own cursors") {
     val src = Scratch.tempDir("graft-tail-src2")
     val tgtA = Scratch.tempDir("graft-tail-ta") + "/a"
