@@ -327,19 +327,83 @@ object Scale10x {
       r
     }
 
+    /** The MERGE churn claim, measured: a FIXED store takes a
+      * FIXED-SIZE change batch (500 updates + 500 deletes, keys
+      * disjoint from the seeded vector at both scales) while the
+      * deletion vector already holds `2000·mult` ids. The r11 design
+      * re-wrote the whole vector per batch through one task —
+      * O(|DV|); the append-only records land O(batch) bytes whatever
+      * the vector holds, so flat seconds AND flat appended-DV bytes
+      * under 10× vector size is the property.
+      */
+    def mergeArm(mult: Int): Map[String, Double] = {
+      import graft.sources.{DeletionVectors, ManifestStore, MergeInto}
+      val rows = 60000L
+      val nIds = 2000L * mult
+      val root = graft.sources.Scratch.tempDir(s"graft-scale-mg$mult")
+      val docs = spark.read
+        .format("graft-docs")
+        .option("rows", rows)
+        .option("partitions", cpus.toInt)
+        .option("seed", 13)
+        .load()
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        .withColumn("bucket", expr("CAST(doc_id DIV 500 AS BIGINT)"))
+      ManifestStore.write(docs, root, Seq("bucket"))
+      // seed: multiples of rows/nIds (≡0 mod 30 / mod 3); the batch
+      // keys below are ≡7 and ≡11 mod 120 — disjoint at both scales
+      DeletionVectors.delete(spark, root, ManifestStore.MAIN, "doc_id",
+        docs.filter(pmod(col("doc_id"), lit(rows / nIds)) === 0)
+          .select(col("doc_id")))
+      def batch(upMod: Long, delMod: Long, ts: Long) =
+        docs.filter(pmod(col("doc_id"), lit(120)) === upMod)
+          .withColumn("n_chars", col("n_chars") + lit(5L))
+          .select(col("doc_id"), col("bucket"), col("n_chars"),
+            lit("U").as("op"), lit(ts).as("ts"), lit(1L).as("seq"))
+          .unionByName(
+            docs.filter(pmod(col("doc_id"), lit(120)) === delMod)
+              .select(col("doc_id"), col("bucket"), col("n_chars"),
+                lit("D").as("op"), lit(ts).as("ts"), lit(2L).as("seq")))
+      def mergeOnce(b: org.apache.spark.sql.DataFrame, id: Long): Double = {
+        val t0 = System.nanoTime()
+        MergeInto.merge(spark, root, b, "scale-mg", id,
+          partitionCol = "bucket")
+        (System.nanoTime() - t0) / 1e9
+      }
+      mergeOnce(batch(7, 11, 1), 0L) // warm: same shape, other keys
+      val pre = ManifestStore.snapshot(spark, root)
+      metrics.reset()
+      val secs = mergeOnce(batch(31, 53, 2), 1L)
+      val post = ManifestStore.snapshot(spark, root)
+      val dvName = DeletionVectors.dvTable(ManifestStore.MAIN)
+      val (added, _) = ManifestStore.fileDiff(pre, post, dvName)
+      val r = Map(
+        "secs" -> math.round(secs * 1000) / 1000.0,
+        "dv_ids" -> nIds.toDouble,
+        "dv_append_kb" -> math.round(added.map(_.bytes).sum / 1.024) / 1000.0,
+        "shuffle_read_mb" -> mb(metrics.shuffleRead.get),
+        "shuffle_write_mb" -> mb(metrics.shuffleWrite.get),
+        "spill_mb" -> mb(metrics.spill.get)
+      )
+      graft.sources.Scratch.deleteRecursively(root)
+      r
+    }
+
     val dir1 = gen(1)
     val x1 = measure(dir1) +
       ("ann_serve_fixed_batch" -> servingArm(dir1, 1)) +
       ("cdf_fixed_churn" -> cdfArm(dir1, 1)) +
       ("manifest_fixed_churn" -> manifestArm(dir1, 1)) +
-      ("dv_feed_fixed_store" -> dvFeedArm(1))
+      ("dv_feed_fixed_store" -> dvFeedArm(1)) +
+      ("merge_fixed_batch" -> mergeArm(1))
     graft.sources.Scratch.deleteRecursively(dir1)
     val dir10 = gen(10)
     val x10 = measure(dir10) +
       ("ann_serve_fixed_batch" -> servingArm(dir10, 10)) +
       ("cdf_fixed_churn" -> cdfArm(dir10, 10)) +
       ("manifest_fixed_churn" -> manifestArm(dir10, 10)) +
-      ("dv_feed_fixed_store" -> dvFeedArm(10))
+      ("dv_feed_fixed_store" -> dvFeedArm(10)) +
+      ("merge_fixed_batch" -> mergeArm(10))
     graft.sources.Scratch.deleteRecursively(dir10)
 
     def js(m: Map[String, Map[String, Double]]): String =

@@ -34,7 +34,8 @@ object SparkEntry {
       ops.TimeSeriesQueries.queries ++
       ops.MediaQueries.queries ++
       ops.MiscQueries.queries ++
-      ops.StorageQueries.queries ++ ops.StorageQueries2.queries
+      ops.StorageQueries.queries ++ ops.StorageQueries2.queries ++
+      ops.StorageQueries3.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Relational2.oracle ++
@@ -55,5 +56,6 @@ object SparkEntry {
       ops.TimeSeriesQueries.oracle ++
       ops.MediaQueries.oracle ++
       ops.MiscQueries.oracle ++
-      ops.StorageQueries.oracle ++ ops.StorageQueries2.oracle
+      ops.StorageQueries.oracle ++ ops.StorageQueries2.oracle ++
+      ops.StorageQueries3.oracle
 }
