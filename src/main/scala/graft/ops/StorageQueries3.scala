@@ -178,9 +178,76 @@ object StorageQueries3 {
     }
   }
 
+  /** cdc23: the log-structured deletion vector's LIFECYCLE gated —
+    * the r12 redesign end to end: three keyed MERGE batches (each
+    * REDELIVERED — the at-least-once schedule) interleave deletes,
+    * updates, and re-inserts of previously-deleted keys, every batch
+    * APPENDING one O(batch) record run to the `__dv` sidecar
+    * (delete + revive records, latest-wins on read — no batch ever
+    * rewrites the vector, MergeIntoSpec's churn arm pins the bytes);
+    * [[graft.sources.DeletionVectors.compactDv]] collapses the pile
+    * mid-history to ONE sorted run WITHOUT touching a data file, and
+    * a further merge lands on top of the compacted vector (its new
+    * records still supersede — seq ordering survives compaction).
+    * The gated row emits the final per-source state plus the version
+    * arithmetic (redeliveries mint nothing) and the vector's file
+    * census after compaction (1) and at head (2) — an engine whose
+    * compaction loses a revive, resurrects a delete, or whose merge
+    * rewrites instead of appending diverges. The oracle derives the
+    * final state from modulus arithmetic with batch precedence
+    * applied (a key both re-inserted and deleted WITHIN a batch
+    * follows the batch's (ts, seq) order).
+    */
+  private val dvCompact: Q = (s, dir) => {
+    import graft.sources.{DeletionVectors, MergeInto}
+    val docs = baseDocs(s, dir).drop("lang")
+    graft.sources.Scratch.withTempDir("graft-cdc23") { path =>
+      ManifestStore.write(docs, path, Seq("source"))               // v1
+      val k = col("doc_id")
+      def ev(df: DataFrame, op: String, ts: Long, seq: Long) =
+        df.select(col("doc_id"), col("source"), col("n_chars"),
+          lit(op).as("op"), lit(ts).as("ts"), lit(seq).as("seq"))
+      val b1 = ev(docs.filter(pmod(k, lit(5)) === 1)
+        .withColumn("n_chars", col("n_chars") + lit(1000000L)), "U", 1, 1)
+        .unionByName(ev(docs.filter(pmod(k, lit(7)) === 2), "D", 1, 2))
+      val b2 = ev(docs.filter(pmod(k, lit(7)) === 2 && pmod(k, lit(2)) === 1)
+        .withColumn("n_chars", col("n_chars") + lit(300000L)), "I", 2, 1)
+        .unionByName(ev(docs.filter(pmod(k, lit(9)) === 4), "D", 2, 2))
+      val b3 = ev(docs.filter(pmod(k, lit(11)) === 5), "D", 3, 1)
+        .unionByName(ev(
+          docs.filter(pmod(k, lit(9)) === 4 && pmod(k, lit(2)) === 0)
+            .withColumn("n_chars", col("n_chars") + lit(700000L)), "I", 3, 2))
+      Seq((b1, 0L), (b2, 1L)).foreach { case (b, id) =>
+        MergeInto.merge(s, path, b, "cdc23", id)
+        MergeInto.merge(s, path, b, "cdc23", id) // redelivery: no-op
+      }
+      DeletionVectors.compactDv(s, path, ManifestStore.MAIN, "doc_id") // v4
+      val dvName = DeletionVectors.dvTable(ManifestStore.MAIN)
+      val filesAfterCompact = ManifestStore.snapshot(s, path)
+        .state(dvName).partitions.values.map(_.files.length).sum
+      MergeInto.merge(s, path, b3, "cdc23", 2L)                    // v5
+      MergeInto.merge(s, path, b3, "cdc23", 2L)
+      val snap = ManifestStore.snapshot(s, path)
+      val filesFinal = snap.state(dvName).partitions.values
+        .map(_.files.length).sum
+      DeletionVectors.read(snap)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(h32l(col("doc_id"))).as("doc_fp"))
+        .withColumn("version", lit(snap.version))
+        .withColumn("dv_files_compacted", lit(filesAfterCompact.toLong))
+        .withColumn("dv_files_final", lit(filesFinal.toLong))
+        .orderBy("source")
+        .localCheckpoint(true)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "stream27_manifest_source" -> manifestSource,
-    "q123_multicol_spec" -> multiColSpec
+    "q123_multicol_spec" -> multiColSpec,
+    "cdc23_dv_compact" -> dvCompact
   )
 
   private def h = graft.functions.PortableHash.sqlH32("CAST(doc_id AS VARCHAR)")
@@ -268,6 +335,37 @@ object StorageQueries3 {
          |  CAST(n AS BIGINT) AS n_docs,
          |  CAST(cs AS BIGINT) AS chars_sum,
          |  CAST(fp AS BIGINT) AS doc_fp
-         |FROM r ORDER BY probe""".stripMargin
+         |FROM r ORDER BY probe""".stripMargin,
+    // the final state from modulus arithmetic with batch precedence:
+    // b3's even 9th≡4 reinserts beat everything (incl. the same
+    // batch's 11th≡5 delete, by seq); then b3 deletes, b2 deletes
+    // (odd 9th≡4 stays dead), b2's odd revivals of b1's 7th≡2
+    // deletes, b1's deletes (which beat the same batch's updates by
+    // seq), b1's updates; redeliveries mint nothing (version 5), the
+    // compacted vector is ONE run, head holds compacted + b3's run
+    "cdc23_dv_compact" ->
+      s"""WITH d AS (SELECT doc_id AS k, source,
+         |    CAST(n_chars AS BIGINT) AS c FROM documents),
+         |fin AS (
+         |  SELECT k AS doc_id, source,
+         |    CASE
+         |      WHEN k % 9 = 4 AND k % 2 = 0 THEN c + 700000
+         |      WHEN k % 7 = 2 AND k % 2 = 1 AND k % 11 <> 5
+         |        AND k % 9 <> 4 THEN c + 300000
+         |      WHEN k % 5 = 1 THEN c + 1000000
+         |      ELSE c
+         |    END AS n_chars
+         |  FROM d
+         |  WHERE (k % 9 = 4 AND k % 2 = 0)
+         |     OR (k % 11 <> 5 AND k % 9 <> 4
+         |         AND (k % 7 <> 2 OR k % 2 = 1)))
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+         |  CAST(SUM($h) AS BIGINT) AS doc_fp,
+         |  CAST(5 AS BIGINT) AS version,
+         |  CAST(1 AS BIGINT) AS dv_files_compacted,
+         |  CAST(2 AS BIGINT) AS dv_files_final
+         |FROM fin GROUP BY source ORDER BY source""".stripMargin
   )
 }
