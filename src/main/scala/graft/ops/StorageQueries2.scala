@@ -252,19 +252,31 @@ object StorageQueries2 {
     * cannot skip, diverges.
     */
   private val rowGroupSkipping: Q = (s, dir) => {
-    val wide = (0 until 40).map { i =>
-      Tables(s, dir).documents
-        .select(col("doc_id"), col("text"),
-          col("n_chars").cast("long").as("n_chars"))
-        .withColumn("doc_id", col("doc_id") + lit(500L * i))
-    }.reduce(_ unionByName _)
+    // the 40 shifted copies in ONE scan (explode over the copy index)
+    // — the r11 40-arm unionByName paid 40 separate parquet
+    // schema-inference jobs plus a 40-leaf plan to analyze, ~4 s of
+    // q121's 6.2 s at sf0.1 for the same row multiset
+    val wide = Tables(s, dir).documents
+      .select(col("doc_id"), col("text"),
+        col("n_chars").cast("long").as("n_chars"))
+      .select(explode(sequence(lit(0L), lit(39L))).as("__i"),
+        col("doc_id"), col("text"), col("n_chars"))
+      .select((col("doc_id") + lit(500L) * col("__i")).as("doc_id"),
+        col("text"), col("n_chars"))
     graft.sources.Scratch.withTempDir("graft-q121") { path =>
+      // repartition(1) + sortWithinPartitions: the scan/explode map
+      // side runs parallel, only the final sort + single-file write is
+      // one task (the fixture needs ONE id-clustered multi-group
+      // file; the r11 coalesce(1) pulled the whole pipeline into that
+      // one task). Block size 512 KiB keeps the file firmly
+      // multi-group (~100 groups) without the 64 KiB setting's ~800
+      // writer flushes.
       ManifestStore.commit(s, path, Seq(ManifestStore.stage(
-        wide.coalesce(1).sortWithinPartitions("doc_id"),
+        wide.repartition(1).sortWithinPartitions("doc_id"),
         path, ManifestStore.MAIN, Seq.empty, ManifestStore.Replace,
         writerOptions = Map(
-          "parquet.block.size" -> (64 * 1024).toString,
-          "parquet.page.size" -> (8 * 1024).toString))))
+          "parquet.block.size" -> (512 * 1024).toString,
+          "parquet.page.size" -> (64 * 1024).toString))))
       val snap = ManifestStore.snapshot(s, path)
       val ranges = Seq(("doc_id", 5000L, 7499L))
       val (gk, gt, rk, rt) = snap.rowGroupPrune(ManifestStore.MAIN, ranges)

@@ -14,12 +14,18 @@ import org.apache.spark.sql.functions._
   *     (a bin closes once the running total crosses the target; the
   *     threshold-crossing bin may exceed it by one trailing file).
   *   - [[writeBinned]]: one OUTPUT FILE per (partition, bin), exact —
-  *     each bin is its own reduce task via an explicit Partitioner
-  *     (hash placement cannot promise one-file-per-bin: two bins
-  *     landing in one task merge into one oversized file). This is
-  *     the bin→task shape Delta/Iceberg OPTIMIZE use; the keyed RDD
-  *     hop exists ONLY because DataFrame repartition exposes no exact
-  *     key→partition placement.
+  *     the bin rides the write as a SECOND dynamic-partition axis, so
+  *     a hash repartition on the full (partition, bin) key keeps each
+  *     bin whole in one task and the dynamic-partition writer emits
+  *     exactly one file per bin directory. One shuffle sized by
+  *     `spark.sql.shuffle.partitions`/AQE (a task writes MANY bins'
+  *     files sequentially) — not one reduce task per bin: at a
+  *     100 TB OPTIMIZE with 10⁵ bins, per-task scheduling and commit
+  *     overhead × bins is the difference between minutes and hours
+  *     (and the prior keyed-RDD hop additionally paid a full
+  *     Tungsten→Row→Tungsten round trip plus a separate
+  *     distinct-collect pass over the input to build the key→task
+  *     index — r12 measured the RDD hop at 4.6 s of q109's 12 s).
   *   - [[execute]]: rewrite ONLY the partitions the plan names, via
   *     dynamic partition overwrite — every other partition's files
   *     stay byte-identical on disk. The rewrite frame is validated
@@ -56,11 +62,17 @@ object Compaction {
   }
 
   /** Write `df` partitioned by `partitionCol` with EXACTLY one file
-    * per distinct (partitionCol, binCol) value: the distinct bin keys
-    * (manifest-sized) are collected and each key pinned to its own
-    * reduce task, so each task writes one file into one partition
-    * directory. The files land in an unreferenced staging dir and
-    * publish through ONE atomic [[ManifestStore]] commit:
+    * per distinct (partitionCol, binCol) value: the bin is a second
+    * dynamic-partition directory axis (`__bin_<binCol>=`, ignored by
+    * the manifest's partition-value parse, which reads only
+    * `__p_<col>=` segments), and the frame is hash-repartitioned on
+    * the FULL (partitionCol, binCol) key — a bin's rows land whole in
+    * one task (hash placement never splits a key; AQE coalescing only
+    * merges whole partitions), and the dynamic-partition writer emits
+    * one file per directory per task, so one file per bin, exact. One
+    * pass over `df`, one shuffle, no per-bin task. The files land in
+    * an unreferenced staging dir and publish through ONE atomic
+    * [[ManifestStore]] commit:
     * `dynamic = true` replaces only the partitions present in `df`
     * (Upsert), `false` installs the frame as the table (Replace) —
     * either way a concurrent reader resolves the previous complete
@@ -75,43 +87,26 @@ object Compaction {
       expectedVersion: Long = ManifestStore.ANY_VERSION
   ): Unit = {
     val spark = df.sparkSession
-    val keyed = df.withColumn(
-      "__ckey",
-      concat_ws(
-        "\u0001",
-        col(partitionCol).cast("string"),
-        col(binCol).cast("string")
-      )
-    )
-    val keys = keyed
-      .select(col("__ckey"))
-      .distinct()
-      .collect()
-      .map(_.getString(0))
-      .sorted
-    val idx: Map[String, Int] = keys.zipWithIndex.toMap
-    val n = math.max(idx.size, 1)
-    val schema = keyed.schema
-    val ki = schema.fieldIndex("__ckey")
-    val placed = keyed.rdd
-      .map(r => (r.getString(ki), r))
-      .partitionBy(new org.apache.spark.Partitioner {
-        override def numPartitions: Int = n
-        override def getPartition(key: Any): Int =
-          idx(key.asInstanceOf[String])
-      })
-      .map(_._2)
     val staging = ManifestStore.stageDir(path, ManifestStore.MAIN)
-    ManifestStore.tagForStage(
-      spark
-        .createDataFrame(placed, schema)
-        .drop("__ckey"),
-      path, ManifestStore.MAIN)
-      // the real column stays in the data; the write partitions on a
-      // duplicate (the ManifestStore layout contract)
+    // EXPLICIT task count: each write task emits its bins' files
+    // sequentially, so the file fan-out must stay spread across the
+    // cluster — an AQE-coalesced exchange (tiny bytes, many bins)
+    // would serialize hundreds of file writes into one task. User
+    // repartition counts are exempt from AQE coalescing; the default
+    // scales with the cluster (defaultParallelism), overridable for
+    // a production OPTIMIZE via spark.graft.compact.writeTasks.
+    val writeTasks = spark.conf
+      .getOption("spark.graft.compact.writeTasks")
+      .map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    ManifestStore.tagForStage(df, path, ManifestStore.MAIN)
+      // the real columns stay in the data; the write partitions on
+      // duplicates (the ManifestStore layout contract)
       .withColumn(s"__p_$partitionCol", col(partitionCol))
+      .withColumn(s"__bin_$binCol", col(binCol))
+      .repartition(writeTasks, col(partitionCol), col(binCol))
       .write
-      .partitionBy(s"__p_$partitionCol")
+      .partitionBy(s"__p_$partitionCol", s"__bin_$binCol")
       .mode("overwrite")
       .parquet(staging)
     ManifestStore.commit(spark, path, Seq(ManifestStore.Staged(
@@ -159,10 +154,33 @@ object Compaction {
       .join(broadcast(planSlim), partitionCol +: keyCols)
       .localCheckpoint(true)
     try {
-      val touched = planSlim.select(col(partitionCol)).distinct()
-      val expected = store
-        .join(broadcast(touched), Seq(partitionCol), "left_semi")
-        .count()
+      // expected rows of the touched partitions, from the MANIFEST's
+      // own per-partition row sums (footer record counts recorded at
+      // commit) — a metadata lookup instead of the second full store
+      // scan + semi-join the guard used to pay per OPTIMIZE. Entries
+      // of a foreign spec (post-evolvePartitionSpec generations) keyed
+      // on other columns can hold touched rows the metadata cannot
+      // attribute, so a mixed-spec table falls back to the exact scan.
+      val touchedVals = planSlim
+        .select(col(partitionCol).cast("string"))
+        .distinct()
+        .collect()
+        .map(_.getString(0))
+        .toSet
+      val st = snap.state(ManifestStore.MAIN)
+      val singleSpec = st.partitions.values.forall(_.cols == Seq(partitionCol))
+      val expected =
+        if (singleSpec)
+          st.partitions.values
+            .filter(p => touchedVals.contains(p.values.head))
+            .map(_.rows)
+            .sum
+        else {
+          val touched = planSlim.select(col(partitionCol)).distinct()
+          store
+            .join(broadcast(touched), Seq(partitionCol), "left_semi")
+            .count()
+        }
       require(
         frame.count() == expected,
         s"compaction plan does not cover every file of its touched " +
